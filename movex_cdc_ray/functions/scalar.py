@@ -1,0 +1,179 @@
+"""Vectorized scalar-function library + the config expression evaluator.
+
+Covers the scalar surface the reference's generated trigger code uses
+(SURVEY.md §2.8): quote-escaping REPLACE
+(`db_trigger_generator_oracle.rb:895`), TO_CHAR date/timestamp formats
+(`:896-908`), RAWTOHEX (`:904`), NULL-safe compare (`:814-819`),
+ORA_HASH + MOD partitioning hash (`transfer_thread.rb:240`), exponential
+backoff POWER(3, retry-1) (`:361`).
+
+Config-driven predicates / computed columns (operators M3 / M6) are plain
+Python expression strings evaluated ONCE PER BATCH with ``eval`` in a
+restricted namespace — fully vectorized: ``c('new_content')`` yields the Arrow
+array, and ``pc`` / ``np`` kernels operate on whole columns. This is the Ray
+analog of the reference compiling config strings into trigger PL/SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# deterministic key hash (ORA_HASH analog)
+# ---------------------------------------------------------------------------
+
+
+def hash_strings(arr: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of a string column, vectorized.
+
+    Stand-in for the reference's ``MOD(ORA_HASH(Msg_Key, 1000000), worker_count)``
+    slice assignment (`transfer_thread.rb:239-242`). ``pd.util.hash_array`` is
+    stable across processes and runs (fixed hash key), which the exactly-once
+    replay requires.
+    """
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+
+
+def partition_of(keys: pa.Array | pa.ChunkedArray | np.ndarray, num_partitions: int) -> np.ndarray:
+    """``hash(key) % P`` partition assignment (operator S2's modulo slice)."""
+    return (hash_strings(keys) % np.uint64(num_partitions)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# null-safe comparison (reference `db_trigger_generator_oracle.rb:814-819`)
+# ---------------------------------------------------------------------------
+
+
+def null_safe_not_equal(a: pa.ChunkedArray | pa.Array, b: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """NULL-safe ``a <> b``: NULL vs NULL is equal; NULL vs value is different.
+
+    The reference emits ``(:old.c != :new.c OR (:old.c IS NULL AND :new.c IS
+    NOT NULL) OR ...)`` per column; here one vectorized kernel.
+    """
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    neq = pc.fill_null(pc.not_equal(a, b), False)
+    null_mismatch = pc.xor(pc.is_null(a), pc.is_null(b))
+    return pc.or_(neq, null_mismatch)
+
+
+# ---------------------------------------------------------------------------
+# TO_CHAR / timestamp formatting (operator M9)
+# ---------------------------------------------------------------------------
+
+# Arrow's %S already renders the fractional part for sub-second timestamps.
+ISO_FORMAT = "%Y-%m-%dT%H:%M:%S"
+# legacy variants, reference `transfer_thread.rb:520-536` (LEGACY_TS_FORMAT)
+LEGACY_FORMATS = {None: ISO_FORMAT, "comma": ISO_FORMAT, "nofraction": ISO_FORMAT}
+
+
+def format_timestamp(arr: pa.ChunkedArray | pa.Array, legacy: str | None = None) -> pa.Array:
+    """ISO-8601 text for a timestamp column (with the reference's legacy modes:
+    ``comma`` uses ',' as the fraction separator, ``nofraction`` drops it)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.strftime(arr, format=ISO_FORMAT)
+    if legacy == "comma":
+        out = pc.replace_substring(out, pattern=".", replacement=",")
+    elif legacy == "nofraction":
+        out = pc.replace_substring_regex(out, pattern=r"\.\d+$", replacement="")
+    return out
+
+
+def raw_to_hex(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """RAWTOHEX analog for binary columns (`db_trigger_generator_oracle.rb:904`)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = [v.as_buffer().hex().upper() if v.is_valid else None for v in arr]
+    return pa.array(out, pa.string())
+
+
+def escape_json_string(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    r"""The trigger's REPLACE(v, '"', '\"') plus backslash escaping (M5)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
+    out = pc.replace_substring(out, pattern='"', replacement='\\"')
+    out = pc.replace_substring(out, pattern="\n", replacement="\\n")
+    out = pc.replace_substring(out, pattern="\r", replacement="\\r")
+    out = pc.replace_substring(out, pattern="\t", replacement="\\t")
+    return out
+
+
+def retry_delay_seconds(retry_count: np.ndarray | pa.Array, start_delay: float = 20.0) -> np.ndarray:
+    """Exponential backoff ``start_delay * 3^(retry-1)``.
+
+    Reference `transfer_thread.rb:361` (Oracle ``POWER(3, Retry_Count-1)``)."""
+    if isinstance(retry_count, (pa.Array, pa.ChunkedArray)):
+        retry_count = retry_count.to_numpy(zero_copy_only=False)
+    rc = np.maximum(np.asarray(retry_count, dtype=np.float64), 1.0)
+    return start_delay * np.power(3.0, rc - 1.0)
+
+
+# ---------------------------------------------------------------------------
+# expression evaluator for conditions / computed columns / key expressions
+# ---------------------------------------------------------------------------
+
+_SAFE_GLOBALS: dict[str, Any] = {"__builtins__": {}}
+
+
+def compile_expr(expr: str) -> Any:
+    return compile(expr, "<capture-config>", "eval")
+
+
+def eval_expr(
+    expr: str | Any,
+    batch: pa.Table | pa.RecordBatch,
+    extra: dict[str, Any] | None = None,
+) -> Any:
+    """Evaluate a config expression against a batch, vectorized.
+
+    Namespace:
+      - ``c(name)``  -> the column as a combined Arrow array
+      - ``v(name)``  -> per-row old/new value resolution: for DELETE rows the
+        ``old_<name>`` value, otherwise ``new_<name>`` (the reference's
+        ``:old``→``:new`` rewrite per op, `db_trigger_generator_oracle.rb:952-967`)
+      - ``pc`` / ``pa`` / ``np`` kernels, plus the helpers above.
+    """
+    code = compile_expr(expr) if isinstance(expr, str) else expr
+
+    def c(name: str):
+        col = batch.column(name)
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def v(name: str):
+        is_del = pc.equal(c("op"), "D")
+        return pc.if_else(is_del, c(f"old_{name}"), c(f"new_{name}"))
+
+    ns: dict[str, Any] = {
+        "c": c,
+        "v": v,
+        "pc": pc,
+        "pa": pa,
+        "np": np,
+        "null_safe_not_equal": null_safe_not_equal,
+        "format_timestamp": format_timestamp,
+        "hash_strings": hash_strings,
+    }
+    if extra:
+        ns.update(extra)
+    return eval(code, _SAFE_GLOBALS, ns)
+
+
+def eval_mask(expr: str | Any, batch: pa.Table) -> pa.Array:
+    """Evaluate a condition expression and coerce to a non-null boolean mask."""
+    out = eval_expr(expr, batch)
+    if isinstance(out, np.ndarray):
+        out = pa.array(out)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return pc.fill_null(out.cast(pa.bool_()), False)

@@ -1,0 +1,236 @@
+"""The epoch driver: binlog replay → converged lake table (SURVEY.md §3.1).
+
+One epoch = one exactly-once transaction, mirroring the reference's worker
+cycle `ActiveRecord txn { read batch → produce to Kafka txn → delete shipped
+}` (`app/models/transfer_thread.rb:53-99`):
+
+    read_parquet(epoch chunks)                      # S1
+    → map_batches(CaptureStage, pyarrow, zero-copy) # M2-M10, schema evolution
+    → map_batches(assign_partitions + combiner)     # S2 hash slice + pre-agg
+    [→ groupby(part, salt).map_groups(combine)]     # stage-1 skew merge
+    → groupby(part).map_groups(EpochMerger)         # sort, dedup, merge, stage
+    → driver commits manifest (epoch barrier)       # S5/S6 Kafka txn + DELETE
+
+The ONLY all-to-all exchange is the groupby("part") hash shuffle; the
+combiner collapses superseded events per batch first, so shuffle volume is
+bounded by (#distinct keys touched per epoch), not event count.
+
+Resume: `Manifest.latest()` → skip consumed chunks; a re-run of a partially
+committed epoch overwrites the same staged paths and converges byte-identically
+(idempotence test in tests/test_exactly_once.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import CaptureConfig
+from ..sources.stream import epoch_batches, list_chunks, pending_chunks, read_chunks
+from ..stages.capture import CaptureStage
+from ..stages.errors import consume_retry_files, pending_retry_files
+from ..stages.partitioning import assign_partitions, combine_last_per_key
+from ..stages.sink import lake_table_schema, make_epoch_merger
+from ..state.manifest import Manifest, new_writer_token
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ReplayReport:
+    epochs: int = 0
+    events_in: int = 0
+    events_success: int = 0
+    events_delayed_errors: int = 0
+    events_final_errors: int = 0
+    events_d_and_c_retries: int = 0
+    lake_rows: int = 0
+    elapsed_sec: float = 0.0
+    epoch_metrics: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_in / self.elapsed_sec if self.elapsed_sec else 0.0
+
+
+class CapturePartitionStage:
+    """Fused capture + partition-assign + per-batch combiner, one pass per
+    Arrow batch (keeps the hot path at two kernel sweeps, no pandas)."""
+
+    def __init__(self, cfg: CaptureConfig, hot_keys: frozenset[str] | None = None,
+                 combine: bool = True):
+        self.capture = CaptureStage(cfg)
+        self.cfg = cfg
+        self.hot_keys = hot_keys
+        self.combine = combine
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.capture(batch)
+        if len(out) == 0:
+            out = assign_partitions(out, self.cfg.num_partitions,
+                                    salt_factor=self.cfg.salt_factor if self.hot_keys else 0,
+                                    hot_keys=self.hot_keys)
+            return out
+        out = assign_partitions(
+            out,
+            self.cfg.num_partitions,
+            salt_factor=self.cfg.salt_factor if self.hot_keys else 0,
+            hot_keys=self.hot_keys,
+        )
+        if self.combine:
+            out = combine_last_per_key(out)
+        return out
+
+
+def run_epoch(
+    cfg: CaptureConfig,
+    manifest: Manifest,
+    epoch: int,
+    chunk_files: list[str],
+    lake_dir: str,
+    writer_token: str,
+    extra_event_files: list[str] | None = None,
+    hot_keys: frozenset[str] | None = None,
+    salted: bool = False,
+    batch_size: int | None = None,
+) -> tuple[Manifest, dict[str, Any]]:
+    """Process one epoch and commit it. Idempotent under retry."""
+    t0 = time.perf_counter()
+    files = list(chunk_files) + list(extra_event_files or [])
+    ds = read_chunks(files)
+    stage = CapturePartitionStage(cfg, hot_keys=hot_keys)
+    ds = ds.map_batches(
+        stage,
+        batch_format="pyarrow",
+        batch_size=batch_size or cfg.max_transaction_size,
+        zero_copy_batch=True,
+    )
+    if salted and hot_keys:
+        # stage-1 of the two-stage skew merge: combine per (part, salt)
+        ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
+    merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions)
+    stats_ds = ds.groupby("part").map_groups(merger, batch_format="pyarrow")
+    stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
+
+    part_updates = {
+        str(r["part"]): {
+            "path": r["path"],
+            "rows": r["lake_rows"],
+            "watermark": r["watermark"],
+            "sha": r["sha"],
+        }
+        for r in stats_rows
+    }
+    elapsed = time.perf_counter() - t0
+    agg = {
+        k: int(sum(r[k] for r in stats_rows))
+        for k in (
+            "events_in",
+            "events_below_watermark",
+            "events_success",
+            "events_d_and_c_retries",
+            "events_delayed_errors",
+            "events_final_errors",
+            "events_unkeyed",
+            "upserts",
+            "deletes",
+            "ordering_violations",
+        )
+    }
+    agg["epoch"] = epoch
+    agg["elapsed_sec"] = round(elapsed, 3)
+    agg["partitions_touched"] = len(stats_rows)
+    agg["lake_rows"] = int(sum(r["lake_rows"] for r in stats_rows))
+    manifest = manifest.commit_epoch(epoch, chunk_files, part_updates, writer_token, metrics=agg)
+    return manifest, agg
+
+
+def replay(
+    stream_dir: str,
+    lake_dir: str,
+    cfg: CaptureConfig,
+    chunks_per_epoch: int = 8,
+    resume: bool = True,
+    max_epochs: int | None = None,
+    hot_keys: frozenset[str] | None = None,
+    salted: bool = False,
+    retry_backoff_epochs: int = 1,
+    gc_staging: bool = True,
+) -> ReplayReport:
+    """Full (or resumed) replay of a change stream into the lake."""
+    t0 = time.perf_counter()
+    manifest = Manifest.latest(lake_dir) if resume else Manifest(lake_dir=lake_dir)
+    token = new_writer_token()
+    pending = pending_chunks(stream_dir, manifest.chunks_consumed)
+    report = ReplayReport()
+    for batch in epoch_batches(pending, chunks_per_epoch):
+        epoch = manifest.epoch + 1
+        retry_files = pending_retry_files(lake_dir, epoch, retry_backoff_epochs)
+        manifest, agg = run_epoch(
+            cfg,
+            manifest,
+            epoch,
+            batch,
+            lake_dir,
+            token,
+            extra_event_files=retry_files,
+            hot_keys=hot_keys,
+            salted=salted,
+        )
+        consume_retry_files(retry_files)
+        report.epochs += 1
+        report.events_in += agg["events_in"]
+        report.events_success += agg["events_success"]
+        report.events_delayed_errors += agg["events_delayed_errors"]
+        report.events_final_errors += agg["events_final_errors"]
+        report.events_d_and_c_retries += agg["events_d_and_c_retries"]
+        report.epoch_metrics.append(agg)
+        if max_epochs and report.epochs >= max_epochs:
+            break
+    # drain the retry ledger even when no chunks are pending
+    if not pending:
+        epoch = manifest.epoch + 1
+        retry_files = pending_retry_files(lake_dir, epoch, retry_backoff_epochs)
+        if retry_files:
+            manifest, agg = run_epoch(
+                cfg, manifest, epoch, [], lake_dir, token, extra_event_files=retry_files
+            )
+            consume_retry_files(retry_files)
+            report.epochs += 1
+            report.epoch_metrics.append(agg)
+    if gc_staging:
+        manifest.gc()
+    report.lake_rows = manifest.total_rows()
+    report.elapsed_sec = time.perf_counter() - t0
+    return report
+
+
+def read_lake(lake_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    """The committed lake as a Dataset (latest manifest's partition files)."""
+    m = Manifest.latest(lake_dir)
+    files = m.data_files()
+    if not files:
+        return rd.from_arrow(lake_table_schema_from_dir(lake_dir))
+    return rd.read_parquet(files, columns=columns)
+
+
+def lake_table_schema_from_dir(lake_dir: str) -> pa.Table:  # pragma: no cover
+    return pa.table({})
+
+
+def lake_to_pandas(lake_dir: str):
+    """Small-scale helper for tests: full lake as a key-sorted DataFrame."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    m = Manifest.latest(lake_dir)
+    files = m.data_files()
+    if not files:
+        return pd.DataFrame()
+    t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    return t.to_pandas().sort_values("_key").reset_index(drop=True)

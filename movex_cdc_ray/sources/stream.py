@@ -1,0 +1,54 @@
+"""Change-stream source: ordered chunk enumeration (operators S1-S3, O2, O3).
+
+The reference polls the interval-partitioned ``EVENT_LOGS`` table
+oldest-partition-first with a bounded batch size
+(`app/models/transfer_thread.rb:180-222`). Here the stream is a directory of
+ordered Parquet chunk files; the manifest's consumed-chunk ledger replaces the
+``SELECT FOR UPDATE SKIP LOCKED`` row locking (S4) — each chunk belongs to
+exactly one epoch, claimed at commit time.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray.data as rd
+
+
+def list_chunks(stream_dir: str) -> list[str]:
+    """All chunk files in creation (= lexicographic) order — the
+    oldest-partition-first scan of `transfer_thread.rb:187-190` (O2)."""
+    return sorted(glob.glob(os.path.join(stream_dir, "chunk_*.parquet")))
+
+
+def pending_chunks(stream_dir: str, chunks_consumed: int) -> list[str]:
+    """Chunks not yet covered by a committed manifest (resume point)."""
+    return list_chunks(stream_dir)[chunks_consumed:]
+
+
+def epoch_batches(pending: list[str], chunks_per_epoch: int) -> list[list[str]]:
+    """Group pending chunks into epochs — the analog of the reference's
+    ``max_transaction_size`` bounded read cycle (`config/application.rb:289`,
+    O3): one epoch is one exactly-once transaction."""
+    return [pending[i : i + chunks_per_epoch] for i in range(0, len(pending), chunks_per_epoch)]
+
+
+def read_chunks(files: list[str], columns: list[str] | None = None) -> rd.Dataset:
+    """Read one epoch's chunks as a streaming Dataset.
+
+    Chunk files may straddle a schema-evolution boundary (different payload
+    schemas); the capture stage aligns every batch, so the read must not
+    unify schemas eagerly — read_parquet handles this via per-file fragments.
+    """
+    return rd.read_parquet(files, columns=columns)
+
+
+def gc_consumed_chunks(stream_dir: str, chunks_consumed: int, unlink: bool = False) -> list[str]:
+    """Chunk GC once consumed (the reference's partition drop, S6/O16).
+    Only deletes when ``unlink`` — test streams are read-only fixtures."""
+    done = list_chunks(stream_dir)[:chunks_consumed]
+    if unlink:
+        for f in done:
+            os.remove(f)
+    return done

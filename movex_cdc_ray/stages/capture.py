@@ -1,0 +1,443 @@
+"""The capture stage — the reference's generated trigger, as one vectorized
+``map_batches`` transform (operators M1-M11, SURVEY.md §2.2).
+
+Where the reference code-generates PL/SQL per (table, operation)
+(`app/models/db_trigger_generator_oracle.rb:98-238`), this module compiles the
+:class:`~movex_cdc_ray.config.CaptureConfig` into per-table plans of Arrow
+kernels executed per batch:
+
+  * schema evolution alignment (add column / int widen) — in-flight per batch
+  * per-op column projection (M2, `db_trigger_generator_oracle.rb:98-238`)
+  * row predicates from config strings (M3, `:762-796`)
+  * update-only-on-change suppression with NULL-safe compare (M4, `:802-823`)
+  * computed column expressions spliced into old/new (M6, `:620-754`)
+  * message-key derivation modes N/P/F/T/E (M7, `:917-967`)
+  * envelope assembly + operation long names + ISO timestamps (M8-M10,
+    `transfer_thread.rb:493-536`, `app/helpers/key_helper.rb:2-10`)
+  * topic routing (M11, `app/models/table.rb:186-192`)
+
+The stage is STATELESS (a plain function per batch) so Ray schedules it as
+elastic tasks; config is captured in the closure (tiny — the J1 broadcast).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import OP_LONG_NAMES, CaptureConfig, TableConfig
+from ..events import align_to_schema, change_event_schema
+from ..functions.scalar import (
+    compile_expr,
+    escape_json_string,
+    eval_expr,
+    eval_mask,
+    format_timestamp,
+    null_safe_not_equal,
+)
+
+KEY_SEP = "\x1f"  # canonical partition-key separator
+
+
+@dataclass
+class TablePlan:
+    """Compiled capture plan for one table — the 'deployed trigger'."""
+
+    table: TableConfig
+    topic: str
+    logged: dict[str, list[str]] = field(default_factory=dict)  # op -> payload cols
+    conditions: dict[str, Any] = field(default_factory=dict)  # op -> code object
+    expressions: dict[str, list[tuple[str, str, Any]]] = field(default_factory=dict)
+    key_expr: Any = None
+
+
+def compile_plan(cfg: CaptureConfig) -> dict[int, TablePlan]:
+    """Build per-table plans (the M1 'trigger generation' analog).
+
+    Rebuilding plans after a config edit is the redeploy cycle of
+    `app/models/db_trigger.rb:38-92` — cheap enough to do per epoch.
+    """
+    plans: dict[int, TablePlan] = {}
+    for t in cfg.tables:
+        if t.yn_hidden:
+            continue
+        plan = TablePlan(table=t, topic=cfg.topic_for(t))
+        for op in ("I", "U", "D", "i"):
+            plan.logged[op] = t.logged_columns(op)
+            cond = t.condition(op)
+            if cond:
+                plan.conditions[op] = compile_expr(cond)
+            plan.expressions[op] = [
+                (e.name, e.target(), compile_expr(e.sql)) for e in t.expressions(op)
+            ]
+        if t.key_handling == "E" and t.key_expression:
+            plan.key_expr = compile_expr(t.key_expression)
+        plans[t.table_id] = plan
+    return plans
+
+
+def _payload_field_names(schema: pa.Schema) -> list[str]:
+    return [n[len("new_") :] for n in schema.names if n.startswith("new_")]
+
+
+def derive_keys(batch: pa.Table, plan: TablePlan) -> tuple[pa.Array, pa.Array]:
+    """(msg_key, key_string) per row.
+
+    ``msg_key`` is the outgoing (Kafka-style) message key per mode N/P/F/T/E
+    (M7). ``key_string`` is the canonical partition/merge key: the
+    ``KEY_SEP``-joined PK values, resolved old-vs-new per op (the reference's
+    ``:old``→``:new`` rewrite, `db_trigger_generator_oracle.rb:952-967`);
+    null for unkeyed tables (mode N → round-robin partitioning, operator S3).
+    """
+    t = plan.table
+    n = len(batch)
+    is_del = pc.equal(batch["op"], "D")
+
+    def v(name: str) -> pa.Array:
+        old = batch[f"old_{name}"]
+        new = batch[f"new_{name}"]
+        if isinstance(old, pa.ChunkedArray):
+            old = old.combine_chunks()
+        if isinstance(new, pa.ChunkedArray):
+            new = new.combine_chunks()
+        return pc.if_else(is_del, old, new)
+
+    key_string: pa.Array
+    if t.pk_columns:
+        parts = [v(c).cast(pa.string()) for c in t.pk_columns]
+        key_string = pc.binary_join_element_wise(*parts, KEY_SEP)
+    else:
+        key_string = pa.nulls(n, pa.string())
+
+    mode = t.key_handling
+    if mode == "N":
+        msg_key = pa.nulls(n, pa.string())
+    elif mode == "P":
+        # canonical JSON of PK columns, like the reference's primary-key mode
+        frags: list[Any] = []
+        for i, c in enumerate(t.pk_columns):
+            val = v(c)
+            if pa.types.is_string(val.type) or pa.types.is_large_string(val.type):
+                rendered = pc.binary_join_element_wise('"', escape_json_string(val), '"', "")
+            else:
+                rendered = val.cast(pa.string())
+            frags.append(pc.binary_join_element_wise(f'"{c}": ', rendered, ""))
+        body = frags[0]
+        for f in frags[1:]:
+            body = pc.binary_join_element_wise(body, f, ", ")
+        msg_key = pc.binary_join_element_wise("{", body, "}", "")
+    elif mode == "F":
+        msg_key = pa.array([t.fixed_message_key] * n, pa.string())
+    elif mode == "T":
+        msg_key = batch["txn_id"]
+        if isinstance(msg_key, pa.ChunkedArray):
+            msg_key = msg_key.combine_chunks()
+    else:  # E
+        out = eval_expr(plan.key_expr, batch)
+        if isinstance(out, np.ndarray):
+            out = pa.array(out)
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        msg_key = out.cast(pa.string())
+    return msg_key, key_string
+
+
+class CaptureStage:
+    """Callable for ``ds.map_batches(CaptureStage(cfg), batch_format="pyarrow")``.
+
+    Output = input event columns aligned to the LATEST schema version, rows
+    filtered per op-flags/conditions/no-op-suppression, payload projected per
+    op, plus ``msg_key`` and ``key_string`` columns and any computed-expression
+    columns (named ``new_<name>`` / ``old_<name>``).
+    """
+
+    def __init__(self, cfg: CaptureConfig, count_suppressed: bool = False):
+        self.cfg = cfg
+        self.plans = compile_plan(cfg)
+        self.event_schema = change_event_schema(cfg.latest_version().payload_fields)
+        self.payload_fields = list(cfg.latest_version().payload_fields)
+        self.counters: dict[tuple[int, str, str], int] = {}
+        self.count_suppressed = count_suppressed
+
+    def _count(self, table_id: int, op_counts: dict[str, int], counter_type: str) -> None:
+        for op, n in op_counts.items():
+            if n:
+                k = (table_id, op, counter_type)
+                self.counters[k] = self.counters.get(k, 0) + n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if isinstance(batch, pa.RecordBatch):  # pragma: no cover - ray always passes Table
+            batch = pa.Table.from_batches([batch])
+        # 1) schema evolution: align every batch to the latest payload schema
+        batch = align_to_schema(batch, self.event_schema)
+
+        out_parts: list[pa.Table] = []
+        tids = pc.unique(batch["table_id"]).to_pylist()
+        for tid in tids:
+            plan = self.plans.get(tid)
+            sub = (
+                batch
+                if len(tids) == 1
+                else batch.filter(pc.equal(batch["table_id"], tid))
+            )
+            if plan is None:
+                continue  # unconfigured table: no trigger deployed → no events
+            out_parts.append(self._capture_table(sub, plan))
+        if not out_parts:
+            return self._empty_out()
+        return pa.concat_tables(out_parts) if len(out_parts) > 1 else out_parts[0]
+
+    def _empty_out(self) -> pa.Table:
+        schema = self.event_schema
+        fields = list(schema) + [pa.field("msg_key", pa.string()), pa.field("key_string", pa.string())]
+        return pa.schema(fields).empty_table()
+
+    def _capture_table(self, batch: pa.Table, plan: TablePlan) -> pa.Table:
+        op = batch["op"]
+        if isinstance(op, pa.ChunkedArray):
+            op = op.combine_chunks()
+        n = len(batch)
+
+        # 2) op-flag filter: an op with no logged columns has no trigger (M2)
+        keep = np.zeros(n, dtype=bool)
+        op_np = op.to_numpy(zero_copy_only=False)
+        for o in ("I", "U", "D", "i"):
+            if plan.logged[o]:
+                keep |= op_np == o
+
+        # 3) per-op row predicates (M3)
+        for o, code in plan.conditions.items():
+            rows_o = op_np == o
+            if not rows_o.any():
+                continue
+            mask = eval_mask(code, batch).to_numpy(zero_copy_only=False)
+            dropped = rows_o & ~mask
+            keep &= ~dropped
+
+        # 4) update-only-on-change suppression (M4): NULL-safe old!=new over
+        #    the columns OBSERVED for update (the trigger's UPDATE OF list)
+        upd = op_np == "U"
+        if upd.any() and plan.logged["U"]:
+            changed = np.zeros(n, dtype=bool)
+            for c in plan.logged["U"]:
+                if f"new_{c}" in batch.column_names:
+                    neq = null_safe_not_equal(batch[f"new_{c}"], batch[f"old_{c}"])
+                    changed |= neq.to_numpy(zero_copy_only=False)
+            keep &= ~(upd & ~changed)
+
+        sub = batch.filter(pa.array(keep)) if not keep.all() else batch
+        op_np = op_np[keep] if not keep.all() else op_np
+
+        # 5) per-op payload projection (M2): null out unlogged columns; insert
+        #    events keep no old object, delete events no new object
+        is_i = np.isin(op_np, ("I", "i"))
+        is_d = op_np == "D"
+        cols = {name: sub[name] for name in sub.column_names}
+        for f in self.payload_fields:
+            logged_i = f in plan.logged["I"] or f in plan.logged["i"]
+            logged_u = f in plan.logged["U"]
+            logged_d = f in plan.logged["D"]
+            new_mask = (is_i & logged_i) | ((op_np == "U") & logged_u)
+            old_mask = ((op_np == "U") & logged_u) | (is_d & logged_d)
+            for prefix, mask in (("new", new_mask), ("old", old_mask)):
+                name = f"{prefix}_{f}"
+                col = cols[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if not mask.all():
+                    col = pc.if_else(pa.array(mask), col, pa.nulls(len(sub), col.type))
+                cols[name] = col
+        sub = pa.table(cols, schema=sub.schema)
+
+        # 6) computed column expressions (M6): appended per op, target old/new
+        for o in ("I", "U", "D", "i"):
+            for name, target, code in plan.expressions[o]:
+                rows_o = pa.array(op_np == o)
+                val = eval_expr(code, sub)
+                if isinstance(val, np.ndarray):
+                    val = pa.array(val)
+                if isinstance(val, pa.ChunkedArray):
+                    val = val.combine_chunks()
+                if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                    val = pa.array([val] * len(sub))
+                val = pc.if_else(rows_o, val, pa.nulls(len(sub), val.type))
+                colname = f"{target}_{name}"
+                if colname in sub.column_names:
+                    old = sub[colname]
+                    if isinstance(old, pa.ChunkedArray):
+                        old = old.combine_chunks()
+                    val = pc.if_else(rows_o, val, old)
+                    sub = sub.set_column(sub.column_names.index(colname), colname, val)
+                else:
+                    sub = sub.append_column(colname, val)
+
+        # 7) message key + canonical partition key (M7)
+        msg_key, key_string = derive_keys(sub, plan)
+        sub = sub.append_column("msg_key", msg_key)
+        sub = sub.append_column("key_string", key_string)
+        return sub
+
+
+# ---------------------------------------------------------------------------
+# envelope / sink-boundary encoding (M5, M8, M9, M10)
+# ---------------------------------------------------------------------------
+
+
+def attach_envelope(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None = None) -> pa.Table:
+    """Add the outgoing-message envelope columns.
+
+    Reference `transfer_thread.rb:493-518` prepare_message_from_event_log:
+    id, schema, tablename, operation (long name), dbuser, timestamp, txn id;
+    optional CloudEvents headers (`transfer_thread.rb:663-679`).
+    """
+    op = batch["op"]
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+    tids = batch["table_id"]
+    if isinstance(tids, pa.ChunkedArray):
+        tids = tids.combine_chunks()
+    # op long-name mapping via dictionary take (M10)
+    codes = ["I", "U", "D", "i"]
+    longs = pa.array([OP_LONG_NAMES[c] for c in codes])
+    idx = pc.index_in(op, pa.array(codes))
+    operation = longs.take(idx)
+
+    id_to_table = {t.table_id: t for t in cfg.tables}
+    schema_names = pa.array(
+        [id_to_table[t].schema_name if t in id_to_table else None for t in tids.to_pylist()]
+    )
+    table_names = pa.array(
+        [id_to_table[t].name if t in id_to_table else None for t in tids.to_pylist()]
+    )
+    topics = pa.array(
+        [cfg.topic_for(id_to_table[t]) if t in id_to_table else None for t in tids.to_pylist()]
+    )
+    ts_str = format_timestamp(batch["created_at"], legacy_ts)
+    out = batch
+    for name, col in (
+        ("schema", schema_names),
+        ("tablename", table_names),
+        ("operation", operation),
+        ("topic", topics),
+        ("timestamp", ts_str),
+    ):
+        out = out.append_column(name, col)
+    # CloudEvents headers when enabled per table (reference doc/movex-cdc.adoc:743-760)
+    any_ce = any(t.yn_add_cloudevents_header for t in cfg.tables)
+    if any_ce:
+        ce_on = pa.array(
+            [t in id_to_table and id_to_table[t].yn_add_cloudevents_header for t in tids.to_pylist()]
+        )
+        ce_id = pc.if_else(ce_on, batch["id"].cast(pa.string()), pa.nulls(len(batch), pa.string()))
+        ce_type = pc.if_else(
+            ce_on,
+            pc.binary_join_element_wise(
+                pc.binary_join_element_wise(schema_names, table_names, "."), operation, "."
+            ),
+            pa.nulls(len(batch), pa.string()),
+        )
+        out = out.append_column("ce_id", ce_id)
+        out = out.append_column("ce_type", ce_type)
+    return out
+
+
+def _render_object(batch: pa.Table, fields: list[str], prefix: str) -> pa.Array:
+    """Render `{"f": v, ...}` JSON per row from ``<prefix>_<f>`` columns (M5).
+
+    Type conversions follow the reference's convert_col
+    (`db_trigger_generator_oracle.rb:875-914`): strings escaped+quoted,
+    numbers bare (with the 0.x leading-zero guarantee — Arrow cast always
+    emits the leading zero), NULL → literal ``null``, timestamps ISO-quoted,
+    binary as upper-hex.
+    """
+    n = len(batch)
+    if not fields:
+        return pa.array(["{}"] * n)
+    frags = []
+    for f in fields:
+        col = batch[f"{prefix}_{f}"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            rendered = pc.binary_join_element_wise('"', escape_json_string(col), '"', "")
+        elif pa.types.is_timestamp(t):
+            rendered = pc.binary_join_element_wise('"', format_timestamp(col), '"', "")
+        elif pa.types.is_binary(t):
+            from ..functions.scalar import raw_to_hex
+
+            rendered = pc.binary_join_element_wise('"', raw_to_hex(col), '"', "")
+        else:
+            rendered = col.cast(pa.string())
+        rendered = pc.coalesce(rendered, pa.array(["null"] * n))
+        frags.append(pc.binary_join_element_wise(f'"{f}": ', rendered, ""))
+    body = frags[0]
+    for fr in frags[1:]:
+        body = pc.binary_join_element_wise(body, fr, ", ")
+    return pc.binary_join_element_wise("{", body, "}", "")
+
+
+def render_message_json(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None = None) -> pa.Array:
+    """Full outgoing JSON message per row (the Kafka value), vectorized.
+
+    Layout per `transfer_thread.rb:493-518` / `doc/movex-cdc.adoc:727-741`:
+    ``{"id": .., "schema": .., "tablename": .., "operation": .., "dbuser": ..,
+    "timestamp": "..", ["transaction_id": "..",] ["new": {..},] ["old": {..}]}``
+    — ``new`` present for INSERT/UPDATE/INIT, ``old`` for UPDATE/DELETE.
+    """
+    env = attach_envelope(batch, cfg, legacy_ts)
+    fields = _payload_field_names(batch.schema)
+    n = len(batch)
+    op = batch["op"]
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+    has_new = pc.is_in(op, value_set=pa.array(["I", "U", "i"]))
+    has_old = pc.is_in(op, value_set=pa.array(["U", "D"]))
+
+    head = pc.binary_join_element_wise(
+        pc.binary_join_element_wise('{"id": ', env["id"].combine_chunks().cast(pa.string()), ""),
+        pc.binary_join_element_wise('"schema": "', env["schema"].combine_chunks(), '"', ""),
+        pc.binary_join_element_wise('"tablename": "', env["tablename"].combine_chunks(), '"', ""),
+        pc.binary_join_element_wise('"operation": "', env["operation"].combine_chunks(), '"', ""),
+        pc.binary_join_element_wise('"dbuser": "', env["dbuser"].combine_chunks(), '"', ""),
+        pc.binary_join_element_wise('"timestamp": "', env["timestamp"].combine_chunks(), '"', ""),
+        ", ",
+    )
+    txn = batch["txn_id"]
+    if isinstance(txn, pa.ChunkedArray):
+        txn = txn.combine_chunks()
+    txn_frag = pc.coalesce(
+        pc.binary_join_element_wise(', "transaction_id": "', escape_json_string(txn), '"', ""),
+        pa.array([""] * n),
+    )
+    new_obj = _render_object(batch, fields, "new")
+    old_obj = _render_object(batch, fields, "old")
+    new_frag = pc.if_else(has_new, pc.binary_join_element_wise(', "new": ', new_obj, ""), pa.array([""] * n))
+    old_frag = pc.if_else(has_old, pc.binary_join_element_wise(', "old": ', old_obj, ""), pa.array([""] * n))
+    return pc.binary_join_element_wise(head, txn_frag, new_frag, old_frag, "}", "")
+
+
+def validate_messages(batch: pa.Table, cfg: CaptureConfig) -> None:
+    """KafkaMock-style conformance checks (reference `app/models/kafka_mock.rb:37-141`):
+
+    JSON parseability, required envelope fields, operation in the long-name
+    set, and the max-message-size limit. Raises on the first violation.
+    Ascending-id-per-key ordering is checked by the sink validator
+    (`movex_cdc_ray.stages.sink.SinkValidator`).
+    """
+    msgs = render_message_json(batch, cfg)
+    limit = cfg.max_message_bytes
+    for m in msgs.to_pylist():
+        if len(m.encode()) > limit:
+            raise ValueError(f"message exceeds {limit} bytes")
+        doc = json.loads(m)
+        for req in ("id", "schema", "tablename", "operation", "timestamp"):
+            if req not in doc:
+                raise ValueError(f"missing envelope field {req}")
+        if doc["operation"] not in OP_LONG_NAMES.values():
+            raise ValueError(f"bad operation {doc['operation']}")

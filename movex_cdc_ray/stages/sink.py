@@ -1,0 +1,283 @@
+"""Per-partition lake merge — the transactional sink (operators S5/S6/D1/T2-T5).
+
+One merge task per (epoch, partition), produced by
+``ds.groupby("part").map_groups(make_epoch_merger(...))`` — the Ray analog of
+the reference's one-worker-owns-a-key-slice invariant
+(`app/models/transfer_thread.rb:226-242`, W1). Inside a task:
+
+  sort-by-id (O1, `transfer_thread.rb:217`) → watermark dedup (T2, D1)
+  → divide&conquer error isolation (§2.11) → last-writer-wins combine
+  → schema-evolve the base → upsert/tombstone merge → idempotent staged write.
+
+The merge is an arg-max-by-id reduction per key: INSERT/UPDATE/INIT upsert the
+row, DELETE tombstones it — which makes it associative, so pre-combining in
+upstream ``map_batches`` (see ``partitioning.combine_last_per_key``) and
+salted two-stage merges are sound.
+
+Exactly-once: events at or below the partition's committed watermark are
+dropped (replay dedup); the staged file path is deterministic per (epoch,
+part) and fully overwritten, so Ray task retries and driver restarts converge
+to byte-identical output (verified by the partition sha).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import CaptureConfig
+from ..events import align_to_schema, arrow_type
+from ..state.manifest import staged_path
+from .errors import divide_and_conquer, write_bad_events
+from .partitioning import combine_last_per_key
+
+UNKEYED_DIR = "_unkeyed"
+
+MERGE_STATS_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("epoch", pa.int64()),
+        ("events_in", pa.int64()),
+        ("events_below_watermark", pa.int64()),
+        ("events_success", pa.int64()),
+        ("events_d_and_c_retries", pa.int64()),
+        ("events_delayed_errors", pa.int64()),
+        ("events_final_errors", pa.int64()),
+        ("events_unkeyed", pa.int64()),
+        ("upserts", pa.int64()),
+        ("deletes", pa.int64()),
+        ("ordering_violations", pa.int64()),
+        ("lake_rows", pa.int64()),
+        ("watermark", pa.int64()),
+        ("path", pa.string()),
+        ("sha", pa.string()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
+def lake_table_schema(cfg: CaptureConfig) -> pa.Schema:
+    fields = [pa.field(n, arrow_type(t)) for n, t in cfg.latest_version().payload_fields.items()]
+    fields += [
+        pa.field("_key", pa.string()),
+        pa.field("_last_id", pa.int64()),
+        pa.field("_last_op", pa.string()),
+        pa.field("_last_ts", pa.timestamp("us")),
+    ]
+    return pa.schema(fields)
+
+
+def events_to_lake_rows(events: pa.Table, payload_fields: list[str]) -> pa.Table:
+    cols: dict[str, Any] = {}
+    for f in payload_fields:
+        cols[f] = events[f"new_{f}"]
+    cols["_key"] = events["key_string"]
+    cols["_last_id"] = events["id"]
+    cols["_last_op"] = events["op"]
+    cols["_last_ts"] = events["created_at"]
+    return pa.table(cols)
+
+
+def default_invariant_check(events: pa.Table) -> None:
+    """Sink-side invariant: upserted rows must carry content (the per-row
+    sha256(content) invariant needs a value to hash). Raises on violation —
+    the divide&conquer wrapper isolates the poison rows."""
+    op = events["op"]
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+    is_upsert = pc.invert(pc.equal(op, "D"))
+    content = events["new_content"]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    bad = pc.and_(is_upsert, pc.is_null(content))
+    if pc.any(bad).as_py():
+        raise ValueError("upsert event with NULL content")
+
+
+def partition_sha(lake: pa.Table) -> str:
+    """Deterministic digest of a partition's final state: sha256 over the
+    key-sorted rows of ``key \\x1f sha256(content) \\x1f last_id`` lines.
+    This is the per-row content-sha256 invariant aggregated per partition."""
+    if len(lake) == 0:
+        return hashlib.sha256(b"").hexdigest()
+    keys = lake["_key"].to_pylist()
+    contents = lake["content"].to_pylist()
+    ids = lake["_last_id"].to_pylist()
+    h = hashlib.sha256()
+    for k, c, i in zip(keys, contents, ids):
+        csha = hashlib.sha256((c or "").encode()).hexdigest()
+        h.update(f"{k}\x1f{csha}\x1f{i}\n".encode())
+    return h.hexdigest()
+
+
+def atomic_write_parquet(t: pa.Table, path: str) -> int:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(t, tmp, row_group_size=128 * 1024)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def make_epoch_merger(
+    cfg: CaptureConfig,
+    lake_dir: str,
+    epoch: int,
+    prev_partitions: dict[str, dict[str, Any]],
+    invariant_check: Callable[[pa.Table], None] | None = default_invariant_check,
+) -> Callable[[pa.Table], pa.Table]:
+    """Build the per-partition merge closure for this epoch.
+
+    ``prev_partitions`` is the latest committed manifest's partition map —
+    tiny (P entries), shipped by closure capture to every merge task (the J1
+    broadcast-small-side pattern; never a shuffle join).
+    """
+    payload_fields = list(cfg.latest_version().payload_fields)
+    lake_schema = lake_table_schema(cfg)
+    error_max_retries = cfg.error_max_retries
+
+    def merge(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return MERGE_STATS_SCHEMA.empty_table()
+        part = group["part"][0].as_py()
+        prev = prev_partitions.get(str(part))
+        prev_wm = prev["watermark"] if prev else -1
+        events_in = len(group)
+
+        # ---- watermark dedup (T2/D1): replayed events are dropped ----------
+        ids = group["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        new_wm = max(int(pc.max(ids).as_py()), prev_wm)
+        fresh = group.filter(pc.greater(ids, prev_wm))
+        below = events_in - len(fresh)
+
+        # ---- unkeyed events: append-only side channel (S3) -----------------
+        keyed_mask = pc.is_valid(fresh["key_string"].combine_chunks())
+        unkeyed = fresh.filter(pc.invert(keyed_mask))
+        keyed = fresh.filter(keyed_mask)
+        if len(unkeyed):
+            p = os.path.join(lake_dir, UNKEYED_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
+            atomic_write_parquet(unkeyed, p)
+
+        # ---- error isolation (§2.11) ---------------------------------------
+        if invariant_check is not None and len(keyed):
+            ok, bad, attempts = divide_and_conquer(keyed, invariant_check)
+            n_retry, n_final = write_bad_events(bad, lake_dir, epoch, part, error_max_retries)
+        else:
+            ok, attempts, n_retry, n_final = keyed, 0, 0, 0
+
+        # ---- last-writer-wins combine + sort-by-id (O1) --------------------
+        ok = combine_last_per_key(ok)
+        if len(ok):
+            ok = ok.take(pc.sort_indices(ok["id"].combine_chunks() if isinstance(ok["id"], pa.ChunkedArray) else ok["id"]))
+
+        # ---- load + schema-evolve the base ---------------------------------
+        if prev:
+            base = pq.read_table(prev["path"])
+            if base.schema != lake_schema:
+                base = align_to_schema(base, lake_schema)
+        else:
+            base = lake_schema.empty_table()
+
+        # ---- ordering check (the KafkaMock ascending-id assertion, D1) -----
+        violations = 0
+        if len(ok) and len(base):
+            tk = ok["key_string"].to_pylist()
+            base_touched = base.filter(pc.is_in(base["_key"], value_set=pa.array(set(tk), pa.string())))
+            last = dict(zip(base_touched["_key"].to_pylist(), base_touched["_last_id"].to_pylist()))
+            for k, i in zip(tk, ok["id"].to_pylist()):
+                if k in last and i <= last[k]:
+                    violations += 1
+
+        # ---- upsert / tombstone merge --------------------------------------
+        op = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
+        is_del = pc.equal(op, "D")
+        upserts = ok.filter(pc.invert(is_del))
+        touched = ok["key_string"]
+        if isinstance(touched, pa.ChunkedArray):
+            touched = touched.combine_chunks()
+        if len(ok):
+            keep_mask = pc.invert(pc.is_in(base["_key"], value_set=touched))
+            base_keep = base.filter(keep_mask) if len(base) else base
+        else:
+            base_keep = base
+        lake_rows = events_to_lake_rows(upserts, payload_fields)
+        lake_rows = align_to_schema(lake_rows, lake_schema)
+        merged = pa.concat_tables([base_keep, lake_rows]) if len(lake_rows) else base_keep
+        if len(merged):
+            sort_idx = pc.sort_indices(merged["_key"].combine_chunks() if isinstance(merged["_key"], pa.ChunkedArray) else merged["_key"])
+            merged = merged.take(sort_idx)
+
+        # ---- idempotent staged write ---------------------------------------
+        out_path = staged_path(lake_dir, epoch, part)
+        nbytes = atomic_write_parquet(merged, out_path)
+        sha = partition_sha(merged)
+
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "epoch": pa.array([epoch], pa.int64()),
+                "events_in": pa.array([events_in], pa.int64()),
+                "events_below_watermark": pa.array([below], pa.int64()),
+                "events_success": pa.array([len(ok)], pa.int64()),
+                "events_d_and_c_retries": pa.array([attempts], pa.int64()),
+                "events_delayed_errors": pa.array([n_retry], pa.int64()),
+                "events_final_errors": pa.array([n_final], pa.int64()),
+                "events_unkeyed": pa.array([len(unkeyed)], pa.int64()),
+                "upserts": pa.array([len(upserts)], pa.int64()),
+                "deletes": pa.array([len(ok) - len(upserts)], pa.int64()),
+                "ordering_violations": pa.array([violations], pa.int64()),
+                "lake_rows": pa.array([len(merged)], pa.int64()),
+                "watermark": pa.array([new_wm], pa.int64()),
+                "path": pa.array([out_path], pa.string()),
+                "sha": pa.array([sha], pa.string()),
+                "bytes": pa.array([nbytes], pa.int64()),
+            },
+            schema=MERGE_STATS_SCHEMA,
+        )
+
+    return merge
+
+
+def make_salted_combiner() -> Callable[[pa.Table], pa.Table]:
+    """Stage-1 of the two-stage skew merge: per (part, salt) group keep each
+    key's max-id event. Cuts a hot key's rows to at most ``salt_factor`` before
+    the final per-part merge (SURVEY §4 'Skew')."""
+
+    def combine(group: pa.Table) -> pa.Table:
+        return combine_last_per_key(group)
+
+    return combine
+
+
+class SinkValidator:
+    """Conformance oracle for the sink stream (KafkaMock analog, D1).
+
+    Asserts strictly ascending event ids per message key across every batch it
+    sees (reference `app/models/kafka_mock.rb:49-63`). Stateful — use one
+    instance per partition-ordered stream (e.g. in tests)."""
+
+    def __init__(self) -> None:
+        self.last_id_per_key: dict[str, int] = {}
+        self.violations: list[tuple[str, int, int]] = []
+
+    def observe(self, batch: pa.Table) -> None:
+        keys = batch["msg_key"] if "msg_key" in batch.column_names else batch["key_string"]
+        for k, i in zip(keys.to_pylist(), batch["id"].to_pylist()):
+            if k is None:
+                continue
+            prev = self.last_id_per_key.get(k)
+            if prev is not None and i <= prev:
+                self.violations.append((k, prev, i))
+            else:
+                self.last_id_per_key[k] = i
+
+    def assert_ok(self) -> None:
+        if self.violations:
+            raise AssertionError(f"non-ascending ids per key: {self.violations[:5]}")

@@ -1,0 +1,159 @@
+"""Per-partition lineage manifests — the exactly-once commit protocol.
+
+The reference gets exactly-once by bracketing {read FOR UPDATE → Kafka
+transaction commit → DELETE of shipped events} in one DB transaction
+(`app/models/transfer_thread.rb:69-78`, `:451-465`; Kafka txn
+`app/models/kafka_java.rb:40-103`). Ray task retries are at-least-once, so the
+equivalent here is (SURVEY.md §7.5 item 1):
+
+  1. idempotent staged writes — every (epoch, partition) output goes to the
+     SAME deterministic path, fully overwritten on retry;
+  2. an atomic manifest commit (tmp file + ``os.replace``) per epoch acting as
+     the transaction barrier: an epoch either appears in a manifest with all
+     its partitions, or not at all;
+  3. epoch fencing — a committing writer verifies no higher epoch exists
+     (the analog of Kafka transactional-id producer fencing,
+     `kafka_java.rb:134-143`).
+
+A manifest carries the FULL partition map (entries for untouched partitions
+carried forward), per-partition ``watermark`` (highest applied event id — the
+reference's per-worker ``@max_event_logs_id``, `transfer_thread.rb:39-47`,
+operator T2) and the consumed-chunk ledger (the analog of dropping consumed
+``EVENT_LOGS`` partitions, operator S6/O16).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_DIR = "_manifests"
+STAGING_DIR = "_staging"
+
+
+def staged_path(lake_dir: str, epoch: int, part: int) -> str:
+    return os.path.join(lake_dir, STAGING_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
+
+
+def atomic_write_json(path: str, doc: dict[str, Any]) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+@dataclass
+class Manifest:
+    """State of the lake after a committed epoch."""
+
+    lake_dir: str
+    epoch: int = 0
+    # part (str) -> {"path": str, "rows": int, "watermark": int, "sha": str}
+    partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    chunks_consumed: int = 0  # ordinal count of stream chunks applied
+    chunk_files: list[str] = field(default_factory=list)  # this epoch's chunks
+    writer_token: str = ""
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def latest(cls, lake_dir: str) -> "Manifest":
+        """Resume point: highest committed epoch (or an empty epoch-0 state)."""
+        paths = sorted(glob.glob(os.path.join(lake_dir, MANIFEST_DIR, "epoch-*.json")))
+        if not paths:
+            return cls(lake_dir=lake_dir)
+        with open(paths[-1]) as f:
+            d = json.load(f)
+        return cls(
+            lake_dir=lake_dir,
+            epoch=d["epoch"],
+            partitions=d["partitions"],
+            chunks_consumed=d["chunks_consumed"],
+            chunk_files=d.get("chunk_files", []),
+            writer_token=d.get("writer_token", ""),
+            metrics=d.get("metrics", {}),
+        )
+
+    def manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.lake_dir, MANIFEST_DIR, f"epoch-{epoch:06d}.json")
+
+    # ---------------------------------------------------------------- commit
+    def commit_epoch(
+        self,
+        epoch: int,
+        chunk_files: list[str],
+        part_updates: dict[str, dict[str, Any]],
+        writer_token: str,
+        metrics: dict[str, Any] | None = None,
+    ) -> "Manifest":
+        """Atomically publish an epoch. Raises if a newer epoch already exists
+        (zombie-writer fencing, W5)."""
+        existing = sorted(glob.glob(os.path.join(self.lake_dir, MANIFEST_DIR, "epoch-*.json")))
+        if existing:
+            newest = int(os.path.basename(existing[-1])[len("epoch-") : -len(".json")])
+            if newest >= epoch:
+                raise RuntimeError(
+                    f"epoch fencing: epoch {newest} already committed (attempted {epoch})"
+                )
+        new_parts = dict(self.partitions)
+        new_parts.update(part_updates)
+        doc = {
+            "epoch": epoch,
+            "partitions": new_parts,
+            "chunks_consumed": self.chunks_consumed + len(chunk_files),
+            "chunk_files": chunk_files,
+            "writer_token": writer_token,
+            "metrics": metrics or {},
+        }
+        atomic_write_json(self.manifest_path(epoch), doc)
+        return Manifest(
+            lake_dir=self.lake_dir,
+            epoch=epoch,
+            partitions=new_parts,
+            chunks_consumed=doc["chunks_consumed"],
+            chunk_files=chunk_files,
+            writer_token=writer_token,
+            metrics=doc["metrics"],
+        )
+
+    # ------------------------------------------------------------------- gc
+    def gc(self, keep_epochs: int = 2) -> list[str]:
+        """Drop staged files not referenced by the latest manifest and old
+        manifests beyond ``keep_epochs`` — the Housekeeping partition drop
+        (reference `app/models/housekeeping.rb:45-107`, operator S6)."""
+        removed: list[str] = []
+        live = {os.path.abspath(p["path"]) for p in self.partitions.values()}
+        for f in glob.glob(os.path.join(self.lake_dir, STAGING_DIR, "epoch=*", "part=*.parquet")):
+            if os.path.abspath(f) not in live:
+                os.remove(f)
+                removed.append(f)
+        for d in glob.glob(os.path.join(self.lake_dir, STAGING_DIR, "epoch=*")):
+            if not os.listdir(d):
+                os.rmdir(d)
+        manifests = sorted(glob.glob(os.path.join(self.lake_dir, MANIFEST_DIR, "epoch-*.json")))
+        for m in manifests[:-keep_epochs] if keep_epochs else manifests:
+            os.remove(m)
+            removed.append(m)
+        return removed
+
+    # --------------------------------------------------------------- queries
+    def watermark(self, part: int) -> int:
+        p = self.partitions.get(str(part))
+        return p["watermark"] if p else -1
+
+    def data_files(self) -> list[str]:
+        return [self.partitions[k]["path"] for k in sorted(self.partitions, key=int)]
+
+    def total_rows(self) -> int:
+        return sum(p["rows"] for p in self.partitions.values())
+
+
+def new_writer_token() -> str:
+    return uuid.uuid4().hex
