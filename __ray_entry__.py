@@ -1,44 +1,62 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay: a deterministic binlog-style change
+stream over the north-rule source-code table (repo, path, commit, lang,
+content) is captured, hash-partitioned, merged exactly-once into a lake, and
+the converged lake Dataset is returned.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 plus the training-data extensions; see
+``movex_cdc_ray/pipelines/queries.py``.
+
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic change-stream replay → converged lake.
+
+    Uses the deterministic synthesizer (the north-rule input shape — testdata
+    has no binlog table); stream size is sf0.001-scale. Returns the lake as a
+    ray.data.Dataset.
+    """
+    from movex_cdc_ray.pipelines.replay import read_lake, replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+    from movex_cdc_ray.sources.stream import list_chunks
+
+    spec = StreamSpec(
+        n_events=8_000, n_repos=10, paths_per_repo=50, chunk_size=4_000, evolve_at_event=6_000
+    )
+    stream_dir = "/tmp/movex_entry/stream"
+    lake_dir = "/tmp/movex_entry/lake"
+    if len(list_chunks(stream_dir)) != 2:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        generate_stream(stream_dir, spec)
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    cfg = config_for_spec(spec, num_partitions=8)
+    replay(stream_dir, lake_dir, cfg, chunks_per_epoch=2)
+    return read_lake(lake_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from movex_cdc_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
+    Keys absent here (dedup_minhash, dedup_simhash, ann_lsh, text_langid,
+    multimodal_decode) are non-SQL-expressible → rows-only check."""
+    from movex_cdc_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,205 @@
+"""Benchmark harness.
+
+Default: runs the headline CDC replay (synthetic change stream scaled to the
+sf dir's lineitem row count) plus a query sweep over $GRAFT_SF_DIR, printing
+ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events": N, "events_per_sec": N}
+
+--scaling: runs the headline pipeline twice in fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both throughputs and
+the scaling efficiency (T32/T8)/4 — the sandbox proxy for the north rule's
+N→4N-node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/movex_bench")
+
+QUERY_SWEEP = [
+    "cdc_lake_state",
+    "cdc_capture_project_filter",
+    "cdc_update_suppression",
+    "cdc_stats_rollup",
+    "q1_pricing_summary",
+    "top_events_per_user",
+    "dedup_exact",
+    "dedup_minhash",
+    "knn_bruteforce",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def stream_events_for_sf(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    lineitem_rows = pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    return max(lineitem_rows * 2, 50_000)
+
+
+def ensure_stream(n_events: int):
+    """Synthesize (once, cached) the deterministic change stream."""
+    from movex_cdc_ray.sources.stream import list_chunks
+    from movex_cdc_ray.synth import StreamSpec, generate_stream
+
+    spec = StreamSpec(
+        n_events=n_events,
+        n_repos=200,
+        paths_per_repo=500,
+        hot_repo_fraction=0.15,
+        chunk_size=100_000,
+        evolve_at_event=(n_events * 3) // 4,
+    )
+    stream_dir = os.path.join(BENCH_TMP, f"stream_{n_events}")
+    expected = (n_events + spec.chunk_size - 1) // spec.chunk_size
+    if spec.evolve_at_event % spec.chunk_size:
+        expected += 1
+    if len(list_chunks(stream_dir)) < expected - 1:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        generate_stream(stream_dir, spec)
+    return stream_dir, spec
+
+
+SCALING_EVENTS = int(os.environ.get("GRAFT_SCALING_EVENTS", "10000000"))
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    from movex_cdc_ray.pipelines.replay import replay
+    from movex_cdc_ray.synth import config_for_spec
+
+    # --scaling child runs use a larger fixed-size job: the 1-2M-event runs
+    # are constant-overhead-dominated and cannot show compute scaling
+    n_events = SCALING_EVENTS if os.environ.get("GRAFT_SCALING_CHILD") else stream_events_for_sf(SF_DIR)
+    stream_dir, spec = ensure_stream(n_events)
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.sources.stream import list_chunks
+
+    for f in list_chunks(stream_dir):
+        pq.read_metadata(f)
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    # num_partitions is a JOB parameter — identical at every cluster size
+    # (the north rule measures the same job at N and 4N nodes)
+    cfg = config_for_spec(spec, num_partitions=64)
+
+    # warm-up run over a small prefix: pre-starts Ray workers and compiles
+    # the pipeline so the timed region measures steady-state throughput
+    warm_lake = os.path.join(BENCH_TMP, f"warmlake_{num_cpus}")
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    replay(stream_dir, warm_lake, cfg, chunks_per_epoch=1, max_epochs=1)
+    shutil.rmtree(warm_lake, ignore_errors=True)
+
+    lake_dir = os.path.join(BENCH_TMP, f"lake_{num_cpus}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    n_chunks = (n_events + spec.chunk_size - 1) // spec.chunk_size
+    chunks_per_epoch = max(4, -(-n_chunks // 6))  # ≤ 6 epochs
+    t0 = time.perf_counter()
+    rep = replay(stream_dir, lake_dir, cfg, chunks_per_epoch=chunks_per_epoch)
+    elapsed = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "sec": round(elapsed, 3),
+        "events": n_events,
+        "events_per_sec": round(n_events / elapsed),
+        "epochs": rep.epochs,
+        "lake_rows": rep.lake_rows,
+    }
+
+
+def run_queries(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from movex_cdc_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name in QUERY_SWEEP:
+        t0 = time.perf_counter()
+        QUERIES[name](SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return out
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        tput8 = results[8]["events_per_sec"]
+        tput32 = results[32]["events_per_sec"]
+        eff = (tput32 / tput8) / 4
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay_scaling",
+                    "sec_8": results[8]["value"],
+                    "sec_32": results[32]["value"],
+                    "events_per_sec_8": tput8,
+                    "events_per_sec_32": tput32,
+                    "scaling_efficiency": round(eff, 3),
+                    "events": results[32]["events"],
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+
+    headline = run_headline(NUM_CPUS)
+    queries = {} if "--headline-only" in sys.argv else run_queries(NUM_CPUS)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_events_per_sec",
+                "value": headline["sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "events": headline["events"],
+                "events_per_sec": headline["events_per_sec"],
+                "epochs": headline["epochs"],
+                "lake_rows": headline["lake_rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

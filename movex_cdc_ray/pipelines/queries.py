@@ -1,0 +1,674 @@
+"""Driver-facing query catalog: each entry is one operator/pipeline from
+SURVEY.md §2 (or a training-data extension), runnable over a testdata sf_dir,
+paired with an ANSI-SQL oracle in ``ORACLE_SQL`` (same column names, same
+values) for the DuckDB side-by-side check.
+
+The ``events`` table doubles as a binlog for the CDC operators: ``event_id``
+is the monotonic EVENT_LOGS id, ``user_id`` the message key, and
+``event_type`` maps to an operation (``signup``→I, ``error``→D, else U) —
+so the engine's capture/merge semantics are exercised against plain SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions import dedup as fdedup
+from ..functions import similarity as fsim
+from ..stages import stats as fstats
+
+STOPWORDS_SQL = "('the','a','of','to','and','in','is','it','that','for')"
+STOPWORDS = {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"}
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# CDC operators over the events binlog
+# ---------------------------------------------------------------------------
+
+
+def cdc_lake_state(sf_dir: str) -> pd.DataFrame:
+    """Flagship merge semantics (D1/T2/W1): last-writer-wins per key with
+    delete tombstones — the converged lake state of the events binlog."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def partial_last(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: argmax event_id per user (cuts shuffle volume)
+        gb = (
+            pa.table({"user_id": batch["user_id"], "event_id": batch["event_id"]})
+            .group_by("user_id")
+            .aggregate([("event_id", "max")])
+        )
+        mask = pc.is_in(batch["event_id"], value_set=gb["event_id_max"].combine_chunks())
+        return batch.filter(mask)
+
+    def final_last(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("event_id", "descending")])
+        return group.take(idx[:1])
+
+    out = (
+        ds.map_batches(partial_last, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(final_last, batch_format="pyarrow")
+        .filter(lambda r: r["event_type"] != "error")  # tombstone drop
+    )
+    pdf = out.to_pandas().rename(
+        columns={"event_id": "last_event_id", "event_type": "last_event_type", "value": "last_value"}
+    )
+    return pdf[["user_id", "last_event_id", "last_event_type", "last_value"]].sort_values("user_id").reset_index(drop=True)
+
+
+def cdc_capture_project_filter(sf_dir: str) -> pd.DataFrame:
+    """M2+M3: per-op column projection + condition predicate, at the read."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 100.0))
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def cdc_update_suppression(sf_dir: str) -> pd.DataFrame:
+    """M4: update-only-on-change — drop events whose value equals the key's
+    previous value (NULL-safe; the first event per key always passes)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def suppress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        prev = g["value"].shift(1)
+        changed = (g["value"] != prev) | prev.isna()
+        return g[changed]
+
+    out = ds.groupby("user_id").map_groups(suppress, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "value"]
+    ]
+
+
+def cdc_key_modes(sf_dir: str) -> pd.DataFrame:
+    """M7: message-key derivation modes P (pk JSON), F (fixed), T (txn id)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].combine_chunks() if isinstance(batch["user_id"], pa.ChunkedArray) else batch["user_id"]
+        eid = batch["event_id"].combine_chunks() if isinstance(batch["event_id"], pa.ChunkedArray) else batch["event_id"]
+        key_pk = pc.binary_join_element_wise('{"user_id": ', uid.cast(pa.string()), "}", "")
+        key_fixed = pa.array(["events"] * len(batch), pa.string())
+        txn = pc.binary_join_element_wise(
+            "txn-", pc.divide(eid, pa.scalar(50, pa.int64())).cast(pa.string()), ""
+        )
+        return pa.table(
+            {"event_id": eid, "key_pk": key_pk, "key_fixed": key_fixed, "key_txn": txn}
+        )
+
+    return _sorted_pdf(ds.map_batches(keys, batch_format="pyarrow"), "event_id")
+
+
+def cdc_envelope(sf_dir: str) -> pd.DataFrame:
+    """M8-M11: envelope assembly — op long name, ISO-8601 timestamp, topic
+    routing by logical table."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "user_id"])
+
+    def envelope(batch: pd.DataFrame) -> pd.DataFrame:
+        op = np.where(
+            batch["event_type"] == "signup",
+            "INSERT",
+            np.where(batch["event_type"] == "error", "DELETE", "UPDATE"),
+        )
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "operation": op,
+                "timestamp": batch["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                "topic": "lake.events." + batch["event_type"],
+                "msg_schema": "EVENTS",
+                "tablename": "USER_EVENTS",
+            }
+        )
+
+    return _sorted_pdf(ds.map_batches(envelope, batch_format="pandas"), "event_id")
+
+
+def cdc_stats_rollup(sf_dir: str) -> pd.DataFrame:
+    """A1+A2: grouped throughput counters with time-bucket compression."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = fstats.time_rollup(ds, "ts", "hour", ["event_type"], ["value"])
+    pdf = out.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(6)
+    return pdf.sort_values(["event_type", "time_bucket"]).reset_index(drop=True)[
+        ["event_type", "time_bucket", "sum_value", "min_ts", "max_ts", "n_rows"]
+    ]
+
+
+def cdc_watermarks(sf_dir: str) -> pd.DataFrame:
+    """T2/W2: per-partition monotonic watermarks (max applied id + count)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.subtract(
+                batch["user_id"].combine_chunks() if isinstance(batch["user_id"], pa.ChunkedArray) else batch["user_id"],
+                pc.multiply(
+                    pc.divide(
+                        batch["user_id"].combine_chunks() if isinstance(batch["user_id"], pa.ChunkedArray) else batch["user_id"],
+                        pa.scalar(8, pa.int64()),
+                    ),
+                    pa.scalar(8, pa.int64()),
+                ),
+            ),
+            pa.int64(),
+        )
+        return batch.append_column("part", part)
+
+    from ray.data.aggregate import Count, Max
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Max("event_id", alias_name="watermark"), Count(alias_name="n_events"))
+    )
+    return _sorted_pdf(out, "part")
+
+
+def cdc_snapshot_init(sf_dir: str) -> pd.DataFrame:
+    """S7+O4: INIT snapshot load with initialization filter + ORDER BY,
+    emitting op='i' (INIT) envelope rows."""
+    ds = _read(sf_dir, "customer")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 0.0)), batch_format="pyarrow"
+    )
+    ds = ds.sort("c_custkey")
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "c_acctbal": batch["c_acctbal"],
+                "op": pa.array(["i"] * n),
+                "operation": pa.array(["INIT"] * n),
+            }
+        )
+
+    return _sorted_pdf(ds.map_batches(wrap, batch_format="pyarrow"), "c_custkey")
+
+
+def cdc_retry_backoff(sf_dir: str) -> pd.DataFrame:
+    """W3: retry ledger with exponential backoff 20 * 3^(retry-1) seconds."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def backoff(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "error"))
+        eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
+        eid_np = eid.to_numpy(zero_copy_only=False)
+        retry = (eid_np % 5 + 1).astype(np.int64)
+        delay = 20.0 * np.power(3.0, (retry - 1).astype(np.float64))
+        return pa.table(
+            {
+                "event_id": eid,
+                "retry_count": pa.array(retry),
+                "delay_sec": pa.array(delay),
+            }
+        )
+
+    return _sorted_pdf(ds.map_batches(backoff, batch_format="pyarrow"), "event_id")
+
+
+def cdc_payload_parse(sf_dir: str) -> pd.DataFrame:
+    """M5-adjacent: payload JSON parsing (props → typed column)."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        return pd.DataFrame({"event_id": batch["event_id"], "k": k})
+
+    return _sorted_pdf(ds.map_batches(parse, batch_format="pandas"), "event_id")
+
+
+def cdc_dlq_routing(sf_dir: str) -> pd.DataFrame:
+    """§2.11/W3: divide&conquer outcome classification — success vs delayed
+    (retryable) vs final errors, counted per counter_type (A1 shape)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].combine_chunks() if isinstance(batch["event_type"], pa.ChunkedArray) else batch["event_type"]
+        val = batch["value"].combine_chunks() if isinstance(batch["value"], pa.ChunkedArray) else batch["value"]
+        is_err = pc.equal(et, "error")
+        final = pc.and_(is_err, pc.greater(val, 180.0))
+        ct = pc.if_else(
+            final,
+            pa.scalar("events_final_errors"),
+            pc.if_else(is_err, pa.scalar("events_delayed_errors"), pa.scalar("events_success")),
+        )
+        return pa.table({"counter_type": ct})
+
+    from ray.data.aggregate import Count
+
+    out = ds.map_batches(classify, batch_format="pyarrow").groupby("counter_type").aggregate(
+        Count(alias_name="events")
+    )
+    return _sorted_pdf(out, "counter_type")
+
+
+# ---------------------------------------------------------------------------
+# generic engine ops on TPC-H tables
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate with per-batch partial pre-aggregation (the A1
+    'partial then finalize' pattern). Money sums in integer cents with
+    floor(x*100+0.5) so the float oracle agrees bit-for-bit."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        pdf["sum_qty"] = pdf["l_quantity"]
+        pdf["base_cents"] = np.floor(pdf["l_extendedprice"] * 100 + 0.5).astype("int64")
+        pdf["disc_cents"] = np.floor(
+            pdf["l_extendedprice"] * (1 - pdf["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = (
+            pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("sum_qty", "sum"),
+                sum_base_cents=("base_cents", "sum"),
+                sum_disc_cents=("disc_cents", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    pdf = out.to_pandas()
+    pdf["sum_qty"] = pdf["sum_qty"].round(2)
+    return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def top_events_per_user(sf_dir: str) -> pd.DataFrame:
+    """O-series: per-key top-k (sort + limit inside map_groups)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+    return out.to_pandas().sort_values(["user_id", "rk"]).reset_index(drop=True)[
+        ["user_id", "rk", "event_id", "value"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup = hash-partition + per-group first (min doc_id wins)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = fdedup.exact_dedup_keep_first(ds)
+    return _sorted_pdf(out, "content_md5")
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verify
+    (shingle→minhash→band→bucket groupby→verify). Deterministic (seeded);
+    no SQL oracle — rows-only check."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fdedup.ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash fingerprints + 16-bit bands for hamming bucketing (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fdedup.SimHasher(), batch_format="pandas", concurrency=2)
+    pdf = out.to_pandas()[["doc_id", "simhash", "simhash_band_0", "simhash_band_1"]]
+    pdf["simhash"] = pdf["simhash"].astype("int64", errors="ignore") if False else pdf["simhash"].astype("uint64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_embedding(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (blockwise matmul), cosine ≥ 0.45."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = fdedup.embedding_neardup_pairs(ds, threshold=0.45)
+    return pdf[["a_id", "b_id"]].astype("int64") if len(pdf) else pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
+    )
+
+
+def knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k vs a broadcast query matrix (query ids 0-4)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = fsim.brute_force_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+    return pdf[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+def ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k (the scale path; rows-only check)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return fsim.lsh_bucketed_ann(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def text_tokens(sf_dir: str) -> pd.DataFrame:
+    """Token counting: chars + whitespace tokens (vectorized Arrow kernels)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_tokens = pc.add(pc.count_substring(text, pattern=" "), 1).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_chars": n_chars, "n_tokens": n_tokens})
+
+    return _sorted_pdf(ds.map_batches(counts, batch_format="pyarrow"), "doc_id")
+
+
+def text_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality scoring: stopword ratio + mean word length per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.split(" ")
+        n_words = words.str.len().astype("int64")
+        stop_n = words.map(lambda ws: sum(w in STOPWORDS for w in ws))
+        n_chars = batch["text"].str.len()
+        mean_wl = (n_chars - (n_words - 1)) / n_words
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": n_words,
+                "stopword_ratio": (stop_n / n_words).round(6),
+                "mean_word_len": mean_wl.round(6),
+            }
+        )
+
+    return _sorted_pdf(ds.map_batches(score, batch_format="pandas"), "doc_id")
+
+
+def text_langid(sf_dir: str) -> pd.DataFrame:
+    """Language-ID heuristic (stopword profiles; rows-only check)."""
+    from ..functions.text import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangIdStage(), batch_format="pandas", concurrency=2)
+    return out.to_pandas()[["doc_id", "pred_lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def text_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprinting: md5 of normalized text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        norm = batch["text"].fillna("").str.lower().str.strip()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint_md5": norm.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+            }
+        )
+
+    return _sorted_pdf(ds.map_batches(fp, batch_format="pandas"), "doc_id")
+
+
+def multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: binary payload column → actor-pool decode stage
+    (deterministic fake decoder; rows-only check)."""
+    from ..functions.multimodal import RECOMMENDED_MEDIA_BATCH_SIZE, DecodeStage, synth_media_table
+
+    media = synth_media_table(200, seed=42)
+    ds = rd.from_arrow(media)
+    out = ds.map_batches(
+        DecodeStage,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    pdf = out.to_pandas()[["media_id", "payload_sha", "payload_bytes", "feature_norm"]]
+    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
+    pdf = ds.to_pandas()
+    return pdf.sort_values(list(sort_cols)).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# the catalogs
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
+    "cdc_lake_state": cdc_lake_state,
+    "cdc_capture_project_filter": cdc_capture_project_filter,
+    "cdc_update_suppression": cdc_update_suppression,
+    "cdc_key_modes": cdc_key_modes,
+    "cdc_envelope": cdc_envelope,
+    "cdc_stats_rollup": cdc_stats_rollup,
+    "cdc_watermarks": cdc_watermarks,
+    "cdc_snapshot_init": cdc_snapshot_init,
+    "cdc_retry_backoff": cdc_retry_backoff,
+    "cdc_payload_parse": cdc_payload_parse,
+    "cdc_dlq_routing": cdc_dlq_routing,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_events_per_user": top_events_per_user,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "knn_bruteforce": knn_bruteforce,
+    "ann_lsh": ann_lsh,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_decode": multimodal_decode,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "cdc_lake_state": """
+        SELECT user_id,
+               event_id  AS last_event_id,
+               event_type AS last_event_type,
+               value     AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+        ) t
+        WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id
+    """,
+    "cdc_capture_project_filter": """
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'click' AND value > 100.0
+        ORDER BY event_id
+    """,
+    "cdc_update_suppression": """
+        SELECT event_id, user_id, value
+        FROM (
+            SELECT event_id, user_id, value,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+            FROM events
+        ) t
+        WHERE prev_value IS NULL OR value <> prev_value
+        ORDER BY event_id
+    """,
+    "cdc_key_modes": """
+        SELECT event_id,
+               '{"user_id": ' || CAST(user_id AS VARCHAR) || '}' AS key_pk,
+               'events' AS key_fixed,
+               'txn-' || CAST(event_id // 50 AS VARCHAR) AS key_txn
+        FROM events
+        ORDER BY event_id
+    """,
+    "cdc_envelope": """
+        SELECT event_id,
+               CASE WHEN event_type = 'signup' THEN 'INSERT'
+                    WHEN event_type = 'error'  THEN 'DELETE'
+                    ELSE 'UPDATE' END AS operation,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp,
+               'lake.events.' || event_type AS topic,
+               'EVENTS' AS msg_schema,
+               'USER_EVENTS' AS tablename
+        FROM events
+        ORDER BY event_id
+    """,
+    "cdc_stats_rollup": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS time_bucket,
+               ROUND(SUM(value), 6) AS sum_value,
+               MIN(ts) AS min_ts,
+               MAX(ts) AS max_ts,
+               COUNT(*) AS n_rows
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY event_type, time_bucket
+    """,
+    "cdc_watermarks": """
+        SELECT user_id % 8 AS part,
+               MAX(event_id) AS watermark,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id % 8
+        ORDER BY part
+    """,
+    "cdc_snapshot_init": """
+        SELECT c_custkey, c_name, c_acctbal, 'i' AS op, 'INIT' AS operation
+        FROM customer
+        WHERE c_acctbal > 0.0
+        ORDER BY c_custkey
+    """,
+    "cdc_retry_backoff": """
+        SELECT event_id,
+               event_id % 5 + 1 AS retry_count,
+               20.0 * POWER(3.0, CAST(event_id % 5 AS DOUBLE)) AS delay_sec
+        FROM events
+        WHERE event_type = 'error'
+        ORDER BY event_id
+    """,
+    "cdc_payload_parse": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+        ORDER BY event_id
+    """,
+    "cdc_dlq_routing": """
+        SELECT CASE WHEN event_type = 'error' AND value > 180.0 THEN 'events_final_errors'
+                    WHEN event_type = 'error' THEN 'events_delayed_errors'
+                    ELSE 'events_success' END AS counter_type,
+               COUNT(*) AS events
+        FROM events
+        GROUP BY 1
+        ORDER BY counter_type
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "top_events_per_user": """
+        SELECT user_id, rk, event_id, value
+        FROM (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+            FROM events
+        ) t
+        WHERE rk <= 3
+        ORDER BY user_id, rk
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_md5,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY content_md5
+    """,
+    "knn_bruteforce": """
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (
+            SELECT q.vec_id AS query_id,
+                   v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                                v.vec_id ASC
+                   ) AS rank,
+                   ROUND(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings q
+            JOIN embeddings v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        ) t
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        ORDER BY a_id, b_id
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               LENGTH(text) AS n_chars,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN """
+    + STOPWORDS_SQL
+    + """)) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS mean_word_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_fingerprint": """
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+    # rows-only (no SQL-expressible oracle): cdc_* none; training-data:
+    # dedup_minhash, dedup_simhash, ann_lsh, text_langid, multimodal_decode
+}

@@ -23,11 +23,13 @@ committed epoch overwrites the same staged paths and converges byte-identically
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..config import CaptureConfig
@@ -35,10 +37,28 @@ from ..sources.stream import epoch_batches, list_chunks, pending_chunks, read_ch
 from ..stages.capture import CaptureStage
 from ..stages.errors import consume_retry_files, pending_retry_files
 from ..stages.partitioning import assign_partitions, combine_last_per_key
-from ..stages.sink import lake_table_schema, make_epoch_merger
+from ..stages.sink import (
+    MergeContext,
+    lake_table_schema,
+    make_epoch_merger,
+    merge_partition_files,
+)
 from ..state.manifest import Manifest, new_writer_token
 
 logger = logging.getLogger(__name__)
+
+_AGG_KEYS = (
+    "events_in",
+    "events_below_watermark",
+    "events_success",
+    "events_d_and_c_retries",
+    "events_delayed_errors",
+    "events_final_errors",
+    "events_unkeyed",
+    "upserts",
+    "deletes",
+    "ordering_violations",
+)
 
 
 @dataclass
@@ -87,6 +107,42 @@ class CapturePartitionStage:
         return out
 
 
+@ray.remote
+def _merge_part_task(ctx: MergeContext, part: int, files: list[str]) -> dict[str, Any]:
+    return merge_partition_files(ctx, part, files)
+
+
+def _merge_via_delta_files(cfg, ds, lake_dir: str, epoch: int, manifest: Manifest) -> list[dict]:
+    """File-shuffle merge: delta parquet partitioned by part → one merge task
+    per partition. The delta dir is rewritten wholesale on epoch retry."""
+    import glob
+    import shutil
+
+    from ..stages.sink import lake_table_schema as _lts
+
+    delta_dir = os.path.join(lake_dir, "_delta", f"epoch={epoch:06d}")
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    ds.write_parquet(delta_dir, partition_cols=["part"])
+    ctx = MergeContext(
+        lake_dir=lake_dir,
+        epoch=epoch,
+        prev_partitions=manifest.partitions,
+        payload_fields=list(cfg.latest_version().payload_fields),
+        lake_schema=_lts(cfg),
+        error_max_retries=cfg.error_max_retries,
+    )
+    ctx_ref = ray.put(ctx)
+    refs = []
+    for d in sorted(glob.glob(os.path.join(delta_dir, "part=*"))):
+        part = int(os.path.basename(d).split("=")[1])
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if files:
+            refs.append(_merge_part_task.remote(ctx_ref, part, files))
+    rows = [r for r in ray.get(refs) if r]
+    shutil.rmtree(delta_dir, ignore_errors=True)  # delta consumed
+    return rows
+
+
 def run_epoch(
     cfg: CaptureConfig,
     manifest: Manifest,
@@ -98,24 +154,45 @@ def run_epoch(
     hot_keys: frozenset[str] | None = None,
     salted: bool = False,
     batch_size: int | None = None,
+    shuffle_mode: str = "files",
 ) -> tuple[Manifest, dict[str, Any]]:
-    """Process one epoch and commit it. Idempotent under retry."""
+    """Process one epoch and commit it. Idempotent under retry.
+
+    ``shuffle_mode``:
+      * ``"files"`` (default) — capture tasks write the epoch delta as
+        hash-partitioned Parquet (``_delta/epoch=N/part=P/``), then ONE raw
+        Ray task per populated partition merges it into its base. The
+        exchange goes through the filesystem/object store (Spark-style
+        shuffle files) — no all-to-all in-memory sort, and the fan-in per
+        partition is bounded by the number of capture tasks.
+      * ``"groupby"`` — ``ds.groupby("part").map_groups(merge)``, Ray's
+        sort-based shuffle; needed for the salted two-stage variant.
+    """
     t0 = time.perf_counter()
     files = list(chunk_files) + list(extra_event_files or [])
-    ds = read_chunks(files)
+    if not files:
+        # empty epoch: a pure time-marker commit (advances the epoch clock for
+        # retry backoff, analog of an idle worker cycle)
+        manifest = manifest.commit_epoch(epoch, [], {}, writer_token, metrics={"epoch": epoch, "empty": True})
+        return manifest, {k: 0 for k in _AGG_KEYS} | {"epoch": epoch, "elapsed_sec": 0.0, "partitions_touched": 0, "lake_rows": manifest.total_rows()}
+    ncpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = read_chunks(files, override_num_blocks=ncpus)
     stage = CapturePartitionStage(cfg, hot_keys=hot_keys)
     ds = ds.map_batches(
         stage,
         batch_format="pyarrow",
-        batch_size=batch_size or cfg.max_transaction_size,
+        batch_size=batch_size,  # None = whole blocks, no re-batching copies
         zero_copy_batch=True,
     )
-    if salted and hot_keys:
-        # stage-1 of the two-stage skew merge: combine per (part, salt)
-        ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
-    merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions)
-    stats_ds = ds.groupby("part").map_groups(merger, batch_format="pyarrow")
-    stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
+    if shuffle_mode == "files" and not salted:
+        stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest)
+    else:
+        if salted and hot_keys:
+            # stage-1 of the two-stage skew merge: combine per (part, salt)
+            ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
+        merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions)
+        stats_ds = ds.groupby("part").map_groups(merger, batch_format="pyarrow")
+        stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
 
     part_updates = {
         str(r["part"]): {
@@ -127,21 +204,7 @@ def run_epoch(
         for r in stats_rows
     }
     elapsed = time.perf_counter() - t0
-    agg = {
-        k: int(sum(r[k] for r in stats_rows))
-        for k in (
-            "events_in",
-            "events_below_watermark",
-            "events_success",
-            "events_d_and_c_retries",
-            "events_delayed_errors",
-            "events_final_errors",
-            "events_unkeyed",
-            "upserts",
-            "deletes",
-            "ordering_violations",
-        )
-    }
+    agg = {k: int(sum(r[k] for r in stats_rows)) for k in _AGG_KEYS}
     agg["epoch"] = epoch
     agg["elapsed_sec"] = round(elapsed, 3)
     agg["partitions_touched"] = len(stats_rows)
@@ -161,6 +224,8 @@ def replay(
     salted: bool = False,
     retry_backoff_epochs: int = 1,
     gc_staging: bool = True,
+    drain_retries: bool = True,
+    shuffle_mode: str = "files",
 ) -> ReplayReport:
     """Full (or resumed) replay of a change stream into the lake."""
     t0 = time.perf_counter()
@@ -181,6 +246,7 @@ def replay(
             extra_event_files=retry_files,
             hot_keys=hot_keys,
             salted=salted,
+            shuffle_mode=shuffle_mode,
         )
         consume_retry_files(retry_files)
         report.epochs += 1
@@ -192,17 +258,26 @@ def replay(
         report.epoch_metrics.append(agg)
         if max_epochs and report.epochs >= max_epochs:
             break
-    # drain the retry ledger even when no chunks are pending
-    if not pending:
-        epoch = manifest.epoch + 1
-        retry_files = pending_retry_files(lake_dir, epoch, retry_backoff_epochs)
-        if retry_files:
+    # drain the retry ledger: keep committing (possibly empty, time-marker)
+    # epochs until every retryable event has either succeeded or exhausted
+    # its retries into final errors — bounded by the worst-case backoff
+    if drain_retries:
+        import glob as _glob
+
+        max_drain = retry_backoff_epochs * 3 ** max(cfg.error_max_retries, 0) + cfg.error_max_retries + 2
+        for _ in range(max_drain):
+            all_retry = _glob.glob(os.path.join(lake_dir, "_retry", "epoch=*", "part=*.parquet"))
+            if not all_retry:
+                break
+            epoch = manifest.epoch + 1
+            retry_files = pending_retry_files(lake_dir, epoch, retry_backoff_epochs)
             manifest, agg = run_epoch(
                 cfg, manifest, epoch, [], lake_dir, token, extra_event_files=retry_files
             )
             consume_retry_files(retry_files)
-            report.epochs += 1
-            report.epoch_metrics.append(agg)
+            if retry_files:
+                report.epochs += 1
+                report.epoch_metrics.append(agg)
     if gc_staging:
         manifest.gc()
     report.lake_rows = manifest.total_rows()

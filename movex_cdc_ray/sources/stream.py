@@ -34,14 +34,23 @@ def epoch_batches(pending: list[str], chunks_per_epoch: int) -> list[list[str]]:
     return [pending[i : i + chunks_per_epoch] for i in range(0, len(pending), chunks_per_epoch)]
 
 
-def read_chunks(files: list[str], columns: list[str] | None = None) -> rd.Dataset:
+def read_chunks(
+    files: list[str],
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
     """Read one epoch's chunks as a streaming Dataset.
 
     Chunk files may straddle a schema-evolution boundary (different payload
     schemas); the capture stage aligns every batch, so the read must not
     unify schemas eagerly — read_parquet handles this via per-file fragments.
+
+    ``override_num_blocks`` pins the block count: Ray's default heuristic
+    splits chunks into ~2.5k-row micro-blocks, which multiplies downstream
+    per-task overhead and (in file-shuffle mode) delta-file count by blocks ×
+    partitions. One block per CPU is the sweet spot.
     """
-    return rd.read_parquet(files, columns=columns)
+    return rd.read_parquet(files, columns=columns, override_num_blocks=override_num_blocks)
 
 
 def gc_consumed_chunks(stream_dir: str, chunks_consumed: int, unlink: bool = False) -> list[str]:

@@ -27,6 +27,8 @@ import os
 import uuid
 from typing import Any, Callable
 
+from dataclasses import dataclass
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -124,37 +126,47 @@ def atomic_write_parquet(t: pa.Table, path: str) -> int:
     return os.path.getsize(path)
 
 
-def make_epoch_merger(
-    cfg: CaptureConfig,
-    lake_dir: str,
-    epoch: int,
-    prev_partitions: dict[str, dict[str, Any]],
-    invariant_check: Callable[[pa.Table], None] | None = default_invariant_check,
-) -> Callable[[pa.Table], pa.Table]:
-    """Build the per-partition merge closure for this epoch.
+@dataclass
+class MergeContext:
+    """Everything a merge task needs — small and picklable; ships to every
+    task by closure/arg capture (the J1 broadcast-small-side pattern; the
+    per-partition map is P entries, never a shuffle join)."""
 
-    ``prev_partitions`` is the latest committed manifest's partition map —
-    tiny (P entries), shipped by closure capture to every merge task (the J1
-    broadcast-small-side pattern; never a shuffle join).
-    """
-    payload_fields = list(cfg.latest_version().payload_fields)
-    lake_schema = lake_table_schema(cfg)
-    error_max_retries = cfg.error_max_retries
+    lake_dir: str
+    epoch: int
+    prev_partitions: dict[str, dict[str, Any]]
+    payload_fields: list[str]
+    lake_schema: pa.Schema
+    error_max_retries: int
+    check_invariants: bool = True
 
-    def merge(group: pa.Table) -> pa.Table:
-        if len(group) == 0:
-            return MERGE_STATS_SCHEMA.empty_table()
-        part = group["part"][0].as_py()
-        prev = prev_partitions.get(str(part))
+
+def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
+    """Merge one partition's epoch delta into its base. Pure given inputs +
+    the base file on disk; idempotent (deterministic staged output path)."""
+    lake_dir, epoch = ctx.lake_dir, ctx.epoch
+    payload_fields, lake_schema = ctx.payload_fields, ctx.lake_schema
+    invariant_check = default_invariant_check if ctx.check_invariants else None
+    error_max_retries = ctx.error_max_retries
+    if True:
+        prev = ctx.prev_partitions.get(str(part))
         prev_wm = prev["watermark"] if prev else -1
         events_in = len(group)
 
         # ---- watermark dedup (T2/D1): replayed events are dropped ----------
+        # Retried events (retry_count > 0, re-fed from the retry ledger) are
+        # BELOW the watermark by construction and must bypass it; re-applying
+        # an upsert is idempotent under last-writer-wins, so a crash between
+        # commit and retry-ledger consumption cannot corrupt the lake.
         ids = group["id"]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         new_wm = max(int(pc.max(ids).as_py()), prev_wm)
-        fresh = group.filter(pc.greater(ids, prev_wm))
+        rc = group["retry_count"]
+        if isinstance(rc, pa.ChunkedArray):
+            rc = rc.combine_chunks()
+        is_retry = pc.greater(pc.fill_null(rc, 0), 0)
+        fresh = group.filter(pc.or_(pc.greater(ids, prev_wm), is_retry))
         below = events_in - len(fresh)
 
         # ---- unkeyed events: append-only side channel (S3) -----------------
@@ -185,15 +197,25 @@ def make_epoch_merger(
         else:
             base = lake_schema.empty_table()
 
-        # ---- ordering check (the KafkaMock ascending-id assertion, D1) -----
+        # ---- per-key ordering guarantee (KafkaMock ascending-id check, D1) -
+        # An event at or below its key's applied _last_id would regress the
+        # row; it is dropped (stale). Only late retries can produce this —
+        # anything else is an ordering violation and is counted.
         violations = 0
         if len(ok) and len(base):
             tk = ok["key_string"].to_pylist()
             base_touched = base.filter(pc.is_in(base["_key"], value_set=pa.array(set(tk), pa.string())))
             last = dict(zip(base_touched["_key"].to_pylist(), base_touched["_last_id"].to_pylist()))
-            for k, i in zip(tk, ok["id"].to_pylist()):
-                if k in last and i <= last[k]:
+            ids_ok = ok["id"].to_pylist()
+            rcs_ok = ok["retry_count"].to_pylist()
+            keep_rows = []
+            for k, i, r in zip(tk, ids_ok, rcs_ok):
+                stale = k in last and i <= last[k]
+                keep_rows.append(not stale)
+                if stale and not (r or 0) > 0:
                     violations += 1
+            if not all(keep_rows):
+                ok = ok.filter(pa.array(keep_rows))
 
         # ---- upsert / tombstone merge --------------------------------------
         op = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
@@ -242,7 +264,49 @@ def make_epoch_merger(
             schema=MERGE_STATS_SCHEMA,
         )
 
+
+def make_epoch_merger(
+    cfg: CaptureConfig,
+    lake_dir: str,
+    epoch: int,
+    prev_partitions: dict[str, dict[str, Any]],
+    check_invariants: bool = True,
+) -> Callable[[pa.Table], pa.Table]:
+    """The ``groupby("part").map_groups`` flavor of the merge."""
+    ctx = MergeContext(
+        lake_dir=lake_dir,
+        epoch=epoch,
+        prev_partitions=prev_partitions,
+        payload_fields=list(cfg.latest_version().payload_fields),
+        lake_schema=lake_table_schema(cfg),
+        error_max_retries=cfg.error_max_retries,
+        check_invariants=check_invariants,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return MERGE_STATS_SCHEMA.empty_table()
+        part = group["part"][0].as_py()
+        return merge_partition(ctx, group, part)
+
     return merge
+
+
+def merge_partition_files(ctx: MergeContext, part: int, delta_files: list[str]) -> dict[str, Any]:
+    """The file-shuffle flavor: read one partition's delta files (written by
+    ``write_parquet(partition_cols=["part"])``), merge, return the stats row
+    as a dict. Runs as one raw ``@ray.remote`` task per partition — the
+    shuffle happens through the filesystem/object store instead of an
+    in-memory all-to-all sort (see pipelines/replay.py)."""
+    tables = [pq.read_table(f) for f in delta_files]
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        return {}
+    group = pa.concat_tables(tables, promote_options="default")
+    if "part" not in group.column_names:  # partition col consumed by the writer
+        group = group.append_column("part", pa.array([part] * len(group), pa.int32()))
+    stats = merge_partition(ctx, group, part)
+    return stats.to_pylist()[0]
 
 
 def make_salted_combiner() -> Callable[[pa.Table], pa.Table]:

@@ -1,0 +1,116 @@
+"""Statistics: partial counters, grouped finalize, time-bucket rollup (A1-A4).
+
+The reference keeps per-worker ``StatisticCounter`` partials flushed into a
+process-wide concentrator, then into the STATISTICS table
+(`app/models/statistic_counter.rb:14-48`,
+`statistic_counter_concentrator.rb:16-87`), and compresses old rows into
+hourly/daily buckets (`app/models/compress_statistics.rb:26-60`, A2).
+
+Ray shape: the merge sink already emits one stats row per (epoch, partition)
+(partial aggregation inside the stateful stage — T5); this module finalizes
+them with a small ``groupby().aggregate()`` and provides the generic
+time-bucket rollup used for statistics compression.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+class StatisticCounter:
+    """Per-actor partial counter (T5): increment in the hot path, flush once.
+
+    Keys are (table_id, operation, counter_type) exactly like the reference's
+    STATISTICS rows."""
+
+    def __init__(self) -> None:
+        self.counts: dict[tuple[int, str, str], int] = {}
+
+    def increment(self, table_id: int, operation: str, counter_type: str, n: int = 1) -> None:
+        k = (table_id, operation, counter_type)
+        self.counts[k] = self.counts.get(k, 0) + n
+
+    def to_table(self) -> pa.Table:
+        rows = sorted(self.counts.items())
+        return pa.table(
+            {
+                "table_id": pa.array([k[0] for k, _ in rows], pa.int32()),
+                "operation": pa.array([k[1] for k, _ in rows], pa.string()),
+                "counter_type": pa.array([k[2] for k, _ in rows], pa.string()),
+                "events": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    def merge(self, other: "StatisticCounter") -> None:
+        """Concentrator merge (`statistic_counter_concentrator.rb:54-87`)."""
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+
+
+def finalize_counters(partials: rd.Dataset) -> rd.Dataset:
+    """Final aggregation of partial counter rows — a small shuffle over
+    (tables × ops × counter types) rows, never over event data (A1)."""
+    return partials.groupby(["table_id", "operation", "counter_type"]).aggregate(
+        Sum("events", alias_name="events")
+    )
+
+
+def time_rollup(
+    ds: rd.Dataset,
+    ts_col: str,
+    bucket: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> rd.Dataset:
+    """Statistics compression (A2): bucket timestamps (``hour``/``day``),
+    group, SUM the counters, MIN/MAX the timestamps — the exact shape of
+    `compress_statistics.rb:26-60`."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return batch.append_column("time_bucket", pc.floor_temporal(ts, unit=bucket))
+
+    aggs = [Sum(c, alias_name=f"sum_{c}") for c in sum_cols]
+    aggs += [Min(ts_col, alias_name="min_ts"), Max(ts_col, alias_name="max_ts"), Count(alias_name="n_rows")]
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(group_cols + ["time_bucket"])
+        .aggregate(*aggs)
+    )
+
+
+def health_check(lake_dir: str) -> dict:
+    """Bounded health counts (A3): backlog, retries, final errors, partitions,
+    watermarks — from manifests and file metadata, never a data scan
+    (reference `app/models/event_log.rb:102-134`)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import Manifest
+
+    m = Manifest.latest(lake_dir)
+    retry_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(lake_dir, "_retry", "epoch=*", "part=*.parquet"))
+    )
+    final_rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(lake_dir, "_final_errors", "epoch=*", "part=*.parquet"))
+    )
+    return {
+        "epoch": m.epoch,
+        "chunks_consumed": m.chunks_consumed,
+        "partitions": len(m.partitions),
+        "lake_rows": m.total_rows(),
+        "retry_backlog": retry_rows,
+        "final_errors": final_rows,
+        "watermarks": {k: v["watermark"] for k, v in sorted(m.partitions.items(), key=lambda kv: int(kv[0]))},
+        "last_epoch_metrics": m.metrics,
+    }

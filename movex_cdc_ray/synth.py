@@ -71,22 +71,48 @@ def config_for_spec(spec: StreamSpec, num_partitions: int = 32) -> CaptureConfig
 # ---------------------------------------------------------------------------
 
 
+_LOOKUP_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _lookups(spec: StreamSpec) -> tuple[np.ndarray, np.ndarray]:
+    """Per-spec repo/path name lookup tables (pure functions of small ranges,
+    cached so chunk materialization is an O(1) fancy-index, not string ops)."""
+    ck = (spec.n_repos, spec.paths_per_repo)
+    hit = _LOOKUP_CACHE.get(ck)
+    if hit is None:
+        repos = np.array([f"repo-{i}" for i in range(spec.n_repos)], dtype=object)
+        paths = np.array(
+            [f"src/mod{p // 20}/file{p}.txt" for p in range(spec.paths_per_repo)], dtype=object
+        )
+        hit = _LOOKUP_CACHE[ck] = (repos, paths)
+    return hit
+
+
 def key_to_repo_path(key: np.ndarray, spec: StreamSpec) -> tuple[np.ndarray, np.ndarray]:
-    repo_idx = key // spec.paths_per_repo
-    path_idx = key % spec.paths_per_repo
-    repo = np.char.add("repo-", repo_idx.astype("U10"))
-    path = np.char.add(
-        np.char.add("src/mod", (path_idx // 20).astype("U6")),
-        np.char.add("/file", np.char.add(path_idx.astype("U8"), ".txt")),
-    )
-    return repo, path
+    repos, paths = _lookups(spec)
+    return repos[key // spec.paths_per_repo], paths[key % spec.paths_per_repo]
 
 
-def _digests(key: np.ndarray, version: np.ndarray, seed: int) -> list[str]:
-    return [
-        hashlib.md5(f"{seed}:{k}:{v}".encode()).hexdigest()
-        for k, v in zip(key.tolist(), version.tolist())
-    ]
+_HEX = np.array([format(i, "02x") for i in range(256)], dtype=object)
+
+
+def _digests(key: np.ndarray, version: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic 32-hex-char digest per (seed, key, version) — a seeded
+    splitmix-style integer mix rendered as hex, ~20x cheaper than per-row md5
+    and just as stable across runs/platforms."""
+    with np.errstate(over="ignore"):
+        x = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + version.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+             + np.uint64((seed * 0x94D049BB133111EB) % (1 << 64)))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        y = x ^ (x >> np.uint64(31))
+        z = y * np.uint64(0xD6E8FEB86659FD93) + np.uint64(0x2545F4914F6CDD1D)
+    h1 = np.array([format(v, "016x") for v in x.tolist()], dtype=object)
+    h2 = np.array([format(v, "016x") for v in z.tolist()], dtype=object)
+    return h1 + h2
 
 
 def value_columns(key: np.ndarray, version: np.ndarray, spec: StreamSpec) -> dict[str, np.ndarray]:
@@ -96,22 +122,21 @@ def value_columns(key: np.ndarray, version: np.ndarray, spec: StreamSpec) -> dic
     rep = 1 + (key % spec.content_rep_max)
     content = np.array(
         [
-            f"{r}/{p}@v{v} " + d * int(rp)
-            for r, p, v, d, rp in zip(repo, path, version.tolist(), dig, rep)
+            f"{r}/{p}@v{v} " + d * rp
+            for r, p, v, d, rp in zip(repo, path, version.tolist(), dig, rep.tolist())
         ],
         dtype=object,
     )
     lang = LANGS[(key * 2654435761 + version) % (len(LANGS) - 1)]
     # a deterministic sliver of 'xx' rows exercises the condition filter (M3)
-    lang = np.where((key + version) % 97 == 0, "xx", lang)
+    lang = np.where((key + version) % 97 == 0, "xx", lang).astype(object)
     size = np.array([len(c) for c in content], dtype=np.int64)
-    commit = np.array(dig, dtype=object)
     stars = ((key * 31 + version * 7) % 100_000).astype(np.int64)
     return {
-        "repo": repo.astype(object),
-        "path": path.astype(object),
-        "commit": commit,
-        "lang": lang.astype(object),
+        "repo": repo,
+        "path": path,
+        "commit": dig,
+        "lang": lang,
         "content": content,
         "size": size,
         "stars": stars,

@@ -1,0 +1,81 @@
+"""Driver-contract parity: a fast subset of queries() checked against
+oracle_sql() via DuckDB at sf0.001 (the full sweep runs in
+tools/check_oracles.py at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+SUBSET = [
+    "cdc_lake_state",
+    "cdc_update_suppression",
+    "cdc_stats_rollup",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "knn_bruteforce",
+    "text_quality",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def catalogs(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, catalogs, con):
+    queries, oracles = catalogs
+    got = queries[name](SF_DIR)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = con.sql(oracles[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert len(got) == len(exp)
+    g, e = normalize(got), normalize(exp)
+    for c in g.columns:
+        if g[c].dtype.kind == "f":
+            pd.testing.assert_series_equal(g[c], e[c].astype(g[c].dtype), check_exact=True)
+        else:
+            assert g[c].astype(str).tolist() == e[c].astype(str).tolist(), f"column {c}"
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count() if hasattr(ds, "count") else len(ds)
+    assert n > 0
+    cols = set(ds.schema().names if hasattr(ds, "schema") else ds.columns)
+    assert {"repo", "path", "content", "_last_id"} <= cols
+
+
+def test_every_query_has_callable_and_oracle_keys():
+    import __ray_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    # non-SQL ops are known and intentional
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"dedup_minhash", "dedup_simhash", "ann_lsh", "text_langid", "multimodal_decode"}

@@ -1,0 +1,103 @@
+"""End-to-end replay: deterministic synthetic change stream → lake, compared
+against the pure-python oracle (the mirror of the reference's TransferThread
+end-to-end test, `test/models/transfer_thread_test.rb:39-137`)."""
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from movex_cdc_ray.config import ConditionConfig
+from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+from movex_cdc_ray.stages.stats import health_check
+from movex_cdc_ray.synth import StreamSpec, config_for_spec, expected_lake_state, generate_stream
+
+SPEC = StreamSpec(
+    n_events=12_000, n_repos=8, paths_per_repo=40, chunk_size=3_000, evolve_at_event=9_000
+)
+COLS = ["repo", "path", "commit", "lang", "content", "_last_id", "_last_op"]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream"))
+    generate_stream(d, SPEC)
+    return d
+
+
+def _run(stream_dir, lake_dir, cfg, **kw):
+    return replay(stream_dir, lake_dir, cfg, chunks_per_epoch=2, **kw)
+
+
+def test_lake_matches_oracle(ray_session, stream_dir, tmp_lake):
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    rep = _run(stream_dir, tmp_lake, cfg)
+    assert rep.epochs == 2
+    got = lake_to_pandas(tmp_lake)
+    exp = expected_lake_state(SPEC)
+    pd.testing.assert_frame_equal(
+        got[COLS].reset_index(drop=True), exp[COLS].reset_index(drop=True)
+    )
+    # per-row content sha256 invariant vs the oracle
+    got_sha = got["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    exp_sha = exp["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    assert got_sha.tolist() == exp_sha.tolist()
+
+
+def test_schema_evolution_applied(ray_session, stream_dir, tmp_lake):
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    _run(stream_dir, tmp_lake, cfg)
+    got = lake_to_pandas(tmp_lake)
+    assert "stars" in got.columns  # column added mid-stream
+    # rows updated after the boundary carry stars; earlier rows are NULL
+    post = got[got["_last_id"] >= SPEC.first_id + SPEC.evolve_at_event]
+    pre = got[got["_last_id"] < SPEC.first_id + SPEC.evolve_at_event]
+    assert post["stars"].notna().all()
+    assert pre["stars"].isna().all()
+    # size widened to int64 in every partition file
+    from movex_cdc_ray.state.manifest import Manifest
+
+    m = Manifest.latest(tmp_lake)
+    for p in m.partitions.values():
+        sch = pq.read_schema(p["path"])
+        assert str(sch.field("size").type) == "int64"
+
+
+def test_condition_filtered_replay(ray_session, stream_dir, tmp_lake):
+    # condition drops lang='xx' INSERTs; later updates still upsert (M3)
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    cfg.tables[0].conditions = [ConditionConfig("I", "pc.not_equal(c('new_lang'), 'xx')")]
+    _run(stream_dir, tmp_lake, cfg)
+    got = lake_to_pandas(tmp_lake)
+    exp = expected_lake_state(SPEC, drop_lang_xx_inserts=True)
+    pd.testing.assert_frame_equal(
+        got[COLS].reset_index(drop=True), exp[COLS].reset_index(drop=True)
+    )
+
+
+def test_resume_is_noop_and_ordering_clean(ray_session, stream_dir, tmp_lake):
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    rep1 = _run(stream_dir, tmp_lake, cfg)
+    assert all(m["ordering_violations"] == 0 for m in rep1.epoch_metrics)
+    rep2 = _run(stream_dir, tmp_lake, cfg)
+    assert rep2.epochs == 0 and rep2.events_in == 0
+    hc = health_check(tmp_lake)
+    assert hc["chunks_consumed"] == 4
+    assert hc["lake_rows"] == len(expected_lake_state(SPEC))
+    assert hc["retry_backlog"] == 0 and hc["final_errors"] == 0
+
+
+def test_salted_two_stage_merge_same_result(ray_session, stream_dir, tmp_lake):
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    hot = frozenset(
+        f"repo-0\x1fsrc/mod{p//20}/file{p}.txt" for p in range(SPEC.paths_per_repo)
+    )
+    rep = _run(stream_dir, tmp_lake, cfg, hot_keys=hot, salted=True)
+    assert rep.epochs == 2
+    got = lake_to_pandas(tmp_lake)
+    exp = expected_lake_state(SPEC)
+    pd.testing.assert_frame_equal(
+        got[COLS].reset_index(drop=True), exp[COLS].reset_index(drop=True)
+    )

@@ -1,0 +1,116 @@
+"""Text analysis + dedup operator tests (training-data extensions)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from movex_cdc_ray.functions.dedup import (
+    MinHasher,
+    SimHasher,
+    embedding_neardup_pairs,
+    exact_dedup_keep_first,
+    jaccard,
+    minhash_lsh_buckets,
+    ngram_jaccard_pairs,
+)
+from movex_cdc_ray.functions.text import Fingerprinter, LangIdStage, QualityScorer, TokenCounter
+
+
+def docs(rows):
+    return rd.from_arrow(pa.table({"doc_id": list(range(len(rows))), "text": rows}))
+
+
+def test_token_counter():
+    t = pa.table({"doc_id": [0, 1], "text": ["one two three", "hello"]})
+    out = TokenCounter()(t)
+    assert out["n_tokens"].to_pylist() == [3, 1]
+    assert out["n_bpe_tokens"].to_pylist() == [3, 1]
+
+
+def test_quality_scorer():
+    df = pd.DataFrame({"doc_id": [0], "text": ["the cat and THE dog!"]})
+    out = QualityScorer()(df)
+    assert out["n_words"][0] == 5
+    assert out["stopword_ratio"][0] == pytest.approx(0.6)  # the, and, the
+    assert out["punct_ratio"][0] > 0
+    assert out["upper_ratio"][0] > 0
+
+
+def test_langid_heuristic():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat is in the house and it is warm",
+                "el gato es de la casa y los perros",
+                "zzz qqq www",
+            ],
+        }
+    )
+    out = LangIdStage()(df)
+    assert out["pred_lang"].tolist() == ["en", "es", "und"]
+
+
+def test_fingerprinter_stable_and_edit_robust():
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["Hello World ", "hello world", "different entirely"]})
+    out = Fingerprinter()(df)
+    # normalization: case/strip-insensitive md5
+    assert out["fingerprint_md5"][0] == out["fingerprint_md5"][1]
+    assert out["fingerprint_md5"][0] != out["fingerprint_md5"][2]
+    assert out["fingerprint_rolling"][0] == out["fingerprint_rolling"][1]
+
+
+def test_exact_dedup_keep_first(ray_session):
+    ds = docs(["aaa", "bbb", "aaa", "aaa", "ccc"])
+    out = exact_dedup_keep_first(ds).take_all()
+    by_count = sorted((r["dup_count"], r["keep_id"]) for r in out)
+    assert by_count == [(1, 1), (1, 4), (3, 0)]
+
+
+def test_jaccard_and_minhash_similarity():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "completely unrelated words about database systems and storage engines"
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, b) > 0.5 > jaccard(a, c)
+    mh = MinHasher()
+    sig_a, sig_b, sig_c = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = (sig_a == sig_b).mean()
+    sim_ac = (sig_a == sig_c).mean()
+    assert sim_ab > sim_ac  # minhash agreement approximates jaccard
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = base.replace("woods", "forest")
+    ds = docs([base, near, "totally different content about ray data pipelines", "more unrelated text here"])
+    buckets = minhash_lsh_buckets(ds).take_all()
+    assert len(buckets) > 0  # the near-dup pair shares at least one band
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+    assert [(0, 1)] == list(zip(pairs["a_id"], pairs["b_id"]))
+
+
+def test_simhash_hamming_locality():
+    sh = SimHasher()
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("dog", "cat")
+    far = "completely different topic matter entirely unrelated " * 4
+    h_base, h_near, h_far = sh.simhash(base), sh.simhash(near), sh.simhash(far)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(h_base, h_near) < ham(h_base, h_far)
+
+
+def test_embedding_neardup_blockwise(ray_session):
+    rng = np.random.default_rng(3)
+    v0 = rng.standard_normal(16)
+    vecs = [v0, v0 + 0.01 * rng.standard_normal(16), rng.standard_normal(16)]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.95)
+    assert list(zip(pairs["a_id"], pairs["b_id"])) == [(0, 1)]
