@@ -115,8 +115,9 @@ def run_headline(num_cpus: int) -> dict:
     shutil.rmtree(lake_dir, ignore_errors=True)
     n_chunks = (n_events + spec.chunk_size - 1) // spec.chunk_size
     chunks_per_epoch = max(4, -(-n_chunks // 6))  # ≤ 6 epochs
+    shuffle_mode = os.environ.get("GRAFT_SHUFFLE_MODE", "files")
     t0 = time.perf_counter()
-    rep = replay(stream_dir, lake_dir, cfg, chunks_per_epoch=chunks_per_epoch)
+    rep = replay(stream_dir, lake_dir, cfg, chunks_per_epoch=chunks_per_epoch, shuffle_mode=shuffle_mode)
     elapsed = time.perf_counter() - t0
     ray.shutdown()
     return {

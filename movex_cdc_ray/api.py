@@ -1,0 +1,79 @@
+"""Engine control API — the reference's REST surface as plain Python verbs.
+
+Maps `config/routes.rb:5-55` onto the config object + manifests (SURVEY.md
+§2.10): config CRUD happens on :class:`CaptureConfig` directly; this module
+adds the operational verbs (trigger generate, health, import/export, server
+control: max_transaction_size, worker count, reprocess final errors). No HTTP
+— the benchmark and tests drive these in-process.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .config import CaptureConfig
+from .stages.capture import CaptureStage, compile_plan
+from .stages.errors import reprocess_final_errors as _reprocess
+from .stages.stats import health_check as _health
+from .state.manifest import Manifest
+
+
+class Engine:
+    """One engine instance = one config + one lake directory."""
+
+    def __init__(self, cfg: CaptureConfig, lake_dir: str):
+        self.cfg = cfg
+        self.lake_dir = lake_dir
+
+    # ---- trigger deployment (POST /db_triggers/generate_all, M1) -----------
+    def generate_triggers(self) -> dict[str, Any]:
+        """Compile capture plans for every configured table; returns the
+        successes/errors summary the reference's generate_all produces
+        (`app/models/db_trigger.rb:38-92`)."""
+        successes, errors = [], []
+        for t in self.cfg.tables:
+            try:
+                plans = compile_plan(self.cfg)
+                if t.table_id in plans:
+                    successes.append({"table": f"{t.schema_name}.{t.name}"})
+            except Exception as exc:  # noqa: BLE001
+                errors.append({"table": f"{t.schema_name}.{t.name}", "error": str(exc)})
+        # load_sqls analog: tables flagged for initialization
+        load_sqls = [
+            {"table": f"{t.schema_name}.{t.name}", "filter": t.initialization_filter}
+            for t in self.cfg.tables
+            if t.yn_initialization
+        ]
+        return {"successes": successes, "errors": errors, "load_sqls": load_sqls}
+
+    def capture_stage(self) -> CaptureStage:
+        return CaptureStage(self.cfg)
+
+    # ---- health check (GET /health_check) ----------------------------------
+    def health_check(self) -> dict[str, Any]:
+        return _health(self.lake_dir)
+
+    # ---- import/export (S8) ------------------------------------------------
+    def export_config(self) -> str:
+        return self.cfg.to_json()
+
+    def import_config(self, doc: str) -> None:
+        """Import a changed registry and 'regenerate triggers' — the schema /
+        behavior evolution cycle (`app/models/import_export_config.rb:86-136`)."""
+        self.cfg = CaptureConfig.from_json(doc)
+        self.generate_triggers()
+
+    # ---- server control (POST /server_control/...) -------------------------
+    def set_max_transaction_size(self, n: int) -> None:
+        self.cfg.max_transaction_size = int(n)
+
+    def set_worker_count(self, n: int) -> None:
+        """The reference's worker-thread count maps to the partition count P
+        (one merge owner per key-hash slice). NOTE: changing P re-keys the
+        hash slices; only safe between full replays, like re-deploying the
+        reference with a different INITIAL_WORKER_THREADS."""
+        self.cfg.num_partitions = int(n)
+
+    def reprocess_final_errors(self) -> int:
+        m = Manifest.latest(self.lake_dir)
+        return _reprocess(self.lake_dir, m.epoch)

@@ -1,0 +1,31 @@
+"""Control-API surface tests (the reference's REST verbs, SURVEY §2.10)."""
+
+from movex_cdc_ray.api import Engine
+from movex_cdc_ray.config import default_code_cdc_config
+
+
+def test_generate_triggers_and_roundtrip(tmp_path):
+    cfg = default_code_cdc_config()
+    cfg.tables[0].yn_initialization = True
+    eng = Engine(cfg, str(tmp_path))
+    out = eng.generate_triggers()
+    assert out["successes"] == [{"table": "CODE.FILES"}]
+    assert out["errors"] == []
+    assert out["load_sqls"][0]["table"] == "CODE.FILES"
+
+    doc = eng.export_config()
+    eng.set_max_transaction_size(5000)
+    assert eng.cfg.max_transaction_size == 5000
+    eng.import_config(doc)  # re-import restores the exported state
+    assert eng.cfg.max_transaction_size == 10000
+
+    eng.set_worker_count(16)
+    assert eng.cfg.num_partitions == 16
+
+
+def test_health_check_empty_lake(tmp_path):
+    eng = Engine(default_code_cdc_config(), str(tmp_path))
+    hc = eng.health_check()
+    assert hc["epoch"] == 0
+    assert hc["lake_rows"] == 0
+    assert hc["retry_backlog"] == 0
