@@ -204,6 +204,7 @@ class CaptureConfig:
     tables: list[TableConfig] = field(default_factory=list)
     schema_versions: list[SchemaVersion] = field(default_factory=list)
     num_partitions: int = 32
+    capture_parallelism: int = 8  # capture blocks per epoch (0 = one per CPU)
     max_transaction_size: int = 10_000
     error_max_retries: int = 5
     error_retry_start_delay: float = 20.0
@@ -273,6 +274,7 @@ class CaptureConfig:
                 k: d[k]
                 for k in (
                     "num_partitions",
+                    "capture_parallelism",
                     "max_transaction_size",
                     "error_max_retries",
                     "error_retry_start_delay",

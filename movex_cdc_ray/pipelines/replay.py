@@ -79,30 +79,43 @@ class ReplayReport:
 
 
 class CapturePartitionStage:
-    """Fused capture + partition-assign + per-batch combiner, one pass per
-    Arrow batch (keeps the hot path at two kernel sweeps, no pandas)."""
+    """Fused capture + partition-assign + sink-projection + per-batch
+    combiner, one pass per Arrow batch (no pandas in the hot path).
+
+    ``project_for_sink`` drops the columns the lake merge never reads —
+    the old-image payload (already consumed by the no-op-update suppression),
+    ``dbuser`` and ``msg_key`` — keeping only the old PK columns (retried
+    DELETEs re-derive their key from them). This roughly halves the bytes
+    moving through the shuffle/object store, which is the single-node
+    throughput ceiling well before CPUs are."""
 
     def __init__(self, cfg: CaptureConfig, hot_keys: frozenset[str] | None = None,
-                 combine: bool = True):
+                 combine: bool = True, project_for_sink: bool = False):
         self.capture = CaptureStage(cfg)
         self.cfg = cfg
         self.hot_keys = hot_keys
         self.combine = combine
+        keep: list[str] | None = None
+        if project_for_sink:
+            fields = cfg.latest_version().payload_fields
+            pk = set(cfg.tables[0].pk_columns) if cfg.tables else set()
+            keep = ["id", "table_id", "op", "txn_id", "created_at", "retry_count"]
+            keep += [f"new_{f}" for f in fields]
+            keep += [f"old_{f}" for f in fields if f in pk]
+            keep += ["key_string"]
+        self.keep = keep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = self.capture(batch)
-        if len(out) == 0:
-            out = assign_partitions(out, self.cfg.num_partitions,
-                                    salt_factor=self.cfg.salt_factor if self.hot_keys else 0,
-                                    hot_keys=self.hot_keys)
-            return out
+        if self.keep is not None:
+            out = out.select([c for c in self.keep if c in out.column_names])
         out = assign_partitions(
             out,
             self.cfg.num_partitions,
             salt_factor=self.cfg.salt_factor if self.hot_keys else 0,
             hot_keys=self.hot_keys,
         )
-        if self.combine:
+        if self.combine and len(out):
             out = combine_last_per_key(out)
         return out
 
@@ -154,19 +167,21 @@ def run_epoch(
     hot_keys: frozenset[str] | None = None,
     salted: bool = False,
     batch_size: int | None = None,
-    shuffle_mode: str = "files",
+    shuffle_mode: str = "groupby",
 ) -> tuple[Manifest, dict[str, Any]]:
     """Process one epoch and commit it. Idempotent under retry.
 
     ``shuffle_mode``:
-      * ``"files"`` (default) — capture tasks write the epoch delta as
-        hash-partitioned Parquet (``_delta/epoch=N/part=P/``), then ONE raw
-        Ray task per populated partition merges it into its base. The
-        exchange goes through the filesystem/object store (Spark-style
-        shuffle files) — no all-to-all in-memory sort, and the fan-in per
-        partition is bounded by the number of capture tasks.
-      * ``"groupby"`` — ``ds.groupby("part").map_groups(merge)``, Ray's
-        sort-based shuffle; needed for the salted two-stage variant.
+      * ``"groupby"`` (default) — ``ds.groupby("part").map_groups(merge)``,
+        Ray's sort-based shuffle through the in-memory object store; the
+        fastest path once events are column-pruned and batch-combined, and
+        required for the salted two-stage skew variant.
+      * ``"files"`` — capture tasks write the epoch delta as hash-partitioned
+        Parquet (``_delta/epoch=N/part=P/``), then ONE raw Ray task per
+        populated partition merges it into its base (Spark-style shuffle
+        files). Slightly slower on one node (extra disk round-trip) but
+        useful when the object store is tight or the delta must survive a
+        mid-epoch crash for forensics.
     """
     t0 = time.perf_counter()
     files = list(chunk_files) + list(extra_event_files or [])
@@ -175,9 +190,13 @@ def run_epoch(
         # retry backoff, analog of an idle worker cycle)
         manifest = manifest.commit_epoch(epoch, [], {}, writer_token, metrics={"epoch": epoch, "empty": True})
         return manifest, {k: 0 for k in _AGG_KEYS} | {"epoch": epoch, "elapsed_sec": 0.0, "partitions_touched": 0, "lake_rows": manifest.total_rows()}
-    ncpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
-    ds = read_chunks(files, override_num_blocks=ncpus)
-    stage = CapturePartitionStage(cfg, hot_keys=hot_keys)
+    # capture task decomposition is a JOB parameter (like the partition
+    # count): deriving it from the cluster size would change the per-batch
+    # combiner's reduction ratio — and therefore the shuffle volume — between
+    # cluster sizes, silently skewing any scaling comparison.
+    nblocks = cfg.capture_parallelism or max(1, int(ray.cluster_resources().get("CPU", 8)))
+    ds = read_chunks(files, override_num_blocks=nblocks)
+    stage = CapturePartitionStage(cfg, hot_keys=hot_keys, project_for_sink=True)
     ds = ds.map_batches(
         stage,
         batch_format="pyarrow",
@@ -191,7 +210,9 @@ def run_epoch(
             # stage-1 of the two-stage skew merge: combine per (part, salt)
             ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
         merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions)
-        stats_ds = ds.groupby("part").map_groups(merger, batch_format="pyarrow")
+        stats_ds = ds.groupby("part", num_partitions=cfg.num_partitions).map_groups(
+            merger, batch_format="pyarrow"
+        )
         stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
 
     part_updates = {
@@ -203,6 +224,15 @@ def run_epoch(
         }
         for r in stats_rows
     }
+    # persist the per-partition stats rows (the STATISTICS table analog,
+    # operator A1/T5); idempotent deterministic path per epoch
+    if stats_rows:
+        import pyarrow.parquet as _pq
+
+        stats_path = os.path.join(lake_dir, "_stats", f"epoch={epoch:06d}.parquet")
+        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
+        _pq.write_table(pa.Table.from_pylist(stats_rows), stats_path)
+
     elapsed = time.perf_counter() - t0
     agg = {k: int(sum(r[k] for r in stats_rows)) for k in _AGG_KEYS}
     agg["epoch"] = epoch
@@ -225,7 +255,7 @@ def replay(
     retry_backoff_epochs: int = 1,
     gc_staging: bool = True,
     drain_retries: bool = True,
-    shuffle_mode: str = "files",
+    shuffle_mode: str = "groupby",
 ) -> ReplayReport:
     """Full (or resumed) replay of a change stream into the lake."""
     t0 = time.perf_counter()

@@ -1,0 +1,118 @@
+"""Property-based check of the merge semantics: for ANY event sequence, the
+engine's per-partition merge equals a brute-force per-key replay. Runs the
+merge function directly (no Ray session needed) — fast enough for hypothesis."""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from movex_cdc_ray.config import default_code_cdc_config
+from movex_cdc_ray.stages.sink import MergeContext, lake_table_schema, merge_partition
+
+KEYS = ["k0", "k1", "k2", "k3"]
+
+
+def events_table(seq):
+    """seq: list of (op, key_idx) — build a minimal pruned event table."""
+    n = len(seq)
+    ids = list(range(1, n + 1))
+    ops = [op for op, _ in seq]
+    keys = [KEYS[k] for _, k in seq]
+    fields = default_code_cdc_config().latest_version().payload_fields
+    cols = {
+        "id": pa.array(ids, pa.int64()),
+        "table_id": pa.array([1] * n, pa.int32()),
+        "op": pa.array(ops, pa.string()),
+        "txn_id": pa.array(["t"] * n, pa.string()),
+        "created_at": pa.array([1_000_000 + i for i in ids], pa.timestamp("us")),
+        "retry_count": pa.array([0] * n, pa.int32()),
+        "key_string": pa.array(keys, pa.string()),
+        "part": pa.array([0] * n, pa.int32()),
+    }
+    for f, t in fields.items():
+        typ = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64()}[t]
+        if f == "repo":
+            vals = keys
+        elif f == "path":
+            vals = ["p"] * n
+        elif f in ("size", "stars"):
+            vals = ids
+        else:
+            vals = [f"{f}-{i}" for i in ids]
+        cols[f"new_{f}"] = pa.array(
+            [None if op == "D" else v for op, v in zip(ops, vals)], typ
+        )
+        if f in ("repo", "path"):
+            cols[f"old_{f}"] = pa.array(
+                [v if op in ("U", "D") else None for op, v in zip(ops, vals)], typ
+            )
+    return pa.table(cols)
+
+
+def brute_force(seq):
+    state = {}
+    for i, (op, k) in enumerate(seq, start=1):
+        key = KEYS[k]
+        if op == "D":
+            state.pop(key, None)
+        else:
+            state[key] = i  # last applied event id
+    return state
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["I", "U", "D", "i"]), st.integers(0, len(KEYS) - 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_merge_equals_bruteforce(tmp_path_factory, seq):
+    cfg = default_code_cdc_config()
+    lake_dir = str(tmp_path_factory.mktemp("prop"))
+    ctx = MergeContext(
+        lake_dir=lake_dir,
+        epoch=1,
+        prev_partitions={},
+        payload_fields=list(cfg.latest_version().payload_fields),
+        lake_schema=lake_table_schema(cfg),
+        error_max_retries=5,
+    )
+    stats = merge_partition(ctx, events_table(seq), part=0)
+    import pyarrow.parquet as pq
+
+    merged = pq.read_table(stats["path"][0].as_py())
+    got = dict(zip(
+        [k.split("\x1f")[0] for k in merged["_key"].to_pylist()],
+        merged["_last_id"].to_pylist(),
+    ))
+    assert got == brute_force(seq)
+
+
+def test_merge_split_across_epochs_equals_single_epoch(tmp_path):
+    # applying a sequence in two epochs == applying it in one (watermarks advance)
+    seq = [("I", 0), ("U", 0), ("I", 1), ("D", 0), ("U", 1), ("I", 0), ("U", 0)]
+    cfg = default_code_cdc_config()
+
+    def run(split):
+        lake = str(tmp_path / f"lake_{split}")
+        prev = {}
+        chunks = [seq[:split], seq[split:]] if split else [seq]
+        wm_table_offset = 0
+        for e, chunk in enumerate([c for c in chunks if c], start=1):
+            t = events_table(seq)  # ids are global positions
+            mask = [wm_table_offset <= i < wm_table_offset + len(chunk) for i in range(len(seq))]
+            ctx = MergeContext(
+                lake_dir=lake, epoch=e, prev_partitions=prev,
+                payload_fields=list(cfg.latest_version().payload_fields),
+                lake_schema=lake_table_schema(cfg), error_max_retries=5,
+            )
+            stats = merge_partition(ctx, t.filter(pa.array(mask)), part=0)
+            prev = {"0": {"path": stats["path"][0].as_py(), "rows": stats["lake_rows"][0].as_py(),
+                          "watermark": stats["watermark"][0].as_py(), "sha": stats["sha"][0].as_py()}}
+            wm_table_offset += len(chunk)
+        return prev["0"]["sha"]
+
+    assert run(0) == run(3)
