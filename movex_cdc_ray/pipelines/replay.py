@@ -125,7 +125,9 @@ def _merge_part_task(ctx: MergeContext, part: int, files: list[str]) -> dict[str
     return merge_partition_files(ctx, part, files)
 
 
-def _merge_via_delta_files(cfg, ds, lake_dir: str, epoch: int, manifest: Manifest) -> list[dict]:
+def _merge_via_delta_files(
+    cfg, ds, lake_dir: str, epoch: int, manifest: Manifest, merge_mode: str = "rewrite"
+) -> list[dict]:
     """File-shuffle merge: delta parquet partitioned by part → one merge task
     per partition. The delta dir is rewritten wholesale on epoch retry."""
     import glob
@@ -143,6 +145,7 @@ def _merge_via_delta_files(cfg, ds, lake_dir: str, epoch: int, manifest: Manifes
         payload_fields=list(cfg.latest_version().payload_fields),
         lake_schema=_lts(cfg),
         error_max_retries=cfg.error_max_retries,
+        mode=merge_mode,
     )
     ctx_ref = ray.put(ctx)
     refs = []
@@ -168,6 +171,7 @@ def run_epoch(
     salted: bool = False,
     batch_size: int | None = None,
     shuffle_mode: str = "groupby",
+    merge_mode: str = "rewrite",
 ) -> tuple[Manifest, dict[str, Any]]:
     """Process one epoch and commit it. Idempotent under retry.
 
@@ -204,26 +208,40 @@ def run_epoch(
         zero_copy_batch=True,
     )
     if shuffle_mode == "files" and not salted:
-        stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest)
+        stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest, merge_mode)
     else:
         if salted and hot_keys:
             # stage-1 of the two-stage skew merge: combine per (part, salt)
             ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
-        merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions)
+        merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
         stats_ds = ds.groupby("part", num_partitions=cfg.num_partitions).map_groups(
             merger, batch_format="pyarrow"
         )
         stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
 
-    part_updates = {
-        str(r["part"]): {
-            "path": r["path"],
-            "rows": r["lake_rows"],
-            "watermark": r["watermark"],
-            "sha": r["sha"],
+    if merge_mode == "delta":
+        # append to each partition's delta chain; base untouched this epoch
+        part_updates = {}
+        for r in stats_rows:
+            prev = manifest.partitions.get(str(r["part"]), {})
+            part_updates[str(r["part"])] = {
+                "path": prev.get("path"),
+                "deltas": prev.get("deltas", []) + [r["path"]],
+                "rows": int(prev.get("rows") or 0) + r["lake_rows"],  # upper bound
+                "watermark": r["watermark"],
+                "sha": r["sha"],  # delta digest; resolved sha set at compaction
+            }
+    else:
+        part_updates = {
+            str(r["part"]): {
+                "path": r["path"],
+                "deltas": [],
+                "rows": r["lake_rows"],
+                "watermark": r["watermark"],
+                "sha": r["sha"],
+            }
+            for r in stats_rows
         }
-        for r in stats_rows
-    }
     # persist the per-partition stats rows (the STATISTICS table analog,
     # operator A1/T5); idempotent deterministic path per epoch
     if stats_rows:
@@ -256,8 +274,14 @@ def replay(
     gc_staging: bool = True,
     drain_retries: bool = True,
     shuffle_mode: str = "groupby",
+    merge_mode: str = "rewrite",
+    compact_every: int = 0,
 ) -> ReplayReport:
-    """Full (or resumed) replay of a change stream into the lake."""
+    """Full (or resumed) replay of a change stream into the lake.
+
+    ``merge_mode="delta"`` appends per-epoch delta files instead of rewriting
+    partition bases (epoch cost ∝ delta); ``compact_every=k`` folds the delta
+    chains into fresh bases every k epochs (and once at the end)."""
     t0 = time.perf_counter()
     manifest = Manifest.latest(lake_dir) if resume else Manifest(lake_dir=lake_dir)
     token = new_writer_token()
@@ -277,8 +301,11 @@ def replay(
             hot_keys=hot_keys,
             salted=salted,
             shuffle_mode=shuffle_mode,
+            merge_mode=merge_mode,
         )
         consume_retry_files(retry_files)
+        if compact_every and merge_mode == "delta" and manifest.epoch % compact_every == 0:
+            manifest = compact(lake_dir, cfg, manifest)
         report.epochs += 1
         report.events_in += agg["events_in"]
         report.events_success += agg["events_success"]
@@ -308,6 +335,9 @@ def replay(
             if retry_files:
                 report.epochs += 1
                 report.epoch_metrics.append(agg)
+    if merge_mode == "delta" and compact_every:
+        if any(p.get("deltas") for p in manifest.partitions.values()):
+            manifest = compact(lake_dir, cfg, manifest)
     if gc_staging:
         manifest.gc()
     report.lake_rows = manifest.total_rows()
@@ -315,27 +345,115 @@ def replay(
     return report
 
 
-def read_lake(lake_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    """The committed lake as a Dataset (latest manifest's partition files)."""
+@ray.remote
+def _compact_part_task(part: int, entry: dict, out_path: str, lake_schema_ref) -> dict[str, Any]:
+    import pyarrow.parquet as pq
+
+    from ..stages.sink import atomic_write_parquet, partition_sha, resolve_lake_tables
+
+    tables = []
+    if entry.get("path"):
+        tables.append(pq.read_table(entry["path"]))
+    for d in entry.get("deltas", []):
+        tables.append(pq.read_table(d))
+    resolved = resolve_lake_tables(tables, lake_schema_ref)
+    nbytes = atomic_write_parquet(resolved, out_path)
+    return {
+        "part": part,
+        "path": out_path,
+        "deltas": [],
+        "rows": len(resolved),
+        "watermark": entry["watermark"],
+        "sha": partition_sha(resolved),
+        "bytes": nbytes,
+    }
+
+
+def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None) -> Manifest:
+    """Fold every partition's delta chain into a fresh base (one Ray task per
+    partition) and commit the result as a compaction epoch. Idempotent:
+    deterministic output paths, atomic manifest commit."""
+    from ..stages.sink import lake_table_schema
+
+    manifest = manifest or Manifest.latest(lake_dir)
+    epoch = manifest.epoch + 1
+    schema = lake_table_schema(cfg)
+    refs = []
+    from ..state.manifest import staged_path
+
+    for k, entry in manifest.partitions.items():
+        if not entry.get("deltas"):
+            continue
+        out_path = staged_path(lake_dir, epoch, int(k))
+        refs.append(_compact_part_task.remote(int(k), entry, out_path, schema))
+    if not refs:
+        return manifest
+    rows = ray.get(refs)
+    part_updates = {
+        str(r["part"]): {
+            "path": r["path"],
+            "deltas": [],
+            "rows": r["rows"],
+            "watermark": r["watermark"],
+            "sha": r["sha"],
+        }
+        for r in rows
+    }
+    return manifest.commit_epoch(
+        epoch, [], part_updates, new_writer_token(), metrics={"epoch": epoch, "compaction": True}
+    )
+
+
+def read_lake(lake_dir: str, columns: list[str] | None = None, cfg: CaptureConfig | None = None) -> rd.Dataset:
+    """The committed lake as a Dataset.
+
+    With outstanding delta chains (merge_mode="delta", not yet compacted) the
+    read resolves them merge-on-read: a ``groupby("_key")`` arg-max per key —
+    pass ``cfg`` for the schema, or compact first for a plain scan."""
     m = Manifest.latest(lake_dir)
     files = m.data_files()
+    has_deltas = any(p.get("deltas") for p in m.partitions.values())
     if not files:
-        return rd.from_arrow(lake_table_schema_from_dir(lake_dir))
-    return rd.read_parquet(files, columns=columns)
+        return rd.from_items([])
+    ds = rd.read_parquet(files, columns=None if has_deltas else columns)
+    if not has_deltas:
+        return ds
+    from ..stages.sink import lake_table_schema, resolve_lake_tables
 
+    schema = lake_table_schema(cfg) if cfg else None
 
-def lake_table_schema_from_dir(lake_dir: str) -> pa.Table:  # pragma: no cover
-    return pa.table({})
+    def resolve(group: pa.Table) -> pa.Table:
+        return resolve_lake_tables([group], schema or group.schema)
+
+    ds = ds.groupby("_key").map_groups(resolve, batch_format="pyarrow")
+    return ds.select_columns(columns) if columns else ds
 
 
 def lake_to_pandas(lake_dir: str):
-    """Small-scale helper for tests: full lake as a key-sorted DataFrame."""
+    """Small-scale helper for tests: full lake as a key-sorted DataFrame
+    (delta chains resolved per partition in-process)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
+    from ..stages.sink import resolve_lake_tables
+
     m = Manifest.latest(lake_dir)
-    files = m.data_files()
-    if not files:
+    parts = []
+    for k in sorted(m.partitions, key=int):
+        entry = m.partitions[k]
+        tables = []
+        if entry.get("path"):
+            tables.append(pq.read_table(entry["path"]))
+        for d in entry.get("deltas", []):
+            tables.append(pq.read_table(d))
+        if not tables:
+            continue
+        if entry.get("deltas"):
+            t = pa.concat_tables(tables, promote_options="default")
+            parts.append(resolve_lake_tables([t], tables[-1].schema))
+        else:
+            parts.append(tables[0])
+    if not parts:
         return pd.DataFrame()
-    t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    t = pa.concat_tables(parts, promote_options="default")
     return t.to_pandas().sort_values("_key").reset_index(drop=True)

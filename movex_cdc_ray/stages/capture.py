@@ -109,7 +109,13 @@ def derive_keys(batch: pa.Table, plan: TablePlan) -> tuple[pa.Array, pa.Array]:
 
     key_string: pa.Array
     if t.pk_columns:
-        parts = [v(c).cast(pa.string()) for c in t.pk_columns]
+        # prefixed with the qualified table name so identical PK values in
+        # different captured tables never collide in the lake (the reference
+        # never mixes tables in one topic partition stream either)
+        prefix = f"{t.schema_name}.{t.name}"
+        parts = [pa.array([prefix] * n, pa.string())] + [
+            v(c).cast(pa.string()) for c in t.pk_columns
+        ]
         key_string = pc.binary_join_element_wise(*parts, KEY_SEP)
     else:
         key_string = pa.nulls(n, pa.string())

@@ -67,6 +67,7 @@ MERGE_STATS_SCHEMA = pa.schema(
 def lake_table_schema(cfg: CaptureConfig) -> pa.Schema:
     fields = [pa.field(n, arrow_type(t)) for n, t in cfg.latest_version().payload_fields.items()]
     fields += [
+        pa.field("_table_id", pa.int32()),
         pa.field("_key", pa.string()),
         pa.field("_last_id", pa.int64()),
         pa.field("_last_op", pa.string()),
@@ -79,6 +80,7 @@ def events_to_lake_rows(events: pa.Table, payload_fields: list[str]) -> pa.Table
     cols: dict[str, Any] = {}
     for f in payload_fields:
         cols[f] = events[f"new_{f}"]
+    cols["_table_id"] = events["table_id"]
     cols["_key"] = events["key_string"]
     cols["_last_id"] = events["id"]
     cols["_last_op"] = events["op"]
@@ -100,6 +102,37 @@ def default_invariant_check(events: pa.Table) -> None:
     bad = pc.and_(is_upsert, pc.is_null(content))
     if pc.any(bad).as_py():
         raise ValueError("upsert event with NULL content")
+
+
+def drop_tombstones(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return t
+    op = t["_last_op"]
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+    return t.filter(pc.invert(pc.equal(op, "D")))
+
+
+def resolve_lake_tables(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Table:
+    """Merge-on-read resolution for the delta-log mode: arg-max ``_last_id``
+    per ``_key`` over base+delta rows, tombstones dropped, key-sorted.
+
+    Correct under any interleaving because the final state per key is a pure
+    arg-max reduction (the same property the write-path merge relies on)."""
+    tables = [align_to_schema(t, lake_schema) for t in tables if len(t)]
+    if not tables:
+        return lake_schema.empty_table()
+    t = pa.concat_tables(tables)
+    import pandas as pd
+
+    df = t.select(["_key", "_last_id"]).to_pandas()
+    idx = df.groupby("_key")["_last_id"].idxmax()
+    t = t.take(pa.array(idx.to_numpy()))
+    t = drop_tombstones(t)
+    if len(t):
+        key = t["_key"].combine_chunks() if isinstance(t["_key"], pa.ChunkedArray) else t["_key"]
+        t = t.take(pc.sort_indices(key))
+    return t
 
 
 def partition_sha(lake: pa.Table) -> str:
@@ -130,7 +163,17 @@ def atomic_write_parquet(t: pa.Table, path: str) -> int:
 class MergeContext:
     """Everything a merge task needs — small and picklable; ships to every
     task by closure/arg capture (the J1 broadcast-small-side pattern; the
-    per-partition map is P entries, never a shuffle join)."""
+    per-partition map is P entries, never a shuffle join).
+
+    ``mode``:
+      * ``"rewrite"`` — merge the epoch delta into the partition base and
+        rewrite it (read-optimized; epoch cost ∝ touched-partition size).
+      * ``"delta"`` — append the combined epoch delta (with DELETE
+        tombstones) as a delta file; reads resolve base+deltas by arg-max
+        ``_last_id`` per key (merge-on-read). Epoch cost ∝ delta size — the
+        10^10-scale path (SURVEY §7.5 item 3); ``compact()`` folds chains
+        back into a base.
+    """
 
     lake_dir: str
     epoch: int
@@ -139,6 +182,7 @@ class MergeContext:
     lake_schema: pa.Schema
     error_max_retries: int
     check_invariants: bool = True
+    mode: str = "rewrite"
 
 
 def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
@@ -189,11 +233,54 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
         if len(ok):
             ok = ok.take(pc.sort_indices(ok["id"].combine_chunks() if isinstance(ok["id"], pa.ChunkedArray) else ok["id"]))
 
+        # ---- delta mode: append combined delta with tombstones -------------
+        if ctx.mode == "delta":
+            delta_rows = events_to_lake_rows(ok, payload_fields)  # D rows stay as tombstones
+            delta_rows = align_to_schema(delta_rows, lake_schema)
+            out_path = staged_path(lake_dir, epoch, part).replace(".parquet", ".delta.parquet")
+            nbytes = atomic_write_parquet(delta_rows, out_path)
+            op_col = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
+            n_del = int(pc.sum(pc.equal(op_col, "D").cast(pa.int8())).as_py() or 0) if len(ok) else 0
+            return pa.table(
+                {
+                    "part": pa.array([part], pa.int32()),
+                    "epoch": pa.array([epoch], pa.int64()),
+                    "events_in": pa.array([events_in], pa.int64()),
+                    "events_below_watermark": pa.array([below], pa.int64()),
+                    "events_success": pa.array([len(ok)], pa.int64()),
+                    "events_d_and_c_retries": pa.array([attempts], pa.int64()),
+                    "events_delayed_errors": pa.array([n_retry], pa.int64()),
+                    "events_final_errors": pa.array([n_final], pa.int64()),
+                    "events_unkeyed": pa.array([len(unkeyed)], pa.int64()),
+                    "upserts": pa.array([len(ok) - n_del], pa.int64()),
+                    "deletes": pa.array([n_del], pa.int64()),
+                    "ordering_violations": pa.array([0], pa.int64()),
+                    "lake_rows": pa.array([len(delta_rows)], pa.int64()),
+                    "watermark": pa.array([new_wm], pa.int64()),
+                    "path": pa.array([out_path], pa.string()),
+                    "sha": pa.array([partition_sha(drop_tombstones(delta_rows))], pa.string()),
+                    "bytes": pa.array([nbytes], pa.int64()),
+                },
+                schema=MERGE_STATS_SCHEMA,
+            )
+
         # ---- load + schema-evolve the base ---------------------------------
+        # (a rewrite on top of a delta chain resolves it first — this is
+        # exactly what compaction does)
         if prev:
-            base = pq.read_table(prev["path"])
-            if base.schema != lake_schema:
-                base = align_to_schema(base, lake_schema)
+            base_tables = []
+            if prev.get("path"):
+                base_tables.append(pq.read_table(prev["path"]))
+            for d in prev.get("deltas", []):
+                base_tables.append(pq.read_table(d))
+            if prev.get("deltas"):
+                base = resolve_lake_tables(base_tables, lake_schema)
+            elif base_tables:
+                base = base_tables[0]
+                if base.schema != lake_schema:
+                    base = align_to_schema(base, lake_schema)
+            else:
+                base = lake_schema.empty_table()
         else:
             base = lake_schema.empty_table()
 
@@ -271,6 +358,7 @@ def make_epoch_merger(
     epoch: int,
     prev_partitions: dict[str, dict[str, Any]],
     check_invariants: bool = True,
+    mode: str = "rewrite",
 ) -> Callable[[pa.Table], pa.Table]:
     """The ``groupby("part").map_groups`` flavor of the merge."""
     ctx = MergeContext(
@@ -281,6 +369,7 @@ def make_epoch_merger(
         lake_schema=lake_table_schema(cfg),
         error_max_retries=cfg.error_max_retries,
         check_invariants=check_invariants,
+        mode=mode,
     )
 
     def merge(group: pa.Table) -> pa.Table:

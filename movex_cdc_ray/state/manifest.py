@@ -129,7 +129,7 @@ class Manifest:
         manifests beyond ``keep_epochs`` — the Housekeeping partition drop
         (reference `app/models/housekeeping.rb:45-107`, operator S6)."""
         removed: list[str] = []
-        live = {os.path.abspath(p["path"]) for p in self.partitions.values()}
+        live = {os.path.abspath(f) for f in self.data_files()}
         for f in glob.glob(os.path.join(self.lake_dir, STAGING_DIR, "epoch=*", "part=*.parquet")):
             if os.path.abspath(f) not in live:
                 os.remove(f)
@@ -149,7 +149,13 @@ class Manifest:
         return p["watermark"] if p else -1
 
     def data_files(self) -> list[str]:
-        return [self.partitions[k]["path"] for k in sorted(self.partitions, key=int)]
+        out: list[str] = []
+        for k in sorted(self.partitions, key=int):
+            p = self.partitions[k]
+            if p.get("path"):
+                out.append(p["path"])
+            out.extend(p.get("deltas", []))
+        return out
 
     def total_rows(self) -> int:
         return sum(p["rows"] for p in self.partitions.values())

@@ -58,7 +58,7 @@ def test_insert_update_delete_pass_through():
     out = st(make_batch([ev(1, "I"), ev(2, "U", content="new", old_content="old"), ev(3, "D")]))
     assert out.num_rows == 3
     assert out["msg_key"][0].as_py() == '{"repo": "r1", "path": "p1"}'
-    assert out["key_string"][2].as_py() == "r1\x1fp1"  # delete key from old values
+    assert out["key_string"][2].as_py() == "CODE.FILES\x1fr1\x1fp1"  # delete key from old values
 
 
 def test_noop_update_suppressed():

@@ -92,7 +92,7 @@ def test_resume_is_noop_and_ordering_clean(ray_session, stream_dir, tmp_lake):
 def test_salted_two_stage_merge_same_result(ray_session, stream_dir, tmp_lake):
     cfg = config_for_spec(SPEC, num_partitions=8)
     hot = frozenset(
-        f"repo-0\x1fsrc/mod{p//20}/file{p}.txt" for p in range(SPEC.paths_per_repo)
+        f"CODE.FILES\x1frepo-0\x1fsrc/mod{p//20}/file{p}.txt" for p in range(SPEC.paths_per_repo)
     )
     rep = _run(stream_dir, tmp_lake, cfg, hot_keys=hot, salted=True)
     assert rep.epochs == 2
