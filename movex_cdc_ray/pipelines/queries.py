@@ -329,6 +329,152 @@ def top_events_per_user(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def join_broadcast(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (J1 pattern): tiny dimension shipped once via ray.put,
+    looked up per batch — never a shuffle join. Customers per nation."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    lookup_ref = ray.put({r["n_nationkey"]: r["n_name"] for r in nation})
+
+    class Enrich:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_pylist()
+            return batch.append_column(
+                "n_name", pa.array([self.lookup.get(k) for k in keys], pa.string())
+            )
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    out = (
+        ds.map_batches(Enrich, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+    return _sorted_pdf(out, "n_name")
+
+
+def join_hash(sf_dir: str) -> pd.DataFrame:
+    """Partitioned hash join (both sides large): bucket = key % B on both
+    sides, union, per-bucket pandas merge inside map_groups, then the final
+    small aggregate — the portable Ray Data join shape. Revenue (cents) per
+    order priority."""
+    B = 16
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "bucket": (pdf["l_orderkey"] % B).astype("int64"),
+                "orderkey": pdf["l_orderkey"],
+                "rev_cents": np.floor(
+                    pdf["l_extendedprice"] * (1 - pdf["l_discount"]) * 100 + 0.5
+                ).astype("int64"),
+                "o_orderpriority": pd.Series([None] * len(pdf), dtype="object"),
+                "side": "L",
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "bucket": (pdf["o_orderkey"] % B).astype("int64"),
+                "orderkey": pdf["o_orderkey"],
+                "rev_cents": np.zeros(len(pdf), dtype="int64"),
+                "o_orderpriority": pdf["o_orderpriority"].astype("object"),
+                "side": "O",
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"][["orderkey", "rev_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "o_orderpriority"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        return (
+            j.groupby("o_orderpriority", as_index=False)["rev_cents"].sum()
+            .rename(columns={"rev_cents": "revenue_cents"})
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    pdf = out.to_pandas()
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    return pdf.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_tumbling_window(sf_dir: str) -> pd.DataFrame:
+    """Windowed aggregate (streaming-shaped): 10-minute tumbling windows per
+    user — event count + value sum per (user, window)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"]
+        return batch.append_column(
+            "window_start", pc.floor_temporal(ts, multiple=10, unit="minute")
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(6)
+    return pdf.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Count-distinct via two-level groupby (exact, shuffle-bounded by the
+    distinct pair count, not the event count)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="n"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return _sorted_pdf(out, "event_type")
+
+
+def sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session windows (gap > 30 min starts a new session) per user — the
+    groupby(key).map_groups ordered-log pattern for stream-shaped data."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gap.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _sorted_pdf(out, "user_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data operators: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -483,6 +629,11 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_dlq_routing": cdc_dlq_routing,
     "q1_pricing_summary": q1_pricing_summary,
     "top_events_per_user": top_events_per_user,
+    "join_broadcast": join_broadcast,
+    "join_hash": join_hash,
+    "events_tumbling_window": events_tumbling_window,
+    "distinct_users_per_type": distinct_users_per_type,
+    "sessionize": sessionize,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -602,6 +753,46 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "join_broadcast": """
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    "join_hash": """
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    "events_tumbling_window": """
+        SELECT user_id,
+               time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY user_id, time_bucket(INTERVAL '10 minutes', ts)
+        ORDER BY user_id, window_start
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "sessionize": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN gap THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id,
+                   ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes' AS gap
+            FROM events
+        ) t
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "top_events_per_user": """
         SELECT user_id, rk, event_id, value
