@@ -12,6 +12,11 @@ Ray shape: ``read_parquet(source)`` → optional filter (initialization_filter)
 in the engine, O4) → ``map_batches`` wrapping rows as op='i' change events
 with ids from a reserved range BELOW the stream's first id, so snapshot and
 tail replay compose without overlap (the 'flashback SCN' watermark analog).
+
+To bootstrap a lake, write the INIT events to parquet and feed them into an
+epoch via ``run_epoch(..., extra_event_files=init_files)`` — NOT as
+``chunk_files``: the manifest's consumed-chunk ledger counts stream-dir
+ordinals and must not be advanced by snapshot input.
 """
 
 from __future__ import annotations
