@@ -329,6 +329,34 @@ def top_events_per_user(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
+    """The flagship end-to-end pipeline as a driver-visible query: replay a
+    deterministic synthetic change stream (north-rule input shape) through
+    capture → hash-partition → exactly-once merge, return the converged lake.
+    Deterministic; no SQL oracle (binlog semantics) → rows-only check."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..pipelines.replay import lake_to_pandas as _ltp
+    from ..pipelines.replay import replay as _replay
+    from ..sources.stream import list_chunks as _lc
+    from ..synth import StreamSpec as _Spec
+    from ..synth import config_for_spec as _cfs
+    from ..synth import generate_stream as _gen
+
+    spec = _Spec(n_events=20_000, n_repos=10, paths_per_repo=50, chunk_size=5_000,
+                 evolve_at_event=15_000)
+    base = "/tmp/movex_flagship"
+    stream, lake = _os.path.join(base, "stream"), _os.path.join(base, "lake")
+    if len(_lc(stream)) != 5:
+        _shutil.rmtree(stream, ignore_errors=True)
+        _gen(stream, spec)
+    _shutil.rmtree(lake, ignore_errors=True)
+    _replay(stream, lake, _cfs(spec, num_partitions=8), chunks_per_epoch=2)
+    got = _ltp(lake)
+    return got[["repo", "path", "commit", "lang", "content", "_key", "_last_id", "_last_op"]]
+
+
 def join_broadcast(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J1 pattern): tiny dimension shipped once via ray.put,
     looked up per batch — never a shuffle join. Customers per nation."""
@@ -627,6 +655,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_retry_backoff": cdc_retry_backoff,
     "cdc_payload_parse": cdc_payload_parse,
     "cdc_dlq_routing": cdc_dlq_routing,
+    "cdc_flagship_replay": cdc_flagship_replay,
     "q1_pricing_summary": q1_pricing_summary,
     "top_events_per_user": top_events_per_user,
     "join_broadcast": join_broadcast,

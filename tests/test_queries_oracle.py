@@ -78,4 +78,11 @@ def test_every_query_has_callable_and_oracle_keys():
     assert set(os_) <= set(qs)
     # non-SQL ops are known and intentional
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"dedup_minhash", "dedup_simhash", "ann_lsh", "text_langid", "multimodal_decode"}
+    assert rows_only == {
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_lsh",
+        "text_langid",
+        "multimodal_decode",
+        "cdc_flagship_replay",
+    }
