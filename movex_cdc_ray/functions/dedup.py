@@ -133,7 +133,9 @@ def minhash_lsh_buckets(
     buckets = exploded.groupby(["band_id", "band_hash"]).aggregate(
         Count(alias_name="n_docs"), Min(id_col, alias_name="min_doc_id")
     )
-    return buckets.filter(lambda r: r["n_docs"] > 1)
+    return buckets.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 1)), batch_format="pyarrow"
+    )
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:

@@ -86,7 +86,10 @@ def brute_force_topk(
     tie-breaks (cosine desc, neighbor_id asc). Rounded to 6 decimals so a
     float64 SQL oracle agrees."""
     qset = set(query_ids)
-    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    qrows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
+        batch_format="pyarrow",
+    ).take_all()
     qrows.sort(key=lambda r: query_ids.index(r[id_col]))
     q = {
         "ids": [r[id_col] for r in qrows],
@@ -146,7 +149,10 @@ def lsh_bucketed_ann(
     corpus (a groupby at scale); recall < 1.0 by design. Deterministic given
     the seed."""
     qset = set(query_ids)
-    qrows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    qrows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
+        batch_format="pyarrow",
+    ).take_all()
     dim = len(qrows[0][vec_col])
     hasher = HyperplaneHasher(dim, n_bits, seed)
     qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))

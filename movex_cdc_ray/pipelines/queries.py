@@ -60,7 +60,10 @@ def cdc_lake_state(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(partial_last, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(final_last, batch_format="pyarrow")
-        .filter(lambda r: r["event_type"] != "error")  # tombstone drop
+        .map_batches(  # tombstone drop, vectorized
+            lambda t: t.filter(pc.invert(pc.equal(t["event_type"], "error"))),
+            batch_format="pyarrow",
+        )
     )
     pdf = out.to_pandas().rename(
         columns={"event_id": "last_event_id", "event_type": "last_event_type", "value": "last_value"}

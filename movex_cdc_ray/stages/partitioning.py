@@ -80,7 +80,13 @@ def detect_hot_keys(ds, key_col: str = "key_string", threshold: int = 50_000) ->
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow")
     counts = partials.groupby(key_col).aggregate(Sum("n", alias_name="n"))
-    hot = counts.filter(lambda row: row["n"] is not None and row["n"] >= threshold)
+    import pyarrow as _pa
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        n = batch["n"].combine_chunks() if isinstance(batch["n"], _pa.ChunkedArray) else batch["n"]
+        return batch.filter(pc.greater_equal(pc.fill_null(n, 0), threshold))
+
+    hot = counts.map_batches(over_threshold, batch_format="pyarrow")
     return frozenset(r[key_col] for r in hot.take_all() if r[key_col] is not None)
 
 
