@@ -619,6 +619,74 @@ def text_fingerprint(sf_dir: str) -> pd.DataFrame:
     return _sorted_pdf(ds.map_batches(fp, batch_format="pandas"), "doc_id")
 
 
+def corpus_clean(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data cleaning pipeline: quality filter (length +
+    stopword-ratio gates) → exact dedup (first doc per content wins) →
+    surviving doc ids. The canonical pre-training corpus flow, streaming
+    end-to-end: filter inside map_batches, one groupby for the dedup."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def quality_gate(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].fillna("").str.split(" ")
+        n_words = words.str.len()
+        stop_ratio = words.map(lambda ws: sum(w in STOPWORDS for w in ws) / len(ws) if ws else 0.0)
+        keep = (n_words >= 20) & (stop_ratio >= 0.02)
+        return batch[keep]
+
+    gated = ds.map_batches(quality_gate, batch_format="pandas")
+    out = fdedup.exact_dedup_keep_first(gated)
+    pdf = out.to_pandas()[["keep_id"]].rename(columns={"keep_id": "doc_id"})
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
+    """Scale path of embedding near-dup: hyperplane-LSH buckets partition the
+    corpus, pairs compared only within buckets (rows-only check)."""
+    import numpy as _np
+
+    from ..functions.similarity import HyperplaneHasher, _normalize, _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = ds.take_all()
+    dim = len(rows[0]["embedding"])
+    hasher = HyperplaneHasher(dim, n_bits=4, seed=13)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch["embedding"]))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(hasher.bucket(mat).astype(_np.int64)),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
+        ids = g["vec_id"].to_numpy()
+        mat = _np.stack([_np.asarray(v, dtype=_np.float64) for v in g["embedding"]])
+        mat = mat / _np.clip(_np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = mat @ mat.T
+        ii, jj = _np.where(sims >= 0.45)
+        out = sorted({(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in zip(ii, jj) if ids[i] != ids[j]})
+        return pd.DataFrame(out, columns=["a_id", "b_id"]) if out else pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
+        )
+
+    out = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    pdf = out.to_pandas()
+    if len(pdf) == 0 or "a_id" not in pdf.columns:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
+    pdf = pdf.drop_duplicates(subset=["a_id", "b_id"])
+    return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: binary payload column → actor-pool decode stage
     (deterministic fake decoder; rows-only check)."""
@@ -670,6 +738,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
+    "corpus_clean": corpus_clean,
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh": ann_lsh,
     "text_tokens": text_tokens,
@@ -890,6 +960,16 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": """
         SELECT doc_id, md5(lower(trim(text))) AS fingerprint_md5
         FROM documents
+        ORDER BY doc_id
+    """,
+    "corpus_clean": """
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 20
+          AND CAST(len(list_filter(string_split(text, ' '), x -> x IN """
+    + STOPWORDS_SQL
+    + """)) AS DOUBLE) / len(string_split(text, ' ')) >= 0.02
+        GROUP BY md5(text)
         ORDER BY doc_id
     """,
     # rows-only (no SQL-expressible oracle): cdc_* none; training-data:

@@ -81,6 +81,7 @@ def test_every_query_has_callable_and_oracle_keys():
     assert rows_only == {
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "ann_lsh",
         "text_langid",
         "multimodal_decode",
