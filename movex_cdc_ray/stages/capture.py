@@ -417,9 +417,11 @@ def render_message_json(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | No
     txn = batch["txn_id"]
     if isinstance(txn, pa.ChunkedArray):
         txn = txn.combine_chunks()
+    # the reference renders a literal null for absent transaction ids
+    # (doc/movex-cdc.adoc INIT example: `"transaction_id": null`)
     txn_frag = pc.coalesce(
         pc.binary_join_element_wise(', "transaction_id": "', escape_json_string(txn), '"', ""),
-        pa.array([""] * n),
+        pa.array([', "transaction_id": null'] * n),
     )
     new_obj = _render_object(batch, fields, "new")
     old_obj = _render_object(batch, fields, "old")
