@@ -430,22 +430,31 @@ def render_message_json(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | No
     return pc.binary_join_element_wise(head, txn_frag, new_frag, old_frag, "}", "")
 
 
-def validate_messages(batch: pa.Table, cfg: CaptureConfig) -> None:
+def validate_messages(batch: pa.Table, cfg: CaptureConfig) -> dict[str, int]:
     """KafkaMock-style conformance checks (reference `app/models/kafka_mock.rb:37-141`):
 
     JSON parseability, required envelope fields, operation in the long-name
     set, and the max-message-size limit. Raises on the first violation.
-    Ascending-id-per-key ordering is checked by the sink validator
-    (`movex_cdc_ray.stages.sink.SinkValidator`).
+    Returns the running max produced-message bytes per topic — the
+    ``max.message.bytes`` auto-raise watermark (operator A4, reference
+    `app/models/kafka_base.rb:30-58`). Ascending-id-per-key ordering is
+    checked by the sink validator (`movex_cdc_ray.stages.sink.SinkValidator`).
     """
     msgs = render_message_json(batch, cfg)
+    env = attach_envelope(batch, cfg)
+    topics = env["topic"].to_pylist()
     limit = cfg.max_message_bytes
-    for m in msgs.to_pylist():
-        if len(m.encode()) > limit:
+    max_bytes_per_topic: dict[str, int] = {}
+    for m, topic in zip(msgs.to_pylist(), topics):
+        nbytes = len(m.encode())
+        if nbytes > limit:
             raise ValueError(f"message exceeds {limit} bytes")
+        if topic is not None:
+            max_bytes_per_topic[topic] = max(max_bytes_per_topic.get(topic, 0), nbytes)
         doc = json.loads(m)
         for req in ("id", "schema", "tablename", "operation", "timestamp"):
             if req not in doc:
                 raise ValueError(f"missing envelope field {req}")
         if doc["operation"] not in OP_LONG_NAMES.values():
             raise ValueError(f"bad operation {doc['operation']}")
+    return max_bytes_per_topic

@@ -198,7 +198,10 @@ def test_envelope_and_json_rendering():
     assert "old" not in d0
     d1 = json.loads(msgs[1])
     assert "new" not in d1 and d1["old"]["repo"] == "r1"
-    validate_messages(out, cfg)
+    # A4: running max message bytes per topic
+    watermarks = validate_messages(out, cfg)
+    assert set(watermarks) == {"lake.code.files"}
+    assert watermarks["lake.code.files"] == max(len(m.encode()) for m in msgs)
 
 
 def test_validate_messages_rejects_oversize():
