@@ -1,0 +1,217 @@
+"""Command-line entry points — the operational surface a reference user gets
+from its service + REST API, as `python -m movex_cdc_ray <cmd>`.
+
+Commands own the Ray session (guarded init / shutdown); library code never
+initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_config(args) -> "CaptureConfig":
+    from .config import CaptureConfig
+    from .synth import StreamSpec, config_for_spec
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return CaptureConfig.from_json(f.read())
+    cfg = config_for_spec(StreamSpec(n_events=0), num_partitions=args.partitions)
+    return cfg
+
+
+def cmd_synth(args) -> int:
+    from .synth import StreamSpec, generate_stream
+
+    spec = StreamSpec(
+        n_events=args.events,
+        n_repos=args.repos,
+        paths_per_repo=args.paths_per_repo,
+        hot_repo_fraction=args.hot_fraction,
+        chunk_size=args.chunk_size,
+        seed=args.seed,
+        evolve_at_event=args.evolve_at,
+    )
+    paths = generate_stream(args.stream_dir, spec)
+    print(json.dumps({"chunks": len(paths), "events": args.events, "dir": args.stream_dir}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import replay
+
+    cfg = _load_config(args)
+    rep = replay(
+        args.stream_dir,
+        args.lake_dir,
+        cfg,
+        chunks_per_epoch=args.chunks_per_epoch,
+        merge_mode=args.merge_mode,
+        shuffle_mode=args.shuffle_mode,
+        compact_every=args.compact_every,
+    )
+    print(
+        json.dumps(
+            {
+                "epochs": rep.epochs,
+                "events_in": rep.events_in,
+                "events_success": rep.events_success,
+                "delayed_errors": rep.events_delayed_errors,
+                "final_errors": rep.events_final_errors,
+                "lake_rows": rep.lake_rows,
+                "elapsed_sec": round(rep.elapsed_sec, 3),
+                "events_per_sec": round(rep.events_per_sec),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import compact
+
+    cfg = _load_config(args)
+    m = compact(args.lake_dir, cfg)
+    print(json.dumps({"epoch": m.epoch, "partitions": len(m.partitions), "rows": m.total_rows()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_health(args) -> int:
+    from .stages.stats import health_check
+
+    print(json.dumps(health_check(args.lake_dir), default=str))
+    return 0
+
+
+def cmd_reprocess(args) -> int:
+    from .stages.errors import reprocess_final_errors
+    from .state.manifest import Manifest
+
+    n = reprocess_final_errors(args.lake_dir, Manifest.latest(args.lake_dir).epoch)
+    print(json.dumps({"reprocessed": n}))
+    return 0
+
+
+def cmd_verify_lake(args) -> int:
+    from .pipelines.replay import lake_to_pandas
+
+    g = lake_to_pandas(args.lake_dir)
+    if len(g) == 0:
+        print(json.dumps({"rows": 0, "digest": None}))
+        return 0
+    g = g.sort_values("_key").reset_index(drop=True)
+    sha = hashlib.sha256()
+    for k, c in zip(g["_key"], g["content"]):
+        csha = hashlib.sha256((c or "").encode()).hexdigest()
+        sha.update(f"{k}:{csha}\n".encode())
+    print(json.dumps({"rows": len(g), "digest": sha.hexdigest()}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.conformance import conformance_check
+
+    cfg = _load_config(args)
+    print(json.dumps(conformance_check(args.stream_dir, cfg, args.max_chunks)))
+    ray.shutdown()
+    return 0
+
+
+def cmd_export_config(args) -> int:
+    cfg = _load_config(args)
+    print(cfg.to_json())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="movex_cdc_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, lake=True, config=True):
+        if lake:
+            sp.add_argument("--lake-dir", required=True)
+        if config:
+            sp.add_argument("--config", help="CaptureConfig JSON file")
+            sp.add_argument("--partitions", type=int, default=32)
+        sp.add_argument("--num-cpus", type=int, default=None)
+
+    sp = sub.add_parser("synth", help="generate a deterministic change stream")
+    sp.add_argument("--stream-dir", required=True)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--repos", type=int, default=50)
+    sp.add_argument("--paths-per-repo", type=int, default=200)
+    sp.add_argument("--hot-fraction", type=float, default=0.2)
+    sp.add_argument("--chunk-size", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--evolve-at", type=int, default=None)
+    sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("replay", help="replay a change stream into the lake")
+    sp.add_argument("--stream-dir", required=True)
+    common(sp)
+    sp.add_argument("--chunks-per-epoch", type=int, default=8)
+    sp.add_argument("--merge-mode", choices=["rewrite", "delta"], default="rewrite")
+    sp.add_argument("--shuffle-mode", choices=["groupby", "files"], default="groupby")
+    sp.add_argument("--compact-every", type=int, default=0)
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
+    common(sp)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("health", help="health check from manifests (no data scan)")
+    common(sp, config=False)
+    sp.set_defaults(fn=cmd_health)
+
+    sp = sub.add_parser("reprocess-final-errors", help="requeue quarantined events")
+    common(sp, config=False)
+    sp.set_defaults(fn=cmd_reprocess)
+
+    sp = sub.add_parser("verify-lake", help="content-sha256 digest of the converged lake")
+    common(sp, config=False)
+    sp.set_defaults(fn=cmd_verify_lake)
+
+    sp = sub.add_parser("validate", help="KafkaMock-mode conformance check of a stream")
+    sp.add_argument("--stream-dir", required=True)
+    common(sp, lake=False)
+    sp.add_argument("--max-chunks", type=int, default=None)
+    sp.set_defaults(fn=cmd_validate)
+
+    sp = sub.add_parser("export-config", help="print the (default or given) config JSON")
+    common(sp, lake=False)
+    sp.set_defaults(fn=cmd_export_config)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

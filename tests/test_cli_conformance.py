@@ -1,0 +1,54 @@
+"""CLI + conformance-pipeline coverage."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from movex_cdc_ray.pipelines.conformance import conformance_check
+from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_stream"))
+    generate_stream(d, StreamSpec(n_events=3_000, n_repos=4, paths_per_repo=20, chunk_size=1_000))
+    return d
+
+
+def test_conformance_check(ray_session, stream_dir):
+    spec = StreamSpec(n_events=3_000, n_repos=4, paths_per_repo=20, chunk_size=1_000)
+    cfg = config_for_spec(spec, num_partitions=4)
+    rep = conformance_check(stream_dir, cfg)
+    assert rep["chunks"] == 3
+    assert rep["total_messages"] > 2_500  # suppressed no-op updates excluded
+    wm = rep["topics"]["lake.code.files"]
+    assert 0 < wm["max_bytes"] < cfg.max_message_bytes
+
+
+def test_conformance_rejects_oversize(ray_session, stream_dir):
+    spec = StreamSpec(n_events=3_000, n_repos=4, paths_per_repo=20, chunk_size=1_000)
+    cfg = config_for_spec(spec, num_partitions=4)
+    cfg.max_message_bytes = 100
+    with pytest.raises(Exception, match="exceeds"):
+        conformance_check(stream_dir, cfg, max_chunks=1)
+
+
+def test_cli_synth_health_verify(tmp_path):
+    # CLI subcommands that own no Ray session run as real subprocesses
+    stream = str(tmp_path / "s")
+    out = subprocess.run(
+        [sys.executable, "-m", "movex_cdc_ray", "synth", "--stream-dir", stream,
+         "--events", "2000", "--repos", "3", "--paths-per-repo", "10", "--chunk-size", "1000"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    assert json.loads(out.stdout.strip().splitlines()[-1])["chunks"] == 2
+
+    out = subprocess.run(
+        [sys.executable, "-m", "movex_cdc_ray", "export-config", "--partitions", "16"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    doc = json.loads(out.stdout)
+    assert doc["num_partitions"] == 16
+    assert doc["tables"][0]["name"] == "FILES"
