@@ -88,6 +88,27 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import tail
+
+    cfg = _load_config(args)
+    rep = tail(
+        args.stream_dir,
+        args.lake_dir,
+        cfg,
+        chunks_per_epoch=args.chunks_per_epoch,
+        poll_interval=args.poll_interval,
+        max_idle_cycles=args.max_idle_cycles,
+        merge_mode=args.merge_mode,
+    )
+    print(json.dumps({"epochs": rep.epochs, "events_in": rep.events_in, "lake_rows": rep.lake_rows}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args) -> int:
     _ray_init(args.num_cpus)
     import ray
@@ -182,6 +203,15 @@ def main(argv=None) -> int:
     sp.add_argument("--shuffle-mode", choices=["groupby", "files"], default="groupby")
     sp.add_argument("--compact-every", type=int, default=0)
     sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("tail", help="continuously follow a growing stream dir")
+    sp.add_argument("--stream-dir", required=True)
+    common(sp)
+    sp.add_argument("--chunks-per-epoch", type=int, default=8)
+    sp.add_argument("--poll-interval", type=float, default=1.0)
+    sp.add_argument("--max-idle-cycles", type=int, default=3)
+    sp.add_argument("--merge-mode", choices=["rewrite", "delta"], default="rewrite")
+    sp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
     common(sp)

@@ -404,6 +404,62 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
     )
 
 
+def tail(
+    stream_dir: str,
+    lake_dir: str,
+    cfg: CaptureConfig,
+    chunks_per_epoch: int = 8,
+    poll_interval: float = 1.0,
+    max_idle_cycles: int = 3,
+    max_epochs: int | None = None,
+    merge_mode: str = "rewrite",
+    config_provider=None,
+) -> ReplayReport:
+    """Continuous tailer: follow a growing chunk directory, committing epochs
+    as new chunks appear — the reference's steady-state worker loop
+    (`transfer_thread.rb:53-99`) with its adaptive idle pacing (W4,
+    `:642-657`): the sleep grows toward ``poll_interval × 2^idle`` while the
+    queue is empty and resets on work. Returns after ``max_idle_cycles``
+    consecutive empty polls (or ``max_epochs``).
+
+    ``config_provider`` (optional) is called before every epoch and may
+    return a fresh :class:`CaptureConfig` — the reference's 60 s config-cache
+    refresh (T1): edits to conditions/projections/topics take effect on the
+    next epoch without restarting the tailer.
+    """
+    manifest = Manifest.latest(lake_dir)
+    token = new_writer_token()
+    report = ReplayReport()
+    t0 = time.perf_counter()
+    idle = 0
+    while idle < max_idle_cycles:
+        if config_provider is not None:
+            cfg = config_provider() or cfg
+        pending = pending_chunks(stream_dir, manifest.chunks_consumed)
+        if not pending:
+            idle += 1
+            time.sleep(min(poll_interval * (2 ** (idle - 1)), poll_interval * 8))
+            continue
+        idle = 0
+        batch = pending[:chunks_per_epoch]
+        epoch = manifest.epoch + 1
+        retry_files = pending_retry_files(lake_dir, epoch)
+        manifest, agg = run_epoch(
+            cfg, manifest, epoch, batch, lake_dir, token,
+            extra_event_files=retry_files, merge_mode=merge_mode,
+        )
+        consume_retry_files(retry_files)
+        report.epochs += 1
+        report.events_in += agg["events_in"]
+        report.events_success += agg["events_success"]
+        report.epoch_metrics.append(agg)
+        if max_epochs and report.epochs >= max_epochs:
+            break
+    report.lake_rows = manifest.total_rows()
+    report.elapsed_sec = time.perf_counter() - t0
+    return report
+
+
 def read_lake(lake_dir: str, columns: list[str] | None = None, cfg: CaptureConfig | None = None) -> rd.Dataset:
     """The committed lake as a Dataset.
 
