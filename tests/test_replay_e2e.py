@@ -101,3 +101,27 @@ def test_salted_two_stage_merge_same_result(ray_session, stream_dir, tmp_lake):
     pd.testing.assert_frame_equal(
         got[COLS].reset_index(drop=True), exp[COLS].reset_index(drop=True)
     )
+
+
+def test_resume_across_schema_evolution_boundary(ray_session, stream_dir, tmp_path):
+    # run 1 stops before the evolution boundary (v1 chunks only); run 2
+    # resumes through it — final state and shas equal a one-shot replay
+    from movex_cdc_ray.state.manifest import Manifest
+
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    split_lake = str(tmp_path / "split")
+    rep1 = replay(stream_dir, split_lake, cfg, chunks_per_epoch=1, max_epochs=2)
+    assert rep1.epochs == 2  # pre-boundary only (boundary at chunk 3 of 4)
+    rep2 = replay(stream_dir, split_lake, cfg, chunks_per_epoch=1)
+    oneshot_lake = str(tmp_path / "oneshot")
+    replay(stream_dir, oneshot_lake, cfg, chunks_per_epoch=4)
+    ms, mo = Manifest.latest(split_lake), Manifest.latest(oneshot_lake)
+    assert {k: v["sha"] for k, v in ms.partitions.items()} == {
+        k: v["sha"] for k, v in mo.partitions.items()
+    }
+    got = lake_to_pandas(split_lake)
+    assert "stars" in got.columns
+    pd.testing.assert_frame_equal(
+        got[COLS].reset_index(drop=True),
+        expected_lake_state(SPEC)[COLS].reset_index(drop=True),
+    )
