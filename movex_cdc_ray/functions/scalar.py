@@ -16,7 +16,7 @@ analog of the reference compiling config strings into trigger PL/SQL.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 import pandas as pd

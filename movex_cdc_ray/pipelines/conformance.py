@@ -13,12 +13,10 @@ from __future__ import annotations
 from typing import Any
 
 import pyarrow as pa
-import ray.data as rd
 
 from ..config import CaptureConfig
 from ..sources.stream import list_chunks, read_chunks
 from ..stages.capture import CaptureStage, validate_messages
-from ..stages.partitioning import assign_partitions
 
 
 class ConformanceValidator:
@@ -39,8 +37,6 @@ class ConformanceValidator:
             )
         watermarks = validate_messages(out, self.cfg)
         # per-topic message counts via config routing (M11)
-        import pyarrow.compute as pc
-
         id_to_topic = {t.table_id: self.cfg.topic_for(t) for t in self.cfg.tables}
         tids = out["table_id"].to_pylist()
         counts: dict[str, int] = {}
@@ -70,8 +66,6 @@ def conformance_check(stream_dir: str, cfg: CaptureConfig, max_chunks: int | Non
         files = files[:max_chunks]
     ds = read_chunks(files)
     stats = ds.map_batches(ConformanceValidator(cfg), batch_format="pyarrow").take_all()
-    from ray.data.aggregate import Max, Sum
-
     per_topic: dict[str, dict[str, int]] = {}
     for r in stats:
         t = per_topic.setdefault(r["topic"], {"messages": 0, "max_bytes": 0})

@@ -33,7 +33,7 @@ import ray
 import ray.data as rd
 
 from ..config import CaptureConfig
-from ..sources.stream import epoch_batches, list_chunks, pending_chunks, read_chunks
+from ..sources.stream import epoch_batches, pending_chunks, read_chunks
 from ..stages.capture import CaptureStage
 from ..stages.errors import consume_retry_files, pending_retry_files
 from ..stages.partitioning import assign_partitions, combine_last_per_key

@@ -123,8 +123,6 @@ def resolve_lake_tables(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Ta
     if not tables:
         return lake_schema.empty_table()
     t = pa.concat_tables(tables)
-    import pandas as pd
-
     df = t.select(["_key", "_last_id"]).to_pandas()
     idx = df.groupby("_key")["_last_id"].idxmax()
     t = t.take(pa.array(idx.to_numpy()))

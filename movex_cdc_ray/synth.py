@@ -22,9 +22,8 @@ version) — no wall clock (SURVEY §7.5 item 6).
 
 from __future__ import annotations
 
-import hashlib
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -91,9 +90,6 @@ def _lookups(spec: StreamSpec) -> tuple[np.ndarray, np.ndarray]:
 def key_to_repo_path(key: np.ndarray, spec: StreamSpec) -> tuple[np.ndarray, np.ndarray]:
     repos, paths = _lookups(spec)
     return repos[key // spec.paths_per_repo], paths[key % spec.paths_per_repo]
-
-
-_HEX = np.array([format(i, "02x") for i in range(256)], dtype=object)
 
 
 def _digests(key: np.ndarray, version: np.ndarray, seed: int) -> np.ndarray:
