@@ -159,6 +159,71 @@ def _merge_via_delta_files(
     return rows
 
 
+def _merge_via_winner_filter(
+    cfg, ds, lake_dir: str, epoch: int, manifest: Manifest, merge_mode: str
+) -> list[dict]:
+    """Two-phase exchange that ships wide payloads only for winning events.
+
+    Phase 1 shuffles ONLY the skinny (key_string, id) columns to find each
+    key's max event id (the winner) — ~60 B/row instead of the full ~500 B
+    event. Phase 2 filters the materialized capture output down to winner
+    rows (one per live key) and runs the normal per-partition merge on that
+    tiny remainder. Sound because the final state per key is the arg-max-by-
+    id event (retries/watermarks still handled inside the merge).
+
+    Shuffle bytes drop ~5-8x vs shipping every post-combine event. Measured
+    tradeoff (docs/SCALE.md): on ONE node this mode loses (~3x slower) —
+    the ``materialize()`` adds a full extra pass through the same object
+    store the shuffle uses, so there is nothing scarce to save. It exists
+    for the multi-node regime, where the shuffle crosses the NETWORK while
+    the materialized capture output stays node-local: there the 5-8x byte
+    reduction is the dominant term. Driver-side winner collection is
+    O(live keys per epoch); beyond ~10^7 live keys per epoch collect winner
+    id sets per partition inside the phase-1 groupby instead.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    mat = ds.materialize()  # reuse capture output across both phases
+    winners_ds = (
+        mat.map_batches(
+            lambda t: t.select(["key_string", "id"]), batch_format="pyarrow"
+        )
+        .groupby("key_string")
+        .aggregate(Max("id", alias_name="id_max"))
+    )
+    winner_ids = np.asarray(
+        [r["id_max"] for r in winners_ds.take_all() if r["id_max"] is not None],
+        dtype=np.int64,
+    )
+    winner_arr = pa.array(np.sort(winner_ids))
+    winners_ref = ray.put(winner_arr)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        ids = batch["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        wa = ray.get(winners_ref)
+        mask = pc.is_in(ids, value_set=wa)
+        # unkeyed rows (NULL key) have no winner semantics — always kept
+        keys = batch["key_string"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            mask = pc.or_(mask, pc.is_null(keys))
+        return batch.filter(mask)
+
+    merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
+    stats_ds = (
+        mat.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part", num_partitions=cfg.num_partitions)
+        .map_groups(merger, batch_format="pyarrow")
+    )
+    return stats_ds.take_all()
+
+
 def run_epoch(
     cfg: CaptureConfig,
     manifest: Manifest,
@@ -209,6 +274,8 @@ def run_epoch(
     )
     if shuffle_mode == "files" and not salted:
         stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest, merge_mode)
+    elif shuffle_mode == "winners" and not salted:
+        stats_rows = _merge_via_winner_filter(cfg, ds, lake_dir, epoch, manifest, merge_mode)
     else:
         if salted and hot_keys:
             # stage-1 of the two-stage skew merge: combine per (part, salt)

@@ -125,3 +125,21 @@ def test_resume_across_schema_evolution_boundary(ray_session, stream_dir, tmp_pa
         got[COLS].reset_index(drop=True),
         expected_lake_state(SPEC)[COLS].reset_index(drop=True),
     )
+
+
+def test_winners_shuffle_mode_matches(ray_session, stream_dir, tmp_path):
+    # the two-phase winner-filter exchange converges byte-identically
+    from movex_cdc_ray.state.manifest import Manifest
+
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    a, b = str(tmp_path / "gb"), str(tmp_path / "win")
+    replay(stream_dir, a, cfg, chunks_per_epoch=2, shuffle_mode="groupby")
+    replay(stream_dir, b, cfg, chunks_per_epoch=2, shuffle_mode="winners")
+    ma, mb = Manifest.latest(a), Manifest.latest(b)
+    assert {k: v["sha"] for k, v in ma.partitions.items()} == {
+        k: v["sha"] for k, v in mb.partitions.items()
+    }
+    pd.testing.assert_frame_equal(
+        lake_to_pandas(b)[COLS].reset_index(drop=True),
+        expected_lake_state(SPEC)[COLS].reset_index(drop=True),
+    )
