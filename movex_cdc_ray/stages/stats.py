@@ -84,6 +84,44 @@ def time_rollup(
     )
 
 
+def compress_epoch_stats(lake_dir: str, keep_epochs: int = 8) -> dict:
+    """Statistics compression over the engine's own per-epoch stats dataset
+    (the `_stats/epoch=*.parquet` files the merge writes): epochs older than
+    the retention window are SUMmed into one `rollup.parquet` per partition
+    and their per-epoch files dropped — `compress_statistics.rb:26-60`
+    applied to real engine output (A2 + housekeeping)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(lake_dir, "_stats", "epoch=*.parquet")))
+    if len(files) <= keep_epochs:
+        return {"compressed_epochs": 0, "kept_epochs": len(files)}
+    old, recent = files[:-keep_epochs], files[-keep_epochs:]
+    tables = [pq.read_table(f) for f in old]
+    rollup_path = os.path.join(lake_dir, "_stats", "rollup.parquet")
+    if os.path.exists(rollup_path):
+        tables.insert(0, pq.read_table(rollup_path))
+    t = pa.concat_tables(tables, promote_options="default")
+    df = t.to_pandas()
+    sum_cols = [
+        c
+        for c in df.columns
+        if c.startswith("events_") or c in ("upserts", "deletes", "ordering_violations")
+    ]
+    agg = {c: "sum" for c in sum_cols}
+    agg["epoch"] = "max"
+    agg["watermark"] = "max"
+    rolled = df.groupby("part", as_index=False).agg(agg)
+    import pyarrow as _pa
+
+    pq.write_table(_pa.Table.from_pandas(rolled, preserve_index=False), rollup_path)
+    for f in old:
+        os.remove(f)
+    return {"compressed_epochs": len(old), "kept_epochs": len(recent), "rollup": rollup_path}
+
+
 def health_check(lake_dir: str) -> dict:
     """Bounded health counts (A3): backlog, retries, final errors, partitions,
     watermarks — from manifests and file metadata, never a data scan

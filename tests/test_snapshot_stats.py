@@ -97,3 +97,26 @@ def test_time_rollup_buckets(ray_session):
     assert by_bucket["2024-01-01 00:00:00"]["sum_v"] == 3.0
     assert by_bucket["2024-01-01 00:00:00"]["n_rows"] == 2
     assert by_bucket["2024-01-01 01:00:00"]["sum_v"] == 4.0
+
+
+def test_compress_epoch_stats(ray_session, tmp_path):
+    from movex_cdc_ray.stages.stats import compress_epoch_stats
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+    from movex_cdc_ray.pipelines.replay import replay
+    import glob, os
+
+    spec = StreamSpec(n_events=4_000, n_repos=4, paths_per_repo=20, chunk_size=500)
+    stream, lake = str(tmp_path / "s"), str(tmp_path / "l")
+    generate_stream(stream, spec)
+    replay(stream, lake, config_for_spec(spec, num_partitions=2), chunks_per_epoch=1)
+    per_epoch = glob.glob(os.path.join(lake, "_stats", "epoch=*.parquet"))
+    assert len(per_epoch) == 8
+    out = compress_epoch_stats(lake, keep_epochs=3)
+    assert out["compressed_epochs"] == 5 and out["kept_epochs"] == 3
+    import pyarrow.parquet as pq
+
+    rolled = pq.read_table(out["rollup"]).to_pandas()
+    assert set(rolled["part"]) <= {0, 1}
+    assert (rolled["events_success"] > 0).any()
+    # idempotent growth: second call with nothing old is a no-op
+    assert compress_epoch_stats(lake, keep_epochs=3)["compressed_epochs"] == 0
