@@ -102,3 +102,49 @@ def test_snapshot_then_tail_replay_composes(ray_session, tmp_path):
     untouched = got_i[~got_i.index.isin(tail.index)]
     assert (untouched["_last_op"] == "i").all()
     assert (untouched["_last_id"] < spec.first_id).all()
+
+
+def test_lake_to_lake_migration_via_snapshot(ray_session, tmp_path):
+    # migration/bootstrap path: an existing lake is snapshot-loaded (op 'i')
+    # into a brand-new lake with a different partition count — final payload
+    # state identical, lineage reset below the stream id range
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay, run_epoch
+
+    spec = StreamSpec(n_events=2_000, n_repos=4, paths_per_repo=20, chunk_size=1_000)
+    cfg8 = config_for_spec(spec, num_partitions=8)
+    src_stream = str(tmp_path / "stream")
+    old_lake = str(tmp_path / "old")
+    generate_stream(src_stream, spec)
+    replay(src_stream, old_lake, cfg8, chunks_per_epoch=1)
+    old = lake_to_pandas(old_lake)
+
+    # export the old lake's payload as a source table and INIT-load it into a
+    # new lake with P=2
+    src_path = str(tmp_path / "export.parquet")
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            old[["repo", "path", "commit", "lang", "content", "size", "stars"]],
+            preserve_index=False,
+        ),
+        src_path,
+    )
+    cfg2 = config_for_spec(spec, num_partitions=2)
+    init_dir = str(tmp_path / "init")
+    snapshot_events(src_path, cfg2, cfg2.tables[0], first_stream_id=spec.first_id).write_parquet(init_dir)
+    import glob
+
+    new_lake = str(tmp_path / "new")
+    m = Manifest(lake_dir=new_lake)
+    run_epoch(cfg2, m, 1, [], new_lake, new_writer_token(),
+              extra_event_files=sorted(glob.glob(init_dir + "/*.parquet")))
+    new = lake_to_pandas(new_lake)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pd.testing.assert_frame_equal(
+        old.sort_values(["repo", "path"])[cols].reset_index(drop=True),
+        new.sort_values(["repo", "path"])[cols].reset_index(drop=True),
+    )
+    assert (new["_last_op"] == "i").all()
