@@ -37,7 +37,8 @@ def entry() -> Any:
     )
     stream_dir = "/tmp/movex_entry/stream"
     lake_dir = "/tmp/movex_entry/lake"
-    if len(list_chunks(stream_dir)) != 2:
+    # chunks: [0,4000) [4000,6000) (evolution split) [6000,8000) = 3 files
+    if len(list_chunks(stream_dir)) != 3:
         shutil.rmtree(stream_dir, ignore_errors=True)
         generate_stream(stream_dir, spec)
     shutil.rmtree(lake_dir, ignore_errors=True)
