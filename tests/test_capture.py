@@ -220,3 +220,30 @@ def test_cloudevents_headers():
     env = attach_envelope(st(make_batch([ev(7, "I")])), cfg)
     assert env["ce_id"].to_pylist() == ["7"]
     assert env["ce_type"].to_pylist() == ["CODE.FILES.INSERT"]
+
+
+def test_condition_with_vectorized_helpers():
+    # conditions may use the helper namespace: v() old/new resolution and
+    # null_safe_not_equal (the trigger's NULL-safe compare)
+    cfg = default_code_cdc_config()
+    cfg.tables[0].conditions = [
+        ConditionConfig("U", "null_safe_not_equal(c('new_lang'), c('old_lang'))"),
+    ]
+    st = CaptureStage(cfg)
+    out = st(make_batch([
+        ev(1, "U", lang="go", old_lang="py", content="a", old_content="b"),  # lang changed
+        ev(2, "U", lang="py", old_lang="py", content="c", old_content="d"),  # lang same
+    ]))
+    assert out["id"].to_pylist() == [1]
+
+
+def test_expression_scalar_broadcast_and_v_helper():
+    cfg = default_code_cdc_config()
+    cfg.tables[0].column_expressions = [
+        ColumnExpressionConfig("I", "source_system", "'oracle-prod'"),
+        ColumnExpressionConfig("D", "final_repo", "v('repo')"),
+    ]
+    st = CaptureStage(cfg)
+    out = st(make_batch([ev(1, "I"), ev(2, "D")]))
+    assert out["new_source_system"].to_pylist() == ["oracle-prod", None]
+    assert out["new_final_repo"].to_pylist() == [None, "r1"]  # v() → old side on D

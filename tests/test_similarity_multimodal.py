@@ -95,3 +95,23 @@ def test_resize_and_frame_sample_stages(ray_session):
     frames = FrameSampleStage(n_frames=4)(media)
     assert len(frames) == 32
     assert frames["frame_idx"].to_pylist()[:4] == [0, 1, 2, 3]
+
+
+def test_frame_sample_then_decode_chained_pipeline(ray_session):
+    # video → frame explosion → per-frame decode, chained as Ray stages
+    media = synth_media_table(6, kind="video", payload_bytes=512)
+    ds = rd.from_arrow(media)
+    frames = ds.map_batches(FrameSampleStage(n_frames=3), batch_format="pyarrow")
+
+    def add_kind(batch):
+        import pyarrow as pa
+
+        return batch.append_column("kind", pa.array(["video"] * len(batch)))
+
+    out = (
+        frames.map_batches(add_kind, batch_format="pyarrow")
+        .map_batches(DecodeStage, batch_format="pyarrow", batch_size=8, concurrency=2)
+        .take_all()
+    )
+    assert len(out) == 18  # 6 videos x 3 frames
+    assert all(len(r["feature"]) == 64 for r in out)
