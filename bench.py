@@ -165,7 +165,10 @@ def main() -> None:
         # per-node resource — N must sit in the compute-bound regime.
         lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
-        repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+        repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+        # synthesize the input in the UNPINNED parent: a cold 2-core child
+        # would otherwise pay the one-time generation at 2-core speed
+        ensure_stream(SCALING_EVENTS)
         results = {}
         for ncpu in (lo, hi):
             best = None
