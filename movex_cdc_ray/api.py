@@ -69,9 +69,11 @@ class Engine:
 
     def set_worker_count(self, n: int) -> None:
         """The reference's worker-thread count maps to the partition count P
-        (one merge owner per key-hash slice). NOTE: changing P re-keys the
-        hash slices; only safe between full replays, like re-deploying the
-        reference with a different INITIAL_WORKER_THREADS."""
+        (one merge owner per key-hash slice). Changing P re-keys the hash
+        slices; the manifest records the committed P and ``run_epoch`` raises
+        on a mismatch (``Manifest.check_partitioning``), so this is only
+        effective against a fresh lake / after a full re-partition — like
+        re-deploying the reference with a different INITIAL_WORKER_THREADS."""
         self.cfg.num_partitions = int(n)
 
     def reprocess_final_errors(self) -> int:

@@ -98,7 +98,10 @@ class CapturePartitionStage:
         keep: list[str] | None = None
         if project_for_sink:
             fields = cfg.latest_version().payload_fields
-            pk = set(cfg.tables[0].pk_columns) if cfg.tables else set()
+            # old-image keep-set = UNION of PK columns across ALL tables:
+            # a retried DELETE re-derives its key from old_<pk>, and in a
+            # multi-table config another table's PK columns may differ
+            pk = set().union(*(t.pk_columns for t in cfg.tables)) if cfg.tables else set()
             keep = ["id", "table_id", "op", "txn_id", "created_at", "retry_count"]
             keep += [f"new_{f}" for f in fields]
             keep += [f"old_{f}" for f in fields if f in pk]
@@ -135,17 +138,23 @@ def _merge_via_delta_files(
 
     from ..stages.sink import lake_table_schema as _lts
 
+    from ..stages.sink import invariant_columns as _inv
+    from ..stages.sink import sha_source_columns as _shc
+
     delta_dir = os.path.join(lake_dir, "_delta", f"epoch={epoch:06d}")
     shutil.rmtree(delta_dir, ignore_errors=True)
     ds.write_parquet(delta_dir, partition_cols=["part"])
+    payload_fields = list(cfg.latest_version().payload_fields)
     ctx = MergeContext(
         lake_dir=lake_dir,
         epoch=epoch,
         prev_partitions=manifest.partitions,
-        payload_fields=list(cfg.latest_version().payload_fields),
+        payload_fields=payload_fields,
         lake_schema=_lts(cfg),
         error_max_retries=cfg.error_max_retries,
         mode=merge_mode,
+        sha_cols=_shc(payload_fields),
+        invariant_cols=_inv(cfg),
     )
     ctx_ref = ray.put(ctx)
     refs = []
@@ -253,11 +262,15 @@ def run_epoch(
         mid-epoch crash for forensics.
     """
     t0 = time.perf_counter()
+    # partitioning fence (see Manifest.check_partitioning): a resume with a
+    # different P would silently split keys across partitions
+    manifest.check_partitioning(cfg.num_partitions)
     files = list(chunk_files) + list(extra_event_files or [])
     if not files:
         # empty epoch: a pure time-marker commit (advances the epoch clock for
         # retry backoff, analog of an idle worker cycle)
-        manifest = manifest.commit_epoch(epoch, [], {}, writer_token, metrics={"epoch": epoch, "empty": True})
+        manifest = manifest.commit_epoch(epoch, [], {}, writer_token, metrics={"epoch": epoch, "empty": True},
+                                         num_partitions=cfg.num_partitions)
         return manifest, {k: 0 for k in _AGG_KEYS} | {"epoch": epoch, "elapsed_sec": 0.0, "partitions_touched": 0, "lake_rows": manifest.total_rows()}
     # capture task decomposition is a JOB parameter (like the partition
     # count): deriving it from the cluster size would change the per-batch
@@ -324,7 +337,8 @@ def run_epoch(
     agg["elapsed_sec"] = round(elapsed, 3)
     agg["partitions_touched"] = len(stats_rows)
     agg["lake_rows"] = int(sum(r["lake_rows"] for r in stats_rows))
-    manifest = manifest.commit_epoch(epoch, chunk_files, part_updates, writer_token, metrics=agg)
+    manifest = manifest.commit_epoch(epoch, chunk_files, part_updates, writer_token, metrics=agg,
+                                     num_partitions=cfg.num_partitions)
     return manifest, agg
 
 
@@ -396,7 +410,8 @@ def replay(
             epoch = manifest.epoch + 1
             retry_files = pending_retry_files(lake_dir, epoch, retry_backoff_epochs)
             manifest, agg = run_epoch(
-                cfg, manifest, epoch, [], lake_dir, token, extra_event_files=retry_files
+                cfg, manifest, epoch, [], lake_dir, token, extra_event_files=retry_files,
+                shuffle_mode=shuffle_mode, merge_mode=merge_mode,
             )
             consume_retry_files(retry_files)
             if retry_files:

@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..state.manifest import atomic_write_parquet
+
 RETRY_DIR = "_retry"
 FINAL_ERRORS_DIR = "_final_errors"
 D_AND_C_FANOUT = 10  # the reference's ~10-slice split
@@ -103,13 +105,10 @@ def write_bad_events(
     finals = bad.filter(final_mask)
     retries = bad.filter(pc.invert(final_mask))
     if len(retries):
-        p = retry_path(lake_dir, epoch, part)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        pq.write_table(retries, p)
+        atomic_write_parquet(retries, retry_path(lake_dir, epoch, part))
     if len(finals):
         p = os.path.join(lake_dir, FINAL_ERRORS_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        pq.write_table(finals, p)
+        atomic_write_parquet(finals, p)
     return len(retries), len(finals)
 
 
@@ -153,11 +152,10 @@ def reprocess_final_errors(lake_dir: str, epoch: int) -> int:
         t = t.set_column(i, "retry_count", pa.array([0] * len(t), pa.int32()))
         part = int(os.path.basename(f).split("=")[1].split(".")[0])
         p = retry_path(lake_dir, epoch, part)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
         if os.path.exists(p):
             prev = pq.read_table(p)
             t = pa.concat_tables([prev, t.select(prev.column_names)])
-        pq.write_table(t, p)
+        atomic_write_parquet(t, p)
         os.remove(f)
         n += len(t)
     return n

@@ -29,13 +29,14 @@ from typing import Any, Callable
 
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import CaptureConfig
 from ..events import align_to_schema, arrow_type
-from ..state.manifest import staged_path
+from ..state.manifest import atomic_write_parquet, staged_path
 from .errors import divide_and_conquer, write_bad_events
 from .partitioning import combine_last_per_key
 
@@ -72,11 +73,60 @@ def lake_table_schema(cfg: CaptureConfig) -> pa.Schema:
         pa.field("_last_id", pa.int64()),
         pa.field("_last_op", pa.string()),
         pa.field("_last_ts", pa.timestamp("us")),
+        # per-row content digest, computed ONCE when the row enters the lake
+        # (on the post-combine delta, not the full partition) so the
+        # partition-level digest is a cheap fold over stored values
+        pa.field("_content_sha", pa.string()),
     ]
     return pa.schema(fields)
 
 
-def events_to_lake_rows(events: pa.Table, payload_fields: list[str]) -> pa.Table:
+def sha_source_columns(payload_fields: list[str]) -> list[str]:
+    """Payload columns feeding the per-row content digest. Single-``content``
+    configs keep the historical digest ``sha256(content or '')``; any other
+    payload shape hashes the canonical \\x1f-joined rendering of ALL payload
+    columns (so configs without a ``content`` field are first-class)."""
+    return ["content"] if "content" in payload_fields else list(payload_fields)
+
+
+def _string_offsets_data(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """(offsets, utf8 data buffer) of a string/large_string Array slice."""
+    dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=dtype)[arr.offset : arr.offset + len(arr) + 1]
+    return offs, memoryview(arr.buffers()[2])
+
+
+def content_sha_array(t: pa.Table, cols: list[str], prefix: str = "") -> pa.Array:
+    """Vectorized-friendly per-row sha256 hex digest of the payload columns.
+
+    The row rendering (cast→string, null→'', \\x1f-join) is pure Arrow; the
+    only per-row work is the sha256 call itself, fed straight from the Arrow
+    utf8 buffer via memoryview slices (no per-row Python strings)."""
+    n = len(t)
+    if n == 0:
+        return pa.array([], pa.string())
+    rendered = []
+    for c in cols:
+        col = t[prefix + c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        rendered.append(pc.fill_null(col, ""))
+    joined = rendered[0] if len(rendered) == 1 else pc.binary_join_element_wise(*rendered, "\x1f")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    offs, data = _string_offsets_data(joined)
+    sha = hashlib.sha256
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = sha(data[offs[i] : offs[i + 1]]).hexdigest()
+    return pa.array(out, pa.string())
+
+
+def events_to_lake_rows(
+    events: pa.Table, payload_fields: list[str], sha_cols: list[str] | None = None
+) -> pa.Table:
     cols: dict[str, Any] = {}
     for f in payload_fields:
         cols[f] = events[f"new_{f}"]
@@ -85,23 +135,60 @@ def events_to_lake_rows(events: pa.Table, payload_fields: list[str]) -> pa.Table
     cols["_last_id"] = events["id"]
     cols["_last_op"] = events["op"]
     cols["_last_ts"] = events["created_at"]
+    cols["_content_sha"] = content_sha_array(
+        events, sha_cols or sha_source_columns(payload_fields), prefix="new_"
+    )
     return pa.table(cols)
 
 
-def default_invariant_check(events: pa.Table) -> None:
-    """Sink-side invariant: upserted rows must carry content (the per-row
-    sha256(content) invariant needs a value to hash). Raises on violation —
-    the divide&conquer wrapper isolates the poison rows."""
-    op = events["op"]
-    if isinstance(op, pa.ChunkedArray):
-        op = op.combine_chunks()
-    is_upsert = pc.invert(pc.equal(op, "D"))
-    content = events["new_content"]
-    if isinstance(content, pa.ChunkedArray):
-        content = content.combine_chunks()
-    bad = pc.and_(is_upsert, pc.is_null(content))
-    if pc.any(bad).as_py():
-        raise ValueError("upsert event with NULL content")
+def invariant_columns(cfg: CaptureConfig) -> dict[int, list[str]]:
+    """Per-table event columns that must be non-null on upserts — the
+    config-driven sink invariant. Tables logging a ``content`` payload keep
+    the historical 'upsert must carry content' rule; payload shapes without
+    it (``yn_payload_pkey_only``, content not logged) fall back to requiring
+    the PK payload columns, so such configs don't quarantine every event."""
+    payload = set(cfg.latest_version().payload_fields)
+    out: dict[int, list[str]] = {}
+    for t in cfg.tables:
+        logged_upsert = set(t.logged_columns("I")) | set(t.logged_columns("U")) | set(
+            t.logged_columns("i")
+        )
+        if "content" in payload and "content" in logged_upsert:
+            out[t.table_id] = ["new_content"]
+        else:
+            out[t.table_id] = [f"new_{c}" for c in t.pk_columns if c in payload]
+    return out
+
+
+def make_invariant_check(per_table_cols: dict[int, list[str]]):
+    """Sink-side invariant as a divide&conquer probe: upserted rows must carry
+    the configured required columns. Raises on violation — the wrapper
+    isolates the poison rows."""
+
+    def check(events: pa.Table) -> None:
+        op = events["op"]
+        if isinstance(op, pa.ChunkedArray):
+            op = op.combine_chunks()
+        is_upsert = pc.invert(pc.equal(op, "D"))
+        tids = events["table_id"]
+        if isinstance(tids, pa.ChunkedArray):
+            tids = tids.combine_chunks()
+        single = len(per_table_cols) == 1
+        for tid, req_cols in per_table_cols.items():
+            tmask = None if single else pc.equal(tids, tid)
+            for name in req_cols:
+                if name not in events.column_names:
+                    continue
+                col = events[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                bad = pc.and_(is_upsert, pc.is_null(col))
+                if tmask is not None:
+                    bad = pc.and_(bad, tmask)
+                if pc.any(bad).as_py():
+                    raise ValueError(f"upsert event with NULL {name[len('new_'):]}")
+
+    return check
 
 
 def drop_tombstones(t: pa.Table) -> pa.Table:
@@ -133,28 +220,56 @@ def resolve_lake_tables(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Ta
     return t
 
 
-def partition_sha(lake: pa.Table) -> str:
+def partition_sha(lake: pa.Table, sha_cols: list[str] | None = None) -> str:
     """Deterministic digest of a partition's final state: sha256 over the
-    key-sorted rows of ``key \\x1f sha256(content) \\x1f last_id`` lines.
-    This is the per-row content-sha256 invariant aggregated per partition."""
+    key-sorted rows of ``key \\x1f <content sha> \\x1f last_id`` lines — the
+    per-row content-sha256 invariant aggregated per partition.
+
+    The per-row shas come from the stored ``_content_sha`` column (computed
+    once at delta-write time, see :func:`events_to_lake_rows`); bases written
+    before that column existed are recomputed on the fly. The fold itself is
+    one ``sha256`` update over the contiguous Arrow utf8 buffer — zero per-row
+    Python in the steady state (this used to be a per-row loop over the FULL
+    partition every rewrite epoch, the main single-threaded drag on scaling)."""
     if len(lake) == 0:
         return hashlib.sha256(b"").hexdigest()
-    keys = lake["_key"].to_pylist()
-    contents = lake["content"].to_pylist()
-    ids = lake["_last_id"].to_pylist()
+
+    def _fallback_cols() -> list[str]:
+        if sha_cols:
+            return sha_cols
+        if "content" in lake.column_names:
+            return ["content"]
+        return [c for c in lake.column_names if not c.startswith("_")]
+
+    if "_content_sha" in lake.column_names:
+        shas = lake["_content_sha"]
+        if isinstance(shas, pa.ChunkedArray):
+            shas = shas.combine_chunks()
+        if shas.null_count:
+            shas = pc.coalesce(shas, content_sha_array(lake, _fallback_cols()))
+    else:
+        shas = content_sha_array(lake, _fallback_cols())
+    keys = lake["_key"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    ids = lake["_last_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    lines = pc.binary_join_element_wise(keys, shas, pc.cast(ids, pa.string()), "\x1f")
+    lines = pc.binary_join_element_wise(lines, "", "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
     h = hashlib.sha256()
-    for k, c, i in zip(keys, contents, ids):
-        csha = hashlib.sha256((c or "").encode()).hexdigest()
-        h.update(f"{k}\x1f{csha}\x1f{i}\n".encode())
+    if lines.null_count == 0:
+        offs, data = _string_offsets_data(lines)
+        h.update(data[offs[0] : offs[-1]])
+    else:  # null key should be impossible in a keyed partition; stay correct
+        h.update("".join(v or "" for v in lines.to_pylist()).encode())
     return h.hexdigest()
 
 
-def atomic_write_parquet(t: pa.Table, path: str) -> int:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    pq.write_table(t, tmp, row_group_size=128 * 1024)
-    os.replace(tmp, path)
-    return os.path.getsize(path)
+# atomic_write_parquet lives with the commit protocol (state/manifest.py),
+# imported above — every staged/unkeyed/ledger write goes through it.
 
 
 @dataclass
@@ -181,6 +296,8 @@ class MergeContext:
     error_max_retries: int
     check_invariants: bool = True
     mode: str = "rewrite"
+    sha_cols: list[str] | None = None  # payload cols feeding _content_sha
+    invariant_cols: dict[int, list[str]] | None = None  # per-table required cols
 
 
 def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
@@ -188,7 +305,13 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     the base file on disk; idempotent (deterministic staged output path)."""
     lake_dir, epoch = ctx.lake_dir, ctx.epoch
     payload_fields, lake_schema = ctx.payload_fields, ctx.lake_schema
-    invariant_check = default_invariant_check if ctx.check_invariants else None
+    sha_cols = ctx.sha_cols or sha_source_columns(payload_fields)
+    if ctx.check_invariants:
+        invariant_check = make_invariant_check(
+            ctx.invariant_cols if ctx.invariant_cols is not None else {0: ["new_content"]}
+        )
+    else:
+        invariant_check = None
     error_max_retries = ctx.error_max_retries
     if True:
         prev = ctx.prev_partitions.get(str(part))
@@ -233,7 +356,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
 
         # ---- delta mode: append combined delta with tombstones -------------
         if ctx.mode == "delta":
-            delta_rows = events_to_lake_rows(ok, payload_fields)  # D rows stay as tombstones
+            delta_rows = events_to_lake_rows(ok, payload_fields, sha_cols)  # D rows stay as tombstones
             delta_rows = align_to_schema(delta_rows, lake_schema)
             out_path = staged_path(lake_dir, epoch, part).replace(".parquet", ".delta.parquet")
             nbytes = atomic_write_parquet(delta_rows, out_path)
@@ -256,7 +379,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
                     "lake_rows": pa.array([len(delta_rows)], pa.int64()),
                     "watermark": pa.array([new_wm], pa.int64()),
                     "path": pa.array([out_path], pa.string()),
-                    "sha": pa.array([partition_sha(drop_tombstones(delta_rows))], pa.string()),
+                    "sha": pa.array([partition_sha(drop_tombstones(delta_rows), sha_cols)], pa.string()),
                     "bytes": pa.array([nbytes], pa.int64()),
                 },
                 schema=MERGE_STATS_SCHEMA,
@@ -286,21 +409,34 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
         # An event at or below its key's applied _last_id would regress the
         # row; it is dropped (stale). Only late retries can produce this —
         # anything else is an ordering violation and is counted.
+        # Vectorized: pc.index_in joins each event's key against the base's
+        # (unique) _key column, take() fetches the applied _last_id (null for
+        # unseen keys), and one compare marks stale rows — no per-row Python.
         violations = 0
         if len(ok) and len(base):
-            tk = ok["key_string"].to_pylist()
-            base_touched = base.filter(pc.is_in(base["_key"], value_set=pa.array(set(tk), pa.string())))
-            last = dict(zip(base_touched["_key"].to_pylist(), base_touched["_last_id"].to_pylist()))
-            ids_ok = ok["id"].to_pylist()
-            rcs_ok = ok["retry_count"].to_pylist()
-            keep_rows = []
-            for k, i, r in zip(tk, ids_ok, rcs_ok):
-                stale = k in last and i <= last[k]
-                keep_rows.append(not stale)
-                if stale and not (r or 0) > 0:
-                    violations += 1
-            if not all(keep_rows):
-                ok = ok.filter(pa.array(keep_rows))
+            ok_keys = ok["key_string"]
+            if isinstance(ok_keys, pa.ChunkedArray):
+                ok_keys = ok_keys.combine_chunks()
+            ok_ids = ok["id"]
+            if isinstance(ok_ids, pa.ChunkedArray):
+                ok_ids = ok_ids.combine_chunks()
+            base_keys = base["_key"]
+            if isinstance(base_keys, pa.ChunkedArray):
+                base_keys = base_keys.combine_chunks()
+            base_last = base["_last_id"]
+            if isinstance(base_last, pa.ChunkedArray):
+                base_last = base_last.combine_chunks()
+            idx = pc.index_in(ok_keys, value_set=base_keys)
+            applied_last = base_last.take(idx)  # null where key not in base
+            stale = pc.fill_null(pc.less_equal(ok_ids, applied_last), False)
+            n_stale = int(pc.sum(stale).as_py() or 0)
+            if n_stale:
+                rc_ok = ok["retry_count"]
+                if isinstance(rc_ok, pa.ChunkedArray):
+                    rc_ok = rc_ok.combine_chunks()
+                not_retry = pc.less_equal(pc.fill_null(rc_ok, 0), 0)
+                violations = int(pc.sum(pc.and_(stale, not_retry)).as_py() or 0)
+                ok = ok.filter(pc.invert(stale))
 
         # ---- upsert / tombstone merge --------------------------------------
         op = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
@@ -314,7 +450,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
             base_keep = base.filter(keep_mask) if len(base) else base
         else:
             base_keep = base
-        lake_rows = events_to_lake_rows(upserts, payload_fields)
+        lake_rows = events_to_lake_rows(upserts, payload_fields, sha_cols)
         lake_rows = align_to_schema(lake_rows, lake_schema)
         merged = pa.concat_tables([base_keep, lake_rows]) if len(lake_rows) else base_keep
         if len(merged):
@@ -324,7 +460,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
         # ---- idempotent staged write ---------------------------------------
         out_path = staged_path(lake_dir, epoch, part)
         nbytes = atomic_write_parquet(merged, out_path)
-        sha = partition_sha(merged)
+        sha = partition_sha(merged, sha_cols)
 
         return pa.table(
             {
@@ -359,15 +495,18 @@ def make_epoch_merger(
     mode: str = "rewrite",
 ) -> Callable[[pa.Table], pa.Table]:
     """The ``groupby("part").map_groups`` flavor of the merge."""
+    payload_fields = list(cfg.latest_version().payload_fields)
     ctx = MergeContext(
         lake_dir=lake_dir,
         epoch=epoch,
         prev_partitions=prev_partitions,
-        payload_fields=list(cfg.latest_version().payload_fields),
+        payload_fields=payload_fields,
         lake_schema=lake_table_schema(cfg),
         error_max_retries=cfg.error_max_retries,
         check_invariants=check_invariants,
         mode=mode,
+        sha_cols=sha_source_columns(payload_fields),
+        invariant_cols=invariant_columns(cfg),
     )
 
     def merge(group: pa.Table) -> pa.Table:

@@ -39,6 +39,19 @@ def staged_path(lake_dir: str, epoch: int, part: int) -> str:
     return os.path.join(lake_dir, STAGING_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
 
 
+def atomic_write_parquet(t, path: str) -> int:
+    """tmp-file + os.replace parquet write — a crash mid-write can never leave
+    a truncated file behind (every ledger/lake/staging write goes through
+    this; a torn retry file would wedge resume on pq.read_metadata forever)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(t, tmp, row_group_size=128 * 1024)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
 def atomic_write_json(path: str, doc: dict[str, Any]) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -61,6 +74,11 @@ class Manifest:
     chunk_files: list[str] = field(default_factory=list)  # this epoch's chunks
     writer_token: str = ""
     metrics: dict[str, Any] = field(default_factory=dict)
+    # partitioning identity: resuming with a different P (or hash scheme)
+    # would re-key the hash slices and split keys across partitions — the
+    # commit protocol records it and run_epoch refuses a mismatch (0 = unset)
+    num_partitions: int = 0
+    hash_scheme: str = "pd_hash_v1"
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -79,7 +97,29 @@ class Manifest:
             chunk_files=d.get("chunk_files", []),
             writer_token=d.get("writer_token", ""),
             metrics=d.get("metrics", {}),
+            num_partitions=d.get("num_partitions", 0),
+            hash_scheme=d.get("hash_scheme", "pd_hash_v1"),
         )
+
+    def check_partitioning(self, num_partitions: int, hash_scheme: str = "pd_hash_v1") -> None:
+        """Refuse to write with a partitioning incompatible with the lake's.
+
+        Existing rows live in bases keyed by the committed (P, hash scheme);
+        merging new events under a different one would route the same key to
+        a different partition — duplicate keys and broken watermark dedup.
+        Changing P requires a full re-partition (read lake → re-hash →
+        rewrite bases), not a config edit."""
+        if self.num_partitions and self.num_partitions != num_partitions:
+            raise RuntimeError(
+                f"partitioning mismatch: lake committed with num_partitions="
+                f"{self.num_partitions}, config says {num_partitions}; "
+                "re-partition the lake before changing P"
+            )
+        if self.num_partitions and self.hash_scheme != hash_scheme:
+            raise RuntimeError(
+                f"hash scheme mismatch: lake uses {self.hash_scheme!r}, "
+                f"config says {hash_scheme!r}"
+            )
 
     def manifest_path(self, epoch: int) -> str:
         return os.path.join(self.lake_dir, MANIFEST_DIR, f"epoch-{epoch:06d}.json")
@@ -92,6 +132,7 @@ class Manifest:
         part_updates: dict[str, dict[str, Any]],
         writer_token: str,
         metrics: dict[str, Any] | None = None,
+        num_partitions: int | None = None,
     ) -> "Manifest":
         """Atomically publish an epoch. Raises if a newer epoch already exists
         (zombie-writer fencing, W5)."""
@@ -104,6 +145,7 @@ class Manifest:
                 )
         new_parts = dict(self.partitions)
         new_parts.update(part_updates)
+        np_out = num_partitions if num_partitions is not None else self.num_partitions
         doc = {
             "epoch": epoch,
             "partitions": new_parts,
@@ -111,6 +153,8 @@ class Manifest:
             "chunk_files": chunk_files,
             "writer_token": writer_token,
             "metrics": metrics or {},
+            "num_partitions": np_out,
+            "hash_scheme": self.hash_scheme,
         }
         atomic_write_json(self.manifest_path(epoch), doc)
         return Manifest(
@@ -121,6 +165,8 @@ class Manifest:
             chunk_files=chunk_files,
             writer_token=writer_token,
             metrics=doc["metrics"],
+            num_partitions=np_out,
+            hash_scheme=self.hash_scheme,
         )
 
     # ------------------------------------------------------------------- gc
