@@ -133,6 +133,13 @@ class TableConfig:
     pk_columns: list[str] = field(default_factory=list)
     yn_record_txid: bool = False
     yn_initialization: bool = False
+    # 'Y' = snapshot reads the source AS-OF the trigger-activation point
+    # (flashback SCN): INIT event ids stay strictly below the stream's first
+    # id, so any stream event outranks any snapshot row. 'N' reads live data
+    # — cheaper, but concurrent changes may already be folded into the
+    # snapshot (reference db/migrate/20210226000000_extend_tables7.rb:3,
+    # doc/movex-cdc.adoc initialization section).
+    yn_initialize_with_flashback: bool = True
     initialization_filter: str | None = None
     initialization_order_by: list[str] = field(default_factory=list)
     yn_add_cloudevents_header: bool = False
@@ -149,6 +156,10 @@ class TableConfig:
             raise ValueError("fixed_message_key required for key mode F")
         if self.key_handling == "E" and not self.key_expression:
             raise ValueError("key_expression required for key mode E")
+        # txn-id key mode needs the trigger to record transaction ids
+        # (reference `app/models/table.rb:77-79`)
+        if self.key_handling == "T" and not self.yn_record_txid:
+            raise ValueError("key mode T requires yn_record_txid")
         # duplicate column-expression guard, reference
         # `app/models/column_expression.rb:12-18` (operator D2)
         seen = set()
@@ -211,6 +222,15 @@ class CaptureConfig:
     hot_key_threshold: int = 50_000
     salt_factor: int = 8
     max_message_bytes: int = 1_000_000
+    # envelope/CloudEvents identity, reference `config/application.rb:232-294`:
+    # DB_DEFAULT_TIMEZONE suffixes envelope timestamps; LEGACY_TS_FORMAT is
+    # None/TYPE_1/TYPE_2 (`transfer_thread.rb:524-536`); CLOUDEVENTS_SOURCE
+    # and the build version feed the ce_* headers (`transfer_thread.rb:663-679`)
+    db_default_timezone: str = "+00:00"
+    machine_timezone: str = "+0000"  # TYPE_1's %z rendering, pinned for determinism
+    legacy_ts_format: str | None = None
+    cloudevents_source: str = "MOVEX-CDC-ray"
+    build_version: str = "1.0.0"
 
     # ---- lookups -----------------------------------------------------------
     def table_by_id(self, table_id: int) -> TableConfig:
@@ -281,6 +301,11 @@ class CaptureConfig:
                     "hot_key_threshold",
                     "salt_factor",
                     "max_message_bytes",
+                    "db_default_timezone",
+                    "machine_timezone",
+                    "legacy_ts_format",
+                    "cloudevents_source",
+                    "build_version",
                 )
                 if k in d
             },
@@ -325,6 +350,7 @@ def default_code_cdc_config(num_partitions: int = 32) -> CaptureConfig:
         topic="lake.code.files",
         key_handling="P",
         pk_columns=["repo", "path"],
+        yn_record_txid=True,  # transaction ids flow to the envelope
         columns=[
             ColumnConfig("repo"),
             ColumnConfig("path"),

@@ -39,8 +39,18 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    hashes = pa.array([_md5_hex(t) if t is not None else None for t in text.to_pylist()])
-    return batch.append_column(out_col, hashes)
+    # md5 fed straight from the Arrow utf8 buffer via memoryview slices —
+    # no per-row Python string objects (same trick as sink.content_sha_array)
+    n = len(text)
+    dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    offs = np.frombuffer(text.buffers()[1], dtype=dtype)[text.offset : text.offset + n + 1]
+    data = memoryview(text.buffers()[2]) if text.buffers()[2] is not None else memoryview(b"")
+    valid = text.is_valid().to_numpy(zero_copy_only=False)
+    md5 = hashlib.md5
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = md5(data[offs[i] : offs[i + 1]]).hexdigest() if valid[i] else None
+    return batch.append_column(out_col, pa.array(out, pa.string()))
 
 
 def exact_dedup_keep_first(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:

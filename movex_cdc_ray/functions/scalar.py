@@ -70,22 +70,48 @@ def null_safe_not_equal(a: pa.ChunkedArray | pa.Array, b: pa.ChunkedArray | pa.A
 # TO_CHAR / timestamp formatting (operator M9)
 # ---------------------------------------------------------------------------
 
-# Arrow's %S already renders the fractional part for sub-second timestamps.
+# Arrow's %S renders exactly six fractional digits for timestamp[us] — the
+# reference's strftime "%6N" analog.
 ISO_FORMAT = "%Y-%m-%dT%H:%M:%S"
-# legacy variants, reference `transfer_thread.rb:520-536` (LEGACY_TS_FORMAT)
-LEGACY_FORMATS = {None: ISO_FORMAT, "comma": ISO_FORMAT, "nofraction": ISO_FORMAT}
+# Envelope timestamp modes, reference `transfer_thread.rb:524-536`
+# timestamp_as_iso_string (LEGACY_TS_FORMAT env):
+#   None    → "%Y-%m-%dT%H:%M:%S.%6N" + DB timezone with colon  ("+00:00")
+#   TYPE_1  → "%Y-%m-%dT%H:%M:%S,%6N%z"   (comma + machine TZ, no colon)
+#   TYPE_2  → "%Y-%m-%dT%H:%M:%S,%6N" + DB timezone
+# plus two engine-local modes used for payload rendering:
+#   "comma" (comma fraction, no TZ) and "nofraction" (no fraction, no TZ).
+LEGACY_TS_MODES = (None, "TYPE_1", "TYPE_2", "comma", "nofraction")
 
 
-def format_timestamp(arr: pa.ChunkedArray | pa.Array, legacy: str | None = None) -> pa.Array:
-    """ISO-8601 text for a timestamp column (with the reference's legacy modes:
-    ``comma`` uses ',' as the fraction separator, ``nofraction`` drops it)."""
+def format_timestamp(
+    arr: pa.ChunkedArray | pa.Array,
+    legacy: str | None = None,
+    db_timezone: str | None = None,
+    machine_timezone: str = "+0000",
+) -> pa.Array:
+    """Envelope/payload timestamp text, byte-matching the reference's three
+    ``timestamp_as_iso_string`` formats when the timezone args are passed
+    (`transfer_thread.rb:524-536`). Without ``db_timezone`` the default mode
+    renders dot-fraction ISO with no suffix — the payload-object format
+    (trigger TO_CHAR 'YYYY-MM-DD"T"HH24:MI:SSxFF',
+    `db_trigger_generator_oracle.rb:904-906`)."""
+    if legacy not in LEGACY_TS_MODES:
+        raise ValueError(f"unsupported LEGACY_TS_FORMAT {legacy!r}")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     out = pc.strftime(arr, format=ISO_FORMAT)
-    if legacy == "comma":
+    if legacy in ("comma", "TYPE_1", "TYPE_2"):
         out = pc.replace_substring(out, pattern=".", replacement=",")
     elif legacy == "nofraction":
         out = pc.replace_substring_regex(out, pattern=r"\.\d+$", replacement="")
+    if legacy == "TYPE_1":
+        suffix = machine_timezone
+    elif legacy in (None, "TYPE_2"):
+        suffix = db_timezone or ""
+    else:
+        suffix = ""
+    if suffix:
+        out = pc.binary_join_element_wise(out, suffix, "")
     return out
 
 
@@ -97,8 +123,15 @@ def raw_to_hex(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+# JSON forbids raw U+0000..U+001F inside strings; \n \r \t get their short
+# escapes above, the rest need \u00XX
+_CTRL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
 def escape_json_string(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    r"""The trigger's REPLACE(v, '"', '\"') plus backslash escaping (M5)."""
+    r"""The trigger's REPLACE(v, '"', '\"') plus backslash/control escaping
+    (M5). The control-char pass is gated on one vectorized regex probe — the
+    per-row fixup only runs for batches that actually contain poison bytes."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     out = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
@@ -106,6 +139,15 @@ def escape_json_string(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     out = pc.replace_substring(out, pattern="\n", replacement="\\n")
     out = pc.replace_substring(out, pattern="\r", replacement="\\r")
     out = pc.replace_substring(out, pattern="\t", replacement="\\t")
+    has_ctrl = pc.fill_null(pc.match_substring_regex(out, _CTRL_RE), False)
+    if pc.any(has_ctrl).as_py():
+        fixed = [
+            None
+            if v is None
+            else "".join(f"\\u{ord(c):04x}" if ord(c) < 0x20 else c for c in v)
+            for v in out.to_pylist()
+        ]
+        out = pa.array(fixed, pa.string())
     return out
 
 

@@ -120,8 +120,9 @@ def cdc_key_modes(sf_dir: str) -> pd.DataFrame:
 
 
 def cdc_envelope(sf_dir: str) -> pd.DataFrame:
-    """M8-M11: envelope assembly — op long name, ISO-8601 timestamp, topic
-    routing by logical table."""
+    """M8-M11: envelope assembly — op long name, ISO-8601 timestamp with the
+    DB-timezone suffix (reference timestamp_as_iso_string,
+    `transfer_thread.rb:528-530`), topic routing by logical table."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "user_id"])
 
     def envelope(batch: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +135,7 @@ def cdc_envelope(sf_dir: str) -> pd.DataFrame:
             {
                 "event_id": batch["event_id"],
                 "operation": op,
-                "timestamp": batch["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                "timestamp": batch["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "+00:00",
                 "topic": "lake.events." + batch["event_type"],
                 "msg_schema": "EVENTS",
                 "tablename": "USER_EVENTS",
@@ -791,7 +792,7 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN event_type = 'signup' THEN 'INSERT'
                     WHEN event_type = 'error'  THEN 'DELETE'
                     ELSE 'UPDATE' END AS operation,
-               strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS timestamp,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS timestamp,
                'lake.events.' || event_type AS topic,
                'EVENTS' AS msg_schema,
                'USER_EVENTS' AS tablename

@@ -43,10 +43,12 @@ class InitEventWrapper:
     guarantees (`doc/movex-cdc.adoc` initialization section).
     """
 
-    def __init__(self, cfg: CaptureConfig, table: TableConfig, first_stream_id: int):
+    def __init__(self, cfg: CaptureConfig, table: TableConfig, first_stream_id: int,
+                 id_base: int = 0):
         self.cfg = cfg
         self.table = table
         self.first_stream_id = first_stream_id
+        self.id_base = id_base  # >0 = non-flashback live read (see snapshot_events)
         self.payload_fields = cfg.latest_version().payload_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -65,6 +67,10 @@ class InitEventWrapper:
         # snapshot has exactly one row per key (collisions across keys are
         # harmless — combine/merge resolve per key, not per id)
         ids = (hash_strings(joined) % np.uint64(max(self.first_stream_id, 1))).astype(np.int64)
+        if self.id_base:
+            # non-flashback: snapshot rows rank at the live-read watermark, so
+            # they override any stream event already folded into the read
+            ids = ids % 1_000_000 + np.int64(self.id_base)
 
         cols: dict[str, pa.Array] = {
             "id": pa.array(ids, pa.int64()),
@@ -87,9 +93,25 @@ def snapshot_events(
     cfg: CaptureConfig,
     table: TableConfig,
     first_stream_id: int = 1_000_000,
+    live_at_id: int | None = None,
 ) -> rd.Dataset:
     """Build the INIT event Dataset for one table per its initialization
-    config (filter + order by, reference `app/models/table.rb:119-129`)."""
+    config (filter + order by, reference `app/models/table.rb:119-129`).
+
+    ``yn_initialize_with_flashback`` (reference
+    `db/migrate/20210226000000_extend_tables7.rb:3`) picks the id anchor:
+
+    * True (default): the source is a point-in-time snapshot taken at
+      trigger-activation (flashback AS OF SCN) — INIT ids stay strictly
+      BELOW ``first_stream_id``, so every stream event outranks every
+      snapshot row and replay composes without overlap.
+    * False: the source was read LIVE at ``live_at_id`` (the stream's
+      current high watermark) — the read may already contain the effects of
+      stream events up to that id, so INIT ids anchor AT ``live_at_id`` and
+      those earlier events can no longer regress the snapshot. Events
+      arriving after the read win, as in the reference's non-flashback
+      initialization (with the same small-anomaly window the reference has).
+    """
     ds = rd.read_parquet(source) if isinstance(source, str) else source
     if table.initialization_filter:
         filt = table.initialization_filter
@@ -100,6 +122,9 @@ def snapshot_events(
         ds = ds.map_batches(apply_filter, batch_format="pyarrow")
     if table.initialization_order_by:
         ds = ds.sort(table.initialization_order_by)
+    id_base = 0
+    if not table.yn_initialize_with_flashback:
+        id_base = live_at_id if live_at_id is not None else first_stream_id
     return ds.map_batches(
-        InitEventWrapper(cfg, table, first_stream_id), batch_format="pyarrow"
+        InitEventWrapper(cfg, table, first_stream_id, id_base=id_base), batch_format="pyarrow"
     )

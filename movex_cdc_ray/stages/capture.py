@@ -286,6 +286,16 @@ class CaptureStage:
         msg_key, key_string = derive_keys(sub, plan)
         sub = sub.append_column("msg_key", msg_key)
         sub = sub.append_column("key_string", key_string)
+
+        # 8) yn_record_txid gating: the reference's trigger records the local
+        #    transaction id ONLY when the table flag is set
+        #    (`db_trigger_generator_oracle.rb:476`); otherwise the event's
+        #    Transaction_ID is NULL and the envelope renders literal null.
+        #    Done after key derivation — mode T requires the flag (validated
+        #    in config), so the gate can never null a T-mode key source.
+        if not plan.table.yn_record_txid and "txn_id" in sub.column_names:
+            i = sub.column_names.index("txn_id")
+            sub = sub.set_column(i, "txn_id", pa.nulls(len(sub), pa.string()))
         return sub
 
 
@@ -323,7 +333,14 @@ def attach_envelope(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None =
     topics = pa.array(
         [cfg.topic_for(id_to_table[t]) if t in id_to_table else None for t in tids.to_pylist()]
     )
-    ts_str = format_timestamp(batch["created_at"], legacy_ts)
+    if legacy_ts is None:
+        legacy_ts = cfg.legacy_ts_format
+    ts_str = format_timestamp(
+        batch["created_at"],
+        legacy_ts,
+        db_timezone=cfg.db_default_timezone,
+        machine_timezone=cfg.machine_timezone,
+    )
     out = batch
     for name, col in (
         ("schema", schema_names),
@@ -333,22 +350,36 @@ def attach_envelope(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None =
         ("timestamp", ts_str),
     ):
         out = out.append_column(name, col)
-    # CloudEvents headers when enabled per table (reference doc/movex-cdc.adoc:743-760)
+    # CloudEvents headers when enabled per table — the full 9-header set of
+    # the reference's create_message_headers (`transfer_thread.rb:663-679`)
     any_ce = any(t.yn_add_cloudevents_header for t in cfg.tables)
     if any_ce:
+        n = len(batch)
         ce_on = pa.array(
             [t in id_to_table and id_to_table[t].yn_add_cloudevents_header for t in tids.to_pylist()]
         )
-        ce_id = pc.if_else(ce_on, batch["id"].cast(pa.string()), pa.nulls(len(batch), pa.string()))
-        ce_type = pc.if_else(
-            ce_on,
-            pc.binary_join_element_wise(
-                pc.binary_join_element_wise(schema_names, table_names, "."), operation, "."
-            ),
-            pa.nulls(len(batch), pa.string()),
-        )
-        out = out.append_column("ce_id", ce_id)
-        out = out.append_column("ce_type", ce_type)
+        nulls = pa.nulls(n, pa.string())
+
+        def gated(col) -> pa.Array:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.if_else(ce_on, col, nulls)
+
+        def const(v: str) -> pa.Array:
+            return pc.if_else(ce_on, pa.array([v] * n, pa.string()), nulls)
+
+        for name, col in (
+            ("ce_id", gated(batch["id"].cast(pa.string()))),
+            ("ce_source", const(cfg.cloudevents_source)),
+            ("ce_specversion", const("1.0")),
+            ("ce_type", const(f"MOVEX-CDC:{cfg.build_version}")),
+            ("ce_time", gated(ts_str)),
+            ("ce_datacontenttype", const("application/json")),
+            ("ce_schema", gated(schema_names)),
+            ("ce_tablename", gated(table_names)),
+            ("ce_operation", gated(operation)),
+        ):
+            out = out.append_column(name, col)
     return out
 
 

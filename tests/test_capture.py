@@ -214,12 +214,29 @@ def test_validate_messages_rejects_oversize():
 
 
 def test_cloudevents_headers():
+    # full 9-header set of the reference's create_message_headers
+    # (`transfer_thread.rb:663-679`)
     cfg = default_code_cdc_config()
     cfg.tables[0].yn_add_cloudevents_header = True
     st = CaptureStage(cfg)
     env = attach_envelope(st(make_batch([ev(7, "I")])), cfg)
     assert env["ce_id"].to_pylist() == ["7"]
-    assert env["ce_type"].to_pylist() == ["CODE.FILES.INSERT"]
+    assert env["ce_source"].to_pylist() == [cfg.cloudevents_source]
+    assert env["ce_specversion"].to_pylist() == ["1.0"]
+    assert env["ce_type"].to_pylist() == [f"MOVEX-CDC:{cfg.build_version}"]
+    assert env["ce_time"].to_pylist() == env["timestamp"].to_pylist()
+    assert env["ce_datacontenttype"].to_pylist() == ["application/json"]
+    assert env["ce_schema"].to_pylist() == ["CODE"]
+    assert env["ce_tablename"].to_pylist() == ["FILES"]
+    assert env["ce_operation"].to_pylist() == ["INSERT"]
+
+
+def test_cloudevents_headers_gated_per_table():
+    cfg = default_code_cdc_config()
+    cfg.tables[0].yn_add_cloudevents_header = False
+    st = CaptureStage(cfg)
+    env = attach_envelope(st(make_batch([ev(7, "I")])), cfg)
+    assert "ce_id" not in env.column_names  # no table requests headers
 
 
 def test_condition_with_vectorized_helpers():
