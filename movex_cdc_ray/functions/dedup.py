@@ -254,30 +254,82 @@ class SimHasher:
 
 def embedding_neardup_pairs(
     ds: rd.Dataset, threshold: float = 0.95, vec_col: str = "embedding", id_col: str = "vec_id",
-    block: int = 2048,
+    rows_per_block: int = 4096,
 ) -> pd.DataFrame:
-    """All pairs with cosine ≥ threshold, via blockwise matmul.
+    """EXACT all-pairs cosine near-dup, fully distributed (no driver-side
+    corpus materialization): the classic triangle tile join.
 
-    Each batch is normalized once; pairwise similarity runs as numpy matmuls
-    over (block × block) tiles. At corpus scale the same kernel runs per
-    LSH/IVF bucket instead of globally (see similarity.lsh_bucketed_ann)."""
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.clip(norms, 1e-12, None)
-    out = []
-    for i0 in range(0, len(ids), block):
-        a = mat[i0 : i0 + block]
-        for j0 in range(i0, len(ids), block):
-            b = mat[j0 : j0 + block]
-            sims = a @ b.T
+    Rows hash into B blocks; every unordered block pair (i ≤ j) is one TILE.
+    Each row replicates to the B tiles touching its block (shuffle volume
+    n·B vectors — the honest cost of an exact O(n²) comparison, spread over
+    B(B+1)/2 independent ``map_groups`` tasks, each one numpy matmul). A pair
+    is generated exactly once: in tile (block_a, block_b). For approximate
+    near-dup at corpus scale use the LSH-bucketed path
+    (``pipelines.queries.dedup_embedding_lsh``), which shuffles each row once."""
+    n = ds.count()  # metadata-only (parquet row counts), not a materialization
+    nblocks = max(1, -(-n // rows_per_block))
+
+    def explode_to_tiles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        blocks = (ids_np % nblocks).astype(np.int64)
+        tiles_per_row = nblocks
+        # tile id encodes the unordered pair (min(b,o), max(b,o)) as i*B+j
+        other = np.tile(np.arange(nblocks, dtype=np.int64), len(ids_np))
+        mine = np.repeat(blocks, tiles_per_row)
+        ti = np.minimum(mine, other) * nblocks + np.maximum(mine, other)
+        take_idx = np.repeat(np.arange(len(ids_np)), tiles_per_row)
+        rep = batch.select([id_col, vec_col]).take(pa.array(take_idx))
+        rep = rep.append_column("tile", pa.array(ti))
+        rep = rep.append_column("block", pa.array(np.repeat(blocks, tiles_per_row)))
+        return rep
+
+    def pairs_in_tile(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if len(g) < 2:
+            return empty
+        tile = int(g["tile"].iloc[0])
+        bi, bj = divmod(tile, nblocks)
+        g = g.drop_duplicates(subset=[id_col, "block"])
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        blocks = g["block"].to_numpy(dtype=np.int64)
+        if bi == bj:  # diagonal tile: all pairs within the block
+            sims = mat @ mat.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            a, b, s = ids[ii], ids[jj], sims[ii, jj]
+        else:  # off-diagonal: only cross-block pairs (within-block pairs
+            # belong to each block's own diagonal tile)
+            mi, mj = blocks == bi, blocks == bj
+            if not mi.any() or not mj.any():
+                return empty
+            sims = mat[mi] @ mat[mj].T
             ii, jj = np.where(sims >= threshold)
-            for i, j in zip(ii, jj):
-                gi, gj = i0 + i, j0 + j
-                if gi < gj:
-                    out.append((int(ids[gi]), int(ids[gj]), round(float(sims[i, j]), 6)))
-    out.sort()
-    return pd.DataFrame(out, columns=["a_id", "b_id", "cosine"]) if out else pd.DataFrame(
-        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+            a, b, s = ids[mi][ii], ids[mj][jj], sims[ii, jj]
+        keep = a != b
+        a, b, s = a[keep], b[keep], s[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": np.round(s, 6)})
+
+    pairs = (
+        ds.map_batches(explode_to_tiles, batch_format="pyarrow")
+        .groupby("tile")
+        .map_groups(pairs_in_tile, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()  # only the matching PAIRS reach the driver
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    return (
+        pdf.drop_duplicates(subset=["a_id", "b_id"])
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
     )

@@ -33,12 +33,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
 
+PARTIAL_TOPK_SCHEMA = pa.schema(
+    [
+        pa.field("query_id", pa.int64()),
+        pa.field("neighbor_id", pa.int64()),
+        pa.field("cosine", pa.float64()),
+    ]
+)
+
+
 class BruteForceScorer:
     """Actor-pool stage: per-batch cosine scores against the broadcast queries.
 
     ``__init__`` does ``ray.get`` once per actor (broadcast read, J1 pattern);
     ``__call__`` is one matmul. Emits (query_id, id, cosine) partial top-k per
-    batch — the driver's final heap-merge touches only (batches × k) rows."""
+    batch — the driver's final heap-merge touches only (batches × k) rows.
+    Every output declares ``PARTIAL_TOPK_SCHEMA`` so the streaming executor
+    sees ONE stable block schema."""
 
     def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
@@ -49,6 +60,8 @@ class BruteForceScorer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return PARTIAL_TOPK_SCHEMA.empty_table()
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -67,8 +80,9 @@ class BruteForceScorer:
             {
                 "query_id": pa.array(np.concatenate(rows_q)),
                 "neighbor_id": pa.array(np.concatenate(rows_id).astype(np.int64)),
-                "cosine": pa.array(np.concatenate(rows_s)),
-            }
+                "cosine": pa.array(np.concatenate(rows_s), pa.float64()),
+            },
+            schema=PARTIAL_TOPK_SCHEMA,
         )
 
 
@@ -171,24 +185,60 @@ def lsh_bucketed_ann(
         mat = _normalize(_to_matrix(batch[vec_col]))
         buckets = hasher.bucket(mat)
         keep = np.isin(buckets, list(all_probes))
-        t = batch.append_column("bucket", pa.array(buckets.astype(np.int64)))
+        t = batch.select([id_col, vec_col]).append_column(
+            "bucket", pa.array(buckets.astype(np.int64))
+        )
         return t.filter(pa.array(keep))
 
-    cand = ds.map_batches(bucketize, batch_format="pyarrow").take_all()
-    if not cand:
+    # which query probes which bucket — a tiny broadcast table
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi, probes in enumerate(probe_sets):
+        for b in probes:
+            bucket_to_queries.setdefault(b, []).append(qi)
+    side = ray.put({"qids": qids, "qmat": qmat, "b2q": bucket_to_queries, "k": k})
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket scoring INSIDE the groupby (never on the driver): one
+        matmul per (bucket, probing queries), partial top-k rows out."""
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        s = ray.get(side)
+        bucket = int(g["bucket"].iloc[0])
+        qidx = s["b2q"].get(bucket)
+        if not qidx:
+            return empty
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = s["qmat"][qidx] @ mat.T  # (probing queries, bucket size)
+        kk = min(s["k"] + 1, sims.shape[1])  # +1: self may be in the bucket
+        sel = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        frames = []
+        for row, qi in enumerate(qidx):
+            frames.append(pd.DataFrame({
+                "query_id": np.full(kk, s["qids"][qi], dtype=np.int64),
+                "neighbor_id": ids[sel[row]],
+                "cosine": sims[row, sel[row]],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+    ).to_pandas()  # (buckets × probing queries × k) rows — small
+    if len(partials) == 0:
         return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [], "cosine": []})
-    cids = np.array([r[id_col] for r in cand], dtype=np.int64)
-    cbuckets = np.array([r["bucket"] for r in cand], dtype=np.int64)
-    cmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cand]))
     out = []
     for qi in range(len(qids)):
-        mask = np.isin(cbuckets, list(probe_sets[qi]))
-        if not mask.any():
-            continue
-        sims = cmat[mask] @ qmat[qi]
-        sel_ids = cids[mask]
-        order = np.lexsort((sel_ids, -sims))
-        picked = [o for o in order if sel_ids[o] != qids[qi]][:k]
-        for rank, o in enumerate(picked, 1):
-            out.append((int(qids[qi]), int(sel_ids[o]), rank, round(float(sims[o]), 6)))
-    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cosine"])
+        g = partials[(partials["query_id"] == qids[qi]) & (partials["neighbor_id"] != qids[qi])]
+        # a vector can sit in several probed buckets — dedup before ranking
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(6)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "neighbor_id", "rank", "cosine"]]

@@ -367,17 +367,29 @@ def join_broadcast(sf_dir: str) -> pd.DataFrame:
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    lookup_ref = ray.put({r["n_nationkey"]: r["n_name"] for r in nation})
+    lookup_ref = ray.put(
+        {
+            "keys": pa.array([r["n_nationkey"] for r in nation], pa.int64()),
+            "names": pa.array([r["n_name"] for r in nation], pa.string()),
+        }
+    )
 
     class Enrich:
+        """Broadcast dimension as two Arrow arrays; the per-batch lookup is
+        ``pc.index_in`` + ``take`` — zero-copy, fully vectorized (no per-row
+        dict.get loop)."""
+
         def __init__(self, ref):
-            self.lookup = ray.get(ref) if not isinstance(ref, dict) else ref
+            side = ray.get(ref) if not isinstance(ref, dict) else ref
+            self.keys = side["keys"]
+            self.names = side["names"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["c_nationkey"].to_pylist()
-            return batch.append_column(
-                "n_name", pa.array([self.lookup.get(k) for k in keys], pa.string())
-            )
+            col = batch["c_nationkey"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            idx = pc.index_in(col.cast(pa.int64()), value_set=self.keys)
+            return batch.append_column("n_name", self.names.take(idx))
 
     from ray.data.aggregate import Count, Sum
 
@@ -537,7 +549,9 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 def dedup_embedding(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (blockwise matmul), cosine ≥ 0.45."""
+    """Embedding-cosine near-dup pairs, cosine ≥ 0.45 — EXACT, via the
+    distributed triangle tile join (no driver-side corpus materialization);
+    see dedup_embedding_lsh for the approximate single-shuffle scale path."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pdf = fdedup.embedding_neardup_pairs(ds, threshold=0.45)
     return pdf[["a_id", "b_id"]].astype("int64") if len(pdf) else pd.DataFrame(
@@ -648,8 +662,7 @@ def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
     from ..functions.similarity import HyperplaneHasher, _normalize, _to_matrix
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    rows = ds.take_all()
-    dim = len(rows[0]["embedding"])
+    dim = len(ds.take(1)[0]["embedding"])  # one row probes the vector width
     hasher = HyperplaneHasher(dim, n_bits=4, seed=13)
 
     def bucketize(batch: pa.Table) -> pa.Table:

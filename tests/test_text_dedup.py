@@ -114,3 +114,47 @@ def test_embedding_neardup_blockwise(ray_session):
     )
     pairs = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.95)
     assert list(zip(pairs["a_id"], pairs["b_id"])) == [(0, 1)]
+
+
+def test_embedding_neardup_distributed_tiles_multi_block(ray_session):
+    # force several blocks so cross-block (off-diagonal) tiles are exercised
+    # and verify against a local numpy all-pairs oracle
+    rng = np.random.default_rng(11)
+    n, dim = 40, 8
+    mat = rng.standard_normal((n, dim))
+    mat[7] = mat[3] + 0.01 * rng.standard_normal(dim)   # near-dup across blocks
+    mat[25] = mat[24] + 0.01 * rng.standard_normal(dim)  # near-dup within block
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.9, rows_per_block=10)
+    m32 = mat.astype(np.float32).astype(np.float64)
+    m = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = m @ m.T
+    ii, jj = np.where(np.triu(sims >= 0.9, k=1))
+    exp = sorted(zip(ii.tolist(), jj.tolist()))
+    assert list(zip(got["a_id"], got["b_id"])) == exp
+    assert (3, 7) in exp and (24, 25) in exp
+
+
+def test_embedding_neardup_never_materializes_corpus(ray_session, monkeypatch):
+    # scale canary: the exact near-dup path must not collect the corpus on
+    # the driver (VERDICT r1 item 4)
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(20)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, rng.standard_normal(4))) for _ in range(20)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side take_all() in exact embedding dedup")
+    monkeypatch.setattr(rd.Dataset, "take_all", boom)
+    pairs = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99, rows_per_block=8)
+    assert {"a_id", "b_id", "cosine"} <= set(pairs.columns)
