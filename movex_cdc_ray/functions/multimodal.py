@@ -2,17 +2,22 @@
 
 Images / audio / video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-actor-pool ``map_batches`` stages. The decode libraries (Pillow, ffmpeg,
-torchaudio) are NOT in this container, so the actual byte→pixels step is
-STUBBED: ``DecodeStage(real=True)`` raises ``NotImplementedError``, while the
-default deterministic fake derives pseudo-features from a stable hash of the
-bytes. Everything Ray-side — schema, batch sizing for wide binary rows,
-actor signature, output layout — is real and tested.
+actor-pool ``map_batches`` stages.
+
+``DecodeStage(real=True)`` REALLY decodes the uncompressed container formats
+implemented below in pure numpy — BMP (24-bit), PPM (P6) and WAV (PCM16) —
+and derives image/audio features from the actual pixels/samples. Compressed
+formats (JPEG/PNG/MP3/H.264) would need Pillow/ffmpeg, which are not in this
+container: payloads the sniffer can't identify raise ``ValueError`` per the
+divide&conquer convention (poison rows isolate; nothing is silently faked).
+The default ``real=False`` mode keeps the deterministic hash-seeded fake for
+plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -62,6 +67,129 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42, payload_bytes
     )
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy codecs for the uncompressed container formats
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    img[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.frombuffer(data, dtype=np.uint8, count=h * row_bytes, offset=off)
+    img = img.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments not supported — our encoder never writes them)
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while data[pos] in b" \t\r\n":
+            pos += 1
+        tok = bytearray()
+        while data[pos] not in b" \t\r\n":
+            tok.append(data[pos])
+            pos += 1
+        parts.append(int(tok))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 samples, sample_rate); walks RIFF chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").copy()
+        pos += 8 + clen + (clen & 1)
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV payload")
+    return samples, rate
+
+
+def sniff_format(payload: bytes) -> str:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    raise ValueError("unknown media container (only BMP/PPM/WAV decodable here)")
+
+
+def _image_features(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic content features from real pixels: channel means/stds +
+    a luminance histogram filling the remaining bins."""
+    chans = pixels.reshape(-1, 3).astype(np.float64)
+    head = np.concatenate([chans.mean(axis=0) / 255.0, chans.std(axis=0) / 255.0])
+    lum = chans @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=max(dim - 6, 1), range=(0.0, 255.0))
+    hist = hist / max(len(lum), 1)
+    return np.concatenate([head, hist])[:dim].astype(np.float32)
+
+
+def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """RMS + zero-crossing rate + amplitude histogram from real samples."""
+    x = samples.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    hist, _ = np.histogram(x, bins=max(dim - 2, 1), range=(-1.0, 1.0))
+    hist = hist / max(len(x), 1)
+    return np.concatenate([[rms, zcr], hist])[:dim].astype(np.float32)
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-features: seeded from sha256(payload)."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
@@ -69,45 +197,93 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL media rows: alternating 24-bit BMP / P6 PPM image
+    payloads and PCM16 WAV audio payloads, byte-exact across runs — the
+    fixture for ``DecodeStage(real=True)``."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 3 == 2:  # audio
+            samples = (rng.standard_normal(1600) * 8000).astype(np.int16)
+            payloads.append(encode_wav(samples, 16_000))
+            kinds.append("audio")
+            metas.append({"width": 0, "height": 0, "duration_ms": 100, "format": "wav"})
+        else:  # image
+            w, h = 16 + int(i % 8), 12
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px) if i % 3 == 0 else encode_ppm(px))
+            kinds.append("image")
+            metas.append({"width": w, "height": h, "duration_ms": 0,
+                          "format": "bmp" if i % 3 == 0 else "ppm"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class DecodeStage:
     """Actor-pool decode: binary payload → feature vector + dimensions.
 
     Use as ``ds.map_batches(DecodeStage, fn_constructor_kwargs=...,
     batch_size=RECOMMENDED_MEDIA_BATCH_SIZE, concurrency=N, num_cpus=1)``.
-    ``real=True`` is the integration point for an actual decoder library —
-    unavailable here, so it raises ``NotImplementedError`` at construction
-    (per-actor ``__init__``, so the failure is immediate, not per batch)."""
+
+    ``real=True`` sniffs each payload's container magic and REALLY decodes it
+    with the pure-numpy codecs above (BMP/PPM images → pixel features, WAV →
+    sample features); unknown containers raise, so poison media rows isolate
+    via divide&conquer like any other bad event. ``real=False`` keeps the
+    hash-seeded deterministic fake (plumbing tests without media bytes).
+    Output schema is identical in both modes except the real mode appends
+    ``decoded_width``/``decoded_height``/``decoded_samples``."""
 
     def __init__(self, feature_dim: int = 64, real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real media decoding requires Pillow/ffmpeg, not present in this "
-                "environment; use real=False for the deterministic fake decoder"
-            )
         self.feature_dim = feature_dim
+        self.real = real
+
+    def _decode_one(self, payload: bytes) -> tuple[np.ndarray, int, int, int]:
+        fmt = sniff_format(payload)
+        if fmt == "bmp":
+            px = decode_bmp(payload)
+            return _image_features(px, self.feature_dim), px.shape[1], px.shape[0], 0
+        if fmt == "ppm":
+            px = decode_ppm(payload)
+            return _image_features(px, self.feature_dim), px.shape[1], px.shape[0], 0
+        samples, _rate = decode_wav(payload)
+        return _audio_features(samples, self.feature_dim), 0, 0, len(samples)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        feats = np.stack([_fake_features(p.as_py(), self.feature_dim) for p in payloads])
-        n = len(batch)
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "kind": batch["kind"],
-                "feature": pa.FixedSizeListArray.from_arrays(
-                    pa.array(feats.ravel(), pa.float32()), self.feature_dim
-                ),
-                "feature_norm": pa.array(np.linalg.norm(feats, axis=1).astype(np.float64)),
-                "payload_sha": pa.array(
-                    [hashlib.sha256(p.as_py()).hexdigest() for p in payloads], pa.string()
-                ),
-                "payload_bytes": pa.array(
-                    [len(p.as_py()) for p in payloads], pa.int64()
-                ),
-            }
-        )
+        raw = [p.as_py() for p in payloads]
+        dims: list[tuple[int, int, int]] = []
+        if self.real:
+            decoded = [self._decode_one(p) for p in raw]
+            feats = np.stack([d[0] for d in decoded])
+            dims = [(d[1], d[2], d[3]) for d in decoded]
+        else:
+            feats = np.stack([_fake_features(p, self.feature_dim) for p in raw])
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), pa.float32()), self.feature_dim
+            ),
+            "feature_norm": pa.array(np.linalg.norm(feats.astype(np.float64), axis=1)),
+            "payload_sha": pa.array([hashlib.sha256(p).hexdigest() for p in raw], pa.string()),
+            "payload_bytes": pa.array([len(p) for p in raw], pa.int64()),
+        }
+        if self.real:
+            cols["decoded_width"] = pa.array([d[0] for d in dims], pa.int32())
+            cols["decoded_height"] = pa.array([d[1] for d in dims], pa.int32())
+            cols["decoded_samples"] = pa.array([d[2] for d in dims], pa.int64())
+        return pa.table(cols)
 
 
 class ResizeStage:

@@ -719,6 +719,33 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("media_id").reset_index(drop=True)
 
 
+def multimodal_decode_real(sf_dir: str) -> pd.DataFrame:
+    """REAL byte→pixels/samples decoding (pure-numpy BMP/PPM/WAV codecs) in
+    an actor-pool stage: features derive from actual image pixels and audio
+    samples, decoded dimensions reported per row (rows-only check)."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        DecodeStage,
+        synth_real_media_table,
+    )
+
+    media = synth_real_media_table(120, seed=42)
+    ds = rd.from_arrow(media)
+    out = ds.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"real": True},
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    pdf = out.to_pandas()[
+        ["media_id", "kind", "payload_sha", "decoded_width", "decoded_height",
+         "decoded_samples", "feature_norm"]
+    ]
+    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
     pdf = ds.to_pandas()
     return pdf.sort_values(list(sort_cols)).reset_index(drop=True)
@@ -761,6 +788,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "multimodal_decode_real": multimodal_decode_real,
 }
 
 ORACLE_SQL: dict[str, str] = {
