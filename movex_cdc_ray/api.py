@@ -19,20 +19,39 @@ from .state.manifest import Manifest
 
 
 class Engine:
-    """One engine instance = one config + one lake directory."""
+    """One engine instance = one config + one lake directory.
 
-    def __init__(self, cfg: CaptureConfig, lake_dir: str):
+    Pass an :class:`~movex_cdc_ray.auth.AuthRegistry` plus ``actor`` (the
+    acting user's email) to enforce the reference's USERS/SCHEMA_RIGHTS
+    grants on deployment verbs and append to the ACTIVITY_LOGS audit ledger
+    (operator J3; reference `app/models/schema_right.rb`,
+    `.../activity_log.rb`). Without one, the engine is open — the reference's
+    single-admin bootstrap mode."""
+
+    def __init__(self, cfg: CaptureConfig, lake_dir: str, auth=None, actor: str | None = None):
         self.cfg = cfg
         self.lake_dir = lake_dir
+        self.auth = auth
+        self.actor = actor
+
+    def _authorize(self, schema_name: str, action: str, table_name: str | None = None) -> None:
+        if self.auth is None or self.actor is None:
+            return
+        self.auth.check_deploy(self.actor, schema_name)
+        self.auth.log(self.actor, action=action, schema_name=schema_name, table_name=table_name)
 
     # ---- trigger deployment (POST /db_triggers/generate_all, M1) -----------
     def generate_triggers(self) -> dict[str, Any]:
         """Compile capture plans for every configured table; returns the
         successes/errors summary the reference's generate_all produces
-        (`app/models/db_trigger.rb:38-92`)."""
+        (`app/models/db_trigger.rb:38-92`). With an auth registry attached,
+        a table on an ungranted schema lands in ``errors`` instead of
+        deploying — the reference scopes generate_all to the user's
+        schema rights."""
         successes, errors = [], []
         for t in self.cfg.tables:
             try:
+                self._authorize(t.schema_name, "generate_trigger", t.name)
                 plans = compile_plan(self.cfg)
                 if t.table_id in plans:
                     successes.append({"table": f"{t.schema_name}.{t.name}"})
@@ -59,8 +78,15 @@ class Engine:
 
     def import_config(self, doc: str) -> None:
         """Import a changed registry and 'regenerate triggers' — the schema /
-        behavior evolution cycle (`app/models/import_export_config.rb:86-136`)."""
-        self.cfg = CaptureConfig.from_json(doc)
+        behavior evolution cycle (`app/models/import_export_config.rb:86-136`).
+        Config import is admin-scope in the reference: with auth attached it
+        requires a grant on EVERY imported schema."""
+        new_cfg = CaptureConfig.from_json(doc)
+        if self.auth is not None and self.actor is not None:
+            for s in new_cfg.schemas:
+                self.auth.check_deploy(self.actor, s.name)
+            self.auth.log(self.actor, action="import_config")
+        self.cfg = new_cfg
         self.generate_triggers()
 
     # ---- server control (POST /server_control/...) -------------------------

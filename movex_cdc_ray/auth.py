@@ -1,0 +1,181 @@
+"""Authorization + audit registry — USERS / SCHEMA_RIGHTS / ACTIVITY_LOGS.
+
+Mirrors the reference's admin data model (operator J3 / SURVEY §2.4):
+``db/migrate/20191218154054_create_users.rb`` (email, db_user, yn_admin,
+yn_account_locked, failed_logons, yn_hidden),
+``...create_schema_rights.rb`` (user↔schema grant + info) and
+``...create_activity_logs.rb`` (user, schema/table/column, action,
+client_ip). Authorization logic follows ``app/models/user.rb`` /
+``app/models/schema_right.rb``: admins hold every right; non-admins act only
+on schemas granted to them; a locked or hidden account holds nothing; five
+failed logons lock the account (`app/controllers/login_controller.rb`).
+
+The activity log is an append-only Parquet ledger under the lake dir —
+flushed atomically, readable as a Dataset for audit queries.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+from .state.manifest import atomic_write_parquet
+
+MAX_FAILED_LOGONS = 5  # reference locks the account at the fifth failure
+
+ACTIVITY_LOG_SCHEMA = pa.schema(
+    [
+        pa.field("user_email", pa.string()),
+        pa.field("schema_name", pa.string()),
+        pa.field("table_name", pa.string()),
+        pa.field("column_name", pa.string()),
+        pa.field("action", pa.string()),
+        pa.field("client_ip", pa.string()),
+        pa.field("seq", pa.int64()),  # monotonic per registry instance
+    ]
+)
+
+
+@dataclass
+class User:
+    """USERS row (`create_users.rb:3-15`)."""
+
+    email: str
+    first_name: str = ""
+    last_name: str = ""
+    db_user: str | None = None
+    yn_admin: bool = False
+    yn_account_locked: bool = False
+    failed_logons: int = 0
+    yn_hidden: bool = False
+
+
+@dataclass
+class SchemaRight:
+    """SCHEMA_RIGHTS row (`create_schema_rights.rb:3-9`)."""
+
+    user_email: str
+    schema_name: str
+    info: str | None = None
+
+
+class NotAuthorized(PermissionError):
+    pass
+
+
+@dataclass
+class AuthRegistry:
+    """Users + grants + audit ledger, with the reference's semi-join checks.
+
+    ``deployable_schemas`` is the `Allowed_DB_Tables` semi-join shape
+    (`app/models/schema_right.rb`): the set of schemas the acting user may
+    touch, intersected against the capture config's schemas by callers."""
+
+    users: list[User] = field(default_factory=list)
+    schema_rights: list[SchemaRight] = field(default_factory=list)
+    log_dir: str | None = None  # lake_dir/_activity (None = in-memory only)
+    _activity: list[dict[str, Any]] = field(default_factory=list)
+    _seq: int = 0
+
+    # ------------------------------------------------------------- lookups
+    def user(self, email: str) -> User:
+        for u in self.users:
+            if u.email == email and not u.yn_hidden:
+                return u
+        raise KeyError(f"no user {email!r}")
+
+    def deployable_schemas(self, email: str, all_schemas: list[str]) -> list[str]:
+        """Schemas the user may deploy triggers on — the J3 semi-join."""
+        u = self.user(email)
+        if u.yn_account_locked:
+            return []
+        if u.yn_admin:
+            return list(all_schemas)
+        granted = {r.schema_name for r in self.schema_rights if r.user_email == email}
+        return [s for s in all_schemas if s in granted]
+
+    def check_deploy(self, email: str, schema_name: str) -> None:
+        """Raise unless the user holds a deployment grant on the schema."""
+        u = self.user(email)
+        if u.yn_account_locked:
+            raise NotAuthorized(f"account {email} is locked")
+        if u.yn_admin:
+            return
+        if not any(
+            r.user_email == email and r.schema_name == schema_name for r in self.schema_rights
+        ):
+            raise NotAuthorized(f"{email} has no right on schema {schema_name}")
+
+    # -------------------------------------------------------------- logons
+    def record_logon(self, email: str, success: bool) -> User:
+        """Failed-logon counting with auto-lock at MAX_FAILED_LOGONS."""
+        u = self.user(email)
+        if success:
+            if u.yn_account_locked:
+                raise NotAuthorized(f"account {email} is locked")
+            u.failed_logons = 0
+        else:
+            u.failed_logons += 1
+            if u.failed_logons >= MAX_FAILED_LOGONS:
+                u.yn_account_locked = True
+        self.log(email, action="logon" if success else "logon_failed")
+        return u
+
+    # --------------------------------------------------------------- audit
+    def log(
+        self,
+        user_email: str,
+        action: str,
+        schema_name: str | None = None,
+        table_name: str | None = None,
+        column_name: str | None = None,
+        client_ip: str | None = None,
+    ) -> None:
+        self._activity.append(
+            {
+                "user_email": user_email,
+                "schema_name": schema_name,
+                "table_name": table_name,
+                "column_name": column_name,
+                "action": action,
+                "client_ip": client_ip,
+                "seq": self._seq,
+            }
+        )
+        self._seq += 1
+
+    def activity_table(self) -> pa.Table:
+        return (
+            pa.Table.from_pylist(self._activity, schema=ACTIVITY_LOG_SCHEMA)
+            if self._activity
+            else ACTIVITY_LOG_SCHEMA.empty_table()
+        )
+
+    def flush_activity(self) -> str | None:
+        """Append the in-memory tail to the Parquet audit ledger (atomic)."""
+        if not self.log_dir or not self._activity:
+            return None
+        path = os.path.join(self.log_dir, f"activity-{self._seq:012d}.parquet")
+        atomic_write_parquet(self.activity_table(), path)
+        self._activity = []
+        return path
+
+    # ------------------------------------------------------ JSON round-trip
+    def to_dict(self) -> dict[str, Any]:
+        from dataclasses import asdict
+
+        return {
+            "users": [asdict(u) for u in self.users],
+            "schema_rights": [asdict(r) for r in self.schema_rights],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any], log_dir: str | None = None) -> "AuthRegistry":
+        return cls(
+            users=[User(**u) for u in d.get("users", [])],
+            schema_rights=[SchemaRight(**r) for r in d.get("schema_rights", [])],
+            log_dir=log_dir,
+        )

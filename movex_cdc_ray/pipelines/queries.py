@@ -29,7 +29,17 @@ STOPWORDS = {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"}
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    """Column-pruned parquet read with a metadata-free schema: the testdata
+    files carry pandas schema metadata that makes pa.Schema unhashable, which
+    defeats Ray's block-schema deduplication (the 'Failed to hash the
+    schemas' warning) — pass an explicit clean schema instead."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    full = pq.read_schema(path)
+    names = columns or full.names
+    clean = pa.schema([pa.field(n, full.field(n).type) for n in names])
+    return rd.read_parquet(path, columns=columns, schema=clean)
 
 
 # ---------------------------------------------------------------------------

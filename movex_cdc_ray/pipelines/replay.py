@@ -96,15 +96,21 @@ class CapturePartitionStage:
         self.hot_keys = hot_keys
         self.combine = combine
         keep: list[str] | None = None
+        self.old_pk_cols: list[str] = []
         if project_for_sink:
             fields = cfg.latest_version().payload_fields
             # old-image keep-set = UNION of PK columns across ALL tables:
             # a retried DELETE re-derives its key from old_<pk>, and in a
             # multi-table config another table's PK columns may differ
             pk = set().union(*(t.pk_columns for t in cfg.tables)) if cfg.tables else set()
-            keep = ["id", "table_id", "op", "txn_id", "created_at", "retry_count"]
+            keep = ["id", "table_id", "op", "created_at", "retry_count"]
+            # txn_id matters to the sink path only when a table keys by it
+            # (retried events re-derive msg keys through a fresh capture)
+            if any(t.key_handling == "T" for t in cfg.tables):
+                keep.insert(3, "txn_id")
             keep += [f"new_{f}" for f in fields]
-            keep += [f"old_{f}" for f in fields if f in pk]
+            self.old_pk_cols = [f"old_{f}" for f in fields if f in pk]
+            keep += self.old_pk_cols
             keep += ["key_string"]
         self.keep = keep
 
@@ -112,6 +118,27 @@ class CapturePartitionStage:
         out = self.capture(batch)
         if self.keep is not None:
             out = out.select([c for c in self.keep if c in out.column_names])
+            # the old image is consumed downstream ONLY by retried DELETEs
+            # (key re-derivation): null it everywhere else, so the shuffle
+            # ships no old PK string bytes for the ~all-upsert common case
+            if len(out) and self.old_pk_cols:
+                import pyarrow.compute as pc
+
+                op = out["op"]
+                if isinstance(op, pa.ChunkedArray):
+                    op = op.combine_chunks()
+                is_del = pc.equal(op, "D")
+                if not pc.all(is_del).as_py():
+                    for c in self.old_pk_cols:
+                        if c not in out.column_names:
+                            continue
+                        col = out[c]
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        out = out.set_column(
+                            out.column_names.index(c), c,
+                            pc.if_else(is_del, col, pa.nulls(len(out), col.type)),
+                        )
         out = assign_partitions(
             out,
             self.cfg.num_partitions,

@@ -85,5 +85,6 @@ def test_every_query_has_callable_and_oracle_keys():
         "ann_lsh",
         "text_langid",
         "multimodal_decode",
+        "multimodal_decode_real",
         "cdc_flagship_replay",
     }
