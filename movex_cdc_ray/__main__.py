@@ -122,6 +122,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import repartition_lake
+
+    cfg = _load_config(args)
+    m = repartition_lake(args.lake_dir, cfg, args.new_partitions)
+    print(json.dumps({"epoch": m.epoch, "num_partitions": m.num_partitions,
+                      "partitions": len(m.partitions), "rows": m.total_rows()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_health(args) -> int:
     from .stages.stats import health_check
 
@@ -216,6 +230,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("repartition", help="re-key the lake to a new partition count P")
+    common(sp)
+    sp.add_argument("--new-partitions", type=int, required=True)
+    sp.set_defaults(fn=cmd_repartition)
 
     sp = sub.add_parser("health", help="health check from manifests (no data scan)")
     common(sp, config=False)

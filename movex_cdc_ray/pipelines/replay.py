@@ -43,7 +43,7 @@ from ..stages.sink import (
     make_epoch_merger,
     merge_partition_files,
 )
-from ..state.manifest import Manifest, new_writer_token
+from ..state.manifest import Manifest, new_writer_token, staged_path
 
 logger = logging.getLogger(__name__)
 
@@ -510,6 +510,93 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
     }
     return manifest.commit_epoch(
         epoch, [], part_updates, new_writer_token(), metrics={"epoch": epoch, "compaction": True}
+    )
+
+
+def repartition_lake(lake_dir: str, cfg: CaptureConfig, new_num_partitions: int) -> Manifest:
+    """Re-key the lake to a new partition count P' — the ONLY sanctioned way
+    to change ``num_partitions`` on a live lake (the manifest fence refuses a
+    mismatched resume, see ``Manifest.check_partitioning``).
+
+    Distributed shape: read all bases (+ resolve delta chains) as a Dataset
+    → re-hash ``_key`` → ``groupby(part)`` → one writer task per new
+    partition → single atomic manifest commit carrying P'. Watermarks carry
+    over as the GLOBAL max (per-key ordering is preserved because a key's
+    entire history re-maps to exactly one new partition; the global max is a
+    safe over-approximation for replay dedup since every applied id is ≤ it)."""
+    from ..stages.partitioning import assign_partitions as _ap
+    from ..stages.sink import lake_table_schema, partition_sha, resolve_lake_tables
+
+    manifest = Manifest.latest(lake_dir)
+    if manifest.num_partitions == new_num_partitions:
+        return manifest
+    schema = lake_table_schema(cfg)
+    files = manifest.data_files()
+    epoch = manifest.epoch + 1
+    global_wm = max((p["watermark"] for p in manifest.partitions.values()), default=-1)
+
+    if not files:
+        m = Manifest(
+            lake_dir=lake_dir, epoch=manifest.epoch, partitions={},
+            chunks_consumed=manifest.chunks_consumed, hash_scheme=manifest.hash_scheme,
+        )
+        return m.commit_epoch(epoch, [], {}, new_writer_token(),
+                              metrics={"epoch": epoch, "repartition": True},
+                              num_partitions=new_num_partitions)
+
+    ds = rd.read_parquet(files)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        batch = pa.table(
+            {**{c: batch[c] for c in batch.column_names}, "key_string": batch["_key"],
+             "id": batch["_last_id"]}
+        )
+        out = _ap(batch, new_num_partitions)
+        return out.drop_columns(["key_string", "id"])
+
+    def write_part(group: pa.Table, _schema=schema, _lake=lake_dir, _epoch=epoch) -> pa.Table:
+        from ..events import align_to_schema as _align
+        from ..stages.sink import atomic_write_parquet as _aw
+
+        part = int(group["part"][0].as_py())
+        t = group.drop_columns(["part"])
+        t = resolve_lake_tables([t], _schema)  # dedup delta chains + key-sort
+        t = _align(t, _schema)
+        out_path = staged_path(_lake, _epoch, part)
+        nbytes = _aw(t, out_path)
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([len(t)], pa.int64()),
+                "path": pa.array([out_path], pa.string()),
+                "sha": pa.array([partition_sha(t)], pa.string()),
+                "bytes": pa.array([nbytes], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(rekey, batch_format="pyarrow")
+        .groupby("part", num_partitions=new_num_partitions)
+        .map_groups(write_part, batch_format="pyarrow")
+        .take_all()
+    )
+    part_updates = {
+        str(r["part"]): {
+            "path": r["path"], "deltas": [], "rows": r["rows"],
+            "watermark": global_wm, "sha": r["sha"],
+        }
+        for r in rows
+    }
+    # fresh partition map under the new P (old entries must not carry over)
+    base = Manifest(
+        lake_dir=lake_dir, epoch=manifest.epoch, partitions={},
+        chunks_consumed=manifest.chunks_consumed, hash_scheme=manifest.hash_scheme,
+    )
+    return base.commit_epoch(
+        epoch, [], part_updates, new_writer_token(),
+        metrics={"epoch": epoch, "repartition": True, "from_p": manifest.num_partitions,
+                 "to_p": new_num_partitions},
+        num_partitions=new_num_partitions,
     )
 
 

@@ -210,14 +210,22 @@ def resolve_lake_tables(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Ta
     if not tables:
         return lake_schema.empty_table()
     t = pa.concat_tables(tables)
-    df = t.select(["_key", "_last_id"]).to_pandas()
-    idx = df.groupby("_key")["_last_id"].idxmax()
-    t = t.take(pa.array(idx.to_numpy()))
-    t = drop_tombstones(t)
-    if len(t):
-        key = t["_key"].combine_chunks() if isinstance(t["_key"], pa.ChunkedArray) else t["_key"]
-        t = t.take(pc.sort_indices(key))
-    return t
+    # arg-max by (_key, _last_id): sort key-asc/id-desc, keep each key's
+    # first row — pure Arrow kernels (this also leaves the result key-sorted)
+    order = pc.sort_indices(
+        t.select(["_key", "_last_id"]),
+        sort_keys=[("_key", "ascending"), ("_last_id", "descending")],
+    )
+    t = t.take(order)
+    keys = t["_key"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(t)
+    if n > 1:
+        firsts = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+        mask = pa.concat_arrays([pa.array([True]), pc.fill_null(firsts, True)])
+        t = t.filter(mask)
+    return drop_tombstones(t)
 
 
 def partition_sha(lake: pa.Table, sha_cols: list[str] | None = None) -> str:

@@ -141,3 +141,35 @@ def test_project_for_sink_keeps_all_tables_pk_old_columns():
     assert "old_repo" in stage.keep and "old_path" in stage.keep
     assert "old_commit" in stage.keep  # table 2's PK old-image survives projection
     assert "old_content" not in stage.keep  # non-PK old image still dropped
+
+
+def test_repartition_lake_end_to_end(ray_session, tmp_path):
+    # converge at P=4, repartition to P=8, verify identical content, then
+    # continue replaying NEW chunks at the new P (fence lifted)
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, repartition_lake, replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, expected_lake_state, generate_stream
+
+    spec = StreamSpec(n_events=6_000, n_repos=6, paths_per_repo=25, chunk_size=1_500)
+    stream, lake = str(tmp_path / "s"), str(tmp_path / "l")
+    generate_stream(stream, spec)
+    cfg4 = config_for_spec(spec, num_partitions=4)
+    replay(stream, lake, cfg4, chunks_per_epoch=2, max_epochs=1)  # half the stream
+    before = lake_to_pandas(lake)
+
+    cfg8 = config_for_spec(spec, num_partitions=8)
+    with pytest.raises(RuntimeError, match="partitioning mismatch"):
+        replay(stream, lake, cfg8, chunks_per_epoch=2)
+
+    m = repartition_lake(lake, cfg8, 8)
+    assert m.num_partitions == 8 and len(m.partitions) <= 8
+    mid = lake_to_pandas(lake)
+    cols = ["repo", "path", "commit", "content", "_last_id", "_last_op"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(before[cols].reset_index(drop=True),
+                                  mid[cols].reset_index(drop=True))
+
+    replay(stream, lake, cfg8, chunks_per_epoch=2)  # finish at the new P
+    got = lake_to_pandas(lake)
+    exp = expected_lake_state(spec)
+    pd.testing.assert_frame_equal(got[cols].reset_index(drop=True),
+                                  exp[cols].reset_index(drop=True))
