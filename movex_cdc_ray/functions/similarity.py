@@ -242,3 +242,116 @@ def lsh_bucketed_ann(
         g["cosine"] = g["cosine"].round(6)
         out.append(g)
     return pd.concat(out, ignore_index=True)[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + per-cell scoring
+# ---------------------------------------------------------------------------
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 17) -> np.ndarray:
+    """Small deterministic Lloyd's k-means on a normalized sample (driver-side
+    on a few thousand rows — the coarse-quantizer training step of IVF)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on normalized rows
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-style approximate top-k: a coarse k-means quantizer (trained on a
+    deterministic sample) partitions the corpus into cells; each query scores
+    only its ``n_probe`` nearest cells, inside ``groupby(cell).map_groups``.
+
+    Same scale shape as ``lsh_bucketed_ann`` (one bucketing shuffle, scoring
+    distributed, driver merges (cells × queries × k) partial rows) but with a
+    data-adaptive partitioner — better recall on clustered corpora. At 100 TB
+    the sample comes from ``ds.limit`` over the first blocks and the
+    assignment stage streams; centroids stay a tiny broadcast."""
+    sample_rows_list = ds.limit(sample_rows).take_all()
+    smat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows_list]))
+    centroids = _kmeans(smat, n_centroids, seed=seed)
+
+    qset = set(query_ids)
+    qrows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
+        batch_format="pyarrow",
+    ).take_all()
+    qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    nprobe = min(n_probe, len(centroids))
+    qcells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # (nq, n_probe)
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(qcells):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+    probed = np.array(sorted(cell_to_queries), dtype=np.int64)
+    side = ray.put({"qids": qids, "qmat": qmat, "c2q": cell_to_queries, "k": k,
+                    "centroids": centroids})
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch[vec_col]))
+        s = ray.get(side)
+        cells = np.argmax(mat @ s["centroids"].T, axis=1).astype(np.int64)
+        t = batch.select([id_col, vec_col]).append_column("cell", pa.array(cells))
+        return t.filter(pa.array(np.isin(cells, probed)))
+
+    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        s = ray.get(side)
+        qidx = s["c2q"].get(int(g["cell"].iloc[0]))
+        if not qidx:
+            return empty
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = s["qmat"][qidx] @ mat.T
+        kk = min(s["k"] + 1, sims.shape[1])
+        sel = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        frames = [
+            pd.DataFrame({
+                "query_id": np.full(kk, s["qids"][qi], dtype=np.int64),
+                "neighbor_id": ids[sel[row]],
+                "cosine": sims[row, sel[row]],
+            })
+            for row, qi in enumerate(qidx)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    partials = (
+        ds.map_batches(assign_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(score_cell, batch_format="pandas")
+    ).to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [], "cosine": []})
+    out = []
+    for qi in range(len(qids)):
+        g = partials[(partials["query_id"] == qids[qi]) & (partials["neighbor_id"] != qids[qi])]
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = g["cosine"].round(6)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)[["query_id", "neighbor_id", "rank", "cosine"]]

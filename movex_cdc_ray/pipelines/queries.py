@@ -582,6 +582,13 @@ def ann_lsh(sf_dir: str) -> pd.DataFrame:
     return fsim.lsh_bucketed_ann(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer, probe
+    the nearest cells, score inside groupby(cell) (rows-only check)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return fsim.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=4)
+
+
 def text_tokens(sf_dir: str) -> pd.DataFrame:
     """Token counting: chars + whitespace tokens (vectorized Arrow kernels)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -793,6 +800,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_clean": corpus_clean,
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,

@@ -91,7 +91,7 @@ class CapturePartitionStage:
 
     def __init__(self, cfg: CaptureConfig, hot_keys: frozenset[str] | None = None,
                  combine: bool = True, project_for_sink: bool = False):
-        self.capture = CaptureStage(cfg)
+        self.capture = CaptureStage(cfg, sink_mode=project_for_sink)
         self.cfg = cfg
         self.hot_keys = hot_keys
         self.combine = combine

@@ -85,7 +85,9 @@ def _payload_field_names(schema: pa.Schema) -> list[str]:
     return [n[len("new_") :] for n in schema.names if n.startswith("new_")]
 
 
-def derive_keys(batch: pa.Table, plan: TablePlan) -> tuple[pa.Array, pa.Array]:
+def derive_keys(
+    batch: pa.Table, plan: TablePlan, skip_msg_key: bool = False
+) -> tuple[pa.Array | None, pa.Array]:
     """(msg_key, key_string) per row.
 
     ``msg_key`` is the outgoing (Kafka-style) message key per mode N/P/F/T/E
@@ -119,6 +121,11 @@ def derive_keys(batch: pa.Table, plan: TablePlan) -> tuple[pa.Array, pa.Array]:
         key_string = pc.binary_join_element_wise(*parts, KEY_SEP)
     else:
         key_string = pa.nulls(n, pa.string())
+
+    if skip_msg_key:
+        # sink mode: the lake merge keys on key_string alone; the rendered
+        # Kafka message key (P-mode JSON escaping etc.) is never consumed
+        return None, key_string
 
     mode = t.key_handling
     if mode == "N":
@@ -162,13 +169,22 @@ class CaptureStage:
     columns (named ``new_<name>`` / ``old_<name>``).
     """
 
-    def __init__(self, cfg: CaptureConfig, count_suppressed: bool = False):
+    def __init__(self, cfg: CaptureConfig, count_suppressed: bool = False,
+                 sink_mode: bool = False):
+        """``sink_mode=True`` specializes the stage for the lake-merge path:
+        the message key and the per-op payload nulling whose effect the merge
+        provably never reads (new-image on DELETE rows — dropped as
+        tombstones; the whole old image — consumed only by the suppression
+        compare, which runs before) are skipped. Message rendering /
+        conformance always use the default full mode. Lake output is
+        byte-identical either way (asserted in tests)."""
         self.cfg = cfg
         self.plans = compile_plan(cfg)
         self.event_schema = change_event_schema(cfg.latest_version().payload_fields)
         self.payload_fields = list(cfg.latest_version().payload_fields)
         self.counters: dict[tuple[int, str, str], int] = {}
         self.count_suppressed = count_suppressed
+        self.sink_mode = sink_mode
 
     def _count(self, table_id: int, op_counts: dict[str, int], counter_type: str) -> None:
         for op, n in op_counts.items():
@@ -209,16 +225,21 @@ class CaptureStage:
             op = op.combine_chunks()
         n = len(batch)
 
+        # one Arrow equality kernel per op code (object-dtype numpy compares
+        # would be Python-level per row); everything downstream is bool numpy
+        op_eq = {
+            o: pc.equal(op, o).to_numpy(zero_copy_only=False) for o in ("I", "U", "D", "i")
+        }
+
         # 2) op-flag filter: an op with no logged columns has no trigger (M2)
         keep = np.zeros(n, dtype=bool)
-        op_np = op.to_numpy(zero_copy_only=False)
         for o in ("I", "U", "D", "i"):
             if plan.logged[o]:
-                keep |= op_np == o
+                keep |= op_eq[o]
 
         # 3) per-op row predicates (M3)
         for o, code in plan.conditions.items():
-            rows_o = op_np == o
+            rows_o = op_eq[o]
             if not rows_o.any():
                 continue
             mask = eval_mask(code, batch).to_numpy(zero_copy_only=False)
@@ -227,7 +248,7 @@ class CaptureStage:
 
         # 4) update-only-on-change suppression (M4): NULL-safe old!=new over
         #    the columns OBSERVED for update (the trigger's UPDATE OF list)
-        upd = op_np == "U"
+        upd = op_eq["U"]
         if upd.any() and plan.logged["U"]:
             changed = np.zeros(n, dtype=bool)
             for c in plan.logged["U"]:
@@ -236,20 +257,34 @@ class CaptureStage:
                     changed |= neq.to_numpy(zero_copy_only=False)
             keep &= ~(upd & ~changed)
 
-        sub = batch.filter(pa.array(keep)) if not keep.all() else batch
-        op_np = op_np[keep] if not keep.all() else op_np
+        if not keep.all():
+            sub = batch.filter(pa.array(keep))
+            op_eq = {o: v[keep] for o, v in op_eq.items()}
+        else:
+            sub = batch
 
         # 5) per-op payload projection (M2): null out unlogged columns; insert
-        #    events keep no old object, delete events no new object
-        is_i = np.isin(op_np, ("I", "i"))
-        is_d = op_np == "D"
+        #    events keep no old object, delete events no new object.
+        #    Sink mode relaxes the masks with don't-care rows (the merge drops
+        #    D rows' new image as tombstones and never reads the old image —
+        #    suppression already consumed it), so the common all-columns-
+        #    logged config skips every if_else kernel here. Guarded off when
+        #    computed expressions exist (they may read projected columns).
+        is_i = op_eq["I"] | op_eq["i"]
+        is_u = op_eq["U"]
+        is_d = op_eq["D"]
+        has_exprs = any(plan.expressions[o] for o in ("I", "U", "D", "i"))
+        sink_fast = self.sink_mode and not has_exprs
         cols = {name: sub[name] for name in sub.column_names}
         for f in self.payload_fields:
             logged_i = f in plan.logged["I"] or f in plan.logged["i"]
             logged_u = f in plan.logged["U"]
             logged_d = f in plan.logged["D"]
-            new_mask = (is_i & logged_i) | ((op_np == "U") & logged_u)
-            old_mask = ((op_np == "U") & logged_u) | (is_d & logged_d)
+            new_mask = (is_i & logged_i) | (is_u & logged_u)
+            old_mask = (is_u & logged_u) | (is_d & logged_d)
+            if sink_fast:
+                new_mask = new_mask | is_d
+                old_mask = old_mask | ~is_d
             for prefix, mask in (("new", new_mask), ("old", old_mask)):
                 name = f"{prefix}_{f}"
                 col = cols[name]
@@ -263,7 +298,7 @@ class CaptureStage:
         # 6) computed column expressions (M6): appended per op, target old/new
         for o in ("I", "U", "D", "i"):
             for name, target, code in plan.expressions[o]:
-                rows_o = pa.array(op_np == o)
+                rows_o = pa.array(op_eq[o])
                 val = eval_expr(code, sub)
                 if isinstance(val, np.ndarray):
                     val = pa.array(val)
@@ -283,8 +318,9 @@ class CaptureStage:
                     sub = sub.append_column(colname, val)
 
         # 7) message key + canonical partition key (M7)
-        msg_key, key_string = derive_keys(sub, plan)
-        sub = sub.append_column("msg_key", msg_key)
+        msg_key, key_string = derive_keys(sub, plan, skip_msg_key=self.sink_mode)
+        if msg_key is not None:
+            sub = sub.append_column("msg_key", msg_key)
         sub = sub.append_column("key_string", key_string)
 
         # 8) yn_record_txid gating: the reference's trigger records the local

@@ -86,5 +86,6 @@ def test_every_query_has_callable_and_oracle_keys():
         "text_langid",
         "multimodal_decode",
         "multimodal_decode_real",
+        "ann_ivf",
         "cdc_flagship_replay",
     }

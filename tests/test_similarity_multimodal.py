@@ -194,3 +194,48 @@ def test_frame_sample_then_decode_chained_pipeline(ray_session):
     )
     assert len(out) == 18  # 6 videos x 3 frames
     assert all(len(r["feature"]) == 64 for r in out)
+
+
+def test_ivf_topk_matches_bruteforce_on_clustered_data(ray_session):
+    # clustered corpus: IVF with enough probes must recover the true top-k
+    import numpy as np
+
+    from movex_cdc_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, 12)) * 3
+    vecs = np.concatenate([c + 0.3 * rng.standard_normal((50, 12)) for c in centers])
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    exact = brute_force_topk(ds, query_ids=[0, 60], k=5)
+    approx = ivf_topk(rd.from_arrow(t), query_ids=[0, 60], k=5, n_centroids=8, n_probe=8)
+    # n_probe == n_centroids → every cell probed → recall 1.0, exact match
+    ga = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    gb = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert ga["neighbor_id"].tolist() == gb["neighbor_id"].tolist()
+    # deterministic across runs
+    approx2 = ivf_topk(rd.from_arrow(t), query_ids=[0, 60], k=5, n_centroids=8, n_probe=8)
+    assert approx.equals(approx2)
+
+
+def test_ivf_topk_partial_probe_is_subset(ray_session):
+    import numpy as np
+
+    from movex_cdc_ray.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(22)
+    vecs = rng.standard_normal((120, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(120)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = ivf_topk(rd.from_arrow(t), query_ids=[3], k=5, n_centroids=8, n_probe=2)
+    assert len(out) <= 5 and (out["query_id"] == 3).all()
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
