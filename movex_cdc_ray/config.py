@@ -216,6 +216,15 @@ class CaptureConfig:
     schema_versions: list[SchemaVersion] = field(default_factory=list)
     num_partitions: int = 32
     capture_parallelism: int = 8  # capture blocks per epoch (0 = one per CPU)
+    # combiner batch size: events per capture batch fed to the last-per-key
+    # combiner. None (default) keeps the read→capture operator FUSED (zero
+    # object-store hop; combiner works per parquet row group) — fastest on a
+    # single node. Setting ~400_000 coalesces batches so the combiner cuts
+    # shuffle rows ~2.8× (measured 4.16M → 1.48M per 5M events) at the cost
+    # of unfusing the read: the right trade on a multi-node cluster where
+    # shuffle rows cross the NETWORK but the read hop stays node-local.
+    # A JOB parameter — keep identical across cluster sizes (docs/SCALE.md).
+    combine_batch_size: int | None = None
     max_transaction_size: int = 10_000
     error_max_retries: int = 5
     error_retry_start_delay: float = 20.0
@@ -295,6 +304,7 @@ class CaptureConfig:
                 for k in (
                     "num_partitions",
                     "capture_parallelism",
+                    "combine_batch_size",
                     "max_transaction_size",
                     "error_max_retries",
                     "error_retry_start_delay",

@@ -309,7 +309,10 @@ def run_epoch(
     ds = ds.map_batches(
         stage,
         batch_format="pyarrow",
-        batch_size=batch_size,  # None = whole blocks, no re-batching copies
+        # coalesce file-sized blocks into combiner-effective batches (see
+        # CaptureConfig.combine_batch_size); None would combine per ~chunk
+        # file and ship nearly every event through the shuffle
+        batch_size=batch_size if batch_size is not None else (cfg.combine_batch_size or None),
         zero_copy_batch=True,
     )
     if shuffle_mode == "files" and not salted:
