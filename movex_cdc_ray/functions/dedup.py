@@ -214,6 +214,133 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_exact(
+    ds: rd.Dataset, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, max_df: int | None = None,
+) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index
+    (no LSH recall loss, no all-pairs scan, no driver-side materialization).
+
+    Shape: docs → distinct word-``k``-shingle hashes exploded to
+    ``(doc_id, shingle, set_size)`` rows → ``groupby(shingle)`` generates each
+    co-occurring pair once per shared shingle → ``groupby(pair)`` counts give
+    the intersection size exactly → vectorized ``|∩| / (|A|+|B|-|∩|)`` filter.
+    Only pairs sharing ≥1 shingle are ever compared — the exact-Jaccard
+    analog of the reference-free dedup in MinHash pipelines, with none of the
+    banding approximation.
+
+    ``max_df`` (default None = exact) skips pair generation inside shingle
+    groups larger than ``max_df`` docs — the standard stop-shingle cut that
+    bounds the per-group O(d²) pair fan-out at corpus scale. With it set the
+    result is approximate (pairs sharing only ultra-common shingles are
+    missed); the DuckDB oracle matches the default exact mode.
+
+    Shingles travel as 64-bit hashes (``pd.util.hash_array``), so intersection
+    counts equal the string-set counts up to a ~n²/2⁶⁴ collision probability —
+    negligible below ~10⁹ distinct shingles per corpus.
+    """
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[np.ndarray] = []
+        hashes: list[np.ndarray] = []
+        sizes: list[np.ndarray] = []
+        for did, txt in zip(batch[id_col].to_numpy(), batch[text_col].fillna("")):
+            words = _WORD_RE.findall(txt.lower())
+            if not words:
+                continue  # empty doc: Jaccard undefined, excluded (oracle: len(w) > 0)
+            if len(words) < k:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            sh = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False))
+            doc_ids.append(np.full(len(sh), did, dtype=np.int64))
+            hashes.append(sh.astype(np.uint64))
+            sizes.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not doc_ids:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "sh": pd.Series(dtype="uint64"),
+                 "sz": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {id_col: np.concatenate(doc_ids), "sh": np.concatenate(hashes),
+             "sz": np.concatenate(sizes)}
+        )
+
+    # Pair generation groups by a COARSE bucket (sh % n_buckets), not by the
+    # shingle itself: a per-shingle map_groups would pay one Python call per
+    # distinct shingle (millions at corpus scale); a bucket holds its
+    # shingles' complete groups (hash co-location), so one vectorized pandas
+    # self-merge per bucket generates every within-shingle pair. A pair
+    # sharing shingles in several buckets surfaces once per bucket with a
+    # partial count — the global Sum yields the exact intersection size.
+    n_buckets = 64
+    empty_partial = pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+         "npart": pd.Series(dtype="int64"),
+         "sa": pd.Series(dtype="int64"), "sb": pd.Series(dtype="int64"),
+         "pkt": pd.Series(dtype="int32")}
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_sh = g.groupby("sh")["sh"].transform("size")
+        keep = df_per_sh >= 2
+        if max_df is not None:
+            keep &= df_per_sh <= max_df
+        g = g[keep]
+        if len(g) < 2:
+            return empty_partial
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if len(m) == 0:
+            return empty_partial
+        part = (
+            m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
+            .agg(npart=("sh", "size"), sa=("sz_a", "first"), sb=("sz_b", "first"))
+            .reset_index()
+            .rename(columns={f"{id_col}_a": "a_id", f"{id_col}_b": "b_id"})
+        )
+        # route each pair to ONE reduce bucket (Ray's generic multi-key
+        # Aggregate measured ~10x slower than this sort+map_groups reduce)
+        part["pkt"] = ((part["a_id"] * 1_000_003 + part["b_id"]) % n_buckets).astype(np.int32)
+        return part.astype({"a_id": "int64", "b_id": "int64", "npart": "int64"})
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # same pair surfaces once per shingle-bucket it co-occurs in; the sum
+        # of partial counts is the exact intersection size
+        agg = (
+            g.groupby(["a_id", "b_id"], sort=False)
+            .agg(ninter=("npart", "sum"), sa=("sa", "first"), sb=("sb", "first"))
+            .reset_index()
+        )
+        jac = agg["ninter"] / (agg["sa"] + agg["sb"] - agg["ninter"])
+        agg = agg[jac >= threshold]
+        return pd.DataFrame(
+            {"a_id": agg["a_id"], "b_id": agg["b_id"],
+             "jac": (agg["ninter"] / (agg["sa"] + agg["sb"] - agg["ninter"])).round(6)}
+        )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bkt"] = (batch["sh"] % np.uint64(n_buckets)).astype(np.int32)
+        return batch
+
+    exploded = ds.map_batches(explode, batch_format="pandas").map_batches(
+        add_bucket, batch_format="pandas"
+    )
+    pairs = (
+        exploded.groupby("bkt")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pkt")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+             "jac": pd.Series(dtype="float64")}
+        )
+    return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

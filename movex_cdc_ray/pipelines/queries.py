@@ -25,6 +25,40 @@ from ..functions import similarity as fsim
 from ..stages import stats as fstats
 
 STOPWORDS_SQL = "('the','a','of','to','and','in','is','it','that','for')"
+
+
+def _langid_sql() -> str:
+    """DuckDB oracle for LangIdStage, generated from the same profiles so
+    the two can never drift: per-language stopword hit counts, argmax with
+    first-profile-wins ties, 'und' when nothing matches."""
+    from ..functions.text import _STOPWORDS
+
+    profs = list(_STOPWORDS.items())
+    scores = ",\n                 ".join(
+        f"len(list_filter(ws, x -> x IN ({', '.join(repr(w) for w in sorted(prof))}))) AS s_{lang}"
+        for lang, prof in profs
+    )
+    gx = f"greatest({', '.join('s_' + lang for lang, _ in profs)})"
+    arms = "\n                    ".join(
+        f"WHEN s_{lang} = {gx} THEN '{lang}'" for lang, _ in profs[:-1]
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-zà-ÿäöüß'']+') AS ws
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 {scores}
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN {gx} = 0 THEN 'und'
+                    {arms}
+                    ELSE '{profs[-1][0]}' END AS pred_lang
+        FROM s
+        ORDER BY doc_id
+    """
 STOPWORDS = {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"}
 
 
@@ -549,6 +583,17 @@ def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return fdedup.ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def dedup_jaccard(sf_dir: str) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index shape, no LSH
+    recall loss) — full DuckDB value oracle; see dedup_minhash for the
+    banded approximate variant of the same similarity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pdf = fdedup.ngram_jaccard_exact(ds, threshold=0.5)
+    pdf["a_id"] = pdf["a_id"].astype("int64")
+    pdf["b_id"] = pdf["b_id"].astype("int64")
+    return pdf
+
+
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash fingerprints + 16-bit bands for hamming bucketing (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -625,7 +670,8 @@ def text_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def text_langid(sf_dir: str) -> pd.DataFrame:
-    """Language-ID heuristic (stopword profiles; rows-only check)."""
+    """Language-ID heuristic (stopword-profile argmax; full SQL oracle
+    generated from the same profiles — see _langid_sql)."""
     from ..functions.text import LangIdStage
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -794,6 +840,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "sessionize": sessionize,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_jaccard": dedup_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -974,6 +1021,30 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY md5(text)
         ORDER BY content_md5
     """,
+    "dedup_jaccard": r"""
+        WITH docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+            END)) AS g
+          FROM docs WHERE len(w) > 0
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ninter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               ROUND(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jac
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5
+        ORDER BY a_id, b_id
+    """,
     "knn_bruteforce": """
         SELECT query_id, neighbor_id, rank, cosine
         FROM (
@@ -1032,6 +1103,9 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY md5(text)
         ORDER BY doc_id
     """,
-    # rows-only (no SQL-expressible oracle): cdc_* none; training-data:
-    # dedup_minhash, dedup_simhash, ann_lsh, text_langid, multimodal_decode
+    "text_langid": _langid_sql(),
+    # rows-only (no SQL-expressible oracle): cdc_flagship_replay (stateful
+    # epoch protocol); training-data: dedup_minhash / dedup_simhash /
+    # dedup_embedding_lsh (seeded hash families), ann_lsh / ann_ivf
+    # (approximate recall), multimodal_decode* (binary codecs)
 }

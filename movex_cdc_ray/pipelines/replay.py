@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -260,6 +261,28 @@ def _merge_via_winner_filter(
     return stats_ds.take_all()
 
 
+@contextmanager
+def _epoch_execution_context():
+    """Disable Ray Data's per-operator resource reservation for the epoch
+    pipeline (save/restore so other pipelines in the session are untouched).
+
+    The epoch pipeline is 3 task-based operators (read→capture fused, sort
+    exchange, per-partition merge) with ~80 MB blocks against a ~40 GiB
+    object store — reservation protects nothing here, but its 0.5 ratio
+    visibly starves the capture operator when CPUs are scarce: measured on
+    the 10M-event replay, 4 CPUs 235k→554k ev/s (2.4×), 2 CPUs 218k→291k,
+    8 CPUs 580k→822k, 16 CPUs ~900k (reservation on→off; docs/SCALE.md).
+    Safe to disable per-epoch: no actor pools participate (the known
+    starve-upstream hazard reservation guards against)."""
+    ctx = rd.DataContext.get_current()
+    prev = ctx.op_resource_reservation_enabled
+    ctx.op_resource_reservation_enabled = False
+    try:
+        yield
+    finally:
+        ctx.op_resource_reservation_enabled = prev
+
+
 def run_epoch(
     cfg: CaptureConfig,
     manifest: Manifest,
@@ -304,30 +327,33 @@ def run_epoch(
     # combiner's reduction ratio — and therefore the shuffle volume — between
     # cluster sizes, silently skewing any scaling comparison.
     nblocks = cfg.capture_parallelism or max(1, int(ray.cluster_resources().get("CPU", 8)))
-    ds = read_chunks(files, override_num_blocks=nblocks)
-    stage = CapturePartitionStage(cfg, hot_keys=hot_keys, project_for_sink=True)
-    ds = ds.map_batches(
-        stage,
-        batch_format="pyarrow",
-        # coalesce file-sized blocks into combiner-effective batches (see
-        # CaptureConfig.combine_batch_size); None would combine per ~chunk
-        # file and ship nearly every event through the shuffle
-        batch_size=batch_size if batch_size is not None else (cfg.combine_batch_size or None),
-        zero_copy_batch=True,
-    )
-    if shuffle_mode == "files" and not salted:
-        stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest, merge_mode)
-    elif shuffle_mode == "winners" and not salted:
-        stats_rows = _merge_via_winner_filter(cfg, ds, lake_dir, epoch, manifest, merge_mode)
-    else:
-        if salted and hot_keys:
-            # stage-1 of the two-stage skew merge: combine per (part, salt)
-            ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
-        merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
-        stats_ds = ds.groupby("part", num_partitions=cfg.num_partitions).map_groups(
-            merger, batch_format="pyarrow"
+    with _epoch_execution_context():
+        # NOTE: a Dataset snapshots its DataContext at CREATION — the tuned
+        # context must wrap read_chunks, not just the consuming take_all
+        ds = read_chunks(files, override_num_blocks=nblocks)
+        stage = CapturePartitionStage(cfg, hot_keys=hot_keys, project_for_sink=True)
+        ds = ds.map_batches(
+            stage,
+            batch_format="pyarrow",
+            # coalesce file-sized blocks into combiner-effective batches (see
+            # CaptureConfig.combine_batch_size); None would combine per ~chunk
+            # file and ship nearly every event through the shuffle
+            batch_size=batch_size if batch_size is not None else (cfg.combine_batch_size or None),
+            zero_copy_batch=True,
         )
-        stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
+        if shuffle_mode == "files" and not salted:
+            stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest, merge_mode)
+        elif shuffle_mode == "winners" and not salted:
+            stats_rows = _merge_via_winner_filter(cfg, ds, lake_dir, epoch, manifest, merge_mode)
+        else:
+            if salted and hot_keys:
+                # stage-1 of the two-stage skew merge: combine per (part, salt)
+                ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
+            merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
+            stats_ds = ds.groupby("part", num_partitions=cfg.num_partitions).map_groups(
+                merger, batch_format="pyarrow"
+            )
+            stats_rows = stats_ds.take_all()  # tiny: one row per touched partition
 
     if merge_mode == "delta":
         # append to each partition's delta chain; base untouched this epoch

@@ -83,7 +83,6 @@ def test_every_query_has_callable_and_oracle_keys():
         "dedup_simhash",
         "dedup_embedding_lsh",
         "ann_lsh",
-        "text_langid",
         "multimodal_decode",
         "multimodal_decode_real",
         "ann_ivf",

@@ -13,6 +13,7 @@ from movex_cdc_ray.functions.dedup import (
     exact_dedup_keep_first,
     jaccard,
     minhash_lsh_buckets,
+    ngram_jaccard_exact,
     ngram_jaccard_pairs,
 )
 from movex_cdc_ray.functions.text import Fingerprinter, LangIdStage, QualityScorer, TokenCounter
@@ -90,6 +91,34 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert len(buckets) > 0  # the near-dup pair shares at least one band
     pairs = ngram_jaccard_pairs(ds, threshold=0.5)
     assert [(0, 1)] == list(zip(pairs["a_id"], pairs["b_id"]))
+
+
+def test_ngram_jaccard_exact_matches_reference(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = base.replace("woods", "forest")
+    texts = [base, near, "totally different content about ray data pipelines", base]
+    ds = docs(texts)
+    out = ngram_jaccard_exact(ds, threshold=0.5)
+    got = list(zip(out["a_id"], out["b_id"]))
+    assert got == [(0, 1), (0, 3), (1, 3)]
+    # exact value: the inverted-index count must equal the set-based jaccard
+    for (a, b), jc in zip(got, out["jac"]):
+        assert jc == pytest.approx(round(jaccard(texts[a], texts[b]), 6), abs=1e-9)
+    assert out["jac"].iloc[1] == 1.0  # identical docs
+
+
+def test_ngram_jaccard_exact_max_df_drops_stop_shingles(ray_session):
+    # four identical docs: every shingle has df=4; max_df=3 suppresses all pairs
+    ds = docs(["alpha beta gamma delta epsilon"] * 4)
+    assert len(ngram_jaccard_exact(ds, threshold=0.5)) == 6
+    assert len(ngram_jaccard_exact(ds, threshold=0.5, max_df=3)) == 0
+
+
+def test_ngram_jaccard_exact_short_and_empty_docs(ray_session):
+    # <k words → one shingle of the whole text; empty/whitespace docs excluded
+    ds = docs(["tiny doc", "tiny doc", "   ", ""])
+    out = ngram_jaccard_exact(ds, threshold=0.5)
+    assert list(zip(out["a_id"], out["b_id"], out["jac"])) == [(0, 1, 1.0)]
 
 
 def test_simhash_hamming_locality():
