@@ -342,7 +342,16 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                 count_order=("l_quantity", "size"),
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit declared schema (no pandas metadata) so every partial
+        # block hashes identically for Ray's schema dedup
+        return pa.table(
+            {"l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+             "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+             "sum_qty": pa.array(g["sum_qty"], pa.float64()),
+             "sum_base_cents": pa.array(g["sum_base_cents"], pa.int64()),
+             "sum_disc_cents": pa.array(g["sum_disc_cents"], pa.int64()),
+             "count_order": pa.array(g["count_order"], pa.int64())}
+        )
 
     from ray.data.aggregate import Sum
 
@@ -455,45 +464,53 @@ def join_hash(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
+    # both tags emit the SAME declared schema (o_orderpriority string on
+    # both sides, no pandas metadata): union sides must match exactly or
+    # Ray's block concat falls back to slow schema unification and logs
+    # "Failed to hash the schemas" from every reduce task
     def tag_li(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        out = pd.DataFrame(
+        ok = batch["l_orderkey"].combine_chunks() if isinstance(batch["l_orderkey"], pa.ChunkedArray) else batch["l_orderkey"]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
             {
-                "bucket": (pdf["l_orderkey"] % B).astype("int64"),
-                "orderkey": pdf["l_orderkey"],
-                "rev_cents": np.floor(
-                    pdf["l_extendedprice"] * (1 - pdf["l_discount"]) * 100 + 0.5
-                ).astype("int64"),
-                "o_orderpriority": pd.Series([None] * len(pdf), dtype="object"),
-                "side": "L",
+                "bucket": pc.bit_wise_and(ok.cast(pa.int64()), B - 1),  # B is a power of 2
+                "orderkey": ok.cast(pa.int64()),
+                "rev_cents": pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "side": pa.array(["L"] * n, pa.string()),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     def tag_o(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        out = pd.DataFrame(
+        ok = batch["o_orderkey"].combine_chunks() if isinstance(batch["o_orderkey"], pa.ChunkedArray) else batch["o_orderkey"]
+        n = len(batch)
+        return pa.table(
             {
-                "bucket": (pdf["o_orderkey"] % B).astype("int64"),
-                "orderkey": pdf["o_orderkey"],
-                "rev_cents": np.zeros(len(pdf), dtype="int64"),
-                "o_orderpriority": pdf["o_orderpriority"].astype("object"),
-                "side": "O",
+                "bucket": pc.bit_wise_and(ok.cast(pa.int64()), B - 1),
+                "orderkey": ok.cast(pa.int64()),
+                "rev_cents": pa.array(np.zeros(n, dtype="int64")),
+                "o_orderpriority": batch["o_orderpriority"].cast(pa.string()),
+                "side": pa.array(["O"] * n, pa.string()),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     both = li.map_batches(tag_li, batch_format="pyarrow").union(
         orders.map_batches(tag_o, batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
         left = g[g["side"] == "L"][["orderkey", "rev_cents"]]
         right = g[g["side"] == "O"][["orderkey", "o_orderpriority"]]
         j = left.merge(right, on="orderkey", how="inner")
-        return (
+        agg = (
             j.groupby("o_orderpriority", as_index=False)["rev_cents"].sum()
             .rename(columns={"rev_cents": "revenue_cents"})
+        )
+        return pa.table(
+            {"o_orderpriority": pa.array(agg["o_orderpriority"], pa.string()),
+             "revenue_cents": pa.array(agg["revenue_cents"], pa.int64())}
         )
 
     from ray.data.aggregate import Sum
