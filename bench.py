@@ -166,7 +166,7 @@ def main() -> None:
         # N vs 4N parallelism in fresh processes on the SAME input — the
         # sandbox proxy for the north rule's two-cluster-size criterion.
         # Default 2 vs 8: the single node saturates shared memory/object-store
-        # bandwidth around ~8 cores (~400k ev/s), which on a real cluster is a
+        # bandwidth around ~8 cores (~1.0M ev/s), which on a real cluster is a
         # per-node resource — N must sit in the compute-bound regime.
         lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
