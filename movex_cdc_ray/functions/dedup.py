@@ -350,17 +350,39 @@ class SimHasher:
     """64-bit SimHash per document: sign-sum of token-hash bit vectors.
 
     Near-dups differ in few bits; grouping by bit-band buckets (4 × 16-bit)
-    finds candidates within Hamming distance ≤ 3 efficiently."""
+    finds candidates within Hamming distance ≤ 3 efficiently.
+
+    The word hash is the little-endian first 8 bytes of md5 — exactly
+    DuckDB's ``md5_number_upper`` — so the whole fingerprint has a full SQL
+    value oracle (``dedup_simhash``). Hashes are memoized per actor
+    (``__init__`` state, populated across batches): the corpus vocabulary is
+    tiny relative to token count, so md5 runs ~once per distinct word."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.bits = np.arange(64, dtype=np.uint64)
+        self._word_hash_cache: dict[str, int] = {}
+
+    def _word_hashes(self, words: list[str]) -> np.ndarray:
+        uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+        cache = self._word_hash_cache
+        md5 = hashlib.md5
+
+        def h(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = int.from_bytes(md5(w.encode()).digest()[:8], "little")
+                cache[w] = v
+            return v
+
+        hs_u = np.fromiter((h(w) for w in uniq), dtype=np.uint64, count=len(uniq))
+        return hs_u[inv]
 
     def simhash(self, text: str) -> int:
         words = _WORD_RE.findall((text or "").lower())
         if not words:
             return 0
-        hs = pd.util.hash_array(np.asarray(words, dtype=object), categorize=False).astype(np.uint64)
+        hs = self._word_hashes(words)
         bitmat = ((hs[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int64)
         sums = (2 * bitmat - 1).sum(axis=0)
         return int(((sums > 0).astype(np.uint64) << self.bits).sum())

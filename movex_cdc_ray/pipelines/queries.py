@@ -612,7 +612,8 @@ def dedup_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
-    """SimHash fingerprints + 16-bit bands for hamming bucketing (rows-only)."""
+    """SimHash fingerprints + 16-bit bands for hamming bucketing — full SQL
+    value oracle (word hash = DuckDB md5_number_upper; see SimHasher)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fdedup.SimHasher(), batch_format="pandas", concurrency=2)
     pdf = out.to_pandas()[["doc_id", "simhash", "simhash_band_0", "simhash_band_1"]]
@@ -1038,6 +1039,33 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY md5(text)
         ORDER BY content_md5
     """,
+    "dedup_simhash": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+        ), w AS (
+          SELECT doc_id, unnest(ws) AS word FROM t
+        ), h AS (
+          -- md5_number_upper = little-endian first 8 md5 bytes, the exact
+          -- word hash SimHasher uses
+          SELECT doc_id, md5_number_upper(word) AS h FROM w
+        ), bits AS (
+          SELECT doc_id, b AS bit,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+          GROUP BY doc_id, b
+        ), sh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(sh.simhash, 0)::UBIGINT AS simhash,
+               (COALESCE(sh.simhash, 0) & 65535)::BIGINT AS simhash_band_0,
+               ((COALESCE(sh.simhash, 0) >> 16) & 65535)::BIGINT AS simhash_band_1
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sh ON sh.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
     "dedup_jaccard": r"""
         WITH docs AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
@@ -1122,7 +1150,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_langid": _langid_sql(),
     # rows-only (no SQL-expressible oracle): cdc_flagship_replay (stateful
-    # epoch protocol); training-data: dedup_minhash / dedup_simhash /
-    # dedup_embedding_lsh (seeded hash families), ann_lsh / ann_ivf
-    # (approximate recall), multimodal_decode* (binary codecs)
+    # epoch protocol); training-data: dedup_minhash / dedup_embedding_lsh
+    # (seeded hash families), ann_lsh / ann_ivf (approximate recall),
+    # multimodal_decode* (binary codecs)
 }
