@@ -549,6 +549,65 @@ def events_tumbling_window(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def events_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) window aggregate: 10-minute windows every 5 minutes.
+
+    Each event replicates to exactly size/hop = 2 windows INSIDE map_batches
+    (one vectorized floor + one duration subtract, then a concat), then ONE
+    groupby — the streaming-window shape where the replication factor, not
+    the event count, bounds the extra shuffle volume."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hop_us = pa.scalar(5 * 60 * 1_000_000, pa.duration("us"))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"]
+        s1 = pc.floor_temporal(ts, multiple=5, unit="minute")
+        s2 = pc.subtract(s1, hop_us)
+        val = batch["value"]
+        return pa.concat_tables(
+            [pa.table({"window_start": s1, "value": val}),
+             pa.table({"window_start": s2, "value": val})]
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(6)
+    return pdf.sort_values("window_start").reset_index(drop=True)
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (order by ts, then event_id for ties).
+
+    groupby(user).map_groups with a vectorized sort + forward-fill per group
+    — the partitioned as-of shape: only per-user history co-locates, never a
+    global sort. -1 marks purchases with no prior click."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))),
+        batch_format="pyarrow",
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        click_id = g["event_id"].where(g["event_type"] == "click").ffill()
+        out = g[g["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {"event_id": out["event_id"].astype("int64"),
+             "user_id": out["user_id"].astype("int64"),
+             "last_click_id": click_id[out.index].fillna(-1).astype("int64")}
+        )
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _sorted_pdf(out, "event_id")
+
+
 def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     """Count-distinct via two-level groupby (exact, shuffle-bounded by the
     distinct pair count, not the event count)."""
@@ -854,6 +913,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "join_broadcast": join_broadcast,
     "join_hash": join_hash,
     "events_tumbling_window": events_tumbling_window,
+    "events_hopping_window": events_hopping_window,
+    "events_asof_join": events_asof_join,
     "distinct_users_per_type": distinct_users_per_type,
     "sessionize": sessionize,
     "dedup_exact": dedup_exact,
@@ -1002,6 +1063,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY user_id, time_bucket(INTERVAL '10 minutes', ts)
         ORDER BY user_id, window_start
+    """,
+    "events_hopping_window": """
+        SELECT ws AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+                   value
+            FROM events
+        )
+        GROUP BY ws
+        ORDER BY ws
+    """,
+    "events_asof_join": """
+        SELECT event_id, user_id,
+               CAST(COALESCE(last_click_id, -1) AS BIGINT) AS last_click_id
+        FROM (
+            SELECT event_id, user_id, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ) t
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
     """,
     "distinct_users_per_type": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
