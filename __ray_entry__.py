@@ -56,8 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
-    Keys absent here (dedup_minhash, dedup_embedding_lsh, ann_lsh, ann_ivf,
-    multimodal_decode*) are non-SQL-expressible (seeded hash families /
+    Keys absent here (dedup_embedding_lsh, ann_lsh, ann_ivf,
+    multimodal_decode*) are non-SQL-expressible (seeded float hash families /
     approximate recall / binary codecs) → rows-only check."""
     from movex_cdc_ray.pipelines.queries import ORACLE_SQL
 

@@ -85,6 +85,16 @@ class MinHasher:
         rng = np.random.Generator(np.random.PCG64(seed))
         self.a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.uint64) * 2 + 1
         self.b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.uint64)
+        self._gram_hash_cache: dict[str, int] = {}
+
+    def _gram_hash(self, g: str) -> int:
+        # little-endian first 8 md5 bytes == DuckDB md5_number_upper, so the
+        # whole minhash pipeline is SQL-reproducible (see _minhash_sql)
+        v = self._gram_hash_cache.get(g)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+            self._gram_hash_cache[g] = v
+        return v
 
     def shingles(self, text: str) -> np.ndarray:
         words = _WORD_RE.findall((text or "").lower())
@@ -92,9 +102,8 @@ class MinHasher:
             grams = [" ".join(words)] if words else [""]
         else:
             grams = [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
-        return np.unique(
-            pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
-        ).astype(np.uint64)
+        uniq = np.unique(np.asarray(grams, dtype=object))
+        return np.fromiter((self._gram_hash(g) for g in uniq), dtype=np.uint64, count=len(uniq))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)

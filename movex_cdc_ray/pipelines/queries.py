@@ -27,6 +27,69 @@ from ..stages import stats as fstats
 STOPWORDS_SQL = "('the','a','of','to','and','in','is','it','that','for')"
 
 
+def _minhash_sql(threshold: float = 0.5) -> str:
+    """DuckDB oracle for the FULL MinHash+LSH near-dup pipeline, generated
+    from the same MinHasher instance so the permutation table can never
+    drift: md5-based shingle hashes (md5_number_upper), 64 universal hashes
+    ``(a*h + b) mod 2^64 & (2^61-1)`` as a literal VALUES table, band
+    candidates by exact signature-slice equality (list(mh ORDER BY i) — the
+    engine's band_hash is only an equality surrogate for the same tuple),
+    then the same exact n-gram Jaccard verify as dedup_jaccard."""
+    from ..functions.dedup import MinHasher
+
+    mh = MinHasher()
+    r = mh.n_perm // mh.bands
+    perms = ",\n                 ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+        ), grams AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(w) = 0 THEN ['']
+                 WHEN len(w) < {mh.k} THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+{mh.k - 1}], ' ')
+                       FOR i IN generate_series(1, len(w) - {mh.k - 1})]
+            END) AS gs
+          FROM docs
+        ), gsets AS (
+          SELECT doc_id, unnest(gs) AS g FROM grams
+        ), sh AS (
+          SELECT doc_id, md5_number_upper(g) AS h FROM gsets
+        ), sig AS (
+          SELECT doc_id, p.i,
+                 MIN(((p.a::HUGEINT * h + p.b) % 18446744073709551616)::UBIGINT
+                     & 2305843009213693951) AS mh
+          FROM sh CROSS JOIN (VALUES
+                 {perms}
+          ) p(i, a, b)
+          GROUP BY doc_id, p.i
+        ), bands AS (
+          SELECT doc_id, i // {r} AS band, list(mh ORDER BY i) AS sig_band
+          FROM sig GROUP BY doc_id, i // {r}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig_band = b.sig_band AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM gsets GROUP BY doc_id
+        ), inter AS (
+          SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n
+          FROM gsets x JOIN gsets y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.a_id, c.b_id,
+               ROUND(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) AS jac
+        FROM cand c
+        JOIN inter i USING (a_id, b_id)
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id
+        WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {threshold}
+        ORDER BY a_id, b_id
+    """
+
+
 def _langid_sql() -> str:
     """DuckDB oracle for LangIdStage, generated from the same profiles so
     the two can never drift: per-language stopword hit counts, argmax with
@@ -653,8 +716,9 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact Jaccard verify
-    (shingle→minhash→band→bucket groupby→verify). Deterministic (seeded);
-    no SQL oracle — rows-only check."""
+    (shingle→minhash→band→bucket groupby→verify). Deterministic (seeded)
+    and fully value-checked against SQL: the oracle replays the identical
+    md5 shingle hashes, permutation table and band equality (_minhash_sql)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return fdedup.ngram_jaccard_pairs(ds, threshold=0.5)
 
@@ -1127,6 +1191,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY md5(text)
         ORDER BY content_md5
     """,
+    "dedup_minhash": _minhash_sql(),
     "dedup_simhash": r"""
         WITH t AS (
           SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
@@ -1238,7 +1303,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_langid": _langid_sql(),
     # rows-only (no SQL-expressible oracle): cdc_flagship_replay (stateful
-    # epoch protocol); training-data: dedup_minhash / dedup_embedding_lsh
-    # (seeded hash families), ann_lsh / ann_ivf (approximate recall),
+    # epoch protocol); training-data: dedup_embedding_lsh / ann_lsh
+    # (seeded float hyperplane families), ann_ivf (approximate recall),
     # multimodal_decode* (binary codecs)
 }

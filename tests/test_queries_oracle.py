@@ -79,7 +79,6 @@ def test_every_query_has_callable_and_oracle_keys():
     # non-SQL ops are known and intentional
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "dedup_minhash",
         "dedup_embedding_lsh",
         "ann_lsh",
         "multimodal_decode",
