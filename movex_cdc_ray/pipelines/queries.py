@@ -682,6 +682,55 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     return _sorted_pdf(out, "event_type")
 
 
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact quantiles (p50/p90/p99): groupby(type).map_groups
+    with one vectorized np.quantile per group. Shuffle is bounded by the
+    group count × group size — the exact-quantile shape when groups fit a
+    task (for quantiles over an unbounded key space, pre-bucket values and
+    merge histograms instead)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p50, p90, p99 = np.quantile(v, [0.5, 0.9, 0.99])
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "n": np.int64(len(v)),
+             "p50": round(float(p50), 6), "p90": round(float(p90), 6),
+             "p99": round(float(p99), 6)}
+        )
+
+    out = ds.groupby("event_type").map_groups(q, batch_format="pandas")
+    return _sorted_pdf(out, "event_type")
+
+
+def events_hourly_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (grouping sets): counts per (event_type, hour), per-type
+    subtotals, grand total. The wide groupby runs distributed; the rollup
+    levels derive from the tiny cell table (≤ types × 24 rows) — never a
+    second pass over events."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"]
+        return pa.table({"event_type": batch["event_type"], "hour": pc.hour(ts).cast(pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    cells = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    subtot = cells.groupby("event_type", as_index=False)["n"].sum().assign(hour=-1)
+    grand = pd.DataFrame({"event_type": ["ALL"], "hour": [-1], "n": [cells["n"].sum()]})
+    out = pd.concat([cells, subtot, grand], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)[["event_type", "hour", "n"]]
+
+
 def sessionize(sf_dir: str) -> pd.DataFrame:
     """Session windows (gap > 30 min starts a new session) per user — the
     groupby(key).map_groups ordered-log pattern for stream-shaped data."""
@@ -979,6 +1028,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_tumbling_window": events_tumbling_window,
     "events_hopping_window": events_hopping_window,
     "events_asof_join": events_asof_join,
+    "events_value_quantiles": events_value_quantiles,
+    "events_hourly_rollup": events_hourly_rollup,
     "distinct_users_per_type": distinct_users_per_type,
     "sessionize": sessionize,
     "dedup_exact": dedup_exact,
@@ -1154,6 +1205,24 @@ ORACLE_SQL: dict[str, str] = {
         ) t
         WHERE event_type = 'purchase'
         ORDER BY event_id
+    """,
+    "events_value_quantiles": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "events_hourly_rollup": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               CAST(COALESCE(hour, -1) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hour FROM events)
+        GROUP BY ROLLUP (event_type, hour)
+        ORDER BY event_type, hour
     """,
     "distinct_users_per_type": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
