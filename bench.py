@@ -34,8 +34,11 @@ QUERY_SWEEP = [
     "cdc_stats_rollup",
     "q1_pricing_summary",
     "top_events_per_user",
+    "events_hopping_window",
+    "events_asof_join",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_jaccard",
     "knn_bruteforce",
     "text_quality",
     "text_fingerprint",

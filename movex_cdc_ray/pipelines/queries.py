@@ -483,12 +483,13 @@ def join_broadcast(sf_dir: str) -> pd.DataFrame:
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    lookup_ref = ray.put(
-        {
-            "keys": pa.array([r["n_nationkey"] for r in nation], pa.int64()),
-            "names": pa.array([r["n_name"] for r in nation], pa.string()),
-        }
-    )
+    # the dimension ships to each pool actor ONCE via constructor args (Ray
+    # puts them in the object store itself — an explicit ray.put here only
+    # adds an ownership warning when actor restarts are enabled)
+    lookup = {
+        "keys": pa.array([r["n_nationkey"] for r in nation], pa.int64()),
+        "names": pa.array([r["n_name"] for r in nation], pa.string()),
+    }
 
     class Enrich:
         """Broadcast dimension as two Arrow arrays; the per-batch lookup is
@@ -511,7 +512,7 @@ def join_broadcast(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     out = (
-        ds.map_batches(Enrich, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Enrich, fn_constructor_args=(lookup,), batch_format="pyarrow", concurrency=2)
         .groupby("n_name")
         .aggregate(Count(alias_name="n_customers"))
     )
