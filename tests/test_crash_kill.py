@@ -1,0 +1,67 @@
+"""Hard-crash (SIGKILL) fault injection: a replay driver killed mid-flight
+with no cleanup must resume in a fresh process to the exact oracle state.
+
+Stronger than the manifest-deletion crash tests (test_exactly_once.py): the
+kill lands at an arbitrary point — mid-epoch, mid-staging-write, or between
+commits — and the staged-path + atomic-manifest protocol must cope with
+whatever half-written state it left behind.
+
+Reference parity: the reference survives worker kills via DB transactions +
+Kafka transactional ids (app/models/transfer_thread.rb); here the epoch
+manifest plays both roles.
+"""
+
+import signal
+import subprocess
+import sys
+import time
+
+from movex_cdc_ray.pipelines.replay import lake_to_pandas
+from movex_cdc_ray.synth import StreamSpec, config_for_spec, expected_lake_state, generate_stream
+
+SPEC = StreamSpec(n_events=40_000, n_repos=10, paths_per_repo=50, chunk_size=2_000, evolve_at_event=30_000)
+
+CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from movex_cdc_ray.pipelines.replay import replay
+from movex_cdc_ray.synth import StreamSpec, config_for_spec
+spec = StreamSpec(n_events=40_000, n_repos=10, paths_per_repo=50, chunk_size=2_000, evolve_at_event=30_000)
+replay({stream!r}, {lake!r}, config_for_spec(spec, num_partitions=8), chunks_per_epoch=2)
+print("REPLAY_DONE")
+"""
+
+
+def test_sigkill_mid_replay_resumes_to_oracle(tmp_path):
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "lake")
+    generate_stream(stream, SPEC)
+    child_src = CHILD.format(repo="/root/repo", stream=stream, lake=lake)
+
+    # first driver: SIGKILL ~mid-replay (21 chunk files / 2 per epoch = 11
+    # epochs; the kill lands mid-epoch in typical runs, but EVERY landing
+    # point — before the first commit, between commits, or after the last —
+    # must converge, so the test cannot flake on timing)
+    p = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(8.0)  # ray.init takes ~4-5s; epochs start shortly after
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    # second driver: resume with no cleanup of the crashed state
+    out = subprocess.run(
+        [sys.executable, "-c", child_src], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "REPLAY_DONE" in out.stdout
+
+    got = lake_to_pandas(lake)
+    exp = expected_lake_state(SPEC)
+    cols = ["repo", "path", "commit", "content", "_last_id", "_last_op"]
+    assert got[cols].reset_index(drop=True).equals(exp[cols].reset_index(drop=True))
