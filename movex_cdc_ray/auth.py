@@ -80,12 +80,26 @@ class AuthRegistry:
     _activity: list[dict[str, Any]] = field(default_factory=list)
     _seq: int = 0
 
+    def __post_init__(self) -> None:
+        # resume the audit sequence past any segments already on disk — a
+        # restarted registry must never reuse a segment filename (os.replace
+        # would silently destroy earlier audit records)
+        if self.log_dir and os.path.isdir(self.log_dir):
+            for f in os.listdir(self.log_dir):
+                if f.startswith("activity-") and f.endswith(".parquet"):
+                    try:
+                        self._seq = max(self._seq, int(f[len("activity-"):-len(".parquet")]))
+                    except ValueError:
+                        continue
+
     # ------------------------------------------------------------- lookups
     def user(self, email: str) -> User:
         for u in self.users:
             if u.email == email and not u.yn_hidden:
                 return u
-        raise KeyError(f"no user {email!r}")
+        # unknown and hidden accounts are indistinguishable to callers — a
+        # denial, not a lookup crash (reference: login rejects, no 500)
+        raise NotAuthorized(f"unknown user {email!r}")
 
     def deployable_schemas(self, email: str, all_schemas: list[str]) -> list[str]:
         """Schemas the user may deploy triggers on — the J3 semi-join."""
@@ -111,10 +125,19 @@ class AuthRegistry:
 
     # -------------------------------------------------------------- logons
     def record_logon(self, email: str, success: bool) -> User:
-        """Failed-logon counting with auto-lock at MAX_FAILED_LOGONS."""
-        u = self.user(email)
+        """Failed-logon counting with auto-lock at MAX_FAILED_LOGONS.
+
+        Every attempt reaches the audit ledger — including rejected logons
+        against locked or unknown accounts (the reference logs the denial
+        before rejecting, `app/controllers/login_controller.rb`)."""
+        try:
+            u = self.user(email)
+        except NotAuthorized:
+            self.log(email, action="logon_denied")
+            raise
         if success:
             if u.yn_account_locked:
+                self.log(email, action="logon_denied")
                 raise NotAuthorized(f"account {email} is locked")
             u.failed_logons = 0
         else:

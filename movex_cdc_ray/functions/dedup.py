@@ -21,6 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ._pool import pool_size
+from .scalar import string_offsets_data
 
 _WORD_RE = re.compile(r"\w+")
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -40,11 +41,9 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     # md5 fed straight from the Arrow utf8 buffer via memoryview slices —
-    # no per-row Python string objects (same trick as sink.content_sha_array)
+    # no per-row Python string objects (same feed as sink.content_sha_array)
     n = len(text)
-    dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
-    offs = np.frombuffer(text.buffers()[1], dtype=dtype)[text.offset : text.offset + n + 1]
-    data = memoryview(text.buffers()[2]) if text.buffers()[2] is not None else memoryview(b"")
+    offs, data = string_offsets_data(text)
     valid = text.is_valid().to_numpy(zero_copy_only=False)
     md5 = hashlib.md5
     out = np.empty(n, dtype=object)
@@ -87,11 +86,17 @@ class MinHasher:
         self.b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.uint64)
         self._gram_hash_cache: dict[str, int] = {}
 
+    _GRAM_CACHE_MAX = 1_000_000  # distinct shingles grow ~linearly with
+    # corpus text (unlike SimHasher's vocabulary-bounded word cache) — an
+    # unbounded memo would leak in long-lived actor-pool workers
+
     def _gram_hash(self, g: str) -> int:
         # little-endian first 8 md5 bytes == DuckDB md5_number_upper, so the
         # whole minhash pipeline is SQL-reproducible (see _minhash_sql)
         v = self._gram_hash_cache.get(g)
         if v is None:
+            if len(self._gram_hash_cache) >= self._GRAM_CACHE_MAX:
+                self._gram_hash_cache.clear()
             v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
             self._gram_hash_cache[g] = v
         return v

@@ -28,6 +28,17 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 
+def string_offsets_data(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """(offsets, utf8 data buffer) of a string/large_string Array slice —
+    the zero-copy feed for per-row digest loops (sink.content_sha_array,
+    dedup.add_content_hash). Handles the all-empty case where Arrow omits
+    the data buffer entirely."""
+    dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=dtype)[arr.offset : arr.offset + len(arr) + 1]
+    data = arr.buffers()[2]
+    return offs, (memoryview(data) if data is not None else memoryview(b""))
+
+
 def hash_strings(arr: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
     """Deterministic uint64 hash of a string column, vectorized.
 

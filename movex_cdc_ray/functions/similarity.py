@@ -69,10 +69,10 @@ class BruteForceScorer:
         mat = _normalize(_to_matrix(batch[self.vec_col]))
         sims = self.qmat @ mat.T  # (nq, batch)
         k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         rows_q, rows_id, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            sel = idx[qi]
+            # id tie-break: partial top-k must not depend on block row order
+            sel = np.lexsort((ids_np, -sims[qi]))[:k]
             rows_q.append(np.full(k, self.qids[qi], dtype=np.int64))
             rows_id.append(ids_np[sel])
             rows_s.append(sims[qi, sel])
@@ -214,13 +214,15 @@ def lsh_bucketed_ann(
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = s["qmat"][qidx] @ mat.T  # (probing queries, bucket size)
         kk = min(s["k"] + 1, sims.shape[1])  # +1: self may be in the bucket
-        sel = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
         frames = []
         for row, qi in enumerate(qidx):
+            # deterministic partial top-k: ties at the kk-boundary break by
+            # neighbor id, not by Ray's within-group arrival order
+            sel = np.lexsort((ids, -sims[row]))[:kk]
             frames.append(pd.DataFrame({
                 "query_id": np.full(kk, s["qids"][qi], dtype=np.int64),
-                "neighbor_id": ids[sel[row]],
-                "cosine": sims[row, sel[row]],
+                "neighbor_id": ids[sel],
+                "cosine": sims[row, sel],
             }))
         return pd.concat(frames, ignore_index=True)
 
@@ -327,15 +329,16 @@ def ivf_topk(
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = s["qmat"][qidx] @ mat.T
         kk = min(s["k"] + 1, sims.shape[1])
-        sel = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        frames = [
-            pd.DataFrame({
+        frames = []
+        for row, qi in enumerate(qidx):
+            # id tie-break keeps the partial top-k independent of Ray's
+            # within-group row order (see lsh score_bucket)
+            sel = np.lexsort((ids, -sims[row]))[:kk]
+            frames.append(pd.DataFrame({
                 "query_id": np.full(kk, s["qids"][qi], dtype=np.int64),
-                "neighbor_id": ids[sel[row]],
-                "cosine": sims[row, sel[row]],
-            })
-            for row, qi in enumerate(qidx)
-        ]
+                "neighbor_id": ids[sel],
+                "cosine": sims[row, sel],
+            }))
         return pd.concat(frames, ignore_index=True)
 
     partials = (

@@ -68,9 +68,14 @@ class InitEventWrapper:
         # harmless — combine/merge resolve per key, not per id)
         ids = (hash_strings(joined) % np.uint64(max(self.first_stream_id, 1))).astype(np.int64)
         if self.id_base:
-            # non-flashback: snapshot rows rank at the live-read watermark, so
-            # they override any stream event already folded into the read
-            ids = ids % 1_000_000 + np.int64(self.id_base)
+            # non-flashback: every snapshot row ranks at EXACTLY the
+            # live-read watermark — it overrides stream events folded into
+            # the read (id ≤ live_at_id) but is outranked by ANY event
+            # arriving after it (id > live_at_id). Cross-key id collisions
+            # are harmless (merge resolves per key); spreading ids above the
+            # watermark instead would let stale snapshot images outrank
+            # genuinely newer post-read events.
+            ids = np.full(n, np.int64(self.id_base), dtype=np.int64)
 
         cols: dict[str, pa.Array] = {
             "id": pa.array(ids, pa.int64()),

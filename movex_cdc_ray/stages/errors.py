@@ -150,6 +150,7 @@ def reprocess_final_errors(lake_dir: str, epoch: int) -> int:
         t = t.drop_columns(["error_time", "error_msg"])
         i = t.column_names.index("retry_count")
         t = t.set_column(i, "retry_count", pa.array([0] * len(t), pa.int32()))
+        n += len(t)  # count the MOVED events only, not pre-existing retries
         part = int(os.path.basename(f).split("=")[1].split(".")[0])
         p = retry_path(lake_dir, epoch, part)
         if os.path.exists(p):
@@ -157,7 +158,6 @@ def reprocess_final_errors(lake_dir: str, epoch: int) -> int:
             t = pa.concat_tables([prev, t.select(prev.column_names)])
         atomic_write_parquet(t, p)
         os.remove(f)
-        n += len(t)
     return n
 
 

@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import CaptureConfig
+from ..functions.scalar import string_offsets_data as _string_offsets_data
 from ..events import align_to_schema, arrow_type
 from ..state.manifest import atomic_write_parquet, staged_path
 from .errors import divide_and_conquer, write_bad_events
@@ -89,11 +90,6 @@ def sha_source_columns(payload_fields: list[str]) -> list[str]:
     return ["content"] if "content" in payload_fields else list(payload_fields)
 
 
-def _string_offsets_data(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
-    """(offsets, utf8 data buffer) of a string/large_string Array slice."""
-    dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    offs = np.frombuffer(arr.buffers()[1], dtype=dtype)[arr.offset : arr.offset + len(arr) + 1]
-    return offs, memoryview(arr.buffers()[2])
 
 
 def content_sha_array(t: pa.Table, cols: list[str], prefix: str = "") -> pa.Array:

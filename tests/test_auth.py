@@ -48,8 +48,8 @@ def test_locked_and_hidden_users():
     assert r.deployable_schemas("locked@x", ["CODE"]) == []
     with pytest.raises(NotAuthorized, match="locked"):
         r.check_deploy("locked@x", "CODE")
-    with pytest.raises(KeyError):
-        r.user("ghost@x")  # hidden users are invisible
+    with pytest.raises(NotAuthorized):
+        r.user("ghost@x")  # hidden users are invisible — denial, not a crash
 
 
 def test_failed_logons_lock_account():
@@ -73,6 +73,35 @@ def test_activity_log_appends_and_flushes(tmp_path):
     path = r.flush_activity()
     assert path and pq.read_table(path).num_rows == 2
     assert r.activity_table().num_rows == 0  # flushed
+
+
+def test_activity_ledger_survives_restart(tmp_path):
+    """A restarted registry must never reuse a segment filename (os.replace
+    would silently destroy earlier audit records)."""
+    r = make_registry(log_dir=str(tmp_path))
+    r.log("admin@x", action="one")
+    p1 = r.flush_activity()
+    # restart: rebuild from the exported dict against the same ledger dir
+    r2 = type(r).from_dict(r.to_dict(), log_dir=str(tmp_path))
+    r2.log("admin@x", action="two")
+    p2 = r2.flush_activity()
+    assert p1 != p2
+    assert pq.read_table(p1)["action"].to_pylist() == ["one"]
+    assert pq.read_table(p2)["action"].to_pylist() == ["two"]
+
+
+def test_denied_logons_reach_the_audit_ledger():
+    r = make_registry()
+    with pytest.raises(NotAuthorized):
+        r.record_logon("ghost@x", success=False)  # unknown/hidden account
+    # lock via repeated failures, then a "successful" logon is denied
+    for _ in range(5):
+        r.record_logon("dev@x", success=False)
+    with pytest.raises(NotAuthorized):
+        r.record_logon("dev@x", success=True)
+    actions = r.activity_table()["action"].to_pylist()
+    assert actions.count("logon_denied") == 2  # ghost + locked dev
+    assert actions.count("logon_failed") == 5
 
 
 def test_registry_round_trip():

@@ -172,10 +172,11 @@ def test_flashback_vs_live_snapshot_id_anchor(ray_session, tmp_path):
     ids = [r["id"] for r in snapshot_events(src, cfg, t, first_stream_id=first).take_all()]
     assert all(i < first for i in ids)
 
-    # non-flashback: ids anchor at the live-read watermark — events already
-    # folded into the read can no longer regress the snapshot
+    # non-flashback: ids anchor at EXACTLY the live-read watermark — events
+    # already folded into the read (id ≤ live) can no longer regress the
+    # snapshot, while ANY post-read event (id > live) outranks it
     t.yn_initialize_with_flashback = False
     live = 5_000_000
     ids2 = [r["id"] for r in snapshot_events(src, cfg, t, first_stream_id=first,
                                              live_at_id=live).take_all()]
-    assert all(live <= i < live + 1_000_000 for i in ids2)
+    assert all(i == live for i in ids2)
