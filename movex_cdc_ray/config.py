@@ -215,7 +215,10 @@ class CaptureConfig:
     tables: list[TableConfig] = field(default_factory=list)
     schema_versions: list[SchemaVersion] = field(default_factory=list)
     num_partitions: int = 32
-    capture_parallelism: int = 8  # capture blocks per epoch (0 = one per CPU)
+    # capture blocks per epoch — a JOB parameter like num_partitions: deriving
+    # it from cluster size would change the combiner's reduction ratio (and
+    # thus shuffle volume) between cluster sizes; must be >= 1
+    capture_parallelism: int = 8
     # combiner batch size: events per capture batch fed to the last-per-key
     # combiner. None (default) keeps the read→capture operator FUSED (zero
     # object-store hop; combiner works per parquet row group) — fastest on a

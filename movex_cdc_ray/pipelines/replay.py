@@ -78,6 +78,17 @@ class ReplayReport:
     def events_per_sec(self) -> float:
         return self.events_in / self.elapsed_sec if self.elapsed_sec else 0.0
 
+    def add_epoch(self, agg: dict[str, Any]) -> None:
+        """Fold one epoch's counters in — EVERY committed epoch (regular,
+        retry-drain, tail) must go through here or the report under-counts."""
+        self.epochs += 1
+        self.events_in += agg.get("events_in", 0)
+        self.events_success += agg.get("events_success", 0)
+        self.events_delayed_errors += agg.get("events_delayed_errors", 0)
+        self.events_final_errors += agg.get("events_final_errors", 0)
+        self.events_d_and_c_retries += agg.get("events_d_and_c_retries", 0)
+        self.epoch_metrics.append(agg)
+
 
 class CapturePartitionStage:
     """Fused capture + partition-assign + sink-projection + per-batch
@@ -164,8 +175,6 @@ def _merge_via_delta_files(
     import glob
     import shutil
 
-    from ..stages.sink import lake_table_schema as _lts
-
     from ..stages.sink import invariant_columns as _inv
     from ..stages.sink import sha_source_columns as _shc
 
@@ -178,7 +187,7 @@ def _merge_via_delta_files(
         epoch=epoch,
         prev_partitions=manifest.partitions,
         payload_fields=payload_fields,
-        lake_schema=_lts(cfg),
+        lake_schema=lake_table_schema(cfg),
         error_max_retries=cfg.error_max_retries,
         mode=merge_mode,
         sha_cols=_shc(payload_fields),
@@ -325,8 +334,9 @@ def run_epoch(
     # capture task decomposition is a JOB parameter (like the partition
     # count): deriving it from the cluster size would change the per-batch
     # combiner's reduction ratio — and therefore the shuffle volume — between
-    # cluster sizes, silently skewing any scaling comparison.
-    nblocks = cfg.capture_parallelism or max(1, int(ray.cluster_resources().get("CPU", 8)))
+    # cluster sizes, silently skewing any scaling comparison. No cluster-size
+    # fallback, by the same rule.
+    nblocks = max(1, cfg.capture_parallelism)
     with _epoch_execution_context():
         # NOTE: a Dataset snapshots its DataContext at CREATION — the tuned
         # context must wrap read_chunks, not just the consuming take_all
@@ -381,11 +391,12 @@ def run_epoch(
     # persist the per-partition stats rows (the STATISTICS table analog,
     # operator A1/T5); idempotent deterministic path per epoch
     if stats_rows:
-        import pyarrow.parquet as _pq
+        from ..state.manifest import atomic_write_parquet
 
         stats_path = os.path.join(lake_dir, "_stats", f"epoch={epoch:06d}.parquet")
-        os.makedirs(os.path.dirname(stats_path), exist_ok=True)
-        _pq.write_table(pa.Table.from_pylist(stats_rows), stats_path)
+        # atomic like every other ledger write: a torn stats file would break
+        # every later health_check/compress_epoch_stats read
+        atomic_write_parquet(pa.Table.from_pylist(stats_rows), stats_path)
 
     elapsed = time.perf_counter() - t0
     agg = {k: int(sum(r[k] for r in stats_rows)) for k in _AGG_KEYS}
@@ -443,13 +454,7 @@ def replay(
         consume_retry_files(retry_files)
         if compact_every and merge_mode == "delta" and manifest.epoch % compact_every == 0:
             manifest = compact(lake_dir, cfg, manifest)
-        report.epochs += 1
-        report.events_in += agg["events_in"]
-        report.events_success += agg["events_success"]
-        report.events_delayed_errors += agg["events_delayed_errors"]
-        report.events_final_errors += agg["events_final_errors"]
-        report.events_d_and_c_retries += agg["events_d_and_c_retries"]
-        report.epoch_metrics.append(agg)
+        report.add_epoch(agg)
         if max_epochs and report.epochs >= max_epochs:
             break
     # drain the retry ledger: keep committing (possibly empty, time-marker)
@@ -471,8 +476,7 @@ def replay(
             )
             consume_retry_files(retry_files)
             if retry_files:
-                report.epochs += 1
-                report.epoch_metrics.append(agg)
+                report.add_epoch(agg)
     if merge_mode == "delta" and compact_every:
         if any(p.get("deltas") for p in manifest.partitions.values()):
             manifest = compact(lake_dir, cfg, manifest)
@@ -487,22 +491,25 @@ def replay(
 def _compact_part_task(part: int, entry: dict, out_path: str, lake_schema_ref) -> dict[str, Any]:
     import pyarrow.parquet as pq
 
-    from ..stages.sink import atomic_write_parquet, partition_sha, resolve_lake_tables
+    from ..stages.sink import atomic_write_parquet, drop_tombstones, partition_sha, resolve_lake_tables
 
     tables = []
     if entry.get("path"):
         tables.append(pq.read_table(entry["path"]))
     for d in entry.get("deltas", []):
         tables.append(pq.read_table(d))
-    resolved = resolve_lake_tables(tables, lake_schema_ref)
+    # keep_tombstones: compaction must NOT drop deleted keys' _last_id
+    # fences while late retries could still arrive (see resolve_lake_tables)
+    resolved = resolve_lake_tables(tables, lake_schema_ref, keep_tombstones=True)
     nbytes = atomic_write_parquet(resolved, out_path)
+    live = drop_tombstones(resolved)
     return {
         "part": part,
         "path": out_path,
         "deltas": [],
-        "rows": len(resolved),
+        "rows": len(live),
         "watermark": entry["watermark"],
-        "sha": partition_sha(resolved),
+        "sha": partition_sha(live),  # digest = live rows, same as the merge
         "bytes": nbytes,
     }
 
@@ -511,14 +518,10 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
     """Fold every partition's delta chain into a fresh base (one Ray task per
     partition) and commit the result as a compaction epoch. Idempotent:
     deterministic output paths, atomic manifest commit."""
-    from ..stages.sink import lake_table_schema
-
     manifest = manifest or Manifest.latest(lake_dir)
     epoch = manifest.epoch + 1
     schema = lake_table_schema(cfg)
     refs = []
-    from ..state.manifest import staged_path
-
     for k, entry in manifest.partitions.items():
         if not entry.get("deltas"):
             continue
@@ -553,8 +556,10 @@ def repartition_lake(lake_dir: str, cfg: CaptureConfig, new_num_partitions: int)
     over as the GLOBAL max (per-key ordering is preserved because a key's
     entire history re-maps to exactly one new partition; the global max is a
     safe over-approximation for replay dedup since every applied id is ≤ it)."""
-    from ..stages.partitioning import assign_partitions as _ap
-    from ..stages.sink import lake_table_schema, partition_sha, resolve_lake_tables
+    import numpy as np
+
+    from ..functions.scalar import hash_strings
+    from ..stages.sink import partition_sha, resolve_lake_tables
 
     manifest = Manifest.latest(lake_dir)
     if manifest.num_partitions == new_num_partitions:
@@ -576,36 +581,46 @@ def repartition_lake(lake_dir: str, cfg: CaptureConfig, new_num_partitions: int)
     ds = rd.read_parquet(files)
 
     def rekey(batch: pa.Table) -> pa.Table:
-        batch = pa.table(
-            {**{c: batch[c] for c in batch.column_names}, "key_string": batch["_key"],
-             "id": batch["_last_id"]}
-        )
-        out = _ap(batch, new_num_partitions)
-        return out.drop_columns(["key_string", "id"])
+        # partition from _key DIRECTLY (same pd_hash_v1 as assign_partitions;
+        # lake rows always carry a non-null _key). The reserved "_new_part"
+        # name cannot collide with a payload column literally named "id" /
+        # "key_string" / "part" — renaming into the event namespace would
+        # silently overwrite and then drop such a payload column.
+        keys = batch["_key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = hash_strings(keys.to_numpy(zero_copy_only=False))
+        part = (h % np.uint64(new_num_partitions)).astype(np.int32)
+        return batch.append_column("_new_part", pa.array(part))
 
     def write_part(group: pa.Table, _schema=schema, _lake=lake_dir, _epoch=epoch) -> pa.Table:
         from ..events import align_to_schema as _align
         from ..stages.sink import atomic_write_parquet as _aw
 
-        part = int(group["part"][0].as_py())
-        t = group.drop_columns(["part"])
-        t = resolve_lake_tables([t], _schema)  # dedup delta chains + key-sort
+        part = int(group["_new_part"][0].as_py())
+        t = group.drop_columns(["_new_part"])
+        # dedup delta chains + key-sort; tombstone fences carry over to the
+        # re-keyed partitions (a late retry must still be fenced after P')
+        t = resolve_lake_tables([t], _schema, keep_tombstones=True)
         t = _align(t, _schema)
         out_path = staged_path(_lake, _epoch, part)
         nbytes = _aw(t, out_path)
+        from ..stages.sink import drop_tombstones as _dt
+
+        live = _dt(t)
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),
-                "rows": pa.array([len(t)], pa.int64()),
+                "rows": pa.array([len(live)], pa.int64()),
                 "path": pa.array([out_path], pa.string()),
-                "sha": pa.array([partition_sha(t)], pa.string()),
+                "sha": pa.array([partition_sha(live)], pa.string()),
                 "bytes": pa.array([nbytes], pa.int64()),
             }
         )
 
     rows = (
         ds.map_batches(rekey, batch_format="pyarrow")
-        .groupby("part", num_partitions=new_num_partitions)
+        .groupby("_new_part", num_partitions=new_num_partitions)
         .map_groups(write_part, batch_format="pyarrow")
         .take_all()
     )
@@ -674,10 +689,7 @@ def tail(
             extra_event_files=retry_files, merge_mode=merge_mode,
         )
         consume_retry_files(retry_files)
-        report.epochs += 1
-        report.events_in += agg["events_in"]
-        report.events_success += agg["events_success"]
-        report.epoch_metrics.append(agg)
+        report.add_epoch(agg)
         if max_epochs and report.epochs >= max_epochs:
             break
     report.lake_rows = manifest.total_rows()
@@ -696,9 +708,18 @@ def read_lake(lake_dir: str, columns: list[str] | None = None, cfg: CaptureConfi
     has_deltas = any(p.get("deltas") for p in m.partitions.values())
     if not files:
         return rd.from_items([])
-    ds = rd.read_parquet(files, columns=None if has_deltas else columns)
     if not has_deltas:
-        return ds
+        # bases physically retain deleted keys as tombstone fences
+        # (_last_op='D', see resolve_lake_tables) — reads never see them
+        read_cols = columns
+        if columns is not None and "_last_op" not in columns:
+            read_cols = [*columns, "_last_op"]
+        ds = rd.read_parquet(files, columns=read_cols)
+        from ..stages.sink import drop_tombstones
+
+        ds = ds.map_batches(drop_tombstones, batch_format="pyarrow")
+        return ds.select_columns(columns) if columns is not None else ds
+    ds = rd.read_parquet(files)
     from ..stages.sink import lake_table_schema, resolve_lake_tables
 
     schema = lake_table_schema(cfg) if cfg else None
@@ -733,7 +754,9 @@ def lake_to_pandas(lake_dir: str):
             t = pa.concat_tables(tables, promote_options="default")
             parts.append(resolve_lake_tables([t], tables[-1].schema))
         else:
-            parts.append(tables[0])
+            from ..stages.sink import drop_tombstones
+
+            parts.append(drop_tombstones(tables[0]))
     if not parts:
         return pd.DataFrame()
     t = pa.concat_tables(parts, promote_options="default")

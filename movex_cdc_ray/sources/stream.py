@@ -22,9 +22,23 @@ def list_chunks(stream_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(stream_dir, "chunk_*.parquet")))
 
 
+_GC_MARKER = "_chunks_gc"
+
+
+def chunks_gc_count(stream_dir: str) -> int:
+    """How many leading chunks GC physically removed (see gc_consumed_chunks).
+    The manifest ledger counts ordinals of the FULL stream history, so the
+    current-directory listing must be re-anchored by this offset."""
+    try:
+        with open(os.path.join(stream_dir, _GC_MARKER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
 def pending_chunks(stream_dir: str, chunks_consumed: int) -> list[str]:
     """Chunks not yet covered by a committed manifest (resume point)."""
-    return list_chunks(stream_dir)[chunks_consumed:]
+    return list_chunks(stream_dir)[chunks_consumed - chunks_gc_count(stream_dir):]
 
 
 def epoch_batches(pending: list[str], chunks_per_epoch: int) -> list[list[str]]:
@@ -55,9 +69,23 @@ def read_chunks(
 
 def gc_consumed_chunks(stream_dir: str, chunks_consumed: int, unlink: bool = False) -> list[str]:
     """Chunk GC once consumed (the reference's partition drop, S6/O16).
-    Only deletes when ``unlink`` — test streams are read-only fixtures."""
-    done = list_chunks(stream_dir)[:chunks_consumed]
-    if unlink:
+    Only deletes when ``unlink`` — test streams are read-only fixtures.
+
+    Deletion is recorded in the ``_chunks_gc`` marker (atomic tmp+replace)
+    BEFORE any file is removed: the manifest's consumed-chunk ledger counts
+    ordinals of the full stream history, and without the offset a resume
+    after GC would slice the already-shrunk listing and silently skip the
+    next ``chunks_consumed`` unconsumed chunks."""
+    already_gone = chunks_gc_count(stream_dir)
+    done = list_chunks(stream_dir)[: chunks_consumed - already_gone]
+    if unlink and done:
+        marker = os.path.join(stream_dir, _GC_MARKER)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(already_gone + len(done)))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
         for f in done:
             os.remove(f)
     return done

@@ -142,20 +142,30 @@ def final_error_files(lake_dir: str) -> list[str]:
 
 
 def reprocess_final_errors(lake_dir: str, epoch: int) -> int:
-    """Move final-error events back into the retry ledger with retry_count=0
-    (reference POST /server_control/reprocess_final_errors)."""
+    """Move final-error events back into the retry ledger so the next epoch
+    re-applies them (reference POST /server_control/reprocess_final_errors,
+    which restarts the retry cycle).
+
+    retry_count re-enters at 1, not 0: the partition watermark has long
+    advanced past these events' ids, and only retry_count > 0 events bypass
+    the watermark (they are then per-key stale-checked against the base's
+    ``_last_id``). A 0 here would make every reprocessed event a silent
+    below-watermark drop — permanent loss dressed as success."""
     n = 0
     for f in final_error_files(lake_dir):
         t = pq.read_table(f)
         t = t.drop_columns(["error_time", "error_msg"])
         i = t.column_names.index("retry_count")
-        t = t.set_column(i, "retry_count", pa.array([0] * len(t), pa.int32()))
+        t = t.set_column(i, "retry_count", pa.array([1] * len(t), pa.int32()))
         n += len(t)  # count the MOVED events only, not pre-existing retries
         part = int(os.path.basename(f).split("=")[1].split(".")[0])
         p = retry_path(lake_dir, epoch, part)
         if os.path.exists(p):
+            # pre-existing retry files may still carry error_time/error_msg
+            # (write_bad_events schema) — unify on the event columns
             prev = pq.read_table(p)
-            t = pa.concat_tables([prev, t.select(prev.column_names)])
+            keep = [c for c in prev.column_names if c in t.column_names]
+            t = pa.concat_tables([prev.select(keep), t.select(keep)])
         atomic_write_parquet(t, p)
         os.remove(f)
     return n

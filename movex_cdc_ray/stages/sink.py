@@ -196,9 +196,18 @@ def drop_tombstones(t: pa.Table) -> pa.Table:
     return t.filter(pc.invert(pc.equal(op, "D")))
 
 
-def resolve_lake_tables(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Table:
+def resolve_lake_tables(
+    tables: list[pa.Table], lake_schema: pa.Schema, keep_tombstones: bool = False
+) -> pa.Table:
     """Merge-on-read resolution for the delta-log mode: arg-max ``_last_id``
-    per ``_key`` over base+delta rows, tombstones dropped, key-sorted.
+    per ``_key`` over base+delta rows, key-sorted.
+
+    ``keep_tombstones=True`` (the STATE paths: rewrite-merge base load,
+    compaction, repartition) retains each deleted key's winning ``D`` row as
+    a fence carrying the delete's ``_last_id`` — without it a late retry of
+    an OLDER event for a deleted key would find no base row, pass the stale
+    check, and resurrect the deleted row. Read paths (``read_lake``,
+    ``lake_to_pandas``) use the default and never see tombstones.
 
     Correct under any interleaving because the final state per key is a pure
     arg-max reduction (the same property the write-path merge relies on)."""
@@ -221,7 +230,7 @@ def resolve_lake_tables(tables: list[pa.Table], lake_schema: pa.Schema) -> pa.Ta
         firsts = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
         mask = pa.concat_arrays([pa.array([True]), pc.fill_null(firsts, True)])
         t = t.filter(mask)
-    return drop_tombstones(t)
+    return t if keep_tombstones else drop_tombstones(t)
 
 
 def partition_sha(lake: pa.Table, sha_cols: list[str] | None = None) -> str:
@@ -317,155 +326,54 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     else:
         invariant_check = None
     error_max_retries = ctx.error_max_retries
-    if True:
-        prev = ctx.prev_partitions.get(str(part))
-        prev_wm = prev["watermark"] if prev else -1
-        events_in = len(group)
+    prev = ctx.prev_partitions.get(str(part))
+    prev_wm = prev["watermark"] if prev else -1
+    events_in = len(group)
 
-        # ---- watermark dedup (T2/D1): replayed events are dropped ----------
-        # Retried events (retry_count > 0, re-fed from the retry ledger) are
-        # BELOW the watermark by construction and must bypass it; re-applying
-        # an upsert is idempotent under last-writer-wins, so a crash between
-        # commit and retry-ledger consumption cannot corrupt the lake.
-        ids = group["id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        new_wm = max(int(pc.max(ids).as_py()), prev_wm)
-        rc = group["retry_count"]
-        if isinstance(rc, pa.ChunkedArray):
-            rc = rc.combine_chunks()
-        is_retry = pc.greater(pc.fill_null(rc, 0), 0)
-        fresh = group.filter(pc.or_(pc.greater(ids, prev_wm), is_retry))
-        below = events_in - len(fresh)
+    # ---- watermark dedup (T2/D1): replayed events are dropped ----------
+    # Retried events (retry_count > 0, re-fed from the retry ledger) are
+    # BELOW the watermark by construction and must bypass it; re-applying
+    # an upsert is idempotent under last-writer-wins, so a crash between
+    # commit and retry-ledger consumption cannot corrupt the lake.
+    ids = group["id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    new_wm = max(int(pc.max(ids).as_py()), prev_wm)
+    rc = group["retry_count"]
+    if isinstance(rc, pa.ChunkedArray):
+        rc = rc.combine_chunks()
+    is_retry = pc.greater(pc.fill_null(rc, 0), 0)
+    fresh = group.filter(pc.or_(pc.greater(ids, prev_wm), is_retry))
+    below = events_in - len(fresh)
 
-        # ---- unkeyed events: append-only side channel (S3) -----------------
-        keyed_mask = pc.is_valid(fresh["key_string"].combine_chunks())
-        unkeyed = fresh.filter(pc.invert(keyed_mask))
-        keyed = fresh.filter(keyed_mask)
-        if len(unkeyed):
-            p = os.path.join(lake_dir, UNKEYED_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
-            atomic_write_parquet(unkeyed, p)
+    # ---- unkeyed events: append-only side channel (S3) -----------------
+    keyed_mask = pc.is_valid(fresh["key_string"].combine_chunks())
+    unkeyed = fresh.filter(pc.invert(keyed_mask))
+    keyed = fresh.filter(keyed_mask)
+    if len(unkeyed):
+        p = os.path.join(lake_dir, UNKEYED_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
+        atomic_write_parquet(unkeyed, p)
 
-        # ---- error isolation (§2.11) ---------------------------------------
-        if invariant_check is not None and len(keyed):
-            ok, bad, attempts = divide_and_conquer(keyed, invariant_check)
-            n_retry, n_final = write_bad_events(bad, lake_dir, epoch, part, error_max_retries)
-        else:
-            ok, attempts, n_retry, n_final = keyed, 0, 0, 0
+    # ---- error isolation (§2.11) ---------------------------------------
+    if invariant_check is not None and len(keyed):
+        ok, bad, attempts = divide_and_conquer(keyed, invariant_check)
+        n_retry, n_final = write_bad_events(bad, lake_dir, epoch, part, error_max_retries)
+    else:
+        ok, attempts, n_retry, n_final = keyed, 0, 0, 0
 
-        # ---- last-writer-wins combine + sort-by-id (O1) --------------------
-        ok = combine_last_per_key(ok)
-        if len(ok):
-            ok = ok.take(pc.sort_indices(ok["id"].combine_chunks() if isinstance(ok["id"], pa.ChunkedArray) else ok["id"]))
+    # ---- last-writer-wins combine + sort-by-id (O1) --------------------
+    ok = combine_last_per_key(ok)
+    if len(ok):
+        ok = ok.take(pc.sort_indices(ok["id"].combine_chunks() if isinstance(ok["id"], pa.ChunkedArray) else ok["id"]))
 
-        # ---- delta mode: append combined delta with tombstones -------------
-        if ctx.mode == "delta":
-            delta_rows = events_to_lake_rows(ok, payload_fields, sha_cols)  # D rows stay as tombstones
-            delta_rows = align_to_schema(delta_rows, lake_schema)
-            out_path = staged_path(lake_dir, epoch, part).replace(".parquet", ".delta.parquet")
-            nbytes = atomic_write_parquet(delta_rows, out_path)
-            op_col = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
-            n_del = int(pc.sum(pc.equal(op_col, "D").cast(pa.int8())).as_py() or 0) if len(ok) else 0
-            return pa.table(
-                {
-                    "part": pa.array([part], pa.int32()),
-                    "epoch": pa.array([epoch], pa.int64()),
-                    "events_in": pa.array([events_in], pa.int64()),
-                    "events_below_watermark": pa.array([below], pa.int64()),
-                    "events_success": pa.array([len(ok)], pa.int64()),
-                    "events_d_and_c_retries": pa.array([attempts], pa.int64()),
-                    "events_delayed_errors": pa.array([n_retry], pa.int64()),
-                    "events_final_errors": pa.array([n_final], pa.int64()),
-                    "events_unkeyed": pa.array([len(unkeyed)], pa.int64()),
-                    "upserts": pa.array([len(ok) - n_del], pa.int64()),
-                    "deletes": pa.array([n_del], pa.int64()),
-                    "ordering_violations": pa.array([0], pa.int64()),
-                    "lake_rows": pa.array([len(delta_rows)], pa.int64()),
-                    "watermark": pa.array([new_wm], pa.int64()),
-                    "path": pa.array([out_path], pa.string()),
-                    "sha": pa.array([partition_sha(drop_tombstones(delta_rows), sha_cols)], pa.string()),
-                    "bytes": pa.array([nbytes], pa.int64()),
-                },
-                schema=MERGE_STATS_SCHEMA,
-            )
-
-        # ---- load + schema-evolve the base ---------------------------------
-        # (a rewrite on top of a delta chain resolves it first — this is
-        # exactly what compaction does)
-        if prev:
-            base_tables = []
-            if prev.get("path"):
-                base_tables.append(pq.read_table(prev["path"]))
-            for d in prev.get("deltas", []):
-                base_tables.append(pq.read_table(d))
-            if prev.get("deltas"):
-                base = resolve_lake_tables(base_tables, lake_schema)
-            elif base_tables:
-                base = base_tables[0]
-                if base.schema != lake_schema:
-                    base = align_to_schema(base, lake_schema)
-            else:
-                base = lake_schema.empty_table()
-        else:
-            base = lake_schema.empty_table()
-
-        # ---- per-key ordering guarantee (KafkaMock ascending-id check, D1) -
-        # An event at or below its key's applied _last_id would regress the
-        # row; it is dropped (stale). Only late retries can produce this —
-        # anything else is an ordering violation and is counted.
-        # Vectorized: pc.index_in joins each event's key against the base's
-        # (unique) _key column, take() fetches the applied _last_id (null for
-        # unseen keys), and one compare marks stale rows — no per-row Python.
-        violations = 0
-        if len(ok) and len(base):
-            ok_keys = ok["key_string"]
-            if isinstance(ok_keys, pa.ChunkedArray):
-                ok_keys = ok_keys.combine_chunks()
-            ok_ids = ok["id"]
-            if isinstance(ok_ids, pa.ChunkedArray):
-                ok_ids = ok_ids.combine_chunks()
-            base_keys = base["_key"]
-            if isinstance(base_keys, pa.ChunkedArray):
-                base_keys = base_keys.combine_chunks()
-            base_last = base["_last_id"]
-            if isinstance(base_last, pa.ChunkedArray):
-                base_last = base_last.combine_chunks()
-            idx = pc.index_in(ok_keys, value_set=base_keys)
-            applied_last = base_last.take(idx)  # null where key not in base
-            stale = pc.fill_null(pc.less_equal(ok_ids, applied_last), False)
-            n_stale = int(pc.sum(stale).as_py() or 0)
-            if n_stale:
-                rc_ok = ok["retry_count"]
-                if isinstance(rc_ok, pa.ChunkedArray):
-                    rc_ok = rc_ok.combine_chunks()
-                not_retry = pc.less_equal(pc.fill_null(rc_ok, 0), 0)
-                violations = int(pc.sum(pc.and_(stale, not_retry)).as_py() or 0)
-                ok = ok.filter(pc.invert(stale))
-
-        # ---- upsert / tombstone merge --------------------------------------
-        op = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
-        is_del = pc.equal(op, "D")
-        upserts = ok.filter(pc.invert(is_del))
-        touched = ok["key_string"]
-        if isinstance(touched, pa.ChunkedArray):
-            touched = touched.combine_chunks()
-        if len(ok):
-            keep_mask = pc.invert(pc.is_in(base["_key"], value_set=touched))
-            base_keep = base.filter(keep_mask) if len(base) else base
-        else:
-            base_keep = base
-        lake_rows = events_to_lake_rows(upserts, payload_fields, sha_cols)
-        lake_rows = align_to_schema(lake_rows, lake_schema)
-        merged = pa.concat_tables([base_keep, lake_rows]) if len(lake_rows) else base_keep
-        if len(merged):
-            sort_idx = pc.sort_indices(merged["_key"].combine_chunks() if isinstance(merged["_key"], pa.ChunkedArray) else merged["_key"])
-            merged = merged.take(sort_idx)
-
-        # ---- idempotent staged write ---------------------------------------
-        out_path = staged_path(lake_dir, epoch, part)
-        nbytes = atomic_write_parquet(merged, out_path)
-        sha = partition_sha(merged, sha_cols)
-
+    # ---- delta mode: append combined delta with tombstones -------------
+    if ctx.mode == "delta":
+        delta_rows = events_to_lake_rows(ok, payload_fields, sha_cols)  # D rows stay as tombstones
+        delta_rows = align_to_schema(delta_rows, lake_schema)
+        out_path = staged_path(lake_dir, epoch, part).replace(".parquet", ".delta.parquet")
+        nbytes = atomic_write_parquet(delta_rows, out_path)
+        op_col = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
+        n_del = int(pc.sum(pc.equal(op_col, "D").cast(pa.int8())).as_py() or 0) if len(ok) else 0
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),
@@ -477,17 +385,122 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
                 "events_delayed_errors": pa.array([n_retry], pa.int64()),
                 "events_final_errors": pa.array([n_final], pa.int64()),
                 "events_unkeyed": pa.array([len(unkeyed)], pa.int64()),
-                "upserts": pa.array([len(upserts)], pa.int64()),
-                "deletes": pa.array([len(ok) - len(upserts)], pa.int64()),
-                "ordering_violations": pa.array([violations], pa.int64()),
-                "lake_rows": pa.array([len(merged)], pa.int64()),
+                "upserts": pa.array([len(ok) - n_del], pa.int64()),
+                "deletes": pa.array([n_del], pa.int64()),
+                "ordering_violations": pa.array([0], pa.int64()),
+                "lake_rows": pa.array([len(delta_rows)], pa.int64()),
                 "watermark": pa.array([new_wm], pa.int64()),
                 "path": pa.array([out_path], pa.string()),
-                "sha": pa.array([sha], pa.string()),
+                "sha": pa.array([partition_sha(drop_tombstones(delta_rows), sha_cols)], pa.string()),
                 "bytes": pa.array([nbytes], pa.int64()),
             },
             schema=MERGE_STATS_SCHEMA,
         )
+
+    # ---- load + schema-evolve the base ---------------------------------
+    # (a rewrite on top of a delta chain resolves it first — this is
+    # exactly what compaction does)
+    if prev:
+        base_tables = []
+        if prev.get("path"):
+            base_tables.append(pq.read_table(prev["path"]))
+        for d in prev.get("deltas", []):
+            base_tables.append(pq.read_table(d))
+        if prev.get("deltas"):
+            base = resolve_lake_tables(base_tables, lake_schema, keep_tombstones=True)
+        elif base_tables:
+            base = base_tables[0]
+            if base.schema != lake_schema:
+                base = align_to_schema(base, lake_schema)
+        else:
+            base = lake_schema.empty_table()
+    else:
+        base = lake_schema.empty_table()
+
+    # ---- per-key ordering guarantee (KafkaMock ascending-id check, D1) -
+    # An event at or below its key's applied _last_id would regress the
+    # row; it is dropped (stale). Only late retries can produce this —
+    # anything else is an ordering violation and is counted.
+    # Vectorized: pc.index_in joins each event's key against the base's
+    # (unique) _key column, take() fetches the applied _last_id (null for
+    # unseen keys), and one compare marks stale rows — no per-row Python.
+    violations = 0
+    if len(ok) and len(base):
+        ok_keys = ok["key_string"]
+        if isinstance(ok_keys, pa.ChunkedArray):
+            ok_keys = ok_keys.combine_chunks()
+        ok_ids = ok["id"]
+        if isinstance(ok_ids, pa.ChunkedArray):
+            ok_ids = ok_ids.combine_chunks()
+        base_keys = base["_key"]
+        if isinstance(base_keys, pa.ChunkedArray):
+            base_keys = base_keys.combine_chunks()
+        base_last = base["_last_id"]
+        if isinstance(base_last, pa.ChunkedArray):
+            base_last = base_last.combine_chunks()
+        idx = pc.index_in(ok_keys, value_set=base_keys)
+        applied_last = base_last.take(idx)  # null where key not in base
+        stale = pc.fill_null(pc.less_equal(ok_ids, applied_last), False)
+        n_stale = int(pc.sum(stale).as_py() or 0)
+        if n_stale:
+            rc_ok = ok["retry_count"]
+            if isinstance(rc_ok, pa.ChunkedArray):
+                rc_ok = rc_ok.combine_chunks()
+            not_retry = pc.less_equal(pc.fill_null(rc_ok, 0), 0)
+            violations = int(pc.sum(pc.and_(stale, not_retry)).as_py() or 0)
+            ok = ok.filter(pc.invert(stale))
+
+    # ---- upsert / tombstone merge --------------------------------------
+    # Deletes become PHYSICAL tombstone rows in the base (null payload,
+    # _last_op='D'): the row is the deleted key's _last_id fence for the
+    # per-key stale check above — dropping it would let a late retry of an
+    # older event resurrect the key. Read paths filter tombstones.
+    op = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
+    is_del = pc.equal(op, "D")
+    n_upserts = len(ok) - (int(pc.sum(is_del.cast(pa.int8())).as_py() or 0) if len(ok) else 0)
+    touched = ok["key_string"]
+    if isinstance(touched, pa.ChunkedArray):
+        touched = touched.combine_chunks()
+    if len(ok):
+        keep_mask = pc.invert(pc.is_in(base["_key"], value_set=touched))
+        base_keep = base.filter(keep_mask) if len(base) else base
+    else:
+        base_keep = base
+    lake_rows = events_to_lake_rows(ok, payload_fields, sha_cols)
+    lake_rows = align_to_schema(lake_rows, lake_schema)
+    merged = pa.concat_tables([base_keep, lake_rows]) if len(lake_rows) else base_keep
+    if len(merged):
+        sort_idx = pc.sort_indices(merged["_key"].combine_chunks() if isinstance(merged["_key"], pa.ChunkedArray) else merged["_key"])
+        merged = merged.take(sort_idx)
+    live = drop_tombstones(merged)
+
+    # ---- idempotent staged write ---------------------------------------
+    out_path = staged_path(lake_dir, epoch, part)
+    nbytes = atomic_write_parquet(merged, out_path)
+    sha = partition_sha(live, sha_cols)  # digest = LIVE rows (fences excluded)
+
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "epoch": pa.array([epoch], pa.int64()),
+            "events_in": pa.array([events_in], pa.int64()),
+            "events_below_watermark": pa.array([below], pa.int64()),
+            "events_success": pa.array([len(ok)], pa.int64()),
+            "events_d_and_c_retries": pa.array([attempts], pa.int64()),
+            "events_delayed_errors": pa.array([n_retry], pa.int64()),
+            "events_final_errors": pa.array([n_final], pa.int64()),
+            "events_unkeyed": pa.array([len(unkeyed)], pa.int64()),
+            "upserts": pa.array([n_upserts], pa.int64()),
+            "deletes": pa.array([len(ok) - n_upserts], pa.int64()),
+            "ordering_violations": pa.array([violations], pa.int64()),
+            "lake_rows": pa.array([len(live)], pa.int64()),  # live rows only
+            "watermark": pa.array([new_wm], pa.int64()),
+            "path": pa.array([out_path], pa.string()),
+            "sha": pa.array([sha], pa.string()),
+            "bytes": pa.array([nbytes], pa.int64()),
+        },
+        schema=MERGE_STATS_SCHEMA,
+    )
 
 
 def make_epoch_merger(

@@ -65,3 +65,23 @@ def test_sigkill_mid_replay_resumes_to_oracle(tmp_path):
     exp = expected_lake_state(SPEC)
     cols = ["repo", "path", "commit", "content", "_last_id", "_last_op"]
     assert got[cols].reset_index(drop=True).equals(exp[cols].reset_index(drop=True))
+
+
+def test_gc_consumed_chunks_preserves_resume_ordinals(tmp_path):
+    """The manifest ledger counts ordinals of the FULL stream history; GC
+    must re-anchor the listing or a resume after deletion silently skips
+    the next chunks_consumed unconsumed chunks."""
+    import os
+
+    from movex_cdc_ray.sources.stream import gc_consumed_chunks, pending_chunks
+
+    d = str(tmp_path)
+    for i in range(10):
+        open(os.path.join(d, f"chunk_{i:06d}.parquet"), "w").write("x")
+    assert len(gc_consumed_chunks(d, 5, unlink=True)) == 5
+    got = [os.path.basename(p) for p in pending_chunks(d, 5)]
+    assert got == [f"chunk_{i:06d}.parquet" for i in range(5, 10)]
+    # second round: consume 3 more, GC again
+    assert len(gc_consumed_chunks(d, 8, unlink=True)) == 3
+    got = [os.path.basename(p) for p in pending_chunks(d, 8)]
+    assert got == [f"chunk_{i:06d}.parquet" for i in range(8, 10)]

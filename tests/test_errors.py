@@ -119,3 +119,11 @@ def test_reprocess_final_errors_resurrects(ray_session, tmp_path):
     assert n > 0
     assert final_error_files(lake) == []
     assert len(pending_retry_files(lake, before_epoch=Manifest.latest(lake).epoch + 2)) > 0
+
+    # the reprocessed events must actually FLOW through the next merge: the
+    # partition watermark is far past their ids, so only the retry_count>0
+    # bypass keeps them alive. Still-poison events re-fail to final errors;
+    # silently vanishing (the retry_count=0 bug) would leave no trace.
+    rep2 = replay(stream, lake, cfg, chunks_per_epoch=1)
+    assert rep2.events_final_errors == n
+    assert len(final_error_files(lake)) > 0

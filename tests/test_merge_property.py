@@ -83,12 +83,64 @@ def test_merge_equals_bruteforce(tmp_path_factory, seq):
     stats = merge_partition(ctx, events_table(seq), part=0)
     import pyarrow.parquet as pq
 
+    from movex_cdc_ray.stages.sink import drop_tombstones
+
     merged = pq.read_table(stats["path"][0].as_py())
+    live = drop_tombstones(merged)
     got = dict(zip(
-        [k.split("\x1f")[0] for k in merged["_key"].to_pylist()],
-        merged["_last_id"].to_pylist(),
+        [k.split("\x1f")[0] for k in live["_key"].to_pylist()],
+        live["_last_id"].to_pylist(),
     ))
     assert got == brute_force(seq)
+    # deleted keys persist as tombstone FENCE rows carrying the delete's id
+    # (the per-key stale check against late retries depends on them)
+    for k, op, i in zip(
+        merged["_key"].to_pylist(), merged["_last_op"].to_pylist(), merged["_last_id"].to_pylist()
+    ):
+        short = k.split("\x1f")[0]
+        if op == "D":
+            assert short not in got
+            assert i == max(j for j, (o, kk) in enumerate(seq, start=1) if KEYS[kk] == k)
+
+
+def test_late_retry_cannot_resurrect_deleted_key(tmp_path):
+    """A deleted key's tombstone fence must stale-drop a late retry of an
+    OLDER event — without the physical tombstone row, the retry finds no
+    base row, passes the stale check, and resurrects the deleted key."""
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.stages.sink import drop_tombstones
+
+    cfg = default_code_cdc_config()
+    lake_dir = str(tmp_path)
+    ctx1 = MergeContext(
+        lake_dir=lake_dir, epoch=1, prev_partitions={},
+        payload_fields=list(cfg.latest_version().payload_fields),
+        lake_schema=lake_table_schema(cfg), error_max_retries=5,
+    )
+    # epoch 1: insert id=1, delete id=9 → tombstone fence at 9, watermark 9
+    s1 = merge_partition(ctx1, events_table([("I", 0), ("D", 0)]), part=0)
+    base = pq.read_table(s1["path"][0].as_py())
+    assert len(drop_tombstones(base)) == 0 and len(base) == 1  # fence row
+
+    prev = {"0": {"path": s1["path"][0].as_py(), "deltas": [],
+                  "watermark": s1["watermark"][0].as_py(), "rows": 0,
+                  "sha": s1["sha"][0].as_py()}}
+    # epoch 2: a late RETRY of an older upsert (id below the delete's id)
+    retry = events_table([("U", 0)])  # id=1 < 9
+    retry = retry.set_column(
+        retry.column_names.index("retry_count"), "retry_count",
+        pa.array([1] * len(retry), pa.int32()),
+    )
+    ctx2 = MergeContext(
+        lake_dir=lake_dir, epoch=2, prev_partitions=prev,
+        payload_fields=list(cfg.latest_version().payload_fields),
+        lake_schema=lake_table_schema(cfg), error_max_retries=5,
+    )
+    s2 = merge_partition(ctx2, retry, part=0)
+    merged = pq.read_table(s2["path"][0].as_py())
+    assert len(drop_tombstones(merged)) == 0  # NOT resurrected
+    assert s2["events_success"][0].as_py() == 0  # stale-dropped
 
 
 def test_merge_split_across_epochs_equals_single_epoch(tmp_path):
