@@ -39,16 +39,36 @@ def staged_path(lake_dir: str, epoch: int, part: int) -> str:
     return os.path.join(lake_dir, STAGING_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync the parent directory so the rename itself is durable — without
+    it a power loss can roll back the os.replace even though the file's
+    contents were synced."""
+    fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def atomic_write_parquet(t, path: str) -> int:
-    """tmp-file + os.replace parquet write — a crash mid-write can never leave
-    a truncated file behind (every ledger/lake/staging write goes through
-    this; a torn retry file would wedge resume on pq.read_metadata forever)."""
+    """tmp-file + fsync + os.replace + dir-fsync parquet write — a crash or
+    power loss mid-write can never leave a truncated file behind (every
+    ledger/lake/staging write goes through this; a torn retry file would
+    wedge resume on pq.read_metadata forever). The data fsync matters
+    because the manifest commit is durable: a synced manifest must never
+    reference staged pages still sitting in the page cache."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     pq.write_table(t, tmp, row_group_size=128 * 1024)
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
+    _fsync_dir(path)
     return os.path.getsize(path)
 
 
@@ -60,6 +80,7 @@ def atomic_write_json(path: str, doc: dict[str, Any]) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path)
 
 
 @dataclass
