@@ -286,24 +286,47 @@ class DecodeStage:
         return pa.table(cols)
 
 
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor image resize, pure numpy (two index-take ops —
+    vectorized, no per-pixel Python). pixels: (H, W[, C]) uint8."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    row_idx = np.minimum((np.arange(height) * h) // height, h - 1)
+    col_idx = np.minimum((np.arange(width) * w) // width, w - 1)
+    return pixels[row_idx][:, col_idx]
+
+
 class ResizeStage:
-    """Image resize stub: updates metadata, passes payload through.
+    """Image resize: decode → nearest-neighbor resample → re-encode.
 
-    A real implementation decodes → resizes → re-encodes; here the Ray-side
-    contract (meta struct rewrite, payload passthrough, batch shape) is
-    exercised with the fake."""
+    ``real=True`` REALLY resizes BMP/PPM payloads with the pure-numpy
+    codecs (non-image payloads pass through untouched); ``real=False``
+    keeps the metadata-only fake for plumbing tests without media bytes.
+    Both modes rewrite the ``meta`` struct to the target dimensions."""
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, real: bool = False):
         self.width = width
         self.height = height
+        self.real = real
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        fmt = sniff_format(payload)
+        if fmt == "bmp":
+            return encode_bmp(resize_nearest(decode_bmp(payload), self.width, self.height))
+        if fmt == "ppm":
+            return encode_ppm(resize_nearest(decode_ppm(payload), self.width, self.height))
+        return payload  # audio/unknown: resize is an image op
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
+        fmt_label = "resized" if self.real else "fake-resized"
+        if self.real:
+            payloads = batch["payload"]
+            if isinstance(payloads, pa.ChunkedArray):
+                payloads = payloads.combine_chunks()
+            out = pa.array([self._resize_one(p.as_py()) for p in payloads], pa.binary())
+            batch = batch.set_column(batch.column_names.index("payload"), "payload", out)
         meta = pa.array(
-            [
-                {"width": self.width, "height": self.height, "duration_ms": 0, "format": "fake-resized"}
-            ]
-            * n,
+            [{"width": self.width, "height": self.height, "duration_ms": 0, "format": fmt_label}] * n,
             MEDIA_SCHEMA.field("meta").type,
         )
         i = batch.column_names.index("meta")

@@ -176,6 +176,33 @@ def test_resize_and_frame_sample_stages(ray_session):
     assert frames["frame_idx"].to_pylist()[:4] == [0, 1, 2, 3]
 
 
+def test_real_resize_decodes_to_target_dimensions(ray_session):
+    from movex_cdc_ray.functions.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        sniff_format,
+        synth_real_media_table,
+    )
+
+    media = synth_real_media_table(20, seed=11)
+    out = ResizeStage(12, 9, real=True)(media)
+    for payload in out["payload"].to_pylist():
+        fmt = sniff_format(payload)
+        if fmt == "bmp":
+            px = decode_bmp(payload)
+            assert px.shape[:2] == (9, 12)
+        elif fmt == "ppm":
+            px = decode_ppm(payload)
+            assert px.shape[:2] == (9, 12)
+        # wav payloads pass through untouched (resize is an image op)
+    # same-size nearest-neighbor resize is the identity on pixels
+    is_bmp = pa.array([sniff_format(p) == "bmp" for p in media["payload"].to_pylist()])
+    one = media.filter(is_bmp).slice(0, 1)
+    px0 = decode_bmp(one["payload"][0].as_py())
+    same = ResizeStage(px0.shape[1], px0.shape[0], real=True)(one)
+    assert (decode_bmp(same["payload"][0].as_py()) == px0).all()
+
+
 def test_frame_sample_then_decode_chained_pipeline(ray_session):
     # video → frame explosion → per-frame decode, chained as Ray stages
     media = synth_media_table(6, kind="video", payload_bytes=512)
