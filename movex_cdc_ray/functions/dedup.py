@@ -27,10 +27,6 @@ _WORD_RE = re.compile(r"\w+")
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _md5_hex(s: str) -> str:
-    return hashlib.md5(s.encode()).hexdigest()
-
-
 # ---------------------------------------------------------------------------
 # exact dedup: hash-partition + per-group first
 # ---------------------------------------------------------------------------

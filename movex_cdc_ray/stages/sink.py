@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import uuid
 from typing import Any, Callable
 
 from dataclasses import dataclass
@@ -88,8 +87,6 @@ def sha_source_columns(payload_fields: list[str]) -> list[str]:
     payload shape hashes the canonical \\x1f-joined rendering of ALL payload
     columns (so configs without a ``content`` field are first-class)."""
     return ["content"] if "content" in payload_fields else list(payload_fields)
-
-
 
 
 def content_sha_array(t: pa.Table, cols: list[str], prefix: str = "") -> pa.Array:
