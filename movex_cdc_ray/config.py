@@ -160,6 +160,10 @@ class TableConfig:
         # (reference `app/models/table.rb:77-79`)
         if self.key_handling == "T" and not self.yn_record_txid:
             raise ValueError("key mode T requires yn_record_txid")
+        if self.key_handling == "P" and not self.pk_columns:
+            raise ValueError(
+                "key mode P (primary key) requires pk_columns — use mode N for unkeyed tables"
+            )
         # duplicate column-expression guard, reference
         # `app/models/column_expression.rb:12-18` (operator D2)
         seen = set()
@@ -169,13 +173,19 @@ class TableConfig:
                 raise ValueError(f"duplicate column expression {k}")
             seen.add(k)
 
+    def observed_columns(self, op: str) -> list[str]:
+        """Columns whose changes the trigger OBSERVES for ``op`` (its
+        UPDATE OF list) — unaffected by ``yn_payload_pkey_only``, which
+        reduces the payload a message carries, never which changes fire."""
+        return [c.name for c in self.columns if c.logs(op)]
+
     def logged_columns(self, op: str) -> list[str]:
         """Payload columns included for operation ``op`` (operator M2).
 
         ``yn_payload_pkey_only`` reduces the payload to the PK columns
         (reference `app/models/table.rb:131-133`).
         """
-        cols = [c.name for c in self.columns if c.logs(op)]
+        cols = self.observed_columns(op)
         if self.yn_payload_pkey_only:
             cols = [c for c in cols if c in self.pk_columns]
         return cols

@@ -55,18 +55,6 @@ class InitEventWrapper:
         n = len(batch)
         from ..functions.scalar import hash_strings
 
-        pk_cols = self.table.pk_columns or [batch.column_names[0]]
-        key_parts = [batch[c].cast(pa.string()) for c in pk_cols]
-        if len(key_parts) > 1:
-            import pyarrow.compute as pc
-
-            joined = pc.binary_join_element_wise(*key_parts, "\x1f")
-        else:
-            joined = key_parts[0]
-        # ids hash below the stream's first id; unique per key because the
-        # snapshot has exactly one row per key (collisions across keys are
-        # harmless — combine/merge resolve per key, not per id)
-        ids = (hash_strings(joined) % np.uint64(max(self.first_stream_id, 1))).astype(np.int64)
         if self.id_base:
             # non-flashback: every snapshot row ranks at EXACTLY the
             # live-read watermark — it overrides stream events folded into
@@ -76,6 +64,19 @@ class InitEventWrapper:
             # watermark instead would let stale snapshot images outrank
             # genuinely newer post-read events.
             ids = np.full(n, np.int64(self.id_base), dtype=np.int64)
+        else:
+            pk_cols = self.table.pk_columns or [batch.column_names[0]]
+            key_parts = [batch[c].cast(pa.string()) for c in pk_cols]
+            if len(key_parts) > 1:
+                import pyarrow.compute as pc
+
+                joined = pc.binary_join_element_wise(*key_parts, "\x1f")
+            else:
+                joined = key_parts[0]
+            # ids hash below the stream's first id; unique per key because the
+            # snapshot has exactly one row per key (collisions across keys are
+            # harmless — combine/merge resolve per key, not per id)
+            ids = (hash_strings(joined) % np.uint64(max(self.first_stream_id, 1))).astype(np.int64)
 
         cols: dict[str, pa.Array] = {
             "id": pa.array(ids, pa.int64()),
@@ -129,7 +130,12 @@ def snapshot_events(
         ds = ds.sort(table.initialization_order_by)
     id_base = 0
     if not table.yn_initialize_with_flashback:
-        id_base = live_at_id if live_at_id is not None else first_stream_id
+        # fallback with no captured watermark: anchor BELOW the stream start
+        # so the snapshot loses to EVERY stream event (id == first_stream_id
+        # would tie with the first event and make the arg-max winner
+        # arbitrary); events already folded into the live read simply
+        # re-apply idempotently on top
+        id_base = live_at_id if live_at_id is not None else first_stream_id - 1
     return ds.map_batches(
         InitEventWrapper(cfg, table, first_stream_id, id_base=id_base), batch_format="pyarrow"
     )

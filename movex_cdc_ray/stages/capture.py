@@ -51,6 +51,11 @@ class TablePlan:
     table: TableConfig
     topic: str
     logged: dict[str, list[str]] = field(default_factory=dict)  # op -> payload cols
+    # op -> OBSERVED cols (the trigger's UPDATE OF list): drives the op-flag
+    # filter and no-op-update suppression. yn_payload_pkey_only narrows
+    # `logged` (the payload) but NOT this — the reference's flag reduces
+    # what the message carries, never which changes fire the trigger.
+    observed: dict[str, list[str]] = field(default_factory=dict)
     conditions: dict[str, Any] = field(default_factory=dict)  # op -> code object
     expressions: dict[str, list[tuple[str, str, Any]]] = field(default_factory=dict)
     key_expr: Any = None
@@ -69,6 +74,7 @@ def compile_plan(cfg: CaptureConfig) -> dict[int, TablePlan]:
         plan = TablePlan(table=t, topic=cfg.topic_for(t))
         for op in ("I", "U", "D", "i"):
             plan.logged[op] = t.logged_columns(op)
+            plan.observed[op] = t.observed_columns(op)
             cond = t.condition(op)
             if cond:
                 plan.conditions[op] = compile_expr(cond)
@@ -86,7 +92,8 @@ def _payload_field_names(schema: pa.Schema) -> list[str]:
 
 
 def derive_keys(
-    batch: pa.Table, plan: TablePlan, skip_msg_key: bool = False
+    batch: pa.Table, plan: TablePlan, skip_msg_key: bool = False,
+    pk_source: pa.Table | None = None,
 ) -> tuple[pa.Array | None, pa.Array]:
     """(msg_key, key_string) per row.
 
@@ -95,14 +102,24 @@ def derive_keys(
     ``KEY_SEP``-joined PK values, resolved old-vs-new per op (the reference's
     ``:old``→``:new`` rewrite, `db_trigger_generator_oracle.rb:952-967`);
     null for unkeyed tables (mode N → round-robin partitioning, operator S3).
+
+    ``pk_source`` supplies the PRE-projection row images for the PK value
+    reads (the reference trigger derives keys from the raw ``:old``/``:new``
+    records): payload projection may null a PK column the op doesn't log
+    (e.g. ``yn_log_delete=False`` on a PK column), and a key derived from
+    the projected image would be NULL — misrouting the event to the unkeyed
+    side channel and, for a DELETE, never removing the lake row. E-mode key
+    expressions still evaluate over ``batch`` (they may reference computed
+    columns appended after projection).
     """
     t = plan.table
     n = len(batch)
+    pk_batch = pk_source if pk_source is not None else batch
     is_del = pc.equal(batch["op"], "D")
 
     def v(name: str) -> pa.Array:
-        old = batch[f"old_{name}"]
-        new = batch[f"new_{name}"]
+        old = pk_batch[f"old_{name}"]
+        new = pk_batch[f"new_{name}"]
         if isinstance(old, pa.ChunkedArray):
             old = old.combine_chunks()
         if isinstance(new, pa.ChunkedArray):
@@ -169,8 +186,7 @@ class CaptureStage:
     columns (named ``new_<name>`` / ``old_<name>``).
     """
 
-    def __init__(self, cfg: CaptureConfig, count_suppressed: bool = False,
-                 sink_mode: bool = False):
+    def __init__(self, cfg: CaptureConfig, sink_mode: bool = False):
         """``sink_mode=True`` specializes the stage for the lake-merge path:
         the message key and the per-op payload nulling whose effect the merge
         provably never reads (new-image on DELETE rows — dropped as
@@ -182,15 +198,7 @@ class CaptureStage:
         self.plans = compile_plan(cfg)
         self.event_schema = change_event_schema(cfg.latest_version().payload_fields)
         self.payload_fields = list(cfg.latest_version().payload_fields)
-        self.counters: dict[tuple[int, str, str], int] = {}
-        self.count_suppressed = count_suppressed
         self.sink_mode = sink_mode
-
-    def _count(self, table_id: int, op_counts: dict[str, int], counter_type: str) -> None:
-        for op, n in op_counts.items():
-            if n:
-                k = (table_id, op, counter_type)
-                self.counters[k] = self.counters.get(k, 0) + n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if isinstance(batch, pa.RecordBatch):  # pragma: no cover - ray always passes Table
@@ -212,7 +220,11 @@ class CaptureStage:
             out_parts.append(self._capture_table(sub, plan))
         if not out_parts:
             return self._empty_out()
-        return pa.concat_tables(out_parts) if len(out_parts) > 1 else out_parts[0]
+        if len(out_parts) == 1:
+            return out_parts[0]
+        # per-table computed-expression columns make the parts' schemas
+        # diverge; promote unifies them (missing expression columns null)
+        return pa.concat_tables(out_parts, promote_options="default")
 
     def _empty_out(self) -> pa.Table:
         schema = self.event_schema
@@ -231,10 +243,11 @@ class CaptureStage:
             o: pc.equal(op, o).to_numpy(zero_copy_only=False) for o in ("I", "U", "D", "i")
         }
 
-        # 2) op-flag filter: an op with no logged columns has no trigger (M2)
+        # 2) op-flag filter: an op with no OBSERVED columns has no trigger
+        #    (M2; pkey-only payload reduction must not drop the op entirely)
         keep = np.zeros(n, dtype=bool)
         for o in ("I", "U", "D", "i"):
-            if plan.logged[o]:
+            if plan.observed[o]:
                 keep |= op_eq[o]
 
         # 3) per-op row predicates (M3)
@@ -249,9 +262,9 @@ class CaptureStage:
         # 4) update-only-on-change suppression (M4): NULL-safe old!=new over
         #    the columns OBSERVED for update (the trigger's UPDATE OF list)
         upd = op_eq["U"]
-        if upd.any() and plan.logged["U"]:
+        if upd.any() and plan.observed["U"]:
             changed = np.zeros(n, dtype=bool)
-            for c in plan.logged["U"]:
+            for c in plan.observed["U"]:
                 if f"new_{c}" in batch.column_names:
                     neq = null_safe_not_equal(batch[f"new_{c}"], batch[f"old_{c}"])
                     changed |= neq.to_numpy(zero_copy_only=False)
@@ -262,6 +275,10 @@ class CaptureStage:
             op_eq = {o: v[keep] for o, v in op_eq.items()}
         else:
             sub = batch
+        # snapshot of the raw row images BEFORE payload projection: key
+        # derivation must read PK values the projection may null (zero-copy —
+        # Arrow arrays are immutable, this only holds references)
+        pre_projection = sub
 
         # 5) per-op payload projection (M2): null out unlogged columns; insert
         #    events keep no old object, delete events no new object.
@@ -317,8 +334,11 @@ class CaptureStage:
                 else:
                     sub = sub.append_column(colname, val)
 
-        # 7) message key + canonical partition key (M7)
-        msg_key, key_string = derive_keys(sub, plan, skip_msg_key=self.sink_mode)
+        # 7) message key + canonical partition key (M7) — PK values from the
+        #    pre-projection images (see derive_keys)
+        msg_key, key_string = derive_keys(
+            sub, plan, skip_msg_key=self.sink_mode, pk_source=pre_projection
+        )
         if msg_key is not None:
             sub = sub.append_column("msg_key", msg_key)
         sub = sub.append_column("key_string", key_string)
@@ -359,16 +379,13 @@ def attach_envelope(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None =
     idx = pc.index_in(op, pa.array(codes))
     operation = longs.take(idx)
 
-    id_to_table = {t.table_id: t for t in cfg.tables}
-    schema_names = pa.array(
-        [id_to_table[t].schema_name if t in id_to_table else None for t in tids.to_pylist()]
-    )
-    table_names = pa.array(
-        [id_to_table[t].name if t in id_to_table else None for t in tids.to_pylist()]
-    )
-    topics = pa.array(
-        [cfg.topic_for(id_to_table[t]) if t in id_to_table else None for t in tids.to_pylist()]
-    )
+    # table metadata via the same index_in/take dictionary pattern as the
+    # op-code mapping above — one vectorized pass instead of per-row dicts
+    known_ids = pa.array([t.table_id for t in cfg.tables], pa.int32())
+    tidx = pc.index_in(tids.cast(pa.int32()), value_set=known_ids)
+    schema_names = pa.array([t.schema_name for t in cfg.tables], pa.string()).take(tidx)
+    table_names = pa.array([t.name for t in cfg.tables], pa.string()).take(tidx)
+    topics = pa.array([cfg.topic_for(t) for t in cfg.tables], pa.string()).take(tidx)
     if legacy_ts is None:
         legacy_ts = cfg.legacy_ts_format
     ts_str = format_timestamp(
@@ -391,9 +408,8 @@ def attach_envelope(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None =
     any_ce = any(t.yn_add_cloudevents_header for t in cfg.tables)
     if any_ce:
         n = len(batch)
-        ce_on = pa.array(
-            [t in id_to_table and id_to_table[t].yn_add_cloudevents_header for t in tids.to_pylist()]
-        )
+        ce_flags = pa.array([t.yn_add_cloudevents_header for t in cfg.tables], pa.bool_())
+        ce_on = pc.fill_null(ce_flags.take(tidx), False)
         nulls = pa.nulls(n, pa.string())
 
         def gated(col) -> pa.Array:

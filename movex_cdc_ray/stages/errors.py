@@ -45,23 +45,35 @@ def divide_and_conquer(
     (the reference's ``events_d_and_c_retries`` statistic,
     `transfer_thread.rb:145-147`). ``apply_fn`` must be side-effect-free on
     failure (validation only) — the real write happens after isolation.
+
+    ``max_single_checks`` bounds the pathological everything-fails case:
+    once that many single-row probes have run, remaining failing slices are
+    quarantined wholesale (error_msg from the slice-level failure) instead
+    of probed row by row.
     """
     ok_parts: list[pa.Table] = []
     bad_parts: list[pa.Table] = []
     attempts = 0
+    single_checks = 0
+
+    def quarantine(t: pa.Table, exc: Exception) -> None:
+        bad_parts.append(
+            t.append_column("error_msg", pa.array([str(exc)[:4000]] * len(t), pa.string()))
+        )
 
     def recurse(t: pa.Table) -> None:
-        nonlocal attempts
+        nonlocal attempts, single_checks
         if len(t) == 0:
             return
+        if len(t) == 1:
+            single_checks += 1
         try:
             apply_fn(t)
             ok_parts.append(t)
             return
         except Exception as exc:  # noqa: BLE001 - any failure splits
-            if len(t) == 1:
-                bad = t.append_column("error_msg", pa.array([str(exc)[:4000]], pa.string()))
-                bad_parts.append(bad)
+            if len(t) == 1 or single_checks >= max_single_checks:
+                quarantine(t, exc)
                 return
             attempts += 1
             k = min(D_AND_C_FANOUT, len(t))
@@ -122,13 +134,11 @@ def pending_retry_files(lake_dir: str, before_epoch: int, backoff_epochs: int = 
     out = []
     for f in sorted(glob.glob(os.path.join(lake_dir, RETRY_DIR, "epoch=*", "part=*.parquet"))):
         e = int(os.path.basename(os.path.dirname(f)).split("=")[1])
-        md = pq.read_metadata(f)
         # smallest retry_count in file decides the earliest eligibility
         t = pq.read_table(f, columns=["retry_count"])
         rmin = pc.min(t["retry_count"]).as_py() or 1
         if e + backoff_epochs * 3 ** max(rmin - 1, 0) <= before_epoch:
             out.append(f)
-        del md
     return out
 
 

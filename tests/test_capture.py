@@ -264,3 +264,70 @@ def test_expression_scalar_broadcast_and_v_helper():
     out = st(make_batch([ev(1, "I"), ev(2, "D")]))
     assert out["new_source_system"].to_pylist() == ["oracle-prod", None]
     assert out["new_final_repo"].to_pylist() == [None, "r1"]  # v() → old side on D
+
+
+def test_pk_column_unlogged_for_delete_still_derives_key():
+    """Projection must not null a PK column before key derivation: a DELETE
+    whose PK column has yn_log_delete=False still needs its key_string (the
+    reference trigger reads :old/:new raw records for keys) — a NULL key
+    would misroute the tombstone to the unkeyed channel and never delete
+    the lake row."""
+    cfg = default_code_cdc_config()
+    t = cfg.tables[0]
+    for c in t.columns:
+        if c.name == "repo":
+            c.yn_log_delete = False
+    out = CaptureStage(cfg)(make_batch([ev(1, "I"), ev(2, "D")]))
+    assert out.num_rows == 2
+    keys = out["key_string"].to_pylist()
+    assert all(k is not None and "r1" in k for k in keys)
+    assert keys[0] == keys[1]  # DELETE keys the same row the INSERT created
+    # the payload projection itself still applies: old_repo is nulled
+    assert out["old_repo"].to_pylist()[1] is None
+
+
+def test_payload_pkey_only_narrows_payload_without_suppressing_updates():
+    """yn_payload_pkey_only reduces what the message CARRIES, not which
+    changes fire the trigger: a content-only update must still emit an
+    event (with the payload narrowed to the PK columns)."""
+    cfg = default_code_cdc_config()
+    cfg.tables[0].yn_payload_pkey_only = True
+    out = CaptureStage(cfg)(
+        make_batch([ev(1, "U", content="new", old_content="old"),
+                    ev(2, "U", content="same", old_content="same", old_commit="c2",
+                       old_lang="py")])
+    )
+    # event 1 (content changed) flows; event 2 (true no-op) is suppressed
+    assert out["id"].to_pylist() == [1]
+    # payload narrowed: content is not logged, PK columns are
+    assert out["new_content"].to_pylist() == [None]
+    assert out["new_repo"].to_pylist() == ["r1"]
+
+
+def test_multi_table_batch_with_asymmetric_expressions_concats():
+    """Computed-expression columns exist on one table only — the capture
+    output must still concat across tables (missing columns null)."""
+    cfg = default_code_cdc_config()
+    from movex_cdc_ray.config import TableConfig
+
+    t2 = TableConfig(
+        name="OTHER", schema_name="CODE", table_id=2, pk_columns=["repo", "path"],
+        columns=[type(cfg.tables[0].columns[0])(c.name) for c in cfg.tables[0].columns],
+    )
+    cfg.tables.append(t2)
+    cfg.tables[0].column_expressions.append(
+        ColumnExpressionConfig("I", "xlen", "pc.utf8_length(c('new_content'))")
+    )
+    rows = [ev(1, "I"), ev(2, "I", table_id=2), ev(3, "D", table_id=2)]
+    out = CaptureStage(cfg)(make_batch(rows))
+    assert out.num_rows == 3
+    assert "new_xlen" in out.column_names
+    vals = dict(zip(out["id"].to_pylist(), out["new_xlen"].to_pylist()))
+    assert vals[1] is not None and vals[2] is None  # expression on table 1 only
+
+
+def test_key_mode_p_requires_pk_columns():
+    from movex_cdc_ray.config import TableConfig
+
+    with pytest.raises(ValueError, match="mode P"):
+        TableConfig(name="T", schema_name="S", table_id=9)
