@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Any
 
 from .config import CaptureConfig
-from .stages.capture import CaptureStage, compile_plan
+from .stages.capture import CaptureStage
 from .stages.errors import reprocess_final_errors as _reprocess
 from .stages.stats import health_check as _health
 from .state.manifest import Manifest
@@ -48,13 +48,18 @@ class Engine:
         a table on an ungranted schema lands in ``errors`` instead of
         deploying — the reference scopes generate_all to the user's
         schema rights."""
+        from .stages.capture import compile_table_plan
+
         successes, errors = [], []
         for t in self.cfg.tables:
+            if t.yn_hidden:
+                continue
             try:
                 self._authorize(t.schema_name, "generate_trigger", t.name)
-                plans = compile_plan(self.cfg)
-                if t.table_id in plans:
-                    successes.append({"table": f"{t.schema_name}.{t.name}"})
+                # per-table compile: one table's bad expression must not
+                # poison the other tables' results (or recompile O(T^2))
+                compile_table_plan(self.cfg, t)
+                successes.append({"table": f"{t.schema_name}.{t.name}"})
             except Exception as exc:  # noqa: BLE001
                 errors.append({"table": f"{t.schema_name}.{t.name}", "error": str(exc)})
         # load_sqls analog: tables flagged for initialization

@@ -149,8 +149,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                # multi-channel would silently decode as interleaved mono —
+                # raise like every other unsupported shape (nothing faked)
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits}, channels={channels})"
+                )
         elif cid == b"data":
             samples = np.frombuffer(body, dtype="<i2").copy()
         pos += 8 + clen + (clen & 1)
@@ -258,6 +262,15 @@ class DecodeStage:
         return _audio_features(samples, self.feature_dim), 0, 0, len(samples)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # np.stack needs at least one row
+            schema = [("media_id", pa.int64()), ("kind", pa.string()),
+                      ("feature", pa.list_(pa.float32(), self.feature_dim)),
+                      ("feature_norm", pa.float64()),
+                      ("payload_sha", pa.string()), ("payload_bytes", pa.int64())]
+            if self.real:
+                schema += [("decoded_width", pa.int32()), ("decoded_height", pa.int32()),
+                           ("decoded_samples", pa.int64())]
+            return pa.schema(schema).empty_table()
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
@@ -318,17 +331,31 @@ class ResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        fmt_label = "resized" if self.real else "fake-resized"
+        meta_type = MEDIA_SCHEMA.field("meta").type
         if self.real:
             payloads = batch["payload"]
             if isinstance(payloads, pa.ChunkedArray):
                 payloads = payloads.combine_chunks()
-            out = pa.array([self._resize_one(p.as_py()) for p in payloads], pa.binary())
-            batch = batch.set_column(batch.column_names.index("payload"), "payload", out)
-        meta = pa.array(
-            [{"width": self.width, "height": self.height, "duration_ms": 0, "format": fmt_label}] * n,
-            MEDIA_SCHEMA.field("meta").type,
-        )
+            raw = [p.as_py() for p in payloads]
+            resized = [self._resize_one(p) for p in raw]
+            batch = batch.set_column(
+                batch.column_names.index("payload"), "payload", pa.array(resized, pa.binary())
+            )
+            # meta rewritten ONLY for rows actually resized — an audio row's
+            # meta must keep describing the (untouched) audio payload
+            old_meta = batch["meta"].to_pylist()
+            new_meta = [
+                {"width": self.width, "height": self.height, "duration_ms": 0, "format": "resized"}
+                if sniff_format(p) in ("bmp", "ppm") else m
+                for p, m in zip(raw, old_meta)
+            ]
+            meta = pa.array(new_meta, meta_type)
+        else:
+            meta = pa.array(
+                [{"width": self.width, "height": self.height, "duration_ms": 0,
+                  "format": "fake-resized"}] * n,
+                meta_type,
+            )
         i = batch.column_names.index("meta")
         return batch.set_column(i, "meta", meta)
 

@@ -172,12 +172,19 @@ def lsh_bucketed_ann(
     qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qbuckets = hasher.bucket(qmat)
+    # probe every bucket within Hamming distance ≤ multiprobe of the
+    # query's bucket (multiprobe=0 → exact bucket only)
+    from itertools import combinations
+
     probe_sets = []
     for qb in qbuckets:
         probes = {int(qb)}
-        if multiprobe:
-            for b in range(n_bits):
-                probes.add(int(qb) ^ (1 << b))
+        for d in range(1, min(multiprobe, n_bits) + 1):
+            for bits in combinations(range(n_bits), d):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                probes.add(int(qb) ^ flip)
         probe_sets.append(probes)
     all_probes = set().union(*probe_sets)
 

@@ -48,7 +48,8 @@ class TokenCounter:
         n_tokens = pc.if_else(pc.equal(pc.utf8_length(text), 0), pa.scalar(0, pa.int32()), n_tokens.cast(pa.int32()))
         s = text.to_pandas()
         n_bpe = s.map(lambda t: len(self.bpe_re.findall(t)) if t else 0).astype("int64")
-        out = batch.append_column("n_tokens", n_tokens.cast(pa.int64()))
+        out = batch.append_column("n_chars", pc.utf8_length(text).cast(pa.int64()))
+        out = out.append_column("n_tokens", n_tokens.cast(pa.int64()))
         return out.append_column("n_bpe_tokens", pa.array(n_bpe, pa.int64()))
 
 
@@ -114,15 +115,19 @@ class LangIdStage:
 
 class Fingerprinter:
     """Document fingerprints: a normalized md5 (exact-dup key, SQL-checkable)
-    and a winnowed Rabin-Karp rolling-hash fingerprint (robust to small
-    edits; rows-only oracle)."""
+    and a byte-k-gram MIN-HASH fingerprint (robust to small edits as long as
+    the minimal k-gram survives them; rows-only oracle).
 
-    def __init__(self, text_col: str = "text", k: int = 8, window: int = 4):
+    Note this is deliberately the GLOBAL minimum, not a winnowed set: a
+    winnow (per-window minima) selects a set of hashes for substring
+    matching, but any single-number reduction of that set collapses back to
+    the global min — the set variant only pays off with a set-valued output
+    column, which the pipeline doesn't need."""
+
+    def __init__(self, text_col: str = "text", k: int = 8):
         self.text_col = text_col
         self.k = k
-        self.window = window
         self.base = np.uint64(1000003)
-        self.mod_mask = np.uint64((1 << 61) - 1)
 
     def _rolling_min_hash(self, t: str) -> int:
         b = t.encode("utf-8", "ignore")
@@ -135,7 +140,6 @@ class Fingerprinter:
         h = np.zeros(n, dtype=np.uint64)
         for j in range(k):  # k is small (8): 8 vector ops, not a per-char loop
             h = h * self.base + arr[j : j + n]
-        # winnowing: min hash per window, then min over document (stable)
         return int(h.min())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -468,7 +468,12 @@ def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
                  evolve_at_event=15_000)
     base = "/tmp/movex_flagship"
     stream, lake = _os.path.join(base, "stream"), _os.path.join(base, "lake")
-    if len(_lc(stream)) != 5:
+    # expected chunk count derives from the spec (an extra file only if the
+    # evolution boundary splits a chunk — here it is chunk-aligned): 4 files
+    expected_chunks = -(-spec.n_events // spec.chunk_size) + (
+        1 if spec.evolve_at_event % spec.chunk_size else 0
+    )
+    if len(_lc(stream)) != expected_chunks:
         _shutil.rmtree(stream, ignore_errors=True)
         _gen(stream, spec)
     _shutil.rmtree(lake, ignore_errors=True)
@@ -790,7 +795,7 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fdedup.SimHasher(), batch_format="pandas", concurrency=2)
     pdf = out.to_pandas()[["doc_id", "simhash", "simhash_band_0", "simhash_band_1"]]
-    pdf["simhash"] = pdf["simhash"].astype("int64", errors="ignore") if False else pdf["simhash"].astype("uint64")
+    pdf["simhash"] = pdf["simhash"].astype("uint64")
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -826,38 +831,24 @@ def ann_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def text_tokens(sf_dir: str) -> pd.DataFrame:
-    """Token counting: chars + whitespace tokens (vectorized Arrow kernels)."""
+    """Token counting via the SHIPPED TokenCounter operator (the oracle must
+    validate the operator users run, not an inline re-derivation)."""
+    from ..functions.text import TokenCounter
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        text = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
-        n_chars = pc.utf8_length(text).cast(pa.int64())
-        n_tokens = pc.add(pc.count_substring(text, pattern=" "), 1).cast(pa.int64())
-        return pa.table({"doc_id": batch["doc_id"], "n_chars": n_chars, "n_tokens": n_tokens})
-
-    return _sorted_pdf(ds.map_batches(counts, batch_format="pyarrow"), "doc_id")
+    out = ds.map_batches(TokenCounter(), batch_format="pyarrow")
+    return _sorted_pdf(out.select_columns(["doc_id", "n_chars", "n_tokens"]), "doc_id")
 
 
 def text_quality(sf_dir: str) -> pd.DataFrame:
-    """Quality scoring: stopword ratio + mean word length per document."""
+    """Quality scoring via the SHIPPED QualityScorer operator — the SQL
+    oracle mirrors its regex-word definitions exactly."""
+    from ..functions.text import QualityScorer
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].fillna("").str.split(" ")
-        n_words = words.str.len().astype("int64")
-        stop_n = words.map(lambda ws: sum(w in STOPWORDS for w in ws))
-        n_chars = batch["text"].str.len()
-        mean_wl = (n_chars - (n_words - 1)) / n_words
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": n_words,
-                "stopword_ratio": (stop_n / n_words).round(6),
-                "mean_word_len": mean_wl.round(6),
-            }
-        )
-
-    return _sorted_pdf(ds.map_batches(score, batch_format="pandas"), "doc_id")
+    out = ds.map_batches(QualityScorer(), batch_format="pandas", concurrency=2)
+    pdf = out.to_pandas()[["doc_id", "n_words", "stopword_ratio", "mean_word_len"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
 def text_langid(sf_dir: str) -> pd.DataFrame:
@@ -871,21 +862,15 @@ def text_langid(sf_dir: str) -> pd.DataFrame:
 
 
 def text_fingerprint(sf_dir: str) -> pd.DataFrame:
-    """Document fingerprinting: md5 of normalized text."""
+    """Document fingerprinting via the SHIPPED Fingerprinter operator
+    (md5 of lower+strip normalized text; the SQL trim() is equivalent for
+    space-delimited corpora)."""
+    from ..functions.text import Fingerprinter
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
-        norm = batch["text"].fillna("").str.lower().str.strip()
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "fingerprint_md5": norm.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
-            }
-        )
-
-    return _sorted_pdf(ds.map_batches(fp, batch_format="pandas"), "doc_id")
+    out = ds.map_batches(Fingerprinter(), batch_format="pandas", concurrency=2)
+    pdf = out.to_pandas()[["doc_id", "fingerprint_md5"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
 def corpus_clean(sf_dir: str) -> pd.DataFrame:
@@ -1341,19 +1326,28 @@ ORACLE_SQL: dict[str, str] = {
     "text_tokens": """
         SELECT doc_id,
                LENGTH(text) AS n_chars,
-               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+               CASE WHEN LENGTH(text) = 0 THEN 0
+                    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+               END AS n_tokens
         FROM documents
         ORDER BY doc_id
     """,
-    "text_quality": """
+    # mirrors QualityScorer exactly: words = [a-z']+ over lowercased text
+    "text_quality": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS ws
+          FROM documents
+        )
         SELECT doc_id,
-               len(string_split(text, ' ')) AS n_words,
-               ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN """
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE ROUND(CAST(len(list_filter(ws, x -> x IN """
     + STOPWORDS_SQL
-    + """)) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
-               ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS mean_word_len
-        FROM documents
+    + r""")) AS DOUBLE) / len(ws), 6) END AS stopword_ratio,
+               CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE ROUND(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                               / len(ws), 6) END AS mean_word_len
+        FROM t
         ORDER BY doc_id
     """,
     "text_fingerprint": """

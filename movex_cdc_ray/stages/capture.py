@@ -71,20 +71,27 @@ def compile_plan(cfg: CaptureConfig) -> dict[int, TablePlan]:
     for t in cfg.tables:
         if t.yn_hidden:
             continue
-        plan = TablePlan(table=t, topic=cfg.topic_for(t))
-        for op in ("I", "U", "D", "i"):
-            plan.logged[op] = t.logged_columns(op)
-            plan.observed[op] = t.observed_columns(op)
-            cond = t.condition(op)
-            if cond:
-                plan.conditions[op] = compile_expr(cond)
-            plan.expressions[op] = [
-                (e.name, e.target(), compile_expr(e.sql)) for e in t.expressions(op)
-            ]
-        if t.key_handling == "E" and t.key_expression:
-            plan.key_expr = compile_expr(t.key_expression)
-        plans[t.table_id] = plan
+        plans[t.table_id] = compile_table_plan(cfg, t)
     return plans
+
+
+def compile_table_plan(cfg: CaptureConfig, t) -> TablePlan:
+    """Compile ONE table's plan — the per-table unit of trigger generation,
+    so one table's bad expression fails only that table (api.generate_triggers
+    reports per-table successes/errors like the reference's generate_all)."""
+    plan = TablePlan(table=t, topic=cfg.topic_for(t))
+    for op in ("I", "U", "D", "i"):
+        plan.logged[op] = t.logged_columns(op)
+        plan.observed[op] = t.observed_columns(op)
+        cond = t.condition(op)
+        if cond:
+            plan.conditions[op] = compile_expr(cond)
+        plan.expressions[op] = [
+            (e.name, e.target(), compile_expr(e.sql)) for e in t.expressions(op)
+        ]
+    if t.key_handling == "E" and t.key_expression:
+        plan.key_expr = compile_expr(t.key_expression)
+    return plan
 
 
 def _payload_field_names(schema: pa.Schema) -> list[str]:

@@ -95,14 +95,31 @@ def compress_epoch_stats(lake_dir: str, keep_epochs: int = 8) -> dict:
 
     import pyarrow.parquet as pq
 
+    def epoch_of(f: str) -> int:
+        return int(os.path.basename(f).split("=")[1].split(".")[0])
+
     files = sorted(glob.glob(os.path.join(lake_dir, "_stats", "epoch=*.parquet")))
+    rollup_path = os.path.join(lake_dir, "_stats", "rollup.parquet")
+    rollup = pq.read_table(rollup_path) if os.path.exists(rollup_path) else None
+    # crash-safe idempotence: the rollup records the max epoch it already
+    # folded; epoch files at or below it are leftovers of a crash between
+    # the (atomic) rollup write and the removes — delete WITHOUT re-reading,
+    # or their counters would double-count
+    folded_through = (
+        int(pc.max(rollup["folded_through"]).as_py())
+        if rollup is not None and "folded_through" in rollup.column_names
+        else -1
+    )
+    stale = [f for f in files if epoch_of(f) <= folded_through]
+    for f in stale:
+        os.remove(f)
+    files = [f for f in files if epoch_of(f) > folded_through]
     if len(files) <= keep_epochs:
         return {"compressed_epochs": 0, "kept_epochs": len(files)}
     old, recent = files[:-keep_epochs], files[-keep_epochs:]
     tables = [pq.read_table(f) for f in old]
-    rollup_path = os.path.join(lake_dir, "_stats", "rollup.parquet")
-    if os.path.exists(rollup_path):
-        tables.insert(0, pq.read_table(rollup_path))
+    if rollup is not None:
+        tables.insert(0, rollup)
     t = pa.concat_tables(tables, promote_options="default")
     df = t.to_pandas()
     sum_cols = [
@@ -114,9 +131,12 @@ def compress_epoch_stats(lake_dir: str, keep_epochs: int = 8) -> dict:
     agg["epoch"] = "max"
     agg["watermark"] = "max"
     rolled = df.groupby("part", as_index=False).agg(agg)
+    rolled["folded_through"] = max(epoch_of(f) for f in old)
     import pyarrow as _pa
 
-    pq.write_table(_pa.Table.from_pandas(rolled, preserve_index=False), rollup_path)
+    from ..state.manifest import atomic_write_parquet
+
+    atomic_write_parquet(_pa.Table.from_pandas(rolled, preserve_index=False), rollup_path)
     for f in old:
         os.remove(f)
     return {"compressed_epochs": len(old), "kept_epochs": len(recent), "rollup": rollup_path}
