@@ -15,7 +15,6 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
-import os
 import shutil
 from collections.abc import Callable
 from typing import Any
@@ -29,16 +28,16 @@ def entry() -> Any:
     ray.data.Dataset.
     """
     from movex_cdc_ray.pipelines.replay import read_lake, replay
-    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
-    from movex_cdc_ray.sources.stream import list_chunks
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream, stream_matches_spec
 
     spec = StreamSpec(
         n_events=8_000, n_repos=10, paths_per_repo=50, chunk_size=4_000, evolve_at_event=6_000
     )
     stream_dir = "/tmp/movex_entry/stream"
     lake_dir = "/tmp/movex_entry/lake"
-    # chunks: [0,4000) [4000,6000) (evolution split) [6000,8000) = 3 files
-    if len(list_chunks(stream_dir)) != 3:
+    # _SPEC.json equality certifies a complete, spec-exact cached stream
+    # (a bare chunk count would reuse stale/truncated dirs across versions)
+    if not stream_matches_spec(stream_dir, spec):
         shutil.rmtree(stream_dir, ignore_errors=True)
         generate_stream(stream_dir, spec)
     shutil.rmtree(lake_dir, ignore_errors=True)

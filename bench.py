@@ -54,8 +54,7 @@ def stream_events_for_sf(sf_dir: str) -> int:
 
 def ensure_stream(n_events: int):
     """Synthesize (once, cached) the deterministic change stream."""
-    from movex_cdc_ray.sources.stream import list_chunks
-    from movex_cdc_ray.synth import StreamSpec, generate_stream
+    from movex_cdc_ray.synth import StreamSpec, generate_stream, stream_matches_spec
 
     spec = StreamSpec(
         n_events=n_events,
@@ -66,10 +65,10 @@ def ensure_stream(n_events: int):
         evolve_at_event=(n_events * 3) // 4,
     )
     stream_dir = os.path.join(BENCH_TMP, f"stream_{n_events}")
-    expected = (n_events + spec.chunk_size - 1) // spec.chunk_size
-    if spec.evolve_at_event % spec.chunk_size:
-        expected += 1
-    if len(list_chunks(stream_dir)) < expected - 1:
+    # _SPEC.json equality certifies a complete stream from exactly this
+    # spec — a chunk-count tolerance would silently benchmark a truncated
+    # or stale input and still report n_events-based throughput
+    if not stream_matches_spec(stream_dir, spec):
         shutil.rmtree(stream_dir, ignore_errors=True)
         generate_stream(stream_dir, spec)
     return stream_dir, spec
@@ -94,10 +93,9 @@ def run_headline(num_cpus: int) -> dict:
     n_events = SCALING_EVENTS if os.environ.get("GRAFT_SCALING_CHILD") else stream_events_for_sf(SF_DIR)
     stream_dir, spec = ensure_stream(n_events)
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
+    from movex_cdc_ray.__main__ import _ray_init
 
-    DataContext.get_current().enable_progress_bars = False
+    _ray_init(num_cpus)
 
     # warm the OS page cache (untimed) so we measure compute + shuffle
     import pyarrow.parquet as pq
@@ -126,7 +124,11 @@ def run_headline(num_cpus: int) -> dict:
     # epoch = one exactly-once transaction; its size is a job parameter.
     # Big replays use big epochs: per-epoch serial cost (pipeline spin-up,
     # commit barrier) is ~1-2s, so many small epochs cap scaling efficiency.
-    n_chunks = (n_events + spec.chunk_size - 1) // spec.chunk_size
+    # n_chunks from the ACTUAL file count (the evolution boundary may split
+    # one chunk) so chunks_per_epoch yields exactly epochs_target epochs
+    from movex_cdc_ray.sources.stream import list_chunks
+
+    n_chunks = len(list_chunks(stream_dir))
     epochs_target = int(os.environ.get("GRAFT_EPOCHS", "2"))
     chunks_per_epoch = max(4, -(-n_chunks // epochs_target))
     shuffle_mode = os.environ.get("GRAFT_SHUFFLE_MODE", "groupby")
@@ -146,10 +148,9 @@ def run_headline(num_cpus: int) -> dict:
 def run_queries(num_cpus: int) -> dict:
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
+    from movex_cdc_ray.__main__ import _ray_init
 
-    DataContext.get_current().enable_progress_bars = False
+    _ray_init(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from movex_cdc_ray.pipelines.queries import QUERIES
 
@@ -222,7 +223,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cdc_replay_events_per_sec",
+                "metric": "cdc_replay_headline_sec",  # value IS the wall time
                 "value": headline["sec"],
                 "unit": "sec",
                 "queries": queries,

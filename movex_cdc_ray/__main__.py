@@ -160,9 +160,13 @@ def cmd_verify_lake(args) -> int:
         print(json.dumps({"rows": 0, "digest": None}))
         return 0
     g = g.sort_values("_key").reset_index(drop=True)
+    # digest over ALL payload columns (everything not engine-reserved), not
+    # a hard-coded 'content' — custom-config lakes are first-class here
+    payload_cols = [c for c in g.columns if not c.startswith("_")]
     sha = hashlib.sha256()
-    for k, c in zip(g["_key"], g["content"]):
-        csha = hashlib.sha256((c or "").encode()).hexdigest()
+    for k, row in zip(g["_key"], g[payload_cols].itertuples(index=False)):
+        body = "\x1f".join("" if v is None else str(v) for v in row)
+        csha = hashlib.sha256(body.encode()).hexdigest()
         sha.update(f"{k}:{csha}\n".encode())
     print(json.dumps({"rows": len(g), "digest": sha.hexdigest()}))
     return 0

@@ -459,21 +459,16 @@ def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
 
     from ..pipelines.replay import lake_to_pandas as _ltp
     from ..pipelines.replay import replay as _replay
-    from ..sources.stream import list_chunks as _lc
     from ..synth import StreamSpec as _Spec
     from ..synth import config_for_spec as _cfs
     from ..synth import generate_stream as _gen
+    from ..synth import stream_matches_spec as _match
 
     spec = _Spec(n_events=20_000, n_repos=10, paths_per_repo=50, chunk_size=5_000,
                  evolve_at_event=15_000)
     base = "/tmp/movex_flagship"
     stream, lake = _os.path.join(base, "stream"), _os.path.join(base, "lake")
-    # expected chunk count derives from the spec (an extra file only if the
-    # evolution boundary splits a chunk — here it is chunk-aligned): 4 files
-    expected_chunks = -(-spec.n_events // spec.chunk_size) + (
-        1 if spec.evolve_at_event % spec.chunk_size else 0
-    )
-    if len(_lc(stream)) != expected_chunks:
+    if not _match(stream, spec):
         _shutil.rmtree(stream, ignore_errors=True)
         _gen(stream, spec)
     _shutil.rmtree(lake, ignore_errors=True)

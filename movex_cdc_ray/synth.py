@@ -287,11 +287,28 @@ def generate_stream(stream_dir: str, spec: StreamSpec) -> list[str]:
         p = os.path.join(stream_dir, f"chunk_{i:06d}.parquet")
         pq.write_table(t, p, row_group_size=min(spec.chunk_size, 64 * 1024))
         paths.append(p)
+    # written LAST: its presence + spec equality certify a COMPLETE stream
+    # (stream_matches_spec is the cache-validity check for reusing dirs)
     with open(os.path.join(stream_dir, "_SPEC.json"), "w") as f:
         import json
 
         json.dump({k: getattr(spec, k) for k in spec.__dataclass_fields__}, f)
     return paths
+
+
+def stream_matches_spec(stream_dir: str, spec: StreamSpec) -> bool:
+    """True iff ``stream_dir`` holds a COMPLETE stream generated from exactly
+    ``spec``: _SPEC.json is written after the last chunk, so equality rules
+    out both truncated generations and stale dirs from other spec values
+    (counting chunk files alone catches neither)."""
+    import json
+
+    try:
+        with open(os.path.join(stream_dir, "_SPEC.json")) as f:
+            doc = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+    return doc == {k: getattr(spec, k) for k in spec.__dataclass_fields__}
 
 
 def make_source_table(spec: StreamSpec) -> pa.Table:

@@ -63,13 +63,10 @@ def main() -> int:
     only = sys.argv[2] if len(sys.argv) > 2 else None
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
     sys.path.insert(0, "/root/repo")
+    from movex_cdc_ray.__main__ import _ray_init
+
+    _ray_init(8)
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -80,6 +77,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = 0
+    if only and only not in qs:
+        # a typo'd name must not run zero checks and exit green
+        print(f"FAIL  unknown query {only!r}; valid: {sorted(qs)}")
+        return 1
     for name, fn in qs.items():
         if only and name != only:
             continue
@@ -102,7 +103,10 @@ def main() -> int:
                 print(f"FAIL  {name}: oracle raised {exc}")
                 failures += 1
                 continue
-            verdict = compare(name, got, exp)
+            try:
+                verdict = compare(name, got, exp)
+            except Exception as exc:  # noqa: BLE001 - dtype mismatch etc. = FAIL, not crash
+                verdict = f"compare raised {type(exc).__name__}: {exc}"
             status = "ok   " if verdict == "OK" else "FAIL "
             if verdict != "OK":
                 failures += 1
