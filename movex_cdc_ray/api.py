@@ -33,6 +33,7 @@ class Engine:
         self.lake_dir = lake_dir
         self.auth = auth
         self.actor = actor
+        self._topic_max_bytes: dict[str, int] = {}  # A4 watermark per topic
 
     def _authorize(self, schema_name: str, action: str, table_name: str | None = None) -> None:
         if self.auth is None or self.actor is None:
@@ -75,7 +76,46 @@ class Engine:
 
     # ---- health check (GET /health_check) ----------------------------------
     def health_check(self) -> dict[str, Any]:
-        return _health(self.lake_dir)
+        """Health counts plus config-drift report: lake rows whose table_id
+        vanished from the config — the orphaned-trigger check analog
+        (`app/models/db_trigger_generator_base.rb:77-119`)."""
+        return _health(self.lake_dir, cfg=self.cfg)
+
+    # ---- topic introspection (GET /kafka/topics, /kafka/describe_topic) ----
+    def list_topics(self) -> list[str]:
+        """Distinct routing targets — the reference's Kafka topic listing
+        (`config/routes.rb:29-33`). Here a topic is a partition-directory
+        routing target derived from table/schema config (M11), so the listing
+        is pure config introspection."""
+        topics = {self.cfg.topic_for(t) for t in self.cfg.tables if not t.yn_hidden}
+        return sorted(t for t in topics if t)
+
+    def describe_topic(self, topic: str) -> dict[str, Any]:
+        """Topic config description (`config/routes.rb:30`): which tables
+        route to it, the configured ``max.message.bytes`` limit, and the
+        observed per-topic max-message-size watermark (operator A4) folded in
+        via :meth:`observe_topic_watermarks`."""
+        tables = [
+            f"{t.schema_name}.{t.name}"
+            for t in self.cfg.tables
+            if not t.yn_hidden and self.cfg.topic_for(t) == topic
+        ]
+        if not tables:
+            raise KeyError(f"no table routes to topic {topic!r}")
+        return {
+            "topic": topic,
+            "tables": tables,
+            "max_message_bytes": self.cfg.max_message_bytes,
+            "observed_max_bytes": self._topic_max_bytes.get(topic, 0),
+        }
+
+    def observe_topic_watermarks(self, max_bytes_per_topic: dict[str, int]) -> None:
+        """Fold a ``validate_messages`` result into the per-topic watermark
+        (the ``max.message.bytes`` auto-raise input, A4 —
+        `app/models/kafka_base.rb:30-58`)."""
+        for t, n in max_bytes_per_topic.items():
+            if n > self._topic_max_bytes.get(t, 0):
+                self._topic_max_bytes[t] = int(n)
 
     # ---- import/export (S8) ------------------------------------------------
     def export_config(self) -> str:

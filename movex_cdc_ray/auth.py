@@ -135,10 +135,14 @@ class AuthRegistry:
         except NotAuthorized:
             self.log(email, action="logon_denied")
             raise
+        if u.yn_account_locked:
+            # ANY attempt against a locked account is a denial (the reference
+            # rejects before checking credentials) — counting it as a fresh
+            # logon_failed would misclassify the audit ledger and keep
+            # incrementing failed_logons past the lock point
+            self.log(email, action="logon_denied")
+            raise NotAuthorized(f"account {email} is locked")
         if success:
-            if u.yn_account_locked:
-                self.log(email, action="logon_denied")
-                raise NotAuthorized(f"account {email} is locked")
             u.failed_logons = 0
         else:
             u.failed_logons += 1

@@ -254,6 +254,20 @@ class CaptureConfig:
     cloudevents_source: str = "MOVEX-CDC-ray"
     build_version: str = "1.0.0"
 
+    def __post_init__(self) -> None:
+        # capture_parallelism=0 historically meant "one block per CPU"; that
+        # cluster-size derivation was removed (it skews scaling comparisons),
+        # so a persisted 0 must fail loudly instead of silently serializing
+        # the capture stage into a single block
+        if self.capture_parallelism < 1:
+            raise ValueError(
+                f"capture_parallelism must be >= 1, got {self.capture_parallelism} "
+                "(the old 0 = per-CPU auto mode was removed: it derived shuffle "
+                "volume from cluster size)"
+            )
+        if self.num_partitions < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {self.num_partitions}")
+
     # ---- lookups -----------------------------------------------------------
     def table_by_id(self, table_id: int) -> TableConfig:
         for t in self.tables:

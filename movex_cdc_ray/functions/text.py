@@ -46,8 +46,11 @@ class TokenCounter:
         # vectorized whitespace token count
         n_tokens = pc.add(pc.count_substring(text, pattern=" "), 1)
         n_tokens = pc.if_else(pc.equal(pc.utf8_length(text), 0), pa.scalar(0, pa.int32()), n_tokens.cast(pa.int32()))
-        s = text.to_pandas()
-        n_bpe = s.map(lambda t: len(self.bpe_re.findall(t)) if t else 0).astype("int64")
+        # Series.str.count runs the compiled regex in pandas' C loop — same
+        # non-overlapping match count as findall, without materializing the
+        # match lists just to len() them
+        s = text.to_pandas().fillna("")
+        n_bpe = s.str.count(self.bpe_re).astype("int64")
         out = batch.append_column("n_chars", pc.utf8_length(text).cast(pa.int64()))
         out = out.append_column("n_tokens", n_tokens.cast(pa.int64()))
         return out.append_column("n_bpe_tokens", pa.array(n_bpe, pa.int64()))

@@ -335,8 +335,8 @@ def run_epoch(
     # count): deriving it from the cluster size would change the per-batch
     # combiner's reduction ratio — and therefore the shuffle volume — between
     # cluster sizes, silently skewing any scaling comparison. No cluster-size
-    # fallback, by the same rule.
-    nblocks = max(1, cfg.capture_parallelism)
+    # fallback, by the same rule; CaptureConfig validates >= 1.
+    nblocks = cfg.capture_parallelism
     with _epoch_execution_context():
         # NOTE: a Dataset snapshots its DataContext at CREATION — the tuned
         # context must wrap read_chunks, not just the consuming take_all

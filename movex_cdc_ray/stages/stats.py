@@ -142,10 +142,20 @@ def compress_epoch_stats(lake_dir: str, keep_epochs: int = 8) -> dict:
     return {"compressed_epochs": len(old), "kept_epochs": len(recent), "rollup": rollup_path}
 
 
-def health_check(lake_dir: str) -> dict:
+def health_check(lake_dir: str, cfg=None) -> dict:
     """Bounded health counts (A3): backlog, retries, final errors, partitions,
     watermarks — from manifests and file metadata, never a data scan
-    (reference `app/models/event_log.rb:102-134`)."""
+    (reference `app/models/event_log.rb:102-134`).
+
+    With a :class:`CaptureConfig` passed, also reports **config drift**: lake
+    rows whose ``_table_id`` no longer appears in the active config — the
+    analog of the reference's orphaned-trigger detection
+    (`app/models/db_trigger_generator_base.rb:77-119`: deployed capture
+    artifacts whose config vanished). The engine rebuilds capture plans
+    wholesale so orphaned *plans* can't exist, but lake state for a dropped
+    table lingers silently without this report. The scan reads ONLY the
+    ``_table_id``/``_last_op`` columns of the bases (column-pruned, bounded
+    by partition count — an admin verb, not a hot path)."""
     import glob
     import os
 
@@ -162,7 +172,7 @@ def health_check(lake_dir: str) -> dict:
         pq.read_metadata(f).num_rows
         for f in glob.glob(os.path.join(lake_dir, "_final_errors", "epoch=*", "part=*.parquet"))
     )
-    return {
+    out = {
         "epoch": m.epoch,
         "chunks_consumed": m.chunks_consumed,
         "partitions": len(m.partitions),
@@ -172,3 +182,26 @@ def health_check(lake_dir: str) -> dict:
         "watermarks": {k: v["watermark"] for k, v in sorted(m.partitions.items(), key=lambda kv: int(kv[0]))},
         "last_epoch_metrics": m.metrics,
     }
+    if cfg is not None:
+        known = {t.table_id for t in cfg.tables}
+        orphans: dict[int, int] = {}
+        for f in m.data_files():
+            t = pq.read_table(f, columns=["_table_id", "_last_op"])
+            if len(t) == 0:
+                continue
+            live = t.filter(pc.invert(pc.equal(t["_last_op"], "D")))
+            if len(live) == 0:
+                continue
+            counts = (
+                pa.table({"_table_id": live["_table_id"]})
+                .group_by("_table_id")
+                .aggregate([("_table_id", "count")])
+            )
+            for tid, n in zip(
+                counts["_table_id"].to_pylist(), counts["_table_id_count"].to_pylist()
+            ):
+                if tid not in known:
+                    orphans[int(tid)] = orphans.get(int(tid), 0) + int(n)
+        out["orphaned_table_rows"] = {str(k): v for k, v in sorted(orphans.items())}
+        out["config_drift"] = bool(orphans)
+    return out

@@ -1,0 +1,105 @@
+"""Round-3 fixes: config validation, locked-account denial, vectorized hex,
+topic introspection verbs, config-drift reporting (VERDICT r2 #8-#10 +
+ADVICE items)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from movex_cdc_ray.api import Engine
+from movex_cdc_ray.auth import AuthRegistry, NotAuthorized, User
+from movex_cdc_ray.config import CaptureConfig, default_code_cdc_config
+from movex_cdc_ray.functions.scalar import raw_to_hex
+from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+
+# ---- capture_parallelism contract (ADVICE replay.py:337) -------------------
+
+
+def test_capture_parallelism_zero_rejected():
+    with pytest.raises(ValueError, match="capture_parallelism"):
+        CaptureConfig(capture_parallelism=0)
+    # a persisted legacy config with 0 fails loudly on import, not silently
+    cfg = default_code_cdc_config()
+    doc = cfg.to_json().replace('"capture_parallelism": 8', '"capture_parallelism": 0')
+    with pytest.raises(ValueError, match="capture_parallelism"):
+        CaptureConfig.from_json(doc)
+    with pytest.raises(ValueError, match="num_partitions"):
+        CaptureConfig(num_partitions=0)
+
+
+# ---- locked-account logon denial (ADVICE auth.py:135) ----------------------
+
+
+def test_failed_logon_against_locked_account_is_denied():
+    r = AuthRegistry(users=[User(email="locked@x", yn_account_locked=True, failed_logons=5)])
+    with pytest.raises(NotAuthorized, match="locked"):
+        r.record_logon("locked@x", success=False)
+    u = r.users[0]
+    assert u.failed_logons == 5  # NOT incremented past the lock point
+    assert r.activity_table()["action"].to_pylist() == ["logon_denied"]
+
+
+# ---- vectorized raw_to_hex (VERDICT wrong #2) ------------------------------
+
+
+def test_raw_to_hex_vectorized_edge_cases():
+    # empty values, empty array, nulls, sliced input, large payloads
+    arr = pa.array([b"", b"\x00\xff\x10", None, b"\xde\xad\xbe\xef"], pa.binary())
+    assert raw_to_hex(arr).to_pylist() == ["", "00FF10", None, "DEADBEEF"]
+    assert raw_to_hex(pa.array([], pa.binary())).to_pylist() == []
+    sliced = arr.slice(1, 3)
+    assert raw_to_hex(sliced).to_pylist() == ["00FF10", None, "DEADBEEF"]
+    big = bytes(np.arange(256, dtype=np.uint8).tobytes())
+    assert raw_to_hex(pa.array([big])).to_pylist() == [big.hex().upper()]
+    # large_binary path uses int64 offsets
+    lb = pa.array([b"\x01", b"\xab\xcd"], pa.large_binary())
+    assert raw_to_hex(lb).to_pylist() == ["01", "ABCD"]
+
+
+# ---- topic introspection (VERDICT missing #2, routes.rb:29-33) -------------
+
+
+def test_list_and_describe_topics(tmp_path):
+    cfg = default_code_cdc_config()
+    eng = Engine(cfg, str(tmp_path))
+    assert eng.list_topics() == ["lake.code.files"]
+    d = eng.describe_topic("lake.code.files")
+    assert d["tables"] == ["CODE.FILES"]
+    assert d["max_message_bytes"] == cfg.max_message_bytes
+    assert d["observed_max_bytes"] == 0
+    eng.observe_topic_watermarks({"lake.code.files": 4321})
+    eng.observe_topic_watermarks({"lake.code.files": 1000})  # lower: ignored
+    assert eng.describe_topic("lake.code.files")["observed_max_bytes"] == 4321
+    with pytest.raises(KeyError):
+        eng.describe_topic("nope")
+    # table topic blank -> schema topic fallback appears in the listing
+    cfg.tables[0].topic = ""
+    assert eng.list_topics() == ["lake.code"]
+
+
+# ---- config-drift report (VERDICT missing #1) ------------------------------
+
+
+def test_health_check_reports_orphaned_lake_rows(ray_session, tmp_path):
+    from movex_cdc_ray.pipelines.replay import replay
+
+    spec = StreamSpec(n_events=600, n_repos=4, paths_per_repo=10, chunk_size=300)
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "lake")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+
+    eng = Engine(cfg, lake)
+    hc = eng.health_check()
+    assert hc["config_drift"] is False
+    assert hc["orphaned_table_rows"] == {}
+
+    # drop the table from the config: every lake row is now orphaned state
+    drifted = config_for_spec(spec, num_partitions=4)
+    drifted.tables = []
+    eng2 = Engine(drifted, lake)
+    hc2 = eng2.health_check()
+    assert hc2["config_drift"] is True
+    assert hc2["orphaned_table_rows"] == {"1": hc["lake_rows"]}
