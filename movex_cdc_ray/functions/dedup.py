@@ -171,11 +171,19 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 def ngram_jaccard_pairs(
     ds: rd.Dataset, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, n_perm: int = 64, bands: int = 16, seed: int = 7,
+    max_bucket: int | None = None,
 ) -> pd.DataFrame:
     """LSH candidates → exact n-gram Jaccard verify → pairs ≥ threshold.
 
-    The verify joins each candidate bucket's texts via a per-group pandas
-    merge (buckets are tiny by construction). Returns (a_id, b_id, jac)."""
+    The verify compares each candidate bucket's docs pairwise; shingle sets
+    are computed ONCE per doc in the bucket (d sets), never per pair.
+    ``max_bucket`` (default None = exact) skips verification inside buckets
+    larger than ``max_bucket`` docs — the stop-bucket analog of
+    ``ngram_jaccard_exact``'s ``max_df`` cut: a degenerate band hash (e.g. a
+    corpus full of identical boilerplate) would otherwise fan out O(d²)
+    verifies in one task. With it set the result is approximate (pairs that
+    ONLY co-occur in capped buckets are missed); the SQL oracle matches the
+    default exact mode. Returns (a_id, b_id, jac)."""
     hasher = MinHasher(text_col, k, n_perm, bands, seed)
     sigs = ds.map_batches(hasher, batch_format="pandas", concurrency=pool_size(4))
 
@@ -196,14 +204,27 @@ def ngram_jaccard_pairs(
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
+        if len(g) < 2 or (max_bucket is not None and len(g) > max_bucket):
             return pd.DataFrame({"a_id": [], "b_id": [], "jac": []})
         ids = g[id_col].to_numpy()
-        txts = g[text_col].to_numpy()
+        # shingle sets ONCE per doc (the old code re-shingled both texts for
+        # every pair — O(d²) tokenizations per bucket instead of O(d))
+        sets: list[set[str]] = []
+        for t in g[text_col].to_numpy():
+            ws = _WORD_RE.findall((t or "").lower())
+            sets.append(
+                {" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1))} if ws else set()
+            )
         rows = []
         for i in range(len(g)):
+            si = sets[i]
             for j in range(i + 1, len(g)):
-                jc = jaccard(txts[i], txts[j], k)
+                sj = sets[j]
+                if not si and not sj:
+                    jc = 1.0
+                else:
+                    inter = len(si & sj)
+                    jc = inter / max(len(si) + len(sj) - inter, 1)
                 if jc >= threshold:
                     rows.append((int(ids[i]), int(ids[j]), round(jc, 6)))
         return pd.DataFrame(rows, columns=["a_id", "b_id", "jac"])

@@ -187,3 +187,22 @@ def test_embedding_neardup_never_materializes_corpus(ray_session, monkeypatch):
     monkeypatch.setattr(rd.Dataset, "take_all", boom)
     pairs = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99, rows_per_block=8)
     assert {"a_id", "b_id", "cosine"} <= set(pairs.columns)
+
+
+def test_ngram_jaccard_pairs_hot_bucket_cap(ray_session):
+    """A degenerate band bucket (many identical docs) must not fan out O(d²)
+    verifies when max_bucket is set — the LSH analog of max_df."""
+    hot = ["identical boilerplate text repeated across the corpus many times"] * 12
+    ds = docs(hot + ["totally different content about ray data pipelines"])
+    exact = ngram_jaccard_pairs(ds, threshold=0.5)
+    assert len(exact) == 12 * 11 // 2  # all identical pairs found uncapped
+    capped = ngram_jaccard_pairs(ds, threshold=0.5, max_bucket=8)
+    assert len(capped) == 0  # the hot bucket (12 docs) is skipped entirely
+
+
+def test_ngram_jaccard_pairs_cap_keeps_small_buckets(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = base.replace("woods", "forest")
+    ds = docs([base, near, "totally different content about ray data pipelines"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5, max_bucket=8)
+    assert list(zip(out["a_id"], out["b_id"])) == [(0, 1)]  # small buckets unaffected
