@@ -124,6 +124,97 @@ def _langid_sql() -> str:
     """
 STOPWORDS = {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"}
 
+_EMBEDDING_DIM = 64  # the testdata embeddings tables are 64-wide at every sf
+
+
+def _hyperplane_values_sql(n_bits: int, seed: int, dim: int = _EMBEDDING_DIM) -> str:
+    """The seeded hyperplane matrix as a literal SQL VALUES table (b, i, w) —
+    generated from the SAME HyperplaneHasher the engine uses, so the two hash
+    families can never drift (the _minhash_sql technique applied to float
+    hash families; float repr round-trips exactly)."""
+    from ..functions.similarity import HyperplaneHasher
+
+    h = HyperplaneHasher(dim, n_bits=n_bits, seed=seed)
+    return ",\n                 ".join(
+        f"({b}, {i + 1}, {float(h.planes[b, i])!r})"
+        for b in range(n_bits)
+        for i in range(dim)
+    )
+
+
+def _bucket_cte_sql(n_bits: int, seed: int) -> str:
+    """Shared CTE prefix: embeddings → per-(vector, plane) dot products →
+    sign-bit bucket ids. Bucketing the RAW vector is sign-identical to the
+    engine's bucketing of the normalized vector (normalization scales by a
+    positive constant)."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), u AS (
+          SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x FROM e
+        ), p(b, i, w) AS (VALUES
+                 {_hyperplane_values_sql(n_bits, seed)}
+        ), dots AS (
+          SELECT u.vec_id, p.b, SUM(u.x * p.w) AS dot
+          FROM u JOIN p ON p.i = u.i
+          GROUP BY u.vec_id, p.b
+        ), bk AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id
+        )"""
+
+
+def _embedding_lsh_sql(threshold: float = 0.45) -> str:
+    """DuckDB value oracle for dedup_embedding_lsh (VERDICT r2 #3): same
+    4-bit/seed-13 hyperplane buckets, pairs compared only within a bucket."""
+    return f"""{_bucket_cte_sql(n_bits=4, seed=13)}
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.emb, eb.emb) >= {threshold}
+        ORDER BY a_id, b_id
+    """
+
+
+def _ann_lsh_sql(k: int = 10, n_bits: int = 8, seed: int = 11) -> str:
+    """DuckDB value oracle for ann_lsh: same 8-bit/seed-11 buckets, each
+    query probes its own bucket plus every 1-bit flip (multiprobe=1), top-k
+    by cosine with the engine's deterministic (cosine desc, id asc)
+    tie-break."""
+    return f"""{_bucket_cte_sql(n_bits, seed)}
+        , qb AS (
+          SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id IN (0, 1, 2, 3, 4)
+        ), pr AS (
+          SELECT query_id, bucket AS pb FROM qb
+          UNION
+          SELECT query_id, xor(bucket, CAST(1 << f AS BIGINT))
+          FROM qb, (SELECT unnest(generate_series(0, {n_bits - 1})) AS f)
+        ), cand AS (
+          SELECT DISTINCT pr.query_id, v.vec_id AS neighbor_id
+          FROM pr JOIN bk v ON v.bucket = pr.pb
+          WHERE v.vec_id <> pr.query_id
+        ), sc AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(eq.emb, ev.emb) AS cos
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.query_id
+          JOIN e ev ON ev.vec_id = c.neighbor_id
+        ), rk AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank,
+                 ROUND(cos, 6) AS cosine
+          FROM sc
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cosine
+        FROM rk WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned parquet read with a metadata-free schema: the testdata
@@ -465,32 +556,102 @@ def top_events_per_user(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def _flagship_spec():
+    """The flagship stream spec — ONE constant shared by the Ray query and
+    the SQL oracle generator so the two can never replay different inputs."""
+    from ..synth import StreamSpec as _Spec
+
+    return _Spec(n_events=20_000, n_repos=10, paths_per_repo=50, chunk_size=5_000,
+                 evolve_at_event=15_000)
+
+
+_FLAGSHIP_STREAM_DIR = "/tmp/movex_flagship/stream"
+
+
+def _flagship_stream() -> str:
+    """Ensure the deterministic flagship change stream exists on disk (cached
+    via _SPEC.json equality) and return its directory. Called by BOTH the
+    query and the oracle-SQL builder, so whichever side the driver runs first
+    finds the staged chunk parquet in place."""
+    import shutil as _shutil
+
+    from ..synth import generate_stream as _gen
+    from ..synth import stream_matches_spec as _match
+
+    spec = _flagship_spec()
+    if not _match(_FLAGSHIP_STREAM_DIR, spec):
+        _shutil.rmtree(_FLAGSHIP_STREAM_DIR, ignore_errors=True)
+        _gen(_FLAGSHIP_STREAM_DIR, spec)
+    return _FLAGSHIP_STREAM_DIR
+
+
+def _flagship_sql() -> str:
+    """DuckDB value oracle for the FULL flagship replay (VERDICT r2 #2): the
+    staged binlog chunks are plain parquet, so the converged lake state is
+    SQL-expressible — union the chunks (union_by_name folds the mid-stream
+    schema evolution: v1 chunks lack ``stars``, ``size`` widens int32→int64
+    exactly like the engine's align_to_schema), drop no-op updates (M4:
+    NULL-safe old==new over every observed column,
+    `db_trigger_generator_oracle.rb:802-823`), then arg-max-by-id per key
+    with DELETE-winner tombstones (`transfer_thread.rb:493-518` semantics,
+    KafkaMock ascending-id check `kafka_mock.rb:49-63`). The suppression
+    column list and the key rendering are generated from the same config the
+    engine replays with, so oracle and engine cannot drift."""
+    from ..synth import config_for_spec as _cfs
+
+    _flagship_stream()  # stage the chunks for whenever DuckDB runs this SQL
+    cfg = _cfs(_flagship_spec(), num_partitions=8)
+    t = cfg.tables[0]
+    fields = list(cfg.latest_version().payload_fields)
+    noop_eq = "\n                 AND ".join(
+        f"new_{f} IS NOT DISTINCT FROM old_{f}" for f in fields
+    )
+    key_parts = " || chr(31) || ".join(
+        f"(CASE WHEN op = 'D' THEN old_{c} ELSE new_{c} END)" for c in t.pk_columns
+    )
+    return f"""
+        WITH ev AS (
+          SELECT * FROM read_parquet('{_FLAGSHIP_STREAM_DIR}/chunk_*.parquet',
+                                     union_by_name=true)
+        ), kept AS (
+          SELECT *, '{t.schema_name}.{t.name}' || chr(31) || {key_parts} AS _key
+          FROM ev
+          WHERE NOT (op = 'U'
+                 AND {noop_eq})
+        ), win AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY _key ORDER BY id DESC) AS rn
+          FROM kept
+        )
+        SELECT new_repo AS repo, new_path AS path, new_commit AS "commit",
+               new_lang AS lang, new_content AS content,
+               CAST(new_size AS BIGINT) AS size,
+               _key, id AS _last_id, op AS _last_op
+        FROM win WHERE rn = 1 AND op <> 'D'
+        ORDER BY _key
+    """
+
+
 def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
     """The flagship end-to-end pipeline as a driver-visible query: replay a
-    deterministic synthetic change stream (north-rule input shape) through
-    capture → hash-partition → exactly-once merge, return the converged lake.
-    Deterministic; no SQL oracle (binlog semantics) → rows-only check."""
+    deterministic synthetic change stream (north-rule input shape, with
+    mid-stream schema evolution) through capture → hash-partition →
+    exactly-once merge, return the converged lake. Full DuckDB value oracle
+    over the staged binlog chunks (see _flagship_sql)."""
     import os as _os
     import shutil as _shutil
 
     from ..pipelines.replay import lake_to_pandas as _ltp
     from ..pipelines.replay import replay as _replay
-    from ..synth import StreamSpec as _Spec
     from ..synth import config_for_spec as _cfs
-    from ..synth import generate_stream as _gen
-    from ..synth import stream_matches_spec as _match
 
-    spec = _Spec(n_events=20_000, n_repos=10, paths_per_repo=50, chunk_size=5_000,
-                 evolve_at_event=15_000)
-    base = "/tmp/movex_flagship"
-    stream, lake = _os.path.join(base, "stream"), _os.path.join(base, "lake")
-    if not _match(stream, spec):
-        _shutil.rmtree(stream, ignore_errors=True)
-        _gen(stream, spec)
+    stream = _flagship_stream()
+    lake = _os.path.join("/tmp/movex_flagship", "lake")
     _shutil.rmtree(lake, ignore_errors=True)
-    _replay(stream, lake, _cfs(spec, num_partitions=8), chunks_per_epoch=2)
+    _replay(stream, lake, _cfs(_flagship_spec(), num_partitions=8), chunks_per_epoch=2)
     got = _ltp(lake)
-    return got[["repo", "path", "commit", "lang", "content", "_key", "_last_id", "_last_op"]]
+    got["size"] = got["size"].astype("int64")
+    return got[["repo", "path", "commit", "lang", "content", "size", "_key",
+                "_last_id", "_last_op"]]
 
 
 def join_broadcast(sf_dir: str) -> pd.DataFrame:
@@ -1377,8 +1538,10 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_id
     """,
     "text_langid": _langid_sql(),
-    # rows-only (no SQL-expressible oracle): cdc_flagship_replay (stateful
-    # epoch protocol); training-data: dedup_embedding_lsh / ann_lsh
-    # (seeded float hyperplane families), ann_ivf (approximate recall),
-    # multimodal_decode* (binary codecs)
+    "cdc_flagship_replay": _flagship_sql(),
+    "dedup_embedding_lsh": _embedding_lsh_sql(),
+    "ann_lsh": _ann_lsh_sql(),
+    # rows-only (no SQL-expressible oracle): ann_ivf (approximate recall —
+    # which cells k-means probes is not a value semantics), multimodal_decode*
+    # (binary codecs)
 }

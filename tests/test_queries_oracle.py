@@ -79,10 +79,7 @@ def test_every_query_has_callable_and_oracle_keys():
     # non-SQL ops are known and intentional
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "dedup_embedding_lsh",
-        "ann_lsh",
         "multimodal_decode",
         "multimodal_decode_real",
         "ann_ivf",
-        "cdc_flagship_replay",
     }
