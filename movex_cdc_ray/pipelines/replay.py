@@ -205,8 +205,71 @@ def _merge_via_delta_files(
     return rows
 
 
+# Above this many post-combine events per epoch, "winners" mode stops
+# collecting the winner-id set on the driver and switches to the
+# per-partition collection fallback (winner files written inside the phase-1
+# groupby, loaded lazily by the phase-2 filter actors). A JOB-size bound,
+# not a cluster-size one.
+WINNER_DRIVER_LIMIT = 5_000_000
+
+
+class _WinnerFileFilter:
+    """Phase-2 winner filter for the per-partition fallback: an actor-pool
+    stage that lazily loads per-partition winner-id files (written by the
+    phase-1 groupby) and caches them across batches. The driver never holds
+    a winner set; each actor loads only the partitions its batches touch
+    (on a multi-node cluster with part-clustered capture output that is a
+    fraction of the key space — worst case it equals the broadcast size,
+    but held per worker, off the driver). Winner ids are globally unique,
+    so a union lookup over the loaded partitions is exact."""
+
+    def __init__(self, winners_dir: str, parts_present: list[int]):
+        self.winners_dir = winners_dir
+        self.parts_present = set(parts_present)
+        self.loaded: set[int] = set()
+        self.union: pa.Array | None = None
+
+    def _ensure(self, parts) -> pa.Array:
+        import pyarrow.parquet as pq
+
+        missing = [p for p in parts if p not in self.loaded and p in self.parts_present]
+        if missing:
+            arrays = [] if self.union is None else [self.union]
+            for p in missing:
+                t = pq.read_table(
+                    os.path.join(self.winners_dir, f"part={p:05d}.parquet")
+                )
+                arrays.append(t["id"].combine_chunks())
+                self.loaded.add(p)
+            self.union = pa.concat_arrays(arrays) if len(arrays) > 1 else arrays[0]
+        return self.union if self.union is not None else pa.array([], pa.int64())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(batch) == 0:
+            return batch
+        parts = pc.unique(
+            batch["part"].combine_chunks()
+            if isinstance(batch["part"], pa.ChunkedArray)
+            else batch["part"]
+        ).to_pylist()
+        winners = self._ensure(parts)
+        ids = batch["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        mask = pc.is_in(ids, value_set=winners)
+        keys = batch["key_string"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:  # unkeyed rows always pass (no winner semantics)
+            mask = pc.or_(mask, pc.is_null(keys))
+        return batch.filter(mask)
+
+
 def _merge_via_winner_filter(
-    cfg, ds, lake_dir: str, epoch: int, manifest: Manifest, merge_mode: str
+    cfg, ds, lake_dir: str, epoch: int, manifest: Manifest, merge_mode: str,
+    winner_collect: str = "auto",
 ) -> list[dict]:
     """Two-phase exchange that ships wide payloads only for winning events.
 
@@ -223,16 +286,86 @@ def _merge_via_winner_filter(
     store the shuffle uses, so there is nothing scarce to save. It exists
     for the multi-node regime, where the shuffle crosses the NETWORK while
     the materialized capture output stays node-local: there the 5-8x byte
-    reduction is the dominant term. Driver-side winner collection is
-    O(live keys per epoch); beyond ~10^7 live keys per epoch collect winner
-    id sets per partition inside the phase-1 groupby instead.
+    reduction is the dominant term.
+
+    ``winner_collect``:
+      * ``"driver"`` — winner ids collected on the driver, broadcast once
+        (O(live keys/epoch) driver memory — fine below millions of keys).
+      * ``"partition"`` — winner-id sets collected INSIDE the phase-1
+        groupby (one skinny ``groupby("part")`` with a per-key arg-max
+        inside) and written as per-partition files; phase-2 filter actors
+        load them lazily off the driver path (:class:`_WinnerFileFilter`).
+      * ``"auto"`` (default) — driver below :data:`WINNER_DRIVER_LIMIT`
+        post-combine events, partition fallback above it.
     """
+    import shutil
+
     import numpy as np
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Max
 
     mat = ds.materialize()  # reuse capture output across both phases
+    if winner_collect == "auto":
+        # count() on a materialized Dataset is block-metadata only
+        winner_collect = "driver" if mat.count() <= WINNER_DRIVER_LIMIT else "partition"
+
+    merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
+
+    if winner_collect == "partition":
+        from ..state.manifest import atomic_write_parquet
+
+        winners_dir = os.path.join(lake_dir, "_winners", f"epoch={epoch:06d}")
+        shutil.rmtree(winners_dir, ignore_errors=True)  # idempotent epoch retry
+
+        def collect_winners(g: pa.Table) -> pa.Table:
+            part = int(g["part"][0].as_py())
+            gb = (
+                pa.table({"key_string": g["key_string"], "id": g["id"]})
+                .group_by("key_string")
+                .aggregate([("id", "max")])
+            )
+            ids = np.sort(gb["id_max"].to_numpy(zero_copy_only=False).astype(np.int64))
+            atomic_write_parquet(
+                pa.table({"id": pa.array(ids, pa.int64())}),
+                os.path.join(winners_dir, f"part={part:05d}.parquet"),
+            )
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+        parts_present = [
+            r["part"]
+            for r in (
+                mat.map_batches(
+                    lambda t: t.select(["part", "key_string", "id"]).filter(
+                        pc.is_valid(
+                            t["key_string"].combine_chunks()
+                            if isinstance(t["key_string"], pa.ChunkedArray)
+                            else t["key_string"]
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+                .groupby("part")
+                .map_groups(collect_winners, batch_format="pyarrow")
+                .take_all()  # tiny: one row per touched partition
+            )
+        ]
+        from ..functions._pool import pool_size
+
+        filtered = mat.map_batches(
+            _WinnerFileFilter,
+            fn_constructor_args=(winners_dir, parts_present),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=pool_size(8),
+        )
+        stats_ds = filtered.groupby("part", num_partitions=cfg.num_partitions).map_groups(
+            merger, batch_format="pyarrow"
+        )
+        out = stats_ds.take_all()
+        shutil.rmtree(winners_dir, ignore_errors=True)  # consumed
+        return out
+
     winners_ds = (
         mat.map_batches(
             lambda t: t.select(["key_string", "id"]), batch_format="pyarrow"
@@ -261,7 +394,6 @@ def _merge_via_winner_filter(
             mask = pc.or_(mask, pc.is_null(keys))
         return batch.filter(mask)
 
-    merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
     stats_ds = (
         mat.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part", num_partitions=cfg.num_partitions)
@@ -305,6 +437,7 @@ def run_epoch(
     batch_size: int | None = None,
     shuffle_mode: str = "groupby",
     merge_mode: str = "rewrite",
+    winner_collect: str = "auto",
 ) -> tuple[Manifest, dict[str, Any]]:
     """Process one epoch and commit it. Idempotent under retry.
 
@@ -354,7 +487,9 @@ def run_epoch(
         if shuffle_mode == "files" and not salted:
             stats_rows = _merge_via_delta_files(cfg, ds, lake_dir, epoch, manifest, merge_mode)
         elif shuffle_mode == "winners" and not salted:
-            stats_rows = _merge_via_winner_filter(cfg, ds, lake_dir, epoch, manifest, merge_mode)
+            stats_rows = _merge_via_winner_filter(
+                cfg, ds, lake_dir, epoch, manifest, merge_mode, winner_collect
+            )
         else:
             if salted and hot_keys:
                 # stage-1 of the two-stage skew merge: combine per (part, salt)
@@ -424,6 +559,7 @@ def replay(
     shuffle_mode: str = "groupby",
     merge_mode: str = "rewrite",
     compact_every: int = 0,
+    winner_collect: str = "auto",
 ) -> ReplayReport:
     """Full (or resumed) replay of a change stream into the lake.
 
@@ -450,6 +586,7 @@ def replay(
             salted=salted,
             shuffle_mode=shuffle_mode,
             merge_mode=merge_mode,
+            winner_collect=winner_collect,
         )
         consume_retry_files(retry_files)
         if compact_every and merge_mode == "delta" and manifest.epoch % compact_every == 0:

@@ -143,3 +143,29 @@ def test_winners_shuffle_mode_matches(ray_session, stream_dir, tmp_path):
         lake_to_pandas(b)[COLS].reset_index(drop=True),
         expected_lake_state(SPEC)[COLS].reset_index(drop=True),
     )
+
+
+def test_winners_partition_fallback_matches(ray_session, stream_dir, tmp_path, monkeypatch):
+    """The per-partition winner-collection fallback (driver never holds the
+    winner set) converges byte-identically to the default groupby exchange;
+    auto mode picks it when the epoch exceeds WINNER_DRIVER_LIMIT."""
+    import movex_cdc_ray.pipelines.replay as rp
+    from movex_cdc_ray.state.manifest import Manifest
+
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    a, b, c = str(tmp_path / "gb"), str(tmp_path / "wpart"), str(tmp_path / "wauto")
+    replay(stream_dir, a, cfg, chunks_per_epoch=2, shuffle_mode="groupby")
+    replay(stream_dir, b, cfg, chunks_per_epoch=2, shuffle_mode="winners",
+           winner_collect="partition")
+    # auto: a tiny threshold forces every epoch onto the fallback path
+    monkeypatch.setattr(rp, "WINNER_DRIVER_LIMIT", 10)
+    replay(stream_dir, c, cfg, chunks_per_epoch=2, shuffle_mode="winners")
+    sha = lambda d: {k: v["sha"] for k, v in Manifest.latest(d).partitions.items()}
+    assert sha(a) == sha(b) == sha(c)
+    pd.testing.assert_frame_equal(
+        lake_to_pandas(b)[COLS].reset_index(drop=True),
+        expected_lake_state(SPEC)[COLS].reset_index(drop=True),
+    )
+    # winner scratch files are consumed after the merge
+    import glob
+    assert glob.glob(os.path.join(b, "_winners", "*", "*")) == []
