@@ -122,6 +122,19 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_purge_tombstones(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import purge_tombstones
+
+    cfg = _load_config(args)
+    m = purge_tombstones(args.lake_dir, cfg, force=args.force)
+    print(json.dumps({"epoch": m.epoch, "metrics": m.metrics}, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_repartition(args) -> int:
     _ray_init(args.num_cpus)
     import ray
@@ -234,6 +247,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("purge-tombstones", help="drop tombstone fences once the retry ledger is drained")
+    common(sp)
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_purge_tombstones)
 
     sp = sub.add_parser("repartition", help="re-key the lake to a new partition count P")
     common(sp)

@@ -150,3 +150,12 @@ class Engine:
     def reprocess_final_errors(self) -> int:
         m = Manifest.latest(self.lake_dir)
         return _reprocess(self.lake_dir, m.epoch)
+
+    def purge_tombstones(self, force: bool = False) -> dict[str, Any]:
+        """Drop tombstone fence rows once the retry ledger is drained — the
+        retention valve for delete-heavy lakes (see
+        ``pipelines.replay.purge_tombstones`` for the safety argument)."""
+        from .pipelines.replay import purge_tombstones as _purge
+
+        m = _purge(self.lake_dir, self.cfg, force=force)
+        return m.metrics

@@ -682,6 +682,76 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
     )
 
 
+@ray.remote
+def _purge_part_task(part: int, path: str, out_path: str) -> dict[str, Any]:
+    import pyarrow.parquet as pq
+
+    from ..stages.sink import atomic_write_parquet, drop_tombstones, partition_sha
+
+    t = pq.read_table(path)
+    live = drop_tombstones(t)
+    if len(live) == len(t):
+        return {}  # no fences in this base — keep it untouched
+    nbytes = atomic_write_parquet(live, out_path)
+    return {
+        "part": part, "path": out_path, "deltas": [], "rows": len(live),
+        "sha": partition_sha(live), "bytes": nbytes,
+    }
+
+
+def purge_tombstones(lake_dir: str, cfg: CaptureConfig, force: bool = False) -> Manifest:
+    """Maintenance op: drop EVERY tombstone fence row (``_last_op='D'``) from
+    the partition bases — the retention valve for delete-heavy workloads,
+    where fences otherwise accumulate forever (rewrite merges, compaction and
+    repartition all deliberately carry them).
+
+    Safety: a fence exists to stale-drop a late retry of an event OLDER than
+    the delete. Once the retry ledger is empty no such retry can ever arrive
+    (fresh events always outrank the committed watermark), so purging is
+    lossless — the op REFUSES while ``_retry`` files are pending, and (unless
+    ``force=True``) while final errors exist, because
+    ``reprocess_final_errors`` would re-enter old events that the purged
+    fences were guarding against. Delta chains must be compacted first (a
+    chain's base may still be needed to fence its own deltas on read).
+
+    Distributed shape: one Ray task per partition base, atomic staged writes,
+    one manifest commit; live rows and partition digests are unchanged."""
+    import glob as _glob
+
+    manifest = Manifest.latest(lake_dir)
+    if _glob.glob(os.path.join(lake_dir, "_retry", "epoch=*", "part=*.parquet")):
+        raise RuntimeError("purge_tombstones: retry backlog pending — a late retry may still need the fences")
+    if not force and _glob.glob(os.path.join(lake_dir, "_final_errors", "epoch=*", "part=*.parquet")):
+        raise RuntimeError(
+            "purge_tombstones: final errors pending — reprocess_final_errors would "
+            "re-enter events the fences guard against (force=True overrides)"
+        )
+    if any(p.get("deltas") for p in manifest.partitions.values()):
+        raise RuntimeError("purge_tombstones: compact the delta chains first")
+    epoch = manifest.epoch + 1
+    refs = []
+    for k, entry in manifest.partitions.items():
+        if entry.get("path"):
+            refs.append(
+                _purge_part_task.remote(int(k), entry["path"], staged_path(lake_dir, epoch, int(k)))
+            )
+    rows = [r for r in ray.get(refs) if r]
+    if not rows:
+        return manifest
+    part_updates = {
+        str(r["part"]): {
+            "path": r["path"], "deltas": [], "rows": r["rows"],
+            "watermark": manifest.partitions[str(r["part"])]["watermark"],
+            "sha": r["sha"],
+        }
+        for r in rows
+    }
+    return manifest.commit_epoch(
+        epoch, [], part_updates, new_writer_token(),
+        metrics={"epoch": epoch, "purge_tombstones": True, "partitions_purged": len(rows)},
+    )
+
+
 def repartition_lake(lake_dir: str, cfg: CaptureConfig, new_num_partitions: int) -> Manifest:
     """Re-key the lake to a new partition count P' — the ONLY sanctioned way
     to change ``num_partitions`` on a live lake (the manifest fence refuses a

@@ -196,11 +196,12 @@ class CaptureStage:
     def __init__(self, cfg: CaptureConfig, sink_mode: bool = False):
         """``sink_mode=True`` specializes the stage for the lake-merge path:
         the message key and the per-op payload nulling whose effect the merge
-        provably never reads (new-image on DELETE rows — dropped as
-        tombstones; the whole old image — consumed only by the suppression
-        compare, which runs before) are skipped. Message rendering /
-        conformance always use the default full mode. Lake output is
-        byte-identical either way (asserted in tests)."""
+        provably never reads (new-image on DELETE rows — re-nulled at
+        lake-row construction, see ``sink.events_to_lake_rows``; the whole
+        old image — consumed only by the suppression compare, which runs
+        before) are skipped. Message rendering / conformance always use the
+        default full mode. Lake output is byte-identical either way
+        (asserted in tests/test_round3_fixes.py)."""
         self.cfg = cfg
         self.plans = compile_plan(cfg)
         self.event_schema = change_event_schema(cfg.latest_version().payload_fields)

@@ -120,16 +120,39 @@ def content_sha_array(t: pa.Table, cols: list[str], prefix: str = "") -> pa.Arra
 def events_to_lake_rows(
     events: pa.Table, payload_fields: list[str], sha_cols: list[str] | None = None
 ) -> pa.Table:
+    """Events → lake rows. DELETE rows' payload is nulled HERE (one if_else
+    per column on the tiny post-combine delta): a tombstone fence must carry
+    only ``_key``/``_last_id``, never the deleted payload bytes — sink_fast
+    capture skips the new-image nulling for D rows (the merge provably never
+    reads it), so without this the fence would retain whatever the raw delete
+    event carried and base files would differ between capture modes."""
+    is_del = None
+    if len(events):
+        op = events["op"]
+        if isinstance(op, pa.ChunkedArray):
+            op = op.combine_chunks()
+        is_del = pc.equal(op, "D")
+        if not pc.any(is_del).as_py():
+            is_del = None
     cols: dict[str, Any] = {}
     for f in payload_fields:
-        cols[f] = events[f"new_{f}"]
+        col = events[f"new_{f}"]
+        if is_del is not None:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = pc.if_else(is_del, pa.nulls(len(events), col.type), col)
+        cols[f] = col
     cols["_table_id"] = events["table_id"]
     cols["_key"] = events["key_string"]
     cols["_last_id"] = events["id"]
     cols["_last_op"] = events["op"]
     cols["_last_ts"] = events["created_at"]
+    sha_events = events if is_del is None else pa.table(
+        {**{f"new_{f}": cols[f] for f in payload_fields},
+         **{c: events[c] for c in events.column_names if not c.startswith("new_")}}
+    )
     cols["_content_sha"] = content_sha_array(
-        events, sha_cols or sha_source_columns(payload_fields), prefix="new_"
+        sha_events, sha_cols or sha_source_columns(payload_fields), prefix="new_"
     )
     return pa.table(cols)
 

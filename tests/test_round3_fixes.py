@@ -103,3 +103,85 @@ def test_health_check_reports_orphaned_lake_rows(ray_session, tmp_path):
     hc2 = eng2.health_check()
     assert hc2["config_drift"] is True
     assert hc2["orphaned_table_rows"] == {"1": hc["lake_rows"]}
+
+
+# ---- tombstone hygiene (ADVICE capture.py:199 + sink.py:196) ---------------
+
+
+def _delete_heavy_lake(tmp_path, n_events=800):
+    from movex_cdc_ray.pipelines.replay import replay
+
+    spec = StreamSpec(n_events=n_events, n_repos=4, paths_per_repo=10,
+                      chunk_size=400, delete_frac=0.3)
+    stream, lake = str(tmp_path / "stream"), str(tmp_path / "lake")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+    return lake, cfg
+
+
+def _fence_rows(lake):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.state.manifest import Manifest
+
+    m = Manifest.latest(lake)
+    tabs = [pq.read_table(p["path"]) for p in m.partitions.values() if p.get("path")]
+    rows = []
+    for t in tabs:
+        mask = pa.compute.equal(t["_last_op"], "D")
+        rows.append(t.filter(mask))
+    return pa.concat_tables(rows) if rows else None
+
+
+def test_tombstone_rows_carry_no_payload(ray_session, tmp_path):
+    """sink_fast capture leaves D rows' new image intact, but the lake fence
+    must never retain deleted payload bytes (events_to_lake_rows nulls it)."""
+    lake, cfg = _delete_heavy_lake(tmp_path)
+    fences = _fence_rows(lake)
+    assert fences is not None and len(fences) > 0  # delete-heavy: fences exist
+    for f in cfg.latest_version().payload_fields:
+        assert fences[f].null_count == len(fences), f"payload {f} retained on fences"
+
+
+def test_purge_tombstones_drops_fences_and_keeps_live_state(ray_session, tmp_path):
+    import glob
+    import os
+
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, purge_tombstones
+    from movex_cdc_ray.state.manifest import Manifest
+
+    lake, cfg = _delete_heavy_lake(tmp_path)
+    before = lake_to_pandas(lake)
+    sha_before = {k: v["sha"] for k, v in Manifest.latest(lake).partitions.items()}
+    m = purge_tombstones(lake, cfg)
+    assert m.metrics.get("purge_tombstones") is True
+    fences = _fence_rows(lake)
+    assert fences is None or len(fences) == 0
+    after = lake_to_pandas(lake)
+    pd_testing_cols = ["repo", "path", "commit", "content", "_last_id", "_last_op"]
+    assert before[pd_testing_cols].reset_index(drop=True).equals(
+        after[pd_testing_cols].reset_index(drop=True)
+    )
+    # live-row digests unchanged (the digest never covered fences)
+    sha_after = {k: v["sha"] for k, v in Manifest.latest(lake).partitions.items()}
+    assert sha_after == sha_before
+    # idempotent no-op when nothing left to purge
+    assert purge_tombstones(lake, cfg).epoch == m.epoch
+
+
+def test_purge_tombstones_refuses_pending_retries(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.replay import purge_tombstones
+
+    lake, cfg = _delete_heavy_lake(tmp_path)
+    fake = os.path.join(lake, "_retry", "epoch=000099", "part=00001.parquet")
+    os.makedirs(os.path.dirname(fake), exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), fake)
+    with pytest.raises(RuntimeError, match="retry backlog"):
+        purge_tombstones(lake, cfg)
