@@ -262,11 +262,14 @@ class DecodeStage:
         return _audio_features(samples, self.feature_dim), 0, 0, len(samples)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        has_frame_idx = "frame_idx" in batch.column_names
         if len(batch) == 0:  # np.stack needs at least one row
             schema = [("media_id", pa.int64()), ("kind", pa.string()),
                       ("feature", pa.list_(pa.float32(), self.feature_dim)),
                       ("feature_norm", pa.float64()),
                       ("payload_sha", pa.string()), ("payload_bytes", pa.int64())]
+            if has_frame_idx:
+                schema.insert(1, ("frame_idx", pa.int32()))
             if self.real:
                 schema += [("decoded_width", pa.int32()), ("decoded_height", pa.int32()),
                            ("decoded_samples", pa.int64())]
@@ -285,6 +288,9 @@ class DecodeStage:
         cols = {
             "media_id": batch["media_id"],
             "kind": batch["kind"],
+            # frame rows (FrameSampleStage output) keep their ordinal so
+            # sample→decode→featurize composes without a synthetic row id
+            **({"frame_idx": batch["frame_idx"]} if has_frame_idx else {}),
             "feature": pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.ravel(), pa.float32()), self.feature_dim
             ),
@@ -360,28 +366,147 @@ class ResizeStage:
         return batch.set_column(i, "meta", meta)
 
 
-class FrameSampleStage:
-    """Video frame-sample stub: explodes each video row into ``n_frames``
-    frame rows (media_id, frame_idx, payload slice) — the fan-out shape a
-    real sampler produces."""
+# ---------------------------------------------------------------------------
+# multi-frame container: concatenated P6 PPM frames (the ffmpeg image2pipe
+# stream format — each frame is self-delimiting via its own header)
+# ---------------------------------------------------------------------------
 
-    def __init__(self, n_frames: int = 4):
+
+def encode_ppm_stream(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → concatenated binary PPM stream."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def _ppm_frame_offsets(data: bytes) -> list[tuple[int, int]]:
+    """Walk the stream's frame headers WITHOUT decoding pixels: returns
+    (offset, length) per frame — O(frames) header parses, so sampling frame
+    k is an O(1) slice afterwards."""
+    spans = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad PPM stream: no P6 magic at offset {pos}")
+        # header: magic, width, height, maxval as whitespace-separated tokens
+        p, parts = pos + 2, []
+        while len(parts) < 3:
+            while data[p] in b" \t\r\n":
+                p += 1
+            tok = bytearray()
+            while data[p] not in b" \t\r\n":
+                tok.append(data[p])
+                p += 1
+            parts.append(int(tok))
+        p += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM frames supported")
+        end = p + w * h * 3
+        if end > n:
+            raise ValueError("truncated PPM stream")
+        spans.append((pos, end - pos))
+        pos = end
+    return spans
+
+
+def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
+    """Concatenated P6 stream → list of (h, w, 3) uint8 RGB frames."""
+    return [decode_ppm(data[o : o + ln]) for o, ln in _ppm_frame_offsets(data)]
+
+
+def synth_video_table(n: int, n_frames: int = 12, seed: int = 42) -> pa.Table:
+    """Deterministic REAL video rows: each payload is a concatenated-PPM
+    stream of ``n_frames`` distinct frames (per-frame content varies so a
+    sampler that decodes the wrong frame produces different features)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        w, h = 16 + int(i % 4), 12
+        frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+        # stamp the frame ordinal into the pixels: frame fi is brightened by
+        # fi so decoded features are frame-index-dependent (deterministic)
+        frames = np.minimum(frames.astype(np.int64) + np.arange(n_frames)[:, None, None, None] * 5, 255).astype(np.uint8)
+        ids.append(i)
+        payloads.append(encode_ppm_stream(frames))
+        metas.append({"width": w, "height": h, "duration_ms": n_frames * 40,
+                      "format": "ppm-stream"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class FrameSampleStage:
+    """Video frame sampling: explodes each video row into ``n_frames`` frame
+    rows (media_id, frame_idx, payload).
+
+    ``real=True`` REALLY parses the concatenated-PPM container: frame spans
+    come from a header walk (never a full decode), ``n_frames`` evenly-spaced
+    frames are sliced out as standalone P6 payloads — directly decodable by
+    ``DecodeStage(real=True)``, so sample→decode→featurize composes into a
+    real video feature pipeline (see ``queries.multimodal_frames``). Emits
+    ``frame_w``/``frame_h``/``src_frames`` from the parsed headers. Unknown
+    containers raise into divide&conquer like every other codec here.
+    ``real=False`` keeps the byte-slice fake for plumbing tests."""
+
+    def __init__(self, n_frames: int = 4, real: bool = False):
         self.n_frames = n_frames
+        self.real = real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, payloads = [], [], []
+        ws, hs, srcs = [], [], []
         media_ids = batch["media_id"].to_pylist()
         pls = batch["payload"].to_pylist()
         for mid, p in zip(media_ids, pls):
-            step = max(len(p) // self.n_frames, 1)
-            for fi in range(self.n_frames):
-                ids.append(mid)
-                idxs.append(fi)
-                payloads.append(p[fi * step : (fi + 1) * step])
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(idxs, pa.int32()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        )
+            if self.real:
+                spans = _ppm_frame_offsets(p)
+                take = np.unique(
+                    np.linspace(0, len(spans) - 1, min(self.n_frames, len(spans))).astype(int)
+                )
+                for fi in take:
+                    o, ln = spans[fi]
+                    frame = p[o : o + ln]
+                    w, h = _ppm_dims(frame)
+                    ids.append(mid)
+                    idxs.append(int(fi))
+                    payloads.append(frame)
+                    ws.append(w)
+                    hs.append(h)
+                    srcs.append(len(spans))
+            else:
+                step = max(len(p) // self.n_frames, 1)
+                for fi in range(self.n_frames):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    payloads.append(p[fi * step : (fi + 1) * step])
+        cols = {
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+        if self.real:
+            cols["frame_w"] = pa.array(ws, pa.int32())
+            cols["frame_h"] = pa.array(hs, pa.int32())
+            cols["src_frames"] = pa.array(srcs, pa.int32())
+        return pa.table(cols)
+
+
+def _ppm_dims(frame: bytes) -> tuple[int, int]:
+    (off, _ln), = _ppm_frame_offsets(frame)
+    # re-parse just the header tokens for dims
+    p, parts = off + 2, []
+    while len(parts) < 3:
+        while frame[p] in b" \t\r\n":
+            p += 1
+        tok = bytearray()
+        while frame[p] not in b" \t\r\n":
+            tok.append(frame[p])
+            p += 1
+        parts.append(int(tok))
+    return parts[0], parts[1]

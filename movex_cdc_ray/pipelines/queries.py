@@ -1157,6 +1157,46 @@ def multimodal_decode_real(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("media_id").reset_index(drop=True)
 
 
+def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame pipeline: concatenated-PPM streams → header-walk
+    frame sampling (evenly spaced, O(1) slice per frame) → real per-frame
+    pixel decode → features. The sample→decode stages compose because each
+    sampled frame is a standalone P6 payload (rows-only check: binary
+    codecs)."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        DecodeStage,
+        FrameSampleStage,
+        synth_video_table,
+    )
+
+    videos = rd.from_arrow(synth_video_table(60, n_frames=12, seed=42))
+    frames = videos.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_frames": 4, "real": True},
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    ).map_batches(
+        lambda t: t.select(["media_id", "frame_idx", "payload"]).append_column(
+            "kind", pa.array(["image"] * len(t))
+        ),
+        batch_format="pyarrow",
+    )
+    out = frames.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"real": True},
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    pdf = out.to_pandas()[
+        ["media_id", "frame_idx", "decoded_width", "decoded_height", "feature_norm"]
+    ]
+    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    return pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
     pdf = ds.to_pandas()
     return pdf.sort_values(list(sort_cols)).reset_index(drop=True)
@@ -1206,6 +1246,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLE_SQL: dict[str, str] = {

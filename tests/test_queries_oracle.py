@@ -81,5 +81,6 @@ def test_every_query_has_callable_and_oracle_keys():
     assert rows_only == {
         "multimodal_decode",
         "multimodal_decode_real",
+        "multimodal_frames",
         "ann_ivf",
     }

@@ -266,3 +266,51 @@ def test_ivf_topk_partial_probe_is_subset(ray_session):
     out = ivf_topk(rd.from_arrow(t), query_ids=[3], k=5, n_centroids=8, n_probe=2)
     assert len(out) <= 5 and (out["query_id"] == 3).all()
     assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
+def test_ppm_stream_roundtrip_and_real_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.multimodal import (
+        DecodeStage,
+        FrameSampleStage,
+        decode_ppm_stream,
+        encode_ppm_stream,
+        synth_video_table,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    frames = rng.integers(0, 256, size=(5, 6, 4, 3), dtype=np.uint8)
+    stream = encode_ppm_stream(frames)
+    back = decode_ppm_stream(stream)
+    assert len(back) == 5 and all((a == b).all() for a, b in zip(frames, back))
+
+    videos = synth_video_table(6, n_frames=10, seed=42)
+    out = (
+        rd.from_arrow(videos)
+        .map_batches(FrameSampleStage, fn_constructor_kwargs={"n_frames": 4, "real": True},
+                     batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    # 4 evenly-spaced DISTINCT frames per video, real dims from the headers
+    assert len(out) == 6 * 4
+    assert sorted(out[out["media_id"] == 0]["frame_idx"]) == [0, 3, 6, 9]
+    assert (out["src_frames"] == 10).all()
+    assert (out["frame_h"] == 12).all()
+
+    # sampled frames are standalone P6 payloads -> real decode composes;
+    # the per-frame brightness stamp makes features frame-dependent
+    frames_ds = rd.from_pandas(out[["media_id", "frame_idx", "payload"]].assign(kind="image"))
+    feats = frames_ds.map_batches(
+        DecodeStage, fn_constructor_kwargs={"real": True}, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    v0 = feats[feats["media_id"] == 0].sort_values("frame_idx")
+    assert v0["feature_norm"].nunique() == 4  # distinct per sampled frame
+
+
+def test_frame_sample_stage_rejects_non_stream_payloads(ray_session):
+    from movex_cdc_ray.functions.multimodal import FrameSampleStage, synth_media_table
+
+    stage = FrameSampleStage(n_frames=2, real=True)
+    with pytest.raises(ValueError, match="P6"):
+        stage(synth_media_table(2, seed=1))  # random bytes: not a PPM stream
