@@ -6,9 +6,11 @@ ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "events": N, "events_per_sec": N}
 
---scaling: runs the headline pipeline twice in fresh processes at N and 4N
-CPUs (default 2 and 8; override GRAFT_SCALE_LO/GRAFT_SCALE_HI, e.g. 8/32) on
-the same 10M-event input and reports both throughputs and the scaling
+--scaling: runs the headline pipeline at N and 4N CPUs (default 2 and 8;
+override GRAFT_SCALE_LO/GRAFT_SCALE_HI, e.g. 1/4) in fresh taskset-pinned
+processes on the same 10M-event input, as GRAFT_SCALE_TRIALS (default 5)
+INTERLEAVED PAIRED TRIALS (lo/hi back-to-back per trial so box phase cancels
+in the ratio), and reports every trial plus the MEDIAN per-trial scaling
 efficiency (tput_hi/tput_lo)/(hi/lo) — the sandbox proxy for the north
 rule's N→4N-node criterion (see BASELINE.md for the recorded numbers and the
 single-node saturation analysis).
@@ -172,46 +174,70 @@ def main() -> None:
         # Default 2 vs 8: the single node saturates shared memory/object-store
         # bandwidth around ~8 cores (~1.0M ev/s), which on a real cluster is a
         # per-node resource — N must sit in the compute-bound regime.
+        #
+        # Protocol: INTERLEAVED PAIRED TRIALS. Each trial runs the lo-core
+        # and hi-core level back-to-back (fresh process each), so slow box
+        # phases hit both levels of a trial roughly equally and cancel in the
+        # per-trial ratio, instead of inflating a best-of-N pick. The headline
+        # number is the MEDIAN per-trial efficiency across >=5 trials; every
+        # trial is reported.
         lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
         hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
-        repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+        n_trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "5"))
         # synthesize the input in the UNPINNED parent: a cold 2-core child
         # would otherwise pay the one-time generation at 2-core speed
         ensure_stream(SCALING_EVENTS)
-        results = {}
-        for ncpu in (lo, hi):
-            best = None
-            for _ in range(repeats):  # best-of-N: controls noisy-neighbor variance
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
-                # taskset pins the whole child (driver, raylet, workers, and
-                # every library-internal thread pool) to ncpu physical cores —
-                # ray.init(num_cpus=) alone only limits task scheduling, while
-                # pyarrow's parquet/compute pools would still use every core,
-                # which silently invalidates the two-cluster-size proxy.
-                cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
-                       os.path.abspath(__file__), "--headline-only"]
-                out = subprocess.run(
-                    cmd, env=env, capture_output=True, text=True, check=True
-                ).stdout
-                r = json.loads(out.strip().splitlines()[-1])
-                if best is None or r["value"] < best["value"]:
-                    best = r
-            results[ncpu] = best
-        tput_lo = results[lo]["events_per_sec"]
-        tput_hi = results[hi]["events_per_sec"]
-        eff = (tput_hi / tput_lo) / (hi / lo)
+
+        def run_level(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+            # taskset pins the whole child (driver, raylet, workers, and
+            # every library-internal thread pool) to ncpu physical cores —
+            # ray.init(num_cpus=) alone only limits task scheduling, while
+            # pyarrow's parquet/compute pools would still use every core,
+            # which silently invalidates the two-cluster-size proxy.
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+                   os.path.abspath(__file__), "--headline-only"]
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        trials = []
+        for i in range(n_trials):
+            r_lo = run_level(lo)
+            r_hi = run_level(hi)
+            eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
+            trials.append(
+                {
+                    "trial": i + 1,
+                    f"sec_{lo}": r_lo["value"],
+                    f"sec_{hi}": r_hi["value"],
+                    f"events_per_sec_{lo}": r_lo["events_per_sec"],
+                    f"events_per_sec_{hi}": r_hi["events_per_sec"],
+                    "efficiency": round(eff, 3),
+                }
+            )
+            print(json.dumps({"progress": trials[-1]}), file=sys.stderr)
+        effs = sorted(t["efficiency"] for t in trials)
+        median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+        )
+        # the reported sec_/events_per_sec_ pair comes from the median trial
+        med_trial = min(trials, key=lambda t: abs(t["efficiency"] - median_eff))
         print(
             json.dumps(
                 {
                     "metric": "cdc_replay_scaling",
                     "cpus_lo": lo,
                     "cpus_hi": hi,
-                    f"sec_{lo}": results[lo]["value"],
-                    f"sec_{hi}": results[hi]["value"],
-                    f"events_per_sec_{lo}": tput_lo,
-                    f"events_per_sec_{hi}": tput_hi,
-                    "scaling_efficiency": round(eff, 3),
-                    "events": results[hi]["events"],
+                    f"sec_{lo}": med_trial[f"sec_{lo}"],
+                    f"sec_{hi}": med_trial[f"sec_{hi}"],
+                    f"events_per_sec_{lo}": med_trial[f"events_per_sec_{lo}"],
+                    f"events_per_sec_{hi}": med_trial[f"events_per_sec_{hi}"],
+                    "scaling_efficiency": median_eff,
+                    "protocol": f"median of {n_trials} interleaved paired trials",
+                    "trials": trials,
+                    "events": SCALING_EVENTS,
                     "sf": SF_DIR,
                 }
             )
