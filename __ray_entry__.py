@@ -55,12 +55,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
-    Keys absent here (ann_ivf, multimodal_decode*, multimodal_frames) are
-    non-SQL-expressible (k-means cell assignment / binary codecs) →
-    rows-only check. The seeded
-    hash families (minhash perms, simhash, hyperplane LSH) and the flagship
-    replay's staged binlog ARE value-checked via literal parameter tables /
-    read_parquet over the staged chunks."""
+    Keys absent here (multimodal_decode*, multimodal_frames) are
+    non-SQL-expressible (binary image/audio codecs) → rows-only check. The
+    seeded hash families (minhash perms, simhash, hyperplane LSH), the IVF
+    k-means quantizer (unrolled Lloyd iterations as materialized CTEs) and
+    the flagship replay's staged binlog ARE value-checked via literal
+    parameter tables / CTE chains / read_parquet over the staged chunks."""
     from movex_cdc_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

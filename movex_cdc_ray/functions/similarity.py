@@ -258,19 +258,30 @@ def lsh_bucketed_ann(
 # ---------------------------------------------------------------------------
 
 
-def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 17) -> np.ndarray:
-    """Small deterministic Lloyd's k-means on a normalized sample (driver-side
-    on a few thousand rows — the coarse-quantizer training step of IVF)."""
-    rng = np.random.Generator(np.random.PCG64(seed))
+def _round9(m: np.ndarray) -> np.ndarray:
+    """Quantize to 9 decimals: makes every k-means intermediate identical
+    between numpy (pairwise-sum BLAS) and a SQL engine (sequential sums),
+    so the IVF pipeline is value-checkable against a DuckDB oracle. 1e-9
+    quantization is far below any meaningful cosine resolution."""
+    return np.round(m, 9)
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Small deterministic Lloyd's k-means on a normalized+rounded sample
+    (driver-side on a few thousand rows — the coarse-quantizer training step
+    of IVF). Init = the first ``k`` sample rows (sample is ordered by id), so
+    the whole training run is expressible in SQL (`queries.py:_ivf_sql`):
+    fixed unrolled iterations, argmax ties broken toward the lower cell,
+    centroids re-normalized and rounded to 9 decimals each iteration."""
     k = min(k, len(sample))
-    cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    cent = sample[:k].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)  # cosine on normalized rows
         for c in range(k):
             members = sample[assign == c]
             if len(members):
                 v = members.mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+                cent[c] = _round9(v / max(np.linalg.norm(v), 1e-12))
     return cent
 
 
@@ -281,7 +292,6 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     sample_rows: int = 2048,
-    seed: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
@@ -292,18 +302,29 @@ def ivf_topk(
     Same scale shape as ``lsh_bucketed_ann`` (one bucketing shuffle, scoring
     distributed, driver merges (cells × queries × k) partial rows) but with a
     data-adaptive partitioner — better recall on clustered corpora. At 100 TB
-    the sample comes from ``ds.limit`` over the first blocks and the
-    assignment stage streams; centroids stay a tiny broadcast."""
-    sample_rows_list = ds.limit(sample_rows).take_all()
-    smat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows_list]))
-    centroids = _kmeans(smat, n_centroids, seed=seed)
+    the sample is a pushed-down ``id < sample_rows`` row filter over the first
+    row groups and the assignment stage streams; centroids stay a tiny
+    broadcast. Every matrix is normalized and rounded to 9 decimals so the
+    whole pipeline is value-checked against a DuckDB SQL oracle
+    (`queries.py:_ivf_sql`)."""
+    sample_rows_list = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
+        batch_format="pyarrow",
+    ).take_all()
+    sample_rows_list.sort(key=lambda r: r[id_col])
+    smat = _round9(_normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows_list]
+    )))
+    centroids = _kmeans(smat, n_centroids)
 
     qset = set(query_ids)
     qrows = ds.map_batches(
         lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
         batch_format="pyarrow",
     ).take_all()
-    qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
+    qmat = _round9(_normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+    )))
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     nprobe = min(n_probe, len(centroids))
     qcells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # (nq, n_probe)
@@ -316,7 +337,7 @@ def ivf_topk(
                     "centroids": centroids})
 
     def assign_cells(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_to_matrix(batch[vec_col]))
+        mat = _round9(_normalize(_to_matrix(batch[vec_col])))
         s = ray.get(side)
         cells = np.argmax(mat @ s["centroids"].T, axis=1).astype(np.int64)
         t = batch.select([id_col, vec_col]).append_column("cell", pa.array(cells))
@@ -333,7 +354,7 @@ def ivf_topk(
             return empty
         ids = g[id_col].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        mat = _round9(mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None))
         sims = s["qmat"][qidx] @ mat.T
         kk = min(s["k"] + 1, sims.shape[1])
         frames = []

@@ -216,6 +216,110 @@ def _ann_lsh_sql(k: int = 10, n_bits: int = 8, seed: int = 11) -> str:
     """
 
 
+def _ivf_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 8,
+    sample_rows: int = 2048,
+) -> str:
+    """DuckDB value oracle for ann_ivf: the full IVF pipeline — Lloyd's
+    k-means coarse-quantizer training included — re-derived in SQL.
+
+    The engine (`similarity.py:_kmeans`/`ivf_topk`) is deliberately
+    SQL-expressible: sample = ``vec_id < sample_rows``, init = first k sample
+    vectors, a FIXED number of Lloyd iterations unrolled here as chained
+    CTEs, argmax ties toward the lower cell, and every normalized vector /
+    centroid rounded to 9 decimals so numpy (pairwise-sum BLAS) and DuckDB
+    (sequential SUM) quantize to identical values."""
+    head = f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), ex AS MATERIALIZED (
+          -- normalized corpus, long format, rounded to 9 (engine parity)
+          SELECT vec_id, i, ROUND(x / GREATEST(nrm, 1e-12), 9) AS x FROM (
+            SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x,
+                   sqrt(list_sum(list_transform(emb, y -> y * y))) AS nrm
+            FROM e)
+        ), sx AS MATERIALIZED (
+          SELECT * FROM ex WHERE vec_id < {sample_rows}
+        ), c0 AS MATERIALIZED (
+          -- init: the first {n_centroids} sample vectors, cell = id rank
+          SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, i, x
+          FROM sx WHERE vec_id IN (
+            SELECT DISTINCT vec_id FROM sx ORDER BY vec_id LIMIT {n_centroids})
+        )"""
+    its = []
+    for j in range(1, iters + 1):
+        its.append(f"""
+        , a{j} AS MATERIALIZED (
+          -- Lloyd iteration {j}: assign each sample vector to its nearest
+          -- centroid (dot on normalized rows; ties toward the lower cell)
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY SUM(s.x * c.x) DESC, c.cell ASC) AS rn
+            FROM sx s JOIN c{j - 1} c ON c.i = s.i
+            GROUP BY s.vec_id, c.cell) WHERE rn = 1
+        ), m{j} AS MATERIALIZED (
+          SELECT a.cell, s.i, AVG(s.x) AS mx
+          FROM a{j} a JOIN sx s ON s.vec_id = a.vec_id
+          GROUP BY a.cell, s.i
+        ), c{j} AS MATERIALIZED (
+          -- re-normalized rounded means; empty cells keep their centroid
+          SELECT m.cell, m.i, ROUND(m.mx / GREATEST(n.nrm, 1e-12), 9) AS x
+          FROM m{j} m JOIN (
+            SELECT cell, sqrt(SUM(mx * mx)) AS nrm FROM m{j} GROUP BY cell) n
+          ON n.cell = m.cell
+          UNION ALL
+          SELECT c.cell, c.i, c.x FROM c{j - 1} c
+          WHERE c.cell NOT IN (SELECT cell FROM m{j})
+        )""")
+    tail = f"""
+        , qx AS MATERIALIZED (
+          SELECT * FROM ex WHERE vec_id IN (0, 1, 2, 3, 4)
+        ), qp AS MATERIALIZED (
+          -- each query probes its {n_probe} nearest cells
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY SUM(q.x * c.x) DESC, c.cell ASC) AS rn
+            FROM qx q JOIN c{iters} c ON c.i = q.i
+            GROUP BY q.vec_id, c.cell) WHERE rn <= {n_probe}
+        ), asg AS MATERIALIZED (
+          -- corpus → cell assignment (same argmax as the sample assignment)
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY SUM(v.x * c.x) DESC, c.cell ASC) AS rn
+            FROM ex v JOIN c{iters} c ON c.i = v.i
+            GROUP BY v.vec_id, c.cell) WHERE rn = 1
+        ), cand AS MATERIALIZED (
+          SELECT qp.query_id, a.vec_id AS neighbor_id
+          FROM qp JOIN asg a ON a.cell = qp.cell
+          WHERE a.vec_id <> qp.query_id
+        ), sc AS MATERIALIZED (
+          SELECT c.query_id, c.neighbor_id, SUM(q.x * v.x) AS cos
+          FROM cand c
+          JOIN ex q ON q.vec_id = c.query_id
+          JOIN ex v ON v.vec_id = c.neighbor_id AND v.i = q.i
+          GROUP BY c.query_id, c.neighbor_id
+        ), rk AS MATERIALIZED (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank,
+                 ROUND(cos, 6) AS cosine
+          FROM sc
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cosine
+        FROM rk WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+    return head + "".join(its) + tail
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned parquet read with a metadata-free schema: the testdata
     files carry pandas schema metadata that makes pa.Schema unhashable, which
@@ -1582,7 +1686,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_flagship_replay": _flagship_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
-    # rows-only (no SQL-expressible oracle): ann_ivf (approximate recall —
-    # which cells k-means probes is not a value semantics), multimodal_decode*
-    # (binary codecs)
+    "ann_ivf": _ivf_sql(),
+    # rows-only (no SQL-expressible oracle): multimodal_decode* /
+    # multimodal_frames (binary codecs)
 }

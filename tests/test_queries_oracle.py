@@ -15,6 +15,7 @@ SUBSET = [
     "q1_pricing_summary",
     "dedup_exact",
     "knn_bruteforce",
+    "ann_ivf",
     "text_quality",
 ]
 
@@ -82,5 +83,4 @@ def test_every_query_has_callable_and_oracle_keys():
         "multimodal_decode",
         "multimodal_decode_real",
         "multimodal_frames",
-        "ann_ivf",
     }
