@@ -320,6 +320,29 @@ def _ivf_sql(
     return head + "".join(its) + tail
 
 
+def _corpus_split_sql(seed: int = 7, n_buckets: int = 10_000) -> str:
+    """DuckDB value oracle for corpus_split: the same md5 id-bucket
+    (md5_number_upper == the engine's little-endian first-8-bytes integer)
+    and the same integer bucket edges generated from one weight map."""
+    from ..functions.corpus import DEFAULT_SPLIT_WEIGHTS, split_edges
+
+    labels, edges = split_edges(DEFAULT_SPLIT_WEIGHTS, n_buckets)
+    case = " ".join(
+        f"WHEN bucket < {edge} THEN '{label}'"
+        for label, edge in zip(labels[:-1], edges[:-1])
+    )
+    return f"""
+        SELECT doc_id, bucket,
+               CASE {case} ELSE '{labels[-1]}' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':{seed}')
+                      % {n_buckets} AS BIGINT) AS bucket
+          FROM documents)
+        ORDER BY doc_id
+    """
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned parquet read with a metadata-free schema: the testdata
     files carry pandas schema metadata that makes pa.Schema unhashable, which
@@ -1169,6 +1192,32 @@ def corpus_clean(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def corpus_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split by hashed doc id (`functions/
+    corpus.py:split_assign`): membership is a pure function of the id, so
+    re-runs and corpus growth never migrate a document across splits."""
+    from ..functions.corpus import split_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pdf = split_assign(ds, id_col="doc_id").to_pandas()
+    return pdf[["doc_id", "bucket", "split"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_pack(sf_dir: str) -> pd.DataFrame:
+    """GPT-style sequence packing (`functions/corpus.py:pack_sequences`):
+    documents concatenated in id order, chunked every 2048 tokens; each doc
+    lands in the pack where it starts."""
+    from ..functions.corpus import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pdf = pack_sequences(ds, budget=2048, range_size=64).to_pandas()
+    return (
+        pdf[["doc_id", "n_tokens", "pack_id", "pack_offset"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
     """Scale path of embedding near-dup: hyperplane-LSH buckets partition the
     corpus, pairs compared only within buckets (rows-only check)."""
@@ -1341,6 +1390,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "corpus_clean": corpus_clean,
+    "corpus_split": corpus_split,
+    "corpus_pack": corpus_pack,
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -1680,6 +1731,28 @@ ORACLE_SQL: dict[str, str] = {
     + STOPWORDS_SQL
     + """)) AS DOUBLE) / len(string_split(text, ' ')) >= 0.02
         GROUP BY md5(text)
+        ORDER BY doc_id
+    """,
+    "corpus_split": _corpus_split_sql(),
+    # sequence packing: global prefix sum over the id-ordered token stream,
+    # chunked every 2048 tokens (same n_tokens semantics as text_tokens)
+    "corpus_pack": """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN COALESCE(LENGTH(text), 0) = 0 THEN 0
+                      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                 END AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+          FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(off // 2048 AS BIGINT) AS pack_id,
+               CAST(off % 2048 AS BIGINT) AS pack_offset
+        FROM c
         ORDER BY doc_id
     """,
     "text_langid": _langid_sql(),

@@ -1,0 +1,81 @@
+"""Corpus-prep operators: deterministic split assignment + sequence packing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from movex_cdc_ray.functions.corpus import (
+    DEFAULT_SPLIT_WEIGHTS,
+    pack_sequences,
+    split_assign,
+    split_edges,
+)
+
+
+def test_split_edges_integer_boundaries():
+    labels, edges = split_edges({"train": 0.9, "val": 0.05, "test": 0.05}, 10_000)
+    assert labels == ["train", "val", "test"]
+    assert edges == [9000, 9500, 10000]
+    # non-normalized weights normalize; tail always owns the last bucket
+    _, e2 = split_edges({"a": 3, "b": 1}, 1000)
+    assert e2 == [750, 1000]
+
+
+def test_split_assign_deterministic_and_subset_stable(ray_session):
+    ids = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    out = split_assign(rd.from_arrow(ids)).to_pandas().sort_values("doc_id")
+    again = split_assign(rd.from_arrow(ids)).to_pandas().sort_values("doc_id")
+    assert out["split"].tolist() == again["split"].tolist()
+    # proportions near the weights (md5 is uniform)
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - DEFAULT_SPLIT_WEIGHTS["train"]) < 0.03
+    # membership is a pure function of the id: a subset corpus assigns
+    # every surviving doc to the SAME split (no migration on growth)
+    subset = pa.table({"doc_id": pa.array(range(0, 2000, 3), pa.int64())})
+    sub = split_assign(rd.from_arrow(subset)).to_pandas().sort_values("doc_id")
+    merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def _pack_oracle(ids, texts, budget):
+    ntok = [0 if not t else t.count(" ") + 1 for t in texts]
+    order = np.argsort(ids)
+    off, rows = 0, {}
+    for i in order:
+        rows[ids[i]] = (ntok[i], off // budget, off % budget)
+        off += ntok[i]
+    return rows
+
+
+def test_pack_sequences_matches_oracle_and_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(5)
+    ids = list(range(300))
+    texts = [" ".join(["w"] * int(rng.integers(0, 40))) for _ in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    expected = _pack_oracle(ids, texts, budget=64)
+
+    for range_size in (7, 64, 1000):  # placement must not depend on bucketing
+        got = (
+            pack_sequences(rd.from_arrow(t).repartition(5), budget=64, range_size=range_size)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(got) == len(ids)
+        for _, r in got.iterrows():
+            nt, pid, poff = expected[r["doc_id"]]
+            assert (r["n_tokens"], r["pack_id"], r["pack_offset"]) == (nt, pid, poff)
+
+
+def test_pack_sequences_doc_straddles_boundary(ray_session):
+    # doc 1 (5 tokens) starts at offset 3 in pack 0 and straddles into pack 1:
+    # it belongs to the pack where it STARTS (GPT-style chunked stream)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "a b c d e", "x"]),
+        }
+    )
+    got = pack_sequences(rd.from_arrow(t), budget=4, range_size=2).to_pandas().sort_values("doc_id")
+    assert got["pack_id"].tolist() == [0, 0, 2]
+    assert got["pack_offset"].tolist() == [0, 3, 0]

@@ -17,6 +17,8 @@ SUBSET = [
     "knn_bruteforce",
     "ann_ivf",
     "text_quality",
+    "corpus_split",
+    "corpus_pack",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
