@@ -147,13 +147,15 @@ def events_to_lake_rows(
     cols["_last_id"] = events["id"]
     cols["_last_op"] = events["op"]
     cols["_last_ts"] = events["created_at"]
-    sha_events = events if is_del is None else pa.table(
-        {**{f"new_{f}": cols[f] for f in payload_fields},
-         **{c: events[c] for c in events.column_names if not c.startswith("new_")}}
-    )
-    cols["_content_sha"] = content_sha_array(
-        sha_events, sha_cols or sha_source_columns(payload_fields), prefix="new_"
-    )
+    sha_src = sha_cols or sha_source_columns(payload_fields)
+    sha = content_sha_array(events, sha_src, prefix="new_")
+    if is_del is not None:
+        # sha over an all-null payload is a per-schema CONSTANT (every sha
+        # column is a payload column, and D rows null them all) — patch D
+        # positions instead of re-hashing the whole nulled table
+        null_sha = hashlib.sha256("\x1f".join([""] * len(sha_src)).encode()).hexdigest()
+        sha = pc.if_else(is_del, pa.scalar(null_sha, pa.string()), sha)
+    cols["_content_sha"] = sha
     return pa.table(cols)
 
 
