@@ -1,0 +1,171 @@
+"""Duplicate-cluster assignment: connected components over a near-dup pair
+graph, fully distributed (min-label propagation), plus the composed
+"pairs → clusters → canonical doc" operator a dedup pipeline ends with.
+
+A near-dup stage (MinHash/LSH, SimHash, embedding) emits PAIRS; training
+pipelines need CLUSTERS (keep one doc per group of transitively-linked
+dups). The component id is the MIN doc id in the component, so the
+canonical survivor is ``doc_id == cluster_id``.
+
+Scale shape: every iteration is two ``groupby`` exchanges over *edge-sized*
+data (the dup graph, tiny vs the corpus), never over the corpus itself;
+the corpus is touched exactly once at the end to fold in singletons.
+Min-label propagation converges in ``diameter(component)`` rounds —
+near-dup clusters are shallow (a hub doc links its variants), so 3-5
+rounds is typical. Convergence is detected with a one-scalar aggregate:
+labels only ever decrease, so the global label sum is strictly monotone
+and equality between rounds == fixpoint (no expensive diff join).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+MAX_ITERS = 50  # diameter backstop; real dup graphs converge in < 6
+
+
+def _edge_labels(edges: rd.Dataset, labels: rd.Dataset) -> rd.Dataset:
+    """Reduce-side join: for every directed edge (s, d), emit (d, lab(s)).
+
+    Union the edge rows (keyed by s) with the label rows (keyed by node),
+    co-group on the key, and attach the group's label to its out-edges.
+    Self-labels (node, lab) are re-emitted so isolated pair-nodes and
+    already-minimal nodes keep their label through the min-reduce."""
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b["s"].cast(pa.int64()),
+                "d": b["d"].cast(pa.int64()),
+                "lab": pa.nulls(len(b), pa.int64()),
+            }
+        )
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b["node"].cast(pa.int64()),
+                "d": pa.nulls(len(b), pa.int64()),
+                "lab": b["lab"].cast(pa.int64()),
+            }
+        )
+
+    both = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+        labels.map_batches(tag_labels, batch_format="pyarrow")
+    )
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab_rows = g["lab"].dropna()
+        if lab_rows.empty:  # edge endpoints always have a label row; guard anyway
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "lab": pd.Series([], dtype="int64")})
+        lab = int(lab_rows.min())
+        dsts = g["d"].dropna().astype("int64")
+        nodes = pd.concat([dsts, pd.Series([int(g["k"].iloc[0])], dtype="int64")])
+        return pd.DataFrame({"node": nodes, "lab": lab})
+
+    return both.groupby("k").map_groups(propagate, batch_format="pandas")
+
+
+def connected_components(pairs: rd.Dataset, a_col: str = "a_id", b_col: str = "b_id") -> rd.Dataset:
+    """(node, cluster_id) for every node that appears in ``pairs``; the
+    cluster id is the smallest node id in the connected component.
+
+    ``pairs`` is an undirected edge list (one row per pair, either order).
+    Iterates min-label propagation to fixpoint; each round shuffles only
+    edge-sized data. The per-round driver cost is ONE scalar aggregate
+    (the monotone label-sum convergence check)."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b[a_col].cast(pa.int64())
+        bb = b[b_col].cast(pa.int64())
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        bb = bb.combine_chunks() if isinstance(bb, pa.ChunkedArray) else bb
+        return pa.table(
+            {
+                "s": pa.concat_arrays([a, bb]),
+                "d": pa.concat_arrays([bb, a]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["s"], "lab": b["s"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+    for _ in range(MAX_ITERS):
+        labels = (
+            _edge_labels(edges, labels)
+            .groupby("node")
+            .aggregate(Min("lab", alias_name="lab"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # labels are non-increasing: equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITERS} rounds "
+            "(pathological graph diameter — raise MAX_ITERS)"
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "cluster_id": b["lab"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def assign_clusters(
+    docs: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """(doc_id, cluster_id, is_canonical) for EVERY document: docs in the
+    dup graph get their component id, singletons are their own cluster, and
+    exactly one doc per cluster (the min id) is the canonical survivor.
+
+    One corpus-sized groupby folds the (tiny) component labels into the
+    full doc set — a reduce-side left join, no broadcast of the label set."""
+    comp = connected_components(pairs)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.int64())
+        return pa.table({"node": ids, "lab": pa.nulls(len(b), pa.int64())})
+
+    def tag_comp(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "lab": b["cluster_id"]})
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        comp.map_batches(tag_comp, batch_format="pyarrow")
+    )
+    # per node: the doc row contributes node, the (optional) component row
+    # contributes the label; min-reduce keeps the label when present
+    # (cluster_id <= node id by construction)
+    folded = both.groupby("node").aggregate(Min("lab", alias_name="clab"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        node = b["node"]
+        clab = b["clab"]
+        if pa.types.is_null(clab.type):  # partition of singletons only
+            clab = clab.cast(pa.int64())
+        lab = pc.coalesce(clab, node)
+        return pa.table(
+            {
+                id_col: node,
+                "cluster_id": lab,
+                "is_canonical": pc.equal(node, lab),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -30,6 +30,7 @@ from ray.data.aggregate import Sum
 from .scalar import string_offsets_data
 
 DEFAULT_SPLIT_WEIGHTS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
+SAMPLE_BUCKETS = 1_000_000  # hash-sample resolution: rates are exact to 1e-6
 
 
 def split_edges(weights: dict[str, float], n_buckets: int) -> tuple[list[str], list[int]]:
@@ -89,6 +90,166 @@ def split_assign(
         return out.append_column("split", pa.array(label_arr[which], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_sample(
+    ds: rd.Dataset,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int = 99,
+    stratum_col: str | None = None,
+    stratum_rates: dict[str, float] | None = None,
+) -> rd.Dataset:
+    """Deterministic sample: keep rows whose md5 id-bucket falls below
+    ``rate * SAMPLE_BUCKETS``. Membership is a pure function of the id (and
+    seed), so the sample is reproducible, stable under re-partitioning, and
+    rows never enter/leave the sample as the corpus grows — the property a
+    resumable 100 TB pipeline needs (re-runs skip finished partitions and
+    still draw the identical sample). No shuffle, no driver state, no RNG.
+
+    ``stratum_col``/``stratum_rates`` switch to stratified sampling: each
+    stratum value gets its own rate (falling back to ``rate``), e.g.
+    up-sample rare languages. The per-row threshold is a vectorized lookup
+    against the (tiny) rate map — same hash, different cut per stratum."""
+    thresholds = None
+    if stratum_col is not None:
+        rates = stratum_rates or {}
+        thresholds = {k: int(round(v * SAMPLE_BUCKETS)) for k, v in rates.items()}
+    default_thr = int(round(rate * SAMPLE_BUCKETS))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        buckets = _id_buckets(ids, seed, SAMPLE_BUCKETS)
+        if thresholds is None:
+            mask = buckets < default_thr
+        else:
+            strata = batch[stratum_col].to_pandas()
+            thr = strata.map(thresholds).fillna(default_thr).to_numpy(dtype="int64")
+            mask = buckets < thr
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+class ContaminationStage:
+    """Actor-pool stage: flag training docs sharing word-``k``-gram shingles
+    with a benchmark set (train/test decontamination, the C4/Pile-style
+    pre-training hygiene step).
+
+    The benchmark's distinct shingle-hash set is broadcast ONCE via
+    ``ray.put`` (see :func:`contamination_flags`); each actor fetches it in
+    ``__init__`` (zero-copy numpy over the object store) and every batch is
+    a vectorized ``np.isin`` against the sorted hash array. Partitioning
+    assumption: benchmarks are small (1e5-1e7 grams) — the hash set lives
+    comfortably in worker memory while the TRAINING side streams.
+
+    Shingle hashes reuse the MinHash convention (md5 little-endian first 8
+    bytes == DuckDB ``md5_number_upper``), so the whole check is
+    SQL-value-checkable."""
+
+    def __init__(self, bench_ref, k: int = 3, min_hits: int = 1,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        from .dedup import MinHasher
+
+        self.bench = ray.get(bench_ref)  # sorted uint64 hash array
+        self.hasher = MinHasher(k=k)
+        self.min_hits = min_hits
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        n_hits = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = self.hasher.shingles(t)  # distinct hashes per doc
+            n_hits[i] = int(np.isin(sh, self.bench, assume_unique=True).sum())
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "n_hits": n_hits,
+                "contaminated": n_hits >= self.min_hits,
+            }
+        )
+
+
+def contamination_flags(
+    docs: rd.Dataset,
+    benchmark: rd.Dataset,
+    k: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """(doc_id, n_hits, contaminated) for every training doc: ``n_hits`` =
+    distinct word-``k``-gram shingles shared with ``benchmark``.
+
+    The benchmark side is folded to per-batch distinct hashes, uniqued on
+    the driver (bounded by benchmark size, NOT corpus size) and broadcast
+    once; the training side streams through an actor pool."""
+    from .dedup import MinHasher
+
+    hasher = MinHasher(k=k)
+
+    def bench_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [hasher.shingles(t) for t in b[text_col].fillna("")]
+        u = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pd.DataFrame({"h": u})
+
+    rows = benchmark.map_batches(bench_hashes, batch_format="pandas").take_all()
+    merged = (
+        np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+        if rows
+        else np.empty(0, np.uint64)
+    )  # np.unique returns sorted — ready for the actors' np.isin
+    bench_ref = ray.put(merged)
+    return docs.map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref,
+            "k": k,
+            "min_hits": min_hits,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+_TOKEN_RE = r"\w+"
+
+
+def top_tokens(ds: rd.Dataset, k: int = 100, text_col: str = "text") -> rd.Dataset:
+    """Corpus-level heavy hitters: the ``k`` most frequent ``\\w+`` tokens
+    of lowercased text, ties broken by token asc (deterministic).
+
+    Combiner shape: each batch folds its texts to a (token, n) partial count
+    table first (vocabulary-sized, not token-stream-sized), then ONE groupby
+    over partials; the final sort+limit runs on the aggregated vocabulary —
+    orders of magnitude smaller than the corpus."""
+    import re
+
+    pat = re.compile(_TOKEN_RE)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        toks = texts.str.lower().str.findall(pat).explode().dropna()
+        if toks.empty:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    vocab = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return vocab.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
 def pack_sequences(

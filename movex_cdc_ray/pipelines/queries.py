@@ -343,6 +343,54 @@ def _corpus_split_sql(seed: int = 7, n_buckets: int = 10_000) -> str:
     """
 
 
+CORPUS_SAMPLE_RATES: dict[str, float] = {"en": 0.1, "de": 0.5, "fr": 0.35}
+
+
+def _corpus_sample_sql(seed: int = 99, default_rate: float = 0.2) -> str:
+    """DuckDB oracle for corpus_sample: identical md5 id-bucket and the
+    same per-stratum integer thresholds (hash_sample's SAMPLE_BUCKETS)."""
+    from ..functions.corpus import SAMPLE_BUCKETS
+
+    case = " ".join(
+        f"WHEN lang = '{k}' THEN {int(round(v * SAMPLE_BUCKETS))}"
+        for k, v in CORPUS_SAMPLE_RATES.items()
+    )
+    return f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':{seed}')
+                      % {SAMPLE_BUCKETS} AS BIGINT) AS bucket
+          FROM documents)
+        WHERE bucket < (CASE {case}
+                        ELSE {int(round(default_rate * SAMPLE_BUCKETS))} END)
+        ORDER BY doc_id
+    """
+
+
+def _clusters_sql() -> str:
+    """DuckDB oracle for dedup_clusters: the same MinHash+LSH pair graph
+    (_minhash_sql), walked with a recursive CTE — cluster id = min doc id
+    reachable through the undirected pair edges; singletons (the base case
+    covers EVERY document) are their own cluster."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_sql()}),
+        edges AS (
+          SELECT a_id AS s, b_id AS d FROM pairs
+          UNION
+          SELECT b_id, a_id FROM pairs
+        ),
+        walk(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.node
+        )
+        SELECT node AS doc_id,
+               MIN(lab) AS cluster_id,
+               (node = MIN(lab)) AS is_canonical
+        FROM walk GROUP BY node ORDER BY doc_id
+    """
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     """Column-pruned parquet read with a metadata-free schema: the testdata
     files carry pandas schema metadata that makes pa.Schema unhashable, which
@@ -1218,6 +1266,65 @@ def corpus_pack(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over the
+    MinHash+LSH pair graph (`functions/cluster.py`), every doc labeled with
+    its component's min id; `is_canonical` marks the one survivor per
+    cluster. The full SQL value oracle walks the same pair graph with a
+    recursive CTE."""
+    from ..functions.cluster import assign_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = fdedup.ngram_jaccard_pairs(ds, threshold=0.5)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = assign_clusters(docs, rd.from_pandas(pairs[["a_id", "b_id"]])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified hash sample (`functions/corpus.py:
+    hash_sample`): per-language keep rates over one md5 id-hash — membership
+    is a pure function of (id, seed), reproducible and growth-stable."""
+    from ..functions.corpus import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_sample(
+        ds, rate=0.2, stratum_col="lang", stratum_rates=CORPUS_SAMPLE_RATES
+    ).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def text_topk_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus heavy hitters (`functions/corpus.py:top_tokens`): top-50
+    tokens by frequency, per-batch partial counts before one vocab groupby."""
+    from ..functions.corpus import top_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    pdf = top_tokens(ds, k=50).to_pandas()
+    return pdf.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+
+
+def corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (`functions/corpus.py:contamination_flags`):
+    every 97th doc plays the held-out benchmark; training docs are flagged
+    when they share any word-3-gram shingle with it. Engine joins on md5
+    shingle HASHES (broadcast sorted array + np.isin); the oracle joins on
+    the gram STRINGS — equivalent up to md5-64 collisions (negligible)."""
+    from ..functions.corpus import contamination_flags
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_bench(b: pa.Table, keep: bool) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 97) == 0
+        return b.filter(pa.array(m if keep else ~m))
+
+    bench = docs.map_batches(lambda b: is_bench(b, True), batch_format="pyarrow")
+    train = docs.map_batches(lambda b: is_bench(b, False), batch_format="pyarrow")
+    out = contamination_flags(train, bench, k=3, min_hits=1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
     """Scale path of embedding near-dup: hyperplane-LSH buckets partition the
     corpus, pairs compared only within buckets (rows-only check)."""
@@ -1392,6 +1499,10 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_clean": corpus_clean,
     "corpus_split": corpus_split,
     "corpus_pack": corpus_pack,
+    "corpus_sample": corpus_sample,
+    "corpus_decontaminate": corpus_decontaminate,
+    "dedup_clusters": dedup_clusters,
+    "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -1754,6 +1865,48 @@ ORACLE_SQL: dict[str, str] = {
                CAST(off % 2048 AS BIGINT) AS pack_offset
         FROM c
         ORDER BY doc_id
+    """,
+    "corpus_sample": _corpus_sample_sql(),
+    "dedup_clusters": _clusters_sql(),
+    # decontamination: same word-3-gram sets as the minhash gram CTE; the
+    # engine intersects md5 hashes, the oracle the gram strings (equivalent)
+    "corpus_decontaminate": r"""
+        WITH docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+        ), grams AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(w) = 0 THEN ['']
+                 WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(w) - 2)]
+            END) AS gs
+          FROM docs
+        ), g AS (
+          SELECT doc_id, unnest(gs) AS gr FROM grams
+        ), bench AS (
+          SELECT DISTINCT gr FROM g WHERE doc_id % 97 = 0
+        ), hits AS (
+          SELECT g.doc_id, COUNT(*) AS n
+          FROM g JOIN bench USING (gr)
+          WHERE g.doc_id % 97 <> 0
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id
+    """,
+    # heavy hitters: token-stream unnest + count, same (n DESC, token) order
+    # and k-cut as top_tokens
+    "text_topk_tokens": r"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50
     """,
     "text_langid": _langid_sql(),
     "cdc_flagship_replay": _flagship_sql(),

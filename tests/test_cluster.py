@@ -1,0 +1,120 @@
+"""Connected-components dup clustering + hash sampling + heavy hitters."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from movex_cdc_ray.functions.cluster import assign_clusters, connected_components
+from movex_cdc_ray.functions.corpus import hash_sample, top_tokens
+
+
+def _pairs(edges):
+    a, b = zip(*edges) if edges else ((), ())
+    return rd.from_arrow(
+        pa.table({"a_id": pa.array(a, pa.int64()), "b_id": pa.array(b, pa.int64())})
+    )
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    # chain 1-2-3-4-5 (diameter 4 → several propagation rounds), island 10-11,
+    # and a triangle 20-21-22 entered in mixed order
+    edges = [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (21, 20), (22, 20), (21, 22)]
+    out = connected_components(_pairs(edges)).to_pandas().sort_values("node")
+    got = dict(zip(out["node"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_assign_clusters_singletons_and_canonicals(ray_session):
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(8), pa.int64())}))
+    out = (
+        assign_clusters(docs, _pairs([(1, 3), (3, 5)]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["cluster_id"].tolist() == [0, 1, 2, 1, 4, 1, 6, 7]
+    # exactly one canonical per cluster, and it's the min id
+    assert out["is_canonical"].tolist() == [True, True, True, False, True, False, True, True]
+    canon = out[out["is_canonical"]]
+    assert set(canon["doc_id"]) == set(out["cluster_id"].unique())
+
+
+def test_connected_components_partitioning_invariant(ray_session):
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 38)]  # pairs + one big link
+    for nparts in (1, 3, 7):
+        out = (
+            connected_components(_pairs(edges).repartition(nparts))
+            .to_pandas()
+            .sort_values("node")
+        )
+        # 0-1, 2-3, ... all linked through (0, 38)? no: (0,38) merges the
+        # 0-1 and 38-39 pair-components only
+        got = dict(zip(out["node"], out["cluster_id"]))
+        assert got[38] == 0 and got[39] == 0 and got[2] == 2 and got[3] == 2
+
+
+def test_hash_sample_deterministic_and_growth_stable(ray_session):
+    full = rd.from_arrow(pa.table({"doc_id": pa.array(range(4000), pa.int64())}))
+    s1 = hash_sample(full, 0.25).to_pandas().sort_values("doc_id")
+    s2 = hash_sample(full, 0.25).to_pandas().sort_values("doc_id")
+    assert s1["doc_id"].tolist() == s2["doc_id"].tolist()
+    assert abs(len(s1) / 4000 - 0.25) < 0.03
+    # growth stability: the sample over a subset corpus is exactly the
+    # intersection — no row enters/leaves because other rows changed
+    sub = rd.from_arrow(pa.table({"doc_id": pa.array(range(0, 4000, 3), pa.int64())}))
+    s3 = hash_sample(sub, 0.25).to_pandas()
+    assert set(s3["doc_id"]) == set(s1["doc_id"]) & set(range(0, 4000, 3))
+
+
+def test_hash_sample_stratified_rates(ray_session):
+    n = 6000
+    langs = ["en", "de", "xx"] * (n // 3)
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "lang": pa.array(langs)})
+    out = hash_sample(
+        rd.from_arrow(t), rate=0.2, stratum_col="lang",
+        stratum_rates={"en": 0.1, "de": 0.5},
+    ).to_pandas()
+    frac = out["lang"].value_counts() / (n // 3)
+    assert abs(frac.get("en", 0) - 0.1) < 0.04
+    assert abs(frac.get("de", 0) - 0.5) < 0.05
+    assert abs(frac.get("xx", 0) - 0.2) < 0.05  # default rate fallback
+
+
+def test_contamination_flags(ray_session):
+    from movex_cdc_ray.functions.corpus import contamination_flags
+
+    bench = rd.from_arrow(
+        pa.table({"doc_id": pa.array([100], pa.int64()),
+                  "text": pa.array(["the quick brown fox jumps"])})
+    )
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox sleeps",   # shares 'the quick brown', 'quick brown fox'
+                        "completely unrelated text here",
+                        "brown fox jumps over it",      # shares 'brown fox jumps'
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        contamination_flags(train, bench, k=3, min_hits=1, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_hits"].tolist() == [2, 0, 1]
+    assert out["contaminated"].tolist() == [True, False, True]
+
+
+def test_top_tokens_counts_and_tiebreak(ray_session):
+    texts = ["b b a", "a c b", "", "C a"]  # a=3, b=3, c=2 (case-folded)
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    out = top_tokens(ds, k=2).to_pandas()
+    # ties broken by token asc: a before b at n=3
+    assert out["token"].tolist() == ["a", "b"]
+    assert out["n"].tolist() == [3, 3]
