@@ -44,6 +44,9 @@ QUERY_SWEEP = [
     "knn_bruteforce",
     "text_quality",
     "text_fingerprint",
+    "dedup_clusters",
+    "corpus_pack",
+    "corpus_decontaminate",
 ]
 
 

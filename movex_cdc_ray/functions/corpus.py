@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from .scalar import string_offsets_data
 
@@ -46,9 +46,9 @@ def split_edges(weights: dict[str, float], n_buckets: int) -> tuple[list[str], l
     return labels, edges
 
 
-def _id_buckets(ids: pa.Array, seed: int, n_buckets: int) -> np.ndarray:
-    """md5 bucket of ``"<id>:<seed>"`` per row — same integer convention as
-    DuckDB ``md5_number_upper`` (little-endian first 8 digest bytes), fed
+def _id_hashes(ids: pa.Array, seed: int) -> np.ndarray:
+    """uint64 md5 hash of ``"<id>:<seed>"`` per row — same integer convention
+    as DuckDB ``md5_number_upper`` (little-endian first 8 digest bytes), fed
     from the Arrow utf8 buffer via memoryview (no per-row Python strings)."""
     idstr = pc.binary_join_element_wise(pc.cast(ids, pa.string()), f":{seed}", "")
     if isinstance(idstr, pa.ChunkedArray):
@@ -57,11 +57,12 @@ def _id_buckets(ids: pa.Array, seed: int, n_buckets: int) -> np.ndarray:
     md5 = hashlib.md5
     out = np.empty(len(idstr), dtype=np.uint64)
     for i in range(len(idstr)):
-        out[i] = (
-            int.from_bytes(md5(data[offs[i] : offs[i + 1]]).digest()[:8], "little")
-            % n_buckets
-        )
+        out[i] = int.from_bytes(md5(data[offs[i] : offs[i + 1]]).digest()[:8], "little")
     return out
+
+
+def _id_buckets(ids: pa.Array, seed: int, n_buckets: int) -> np.ndarray:
+    return _id_hashes(ids, seed) % n_buckets
 
 
 def split_assign(
@@ -250,6 +251,67 @@ def top_tokens(ds: rd.Dataset, k: int = 100, text_col: str = "text") -> rd.Datas
         .aggregate(Sum("n", alias_name="n"))
     )
     return vocab.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def epoch_shuffle(
+    ds: rd.Dataset,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> rd.Dataset:
+    """Deterministic global training-order shuffle: every row gets a dense
+    rank ``pos`` (0..n-1) in the order ``(md5(id:epoch), id)`` — a different
+    but fully reproducible permutation per epoch, with NO RNG and no
+    ``random_shuffle`` materialization.
+
+    Distributed rank via range-partitioned prefix sum: rows bucket by the
+    hash's high bits (order-aligned ranges of the hash space), per-bucket
+    counts make a tiny driver table, cumulative bases are broadcast, and
+    each bucket sorts only its own rows (corpus/n_buckets each) before
+    adding its base. ``n_buckets`` is a JOB parameter — size it so a
+    bucket's rows fit one task (1024 buckets over 10^10 rows ≈ 10^7
+    rows/bucket)."""
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    if 1 << (64 - int(shift)) != n_buckets:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _id_hashes(ids, epoch)
+        return pa.table(
+            {
+                id_col: ids,
+                "h": pa.array(h, pa.uint64()),
+                "hb": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+    counts = hashed.groupby("hb").aggregate(Count(alias_name="n")).take_all()
+    counts.sort(key=lambda r: r["hb"])
+    base: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        base[int(r["hb"])] = acc
+        acc += int(r["n"])
+    base_ref = ray.put(base)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        start = ray.get(base_ref)[int(g["hb"].iloc[0])]
+        g = g.sort_values(["h", id_col])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "pos": start + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return hashed.groupby("hb").map_groups(rank_bucket, batch_format="pandas")
 
 
 def pack_sequences(

@@ -1304,6 +1304,17 @@ def text_topk_tokens(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def corpus_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch shuffle (`functions/corpus.py:epoch_shuffle`):
+    dense global rank in (md5(id:epoch), id) order via a range-partitioned
+    distributed prefix sum — reproducible training order, no RNG."""
+    from ..functions.corpus import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pdf = epoch_shuffle(ds, epoch=5, n_buckets=64).to_pandas()
+    return pdf[["doc_id", "pos"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (`functions/corpus.py:contamination_flags`):
     every 97th doc plays the held-out benchmark; training docs are flagged
@@ -1500,6 +1511,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_split": corpus_split,
     "corpus_pack": corpus_pack,
     "corpus_sample": corpus_sample,
+    "corpus_shuffle": corpus_shuffle,
     "corpus_decontaminate": corpus_decontaminate,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
@@ -1867,6 +1879,15 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_id
     """,
     "corpus_sample": _corpus_sample_sql(),
+    # epoch shuffle: same (md5(id:epoch), id) order, dense 0-based rank
+    "corpus_shuffle": """
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR) || ':5'), doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM documents
+        ORDER BY doc_id
+    """,
     "dedup_clusters": _clusters_sql(),
     # decontamination: same word-3-gram sets as the minhash gram CTE; the
     # engine intersects md5 hashes, the oracle the gram strings (equivalent)

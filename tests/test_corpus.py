@@ -38,6 +38,28 @@ def test_split_assign_deterministic_and_subset_stable(ray_session):
     assert (merged["split_sub"] == merged["split_full"]).all()
 
 
+def test_epoch_shuffle_dense_rank_and_epoch_variation(ray_session):
+    from movex_cdc_ray.functions.corpus import _id_hashes, epoch_shuffle
+
+    ids = pa.array(range(500), pa.int64())
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(4)
+    out = epoch_shuffle(ds, epoch=3, n_buckets=8).to_pandas().sort_values("doc_id")
+    # dense permutation of 0..n-1
+    assert sorted(out["pos"].tolist()) == list(range(500))
+    # order matches the reference (hash, id) sort
+    h = _id_hashes(ids, 3)
+    expected_order = np.lexsort((np.arange(500), h))
+    expected_pos = np.empty(500, dtype=np.int64)
+    expected_pos[expected_order] = np.arange(500)
+    assert out["pos"].tolist() == expected_pos.tolist()
+    # a different epoch gives a different (but still dense) permutation
+    out2 = epoch_shuffle(ds, epoch=4, n_buckets=8).to_pandas().sort_values("doc_id")
+    assert out2["pos"].tolist() != out["pos"].tolist()
+    # bucketing is an implementation detail: rank must not depend on it
+    out3 = epoch_shuffle(ds, epoch=3, n_buckets=32).to_pandas().sort_values("doc_id")
+    assert out3["pos"].tolist() == out["pos"].tolist()
+
+
 def _pack_oracle(ids, texts, budget):
     ntok = [0 if not t else t.count(" ") + 1 for t in texts]
     order = np.argsort(ids)
