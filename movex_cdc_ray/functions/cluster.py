@@ -126,6 +126,54 @@ def connected_components(pairs: rd.Dataset, a_col: str = "a_id", b_col: str = "b
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def semi_join_ids(data: rd.Dataset, ids: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """Keep ``data`` rows whose id appears in ``ids`` — a reduce-side
+    distributed semi-join (tagged union + one groupby), for when the id set
+    is too large to broadcast. Preserves ``data``'s columns."""
+    sch = data.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        col_types = {n: base.field(n).type for n in base.names}
+    else:  # pandas-block schema: numpy dtypes → arrow types (object == string)
+        def _to_pa(t):
+            if isinstance(t, pa.DataType):
+                return t
+            import numpy as np
+
+            if t == np.dtype("O"):
+                return pa.string()
+            return pa.from_numpy_dtype(t)
+
+        col_types = {n: _to_pa(t) for n, t in zip(sch.names, sch.types)}
+    data_cols = [c for c in sch.names if c != id_col]
+
+    def tag_data(b: pa.Table) -> pa.Table:
+        cols = {id_col: b[id_col].cast(pa.int64()), "_is_id": pa.nulls(len(b), pa.bool_())}
+        for c in data_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def tag_ids(b: pa.Table) -> pa.Table:
+        cols = {
+            id_col: b[id_col].cast(pa.int64()),
+            "_is_id": pa.array([True] * len(b), pa.bool_()),
+        }
+        for c in data_cols:
+            cols[c] = pa.nulls(len(b), col_types[c])
+        return pa.table(cols)
+
+    both = data.map_batches(tag_data, batch_format="pyarrow").union(
+        ids.map_batches(tag_ids, batch_format="pyarrow")
+    )
+
+    def keep_matched(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or not g["_is_id"].notna().any():
+            return g.iloc[0:0].drop(columns=["_is_id"])
+        return g[g["_is_id"].isna()].drop(columns=["_is_id"])
+
+    return both.groupby(id_col).map_groups(keep_matched, batch_format="pandas")
+
+
 def assign_clusters(
     docs: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id"
 ) -> rd.Dataset:

@@ -151,7 +151,8 @@ class ContaminationStage:
     SQL-value-checkable."""
 
     def __init__(self, bench_ref, k: int = 3, min_hits: int = 1,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 mode: str = "flags"):
         from .dedup import MinHasher
 
         self.bench = ray.get(bench_ref)  # sorted uint64 hash array
@@ -159,6 +160,9 @@ class ContaminationStage:
         self.min_hits = min_hits
         self.text_col = text_col
         self.id_col = id_col
+        if mode not in ("flags", "filter"):
+            raise ValueError(f"mode must be 'flags' or 'filter', got {mode!r}")
+        self.mode = mode
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.text_col].fillna("")
@@ -166,6 +170,8 @@ class ContaminationStage:
         for i, t in enumerate(texts):
             sh = self.hasher.shingles(t)  # distinct hashes per doc
             n_hits[i] = int(np.isin(sh, self.bench, assume_unique=True).sum())
+        if self.mode == "filter":  # pass through clean rows, all columns
+            return batch[n_hits < self.min_hits]
         return pd.DataFrame(
             {
                 self.id_col: batch[self.id_col].to_numpy(),
@@ -183,13 +189,16 @@ def contamination_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int = 4,
+    mode: str = "flags",
 ) -> rd.Dataset:
     """(doc_id, n_hits, contaminated) for every training doc: ``n_hits`` =
     distinct word-``k``-gram shingles shared with ``benchmark``.
 
     The benchmark side is folded to per-batch distinct hashes, uniqued on
     the driver (bounded by benchmark size, NOT corpus size) and broadcast
-    once; the training side streams through an actor pool."""
+    once; the training side streams through an actor pool.
+    ``mode='filter'`` instead streams the input rows through unchanged,
+    dropping contaminated ones — the composable-pipeline form."""
     from .dedup import MinHasher
 
     hasher = MinHasher(k=k)
@@ -214,6 +223,7 @@ def contamination_flags(
             "min_hits": min_hits,
             "text_col": text_col,
             "id_col": id_col,
+            "mode": mode,
         },
         batch_format="pandas",
         concurrency=concurrency,

@@ -27,7 +27,7 @@ from ..stages import stats as fstats
 STOPWORDS_SQL = "('the','a','of','to','and','in','is','it','that','for')"
 
 
-def _minhash_sql(threshold: float = 0.5) -> str:
+def _minhash_sql(threshold: float = 0.5, source: str = "documents") -> str:
     """DuckDB oracle for the FULL MinHash+LSH near-dup pipeline, generated
     from the same MinHasher instance so the permutation table can never
     drift: md5-based shingle hashes (md5_number_upper), 64 universal hashes
@@ -44,7 +44,7 @@ def _minhash_sql(threshold: float = 0.5) -> str:
     )
     return rf"""
         WITH docs AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM {source}
         ), grams AS (
           SELECT doc_id, list_distinct(
             CASE WHEN len(w) = 0 THEN ['']
@@ -388,6 +388,82 @@ def _clusters_sql() -> str:
                MIN(lab) AS cluster_id,
                (node = MIN(lab)) AS is_canonical
         FROM walk GROUP BY node ORDER BY doc_id
+    """
+
+
+def _corpus_prep_sql() -> str:
+    """One value oracle for the composed corpus_prep flagship: quality gate →
+    gram-set decontamination → minhash-pair connected components (canonical
+    survivor) → split CASE → window prefix-sum packing."""
+    from ..functions.corpus import DEFAULT_SPLIT_WEIGHTS, split_edges
+
+    labels, edges = split_edges(DEFAULT_SPLIT_WEIGHTS, 10_000)
+    case = " ".join(
+        f"WHEN bucket < {e} THEN '{l}'" for l, e in zip(labels[:-1], edges[:-1])
+    )
+    gram_case = (
+        "CASE WHEN len(w) = 0 THEN [''] "
+        "WHEN len(w) < 3 THEN [array_to_string(w, ' ')] "
+        "ELSE [array_to_string(w[i:i+2], ' ') "
+        "FOR i IN generate_series(1, len(w) - 2)] END"
+    )
+    return rf"""
+        WITH RECURSIVE gate AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 97 <> 0
+            AND len(string_split(text, ' ')) >= 20
+            AND CAST(len(list_filter(string_split(text, ' '),
+                                     x -> x IN {STOPWORDS_SQL})) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.02
+        ), bw AS (
+          SELECT regexp_extract_all(lower(text), '\w+') AS w
+          FROM documents WHERE doc_id % 97 = 0
+        ), bgrams AS (
+          SELECT DISTINCT unnest({gram_case}) AS gr FROM bw
+        ), gw AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM gate
+        ), ggrams AS (
+          SELECT doc_id, unnest({gram_case}) AS gr FROM gw
+        ), contaminated AS (
+          SELECT DISTINCT doc_id FROM ggrams JOIN bgrams USING (gr)
+        ), clean AS (
+          SELECT doc_id, text FROM gate
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), pairs AS ({_minhash_sql(source="clean")}
+        ), edges AS (
+          SELECT a_id AS s, b_id AS d FROM pairs
+          UNION
+          SELECT b_id, a_id FROM pairs
+        ), walk(node, lab) AS (
+          SELECT doc_id, doc_id FROM clean
+          UNION
+          SELECT e.d, wk.lab FROM walk wk JOIN edges e ON e.s = wk.node
+        ), comp AS (
+          SELECT node AS doc_id, MIN(lab) AS cid FROM walk GROUP BY node
+        ), surv AS (
+          SELECT c.doc_id, cl.text FROM comp c JOIN clean cl USING (doc_id)
+          WHERE c.doc_id = c.cid
+        ), tok AS (
+          SELECT doc_id,
+                 CASE WHEN COALESCE(LENGTH(text), 0) = 0 THEN 0
+                      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                 END AS n_tokens
+          FROM surv
+        ), cum AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+          FROM tok
+        )
+        SELECT doc_id,
+               CASE {case} ELSE '{labels[-1]}' END AS split,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(off // 2048 AS BIGINT) AS pack_id,
+               CAST(off % 2048 AS BIGINT) AS pack_offset
+        FROM (SELECT *, CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':7')
+                             % 10000 AS BIGINT) AS bucket
+              FROM cum)
+        ORDER BY doc_id
     """
 
 
@@ -1336,6 +1412,59 @@ def corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """The END-TO-END training-data preparation flagship, composed from the
+    engine's corpus operators, streaming between stages:
+
+      quality gate (map_batches filter)
+      → benchmark decontamination (broadcast shingle set, actor pool)
+      → MinHash+LSH near-dup clustering (connected components, canonical
+        doc per cluster survives)
+      → deterministic split assignment (pure hash of id — appended with no
+        join)
+      → GPT-style sequence packing (distributed prefix sum)
+
+    One SQL value oracle replays the whole chain (gate predicate, gram-set
+    intersection, the literal-perm minhash pipeline over the cleaned set, a
+    recursive-CTE component walk, the split CASE and a window prefix sum)."""
+    from ..functions.cluster import assign_clusters, semi_join_ids
+    from ..functions.corpus import contamination_flags, pack_sequences, split_assign
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        train = batch[(batch["doc_id"] % 97) != 0]
+        words = train["text"].fillna("").str.split(" ")
+        n_words = words.str.len()
+        stop_ratio = words.map(
+            lambda ws: sum(w in STOPWORDS for w in ws) / len(ws) if ws else 0.0
+        )
+        return train[(n_words >= 20) & (stop_ratio >= 0.02)]
+
+    bench = docs.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+        batch_format="pyarrow",
+    )
+    clean = contamination_flags(
+        docs.map_batches(gate, batch_format="pandas"), bench, k=3, mode="filter"
+    ).materialize()  # consumed by the pair stage, the label stage and the semi-join
+    pairs = fdedup.ngram_jaccard_pairs(clean, threshold=0.5)
+    labeled = assign_clusters(
+        clean.select_columns(["doc_id"]), rd.from_pandas(pairs[["a_id", "b_id"]])
+    )
+    canon = labeled.map_batches(
+        lambda b: b.filter(b["is_canonical"]).select(["doc_id"]), batch_format="pyarrow"
+    )
+    surv = semi_join_ids(clean, canon)
+    packed = pack_sequences(surv, budget=2048, range_size=64)
+    out = split_assign(packed).to_pandas()  # split: pure function of doc_id
+    return (
+        out[["doc_id", "split", "n_tokens", "pack_id", "pack_offset"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
     """Scale path of embedding near-dup: hyperplane-LSH buckets partition the
     corpus, pairs compared only within buckets (rows-only check)."""
@@ -1513,6 +1642,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_sample": corpus_sample,
     "corpus_shuffle": corpus_shuffle,
     "corpus_decontaminate": corpus_decontaminate,
+    "corpus_prep": corpus_prep,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
@@ -1889,6 +2019,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_id
     """,
     "dedup_clusters": _clusters_sql(),
+    "corpus_prep": _corpus_prep_sql(),
     # decontamination: same word-3-gram sets as the minhash gram CTE; the
     # engine intersects md5 hashes, the oracle the gram strings (equivalent)
     "corpus_decontaminate": r"""

@@ -111,6 +111,36 @@ def test_contamination_flags(ray_session):
     assert out["contaminated"].tolist() == [True, False, True]
 
 
+def test_contamination_filter_mode_and_semi_join(ray_session):
+    from movex_cdc_ray.functions.cluster import semi_join_ids
+    from movex_cdc_ray.functions.corpus import contamination_flags
+
+    bench = rd.from_arrow(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array(["shared gram here indeed"])})
+    )
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["shared gram here too", "nothing in common at all"]),
+            }
+        )
+    )
+    kept = contamination_flags(train, bench, k=3, mode="filter", concurrency=2).to_pandas()
+    assert kept["doc_id"].tolist() == [2]          # contaminated row dropped
+    assert kept.columns.tolist() == ["doc_id", "text"]  # columns pass through
+
+    data = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a", "b", "c"])})
+    )
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array([2, 3, 99], pa.int64())}))
+    out = semi_join_ids(data, ids).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [2, 3]
+    assert out["text"].tolist() == ["b", "c"]
+
+
 def test_top_tokens_counts_and_tiebreak(ray_session):
     texts = ["b b a", "a c b", "", "C a"]  # a=3, b=3, c=2 (case-folded)
     ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
