@@ -27,6 +27,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from . import _pool
 from .scalar import string_offsets_data
 
 DEFAULT_SPLIT_WEIGHTS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -226,7 +227,7 @@ def contamination_flags(
             "mode": mode,
         },
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_pool.pool_size(concurrency),
     )
 
 

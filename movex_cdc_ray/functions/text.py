@@ -151,3 +151,91 @@ class Fingerprinter:
         batch["fingerprint_md5"] = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
         batch["fingerprint_rolling"] = norm.map(self._rolling_min_hash).astype("uint64")
         return batch
+
+
+def tfidf_top_terms(
+    ds,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+):
+    """Per-document top-``top_n`` TF-IDF terms — the classic two-pass
+    distributed text pipeline.
+
+    Pass 1 (distributed DF): per-batch DISTINCT (doc, token) fold, then ONE
+    vocabulary-sized groupby-count. Pass 2: the (token → df) map is
+    broadcast ONCE via ``ray.put``; each batch explodes its own docs'
+    tokens, computes per-doc tf locally (a doc's tokens always live in its
+    own batch — no shuffle), scores tf·ln(N/df), and keeps the per-doc
+    top-``top_n`` by (rounded score desc, term asc).
+
+    Broadcast assumption: the df map for tokens with ``df >= min_df`` fits
+    worker memory; at 100 TB raise ``min_df`` to cut the heavy tail (terms
+    below the cut can never rank: idf is monotone-decreasing in df only
+    above it — strictly, low-df terms have the HIGHEST idf, so min_df>1
+    trades exactness for memory and is documented as approximate).
+
+    Scores are rounded to 6 decimals BEFORE ranking so the ordering is
+    reproducible against the SQL oracle (raw float64 products may differ by
+    ulps between libm implementations).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    token_re = re.compile(r"\w+")
+
+    def distinct_doc_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(token_re)
+        ex = toks.map(lambda ts: list(set(ts)))
+        out = pd.DataFrame(
+            {id_col: batch[id_col].repeat(ex.str.len()).to_numpy(),
+             "term": np.concatenate([np.asarray(x, dtype=object) for x in ex])
+             if len(ex) else np.array([], dtype=object)}
+        )
+        return out
+
+    n_docs = ds.count()
+    df_tbl = (
+        ds.map_batches(distinct_doc_tokens, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    if min_df > 1:
+        df_tbl = df_tbl[df_tbl["df"] >= min_df]
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
+
+    class ScoreStage:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+            self.n = n_docs
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].fillna("").str.lower().str.findall(token_re)
+            ex = pd.DataFrame(
+                {id_col: batch[id_col].repeat(toks.str.len()).to_numpy(),
+                 "term": np.concatenate([np.asarray(x, dtype=object) for x in toks])
+                 if len(toks) else np.array([], dtype=object)}
+            )
+            if ex.empty:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "term": pd.Series([], dtype=object),
+                                     "rank": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float64")})
+            tf = ex.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+            dfv = tf["term"].map(self.df)
+            tf = tf[dfv.notna()]
+            dfv = dfv.dropna().astype("int64")
+            score = (tf["tf"].to_numpy(dtype="float64")
+                     * np.log(float(self.n) / dfv.to_numpy(dtype="float64")))
+            tf = tf.assign(score=np.round(score, 6))
+            tf = tf.sort_values([id_col, "score", "term"],
+                                ascending=[True, False, True])
+            top = tf.groupby(id_col, sort=False).head(top_n).copy()
+            top["rank"] = top.groupby(id_col, sort=False).cumcount() + 1
+            return top[[id_col, "term", "rank", "score"]]
+
+    from ._pool import pool_size
+
+    return ds.map_batches(ScoreStage, batch_format="pandas", concurrency=pool_size(4))

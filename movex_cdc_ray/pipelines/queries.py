@@ -1412,6 +1412,16 @@ def corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def text_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 TF-IDF terms (`functions/text.py:tfidf_top_terms`):
+    distributed DF pass → broadcast df map → per-batch local tf + scoring."""
+    from ..functions.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pdf = tfidf_top_terms(ds, top_n=3).to_pandas()
+    return pdf.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def corpus_prep(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END training-data preparation flagship, composed from the
     engine's corpus operators, streaming between stages:
@@ -1643,6 +1653,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_shuffle": corpus_shuffle,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_prep": corpus_prep,
+    "text_tfidf": text_tfidf,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
@@ -2020,6 +2031,32 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_clusters": _clusters_sql(),
     "corpus_prep": _corpus_prep_sql(),
+    # TF-IDF: rank on the ROUNDED score (both sides) so libm-ulp differences
+    # in ln() cannot flip an ordering
+    "text_tfidf": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, term, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+                 ) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, rank, score FROM ranked
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
     # decontamination: same word-3-gram sets as the minhash gram CTE; the
     # engine intersects md5 hashes, the oracle the gram strings (equivalent)
     "corpus_decontaminate": r"""

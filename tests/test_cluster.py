@@ -148,3 +148,23 @@ def test_top_tokens_counts_and_tiebreak(ray_session):
     # ties broken by token asc: a before b at n=3
     assert out["token"].tolist() == ["a", "b"]
     assert out["n"].tolist() == [3, 3]
+
+
+def test_tfidf_top_terms(ray_session):
+    from movex_cdc_ray.functions.text import tfidf_top_terms
+
+    # doc 0: 'apple' tf=2 + rare -> top; 'the' common in all docs -> idf 0
+    texts = ["apple apple the pie", "the banana split", "the banana pie"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)})
+    ).repartition(2)
+    out = tfidf_top_terms(ds, top_n=2).to_pandas().sort_values(["doc_id", "rank"])
+    d0 = out[out["doc_id"] == 0]
+    assert d0["term"].tolist()[0] == "apple"          # tf=2, df=1 dominates
+    # 'the' appears in all 3 docs: idf = ln(1) = 0 -> never outranks others
+    assert all(
+        out[(out["doc_id"] == i) & (out["term"] == "the")]["score"].le(0).all()
+        for i in range(3)
+    )
+    # rank is dense 1..top_n per doc
+    assert out.groupby("doc_id")["rank"].apply(list).map(lambda r: r == list(range(1, len(r) + 1))).all()
