@@ -386,3 +386,81 @@ def ivf_topk(
         g["cosine"] = g["cosine"].round(6)
         out.append(g)
     return pd.concat(out, ignore_index=True)[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — subspace codebooks + corpus encoding
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 4) -> np.ndarray:
+    """Deterministic Lloyd's k-means under L2 on (sub)vectors — the PQ
+    codebook trainer. Same SQL-expressibility contract as `_kmeans`: init =
+    first ``k`` sample rows, fixed unrolled iterations, argmin ties toward
+    the lower cell (np.argmin first-occurrence == SQL ORDER BY dist, cell),
+    centroids rounded to 9 decimals each iteration (no renormalization —
+    PQ centroids are plain means)."""
+    k = min(k, len(sample))
+    cent = sample[:k].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = _round9(members.mean(axis=0))
+    return cent
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 4,
+    sample_rows: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Product-quantize the corpus: split each normalized vector into ``m``
+    subspaces, train a ``ks``-centroid codebook per subspace on a
+    deterministic sample (driver-side, tiny), then encode every vector as
+    ``m`` uint8-sized codes + the reconstruction error — the compression
+    step under an IVF-PQ index (codes are D/m·log2(ks)× smaller than the
+    raw vectors; at 100 TB the codebooks stay a ~few-KB broadcast while
+    encoding streams).
+
+    Deterministic + SQL-value-checkable end to end (see
+    `queries.py:_pq_sql`): sample = ``id < sample_rows`` pushed-down filter,
+    the L2 k-means contract of `_kmeans_l2`, and errors rounded to 6."""
+    sample_list = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
+        batch_format="pyarrow",
+    ).take_all()
+    sample_list.sort(key=lambda r: r[id_col])
+    smat = _round9(_normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_list]
+    )))
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([
+        _kmeans_l2(smat[:, s * dsub : (s + 1) * dsub], ks, iters) for s in range(m)
+    ])  # (m, ks, dsub)
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mat = _round9(_normalize(_to_matrix(batch[vec_col])))
+        bks = ray.get(books_ref)
+        cols = {id_col: batch[id_col]}
+        err = np.zeros(len(mat), dtype=np.float64)
+        for s in range(bks.shape[0]):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d, axis=1)
+            err += d[np.arange(len(sub)), code]
+            cols[f"code_{s}"] = pa.array(code.astype(np.int64))
+        cols["recon_err"] = pa.array(np.round(err, 6))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

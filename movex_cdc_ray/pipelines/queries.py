@@ -320,6 +320,75 @@ def _ivf_sql(
     return head + "".join(its) + tail
 
 
+def _pq_sql(m: int = 4, ks: int = 16, iters: int = 4, sample_rows: int = 256) -> str:
+    """DuckDB value oracle for pq_codes: per-subspace L2 Lloyd k-means
+    (unrolled as chained CTEs, one chain for ALL subspaces via a (sub, cell)
+    group key) + whole-corpus encoding. Same determinism contract as
+    `_ivf_sql`: sample = id filter, init = first-k rows, ties toward the
+    lower cell, round-9 centroids, round-6 errors."""
+    head = f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), ex AS MATERIALIZED (
+          SELECT vec_id, i, ROUND(x / GREATEST(nrm, 1e-12), 9) AS x,
+                 CAST(((i - 1) * {m}) // d AS BIGINT) AS sub
+          FROM (
+            SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x,
+                   sqrt(list_sum(list_transform(emb, y -> y * y))) AS nrm,
+                   len(emb) AS d
+            FROM e)
+        ), sx AS MATERIALIZED (
+          SELECT * FROM ex WHERE vec_id < {sample_rows}
+        ), c0 AS MATERIALIZED (
+          -- per-subspace init: the first {ks} sample vectors' subvectors
+          SELECT sub,
+                 CAST(DENSE_RANK() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                      AS BIGINT) AS cell, i, x
+          FROM sx WHERE vec_id IN (
+            SELECT DISTINCT vec_id FROM sx ORDER BY vec_id LIMIT {ks})
+        )"""
+    its = []
+    for j in range(1, iters + 1):
+        its.append(f"""
+        , a{j} AS MATERIALIZED (
+          SELECT vec_id, sub, cell FROM (
+            SELECT s.vec_id, s.sub, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY SUM((s.x - c.x) * (s.x - c.x)) ASC, c.cell ASC) AS rn
+            FROM sx s JOIN c{j - 1} c ON c.i = s.i AND c.sub = s.sub
+            GROUP BY s.vec_id, s.sub, c.cell) WHERE rn = 1
+        ), m{j} AS MATERIALIZED (
+          SELECT a.sub, a.cell, s.i, ROUND(AVG(s.x), 9) AS x
+          FROM a{j} a JOIN sx s ON s.vec_id = a.vec_id AND s.sub = a.sub
+          GROUP BY a.sub, a.cell, s.i
+        ), c{j} AS MATERIALIZED (
+          -- empty cells keep their previous centroid
+          SELECT c.sub, c.cell, c.i, COALESCE(m.x, c.x) AS x
+          FROM c{j - 1} c LEFT JOIN m{j} m
+            ON m.sub = c.sub AND m.cell = c.cell AND m.i = c.i
+        )""")
+    code_cols = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN sub = {s} THEN cell END) AS BIGINT) AS code_{s}"
+        for s in range(m)
+    )
+    tail = f"""
+        , asgn AS (
+          SELECT vec_id, sub, cell, dist FROM (
+            SELECT x.vec_id, x.sub, c.cell,
+                   SUM((x.x - c.x) * (x.x - c.x)) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub
+                     ORDER BY SUM((x.x - c.x) * (x.x - c.x)) ASC, c.cell ASC) AS rn
+            FROM ex x JOIN c{iters} c ON c.i = x.i AND c.sub = x.sub
+            GROUP BY x.vec_id, x.sub, c.cell) WHERE rn = 1
+        )
+        SELECT vec_id,
+               {code_cols},
+               ROUND(SUM(dist), 6) AS recon_err
+        FROM asgn GROUP BY vec_id ORDER BY vec_id
+    """
+    return head + "".join(its) + tail
+
+
 def _corpus_split_sql(seed: int = 7, n_buckets: int = 10_000) -> str:
     """DuckDB value oracle for corpus_split: the same md5 id-bucket
     (md5_number_upper == the engine's little-endian first-8-bytes integer)
@@ -1412,6 +1481,16 @@ def corpus_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pq_codes(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization encoding (`functions/similarity.py:pq_encode`):
+    4 subspaces × 16 centroids trained on a deterministic sample, whole
+    corpus encoded to codes + reconstruction error; full SQL value oracle
+    with the subspace k-means unrolled as CTEs."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = fsim.pq_encode(ds, m=4, ks=16, iters=4, sample_rows=256).to_pandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
 def text_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 TF-IDF terms (`functions/text.py:tfidf_top_terms`):
     distributed DF pass → broadcast df map → per-batch local tf + scoring."""
@@ -1654,6 +1733,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_prep": corpus_prep,
     "text_tfidf": text_tfidf,
+    "pq_codes": pq_codes,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
@@ -2031,6 +2111,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_clusters": _clusters_sql(),
     "corpus_prep": _corpus_prep_sql(),
+    "pq_codes": _pq_sql(),
     # TF-IDF: rank on the ROUNDED score (both sides) so libm-ulp differences
     # in ln() cannot flip an ordering
     "text_tfidf": r"""

@@ -168,3 +168,26 @@ def test_tfidf_top_terms(ray_session):
     )
     # rank is dense 1..top_n per doc
     assert out.groupby("doc_id")["rank"].apply(list).map(lambda r: r == list(range(1, len(r) + 1))).all()
+
+
+def test_pq_encode_roundtrip_properties(ray_session):
+    import numpy as np
+
+    from movex_cdc_ray.functions.similarity import pq_encode
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    out = pq_encode(rd.from_arrow(t).repartition(3), m=4, ks=8, sample_rows=64).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == 300
+    for s in range(4):
+        assert out[f"code_{s}"].between(0, 7).all()
+    # reconstruction error is nonnegative, and near-zero for a sample row
+    # that seeded a codebook centroid (vec 0 is its own init centroid)
+    assert (out["recon_err"] >= 0).all()
+    # deterministic: re-encode gives identical codes
+    again = pq_encode(rd.from_arrow(t).repartition(5), m=4, ks=8, sample_rows=64).to_pandas()
+    again = again.sort_values("vec_id").reset_index(drop=True)
+    assert out.equals(again)
