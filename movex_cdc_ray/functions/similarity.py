@@ -412,6 +412,29 @@ def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 4) -> np.ndarray:
     return cent
 
 
+def _train_pq_books(
+    ds: rd.Dataset, m: int, ks: int, iters: int, sample_rows: int,
+    id_col: str, vec_col: str,
+) -> np.ndarray:
+    """(m, ks, dim/m) PQ codebooks from the deterministic id-filtered sample
+    (see `pq_encode` for the determinism contract)."""
+    sample_list = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
+        batch_format="pyarrow",
+    ).take_all()
+    sample_list.sort(key=lambda r: r[id_col])
+    smat = _round9(_normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_list]
+    )))
+    dim = smat.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(smat[:, s * dsub : (s + 1) * dsub], ks, iters) for s in range(m)
+    ])
+
+
 def pq_encode(
     ds: rd.Dataset,
     m: int = 4,
@@ -432,21 +455,8 @@ def pq_encode(
     Deterministic + SQL-value-checkable end to end (see
     `queries.py:_pq_sql`): sample = ``id < sample_rows`` pushed-down filter,
     the L2 k-means contract of `_kmeans_l2`, and errors rounded to 6."""
-    sample_list = ds.map_batches(
-        lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
-        batch_format="pyarrow",
-    ).take_all()
-    sample_list.sort(key=lambda r: r[id_col])
-    smat = _round9(_normalize(np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_list]
-    )))
-    dim = smat.shape[1]
-    if dim % m:
-        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    books = np.stack([
-        _kmeans_l2(smat[:, s * dsub : (s + 1) * dsub], ks, iters) for s in range(m)
-    ])  # (m, ks, dsub)
+    books = _train_pq_books(ds, m, ks, iters, sample_rows, id_col, vec_col)
+    dsub = books.shape[2]
     books_ref = ray.put(books)
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -464,3 +474,82 @@ def pq_encode(
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 4,
+    sample_rows: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """PQ asymmetric-distance (ADC) top-k — the query leg of IVF-PQ.
+
+    Queries stay EXACT (raw subvectors); the corpus is scanned through its
+    PQ codes only: per query a (m × ks) distance table is precomputed once
+    and broadcast, and each corpus batch scores every row with m table
+    LOOKUPS + a sum instead of a D-dim distance — the payoff that makes
+    billion-vector scans affordable. Per-batch partial top-k (smallest ADC
+    distance), tiny driver merge of (batches × queries × k) partials.
+
+    ADC distances are rounded to 6 decimals BEFORE ranking (tie-break by
+    id), so numpy/SQL accumulation-order ulps cannot flip a rank — the
+    whole path is value-checked against `queries.py:_pq_sql(final='topk')`."""
+    books = _train_pq_books(ds, m, ks, iters, sample_rows, id_col, vec_col)
+    dsub = books.shape[2]
+
+    qset = sorted(set(query_ids))
+    qrows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(qset))),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qmat = _round9(_normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
+    )))
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    # (nq, m, ks) ADC lookup tables: ||q_sub - centroid||^2
+    dtab = np.stack([
+        ((qmat[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        for s in range(m)
+    ], axis=1)
+    side = ray.put({"books": books, "dtab": dtab, "qids": qids, "k": k})
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = ray.get(side)
+        mat = _round9(_normalize(_to_matrix(batch[vec_col])))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bks, dt = s["books"], s["dtab"]
+        nq = dt.shape[0]
+        dist = np.zeros((nq, len(mat)), dtype=np.float64)
+        for sub in range(bks.shape[0]):
+            v = mat[:, sub * dsub : (sub + 1) * dsub]
+            d = ((v[:, None, :] - bks[sub][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d, axis=1)
+            dist += dt[:, sub, :][:, codes]
+        dist = np.round(dist, 6)
+        kk = min(s["k"], len(ids))
+        frames = []
+        for row in range(nq):
+            sel = np.lexsort((ids, dist[row]))[:kk]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(kk, s["qids"][row], dtype=np.int64),
+                "neighbor_id": ids[sel],
+                "adc_dist": dist[row, sel],
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    frames = []
+    for qid, g in parts.groupby("query_id", sort=True):
+        g = g.sort_values(["adc_dist", "neighbor_id"]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        frames.append(g)
+    return pd.concat(frames, ignore_index=True)[
+        ["query_id", "neighbor_id", "rank", "adc_dist"]
+    ]

@@ -320,7 +320,15 @@ def _ivf_sql(
     return head + "".join(its) + tail
 
 
-def _pq_sql(m: int = 4, ks: int = 16, iters: int = 4, sample_rows: int = 256) -> str:
+def _pq_sql(
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 4,
+    sample_rows: int = 256,
+    final: str = "codes",
+    query_ids: list[int] | None = None,
+    k: int = 10,
+) -> str:
     """DuckDB value oracle for pq_codes: per-subspace L2 Lloyd k-means
     (unrolled as chained CTEs, one chain for ALL subspaces via a (sub, cell)
     group key) + whole-corpus encoding. Same determinism contract as
@@ -371,7 +379,7 @@ def _pq_sql(m: int = 4, ks: int = 16, iters: int = 4, sample_rows: int = 256) ->
         f"CAST(MAX(CASE WHEN sub = {s} THEN cell END) AS BIGINT) AS code_{s}"
         for s in range(m)
     )
-    tail = f"""
+    asgn = f"""
         , asgn AS (
           SELECT vec_id, sub, cell, dist FROM (
             SELECT x.vec_id, x.sub, c.cell,
@@ -380,13 +388,42 @@ def _pq_sql(m: int = 4, ks: int = 16, iters: int = 4, sample_rows: int = 256) ->
                      ORDER BY SUM((x.x - c.x) * (x.x - c.x)) ASC, c.cell ASC) AS rn
             FROM ex x JOIN c{iters} c ON c.i = x.i AND c.sub = x.sub
             GROUP BY x.vec_id, x.sub, c.cell) WHERE rn = 1
-        )
+        )"""
+    if final == "codes":
+        tail = f"""
         SELECT vec_id,
                {code_cols},
                ROUND(SUM(dist), 6) AS recon_err
         FROM asgn GROUP BY vec_id ORDER BY vec_id
     """
-    return head + "".join(its) + tail
+        return head + "".join(its) + asgn + tail
+    # final == "topk": ADC search — exact query subvectors vs corpus codes
+    qlist = ", ".join(str(q) for q in (query_ids or []))
+    tail = f"""
+        , cdist AS (
+          -- per (query, sub, cell) partial distance: the SQL analog of the
+          -- engine's broadcast ADC lookup table
+          SELECT q.vec_id AS qid, c.sub, c.cell,
+                 SUM((q.x - c.x) * (q.x - c.x)) AS d
+          FROM ex q JOIN c{iters} c ON c.i = q.i AND c.sub = q.sub
+          WHERE q.vec_id IN ({qlist})
+          GROUP BY q.vec_id, c.sub, c.cell
+        ), adc AS (
+          SELECT cd.qid AS query_id, a.vec_id AS neighbor_id,
+                 ROUND(SUM(cd.d), 6) AS adc_dist
+          FROM asgn a JOIN cdist cd ON cd.sub = a.sub AND cd.cell = a.cell
+          GROUP BY cd.qid, a.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adc_dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, rank, adc_dist FROM ranked
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+    return head + "".join(its) + asgn + tail
 
 
 def _corpus_split_sql(seed: int = 7, n_buckets: int = 10_000) -> str:
@@ -1491,6 +1528,14 @@ def pq_codes(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("vec_id").reset_index(drop=True)
 
 
+def ann_pq(sf_dir: str) -> pd.DataFrame:
+    """PQ asymmetric-distance top-k (`functions/similarity.py:pq_topk`):
+    queries exact, corpus scanned via its PQ codes with broadcast ADC
+    lookup tables; full SQL value oracle (codes chain + cdist join)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return fsim.pq_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, m=4, ks=16, sample_rows=256)
+
+
 def text_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 TF-IDF terms (`functions/text.py:tfidf_top_terms`):
     distributed DF pass → broadcast df map → per-batch local tf + scoring."""
@@ -1734,6 +1779,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_prep": corpus_prep,
     "text_tfidf": text_tfidf,
     "pq_codes": pq_codes,
+    "ann_pq": ann_pq,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
@@ -2112,6 +2158,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": _clusters_sql(),
     "corpus_prep": _corpus_prep_sql(),
     "pq_codes": _pq_sql(),
+    "ann_pq": _pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10),
     # TF-IDF: rank on the ROUNDED score (both sides) so libm-ulp differences
     # in ln() cannot flip an ordering
     "text_tfidf": r"""
