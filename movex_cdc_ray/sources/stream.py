@@ -18,8 +18,15 @@ import ray.data as rd
 
 def list_chunks(stream_dir: str) -> list[str]:
     """All chunk files in creation (= lexicographic) order — the
-    oldest-partition-first scan of `transfer_thread.rb:187-190` (O2)."""
-    return sorted(glob.glob(os.path.join(stream_dir, "chunk_*.parquet")))
+    oldest-partition-first scan of `transfer_thread.rb:187-190` (O2).
+
+    Chunks may be Parquet (the native format) or JSONL (a common binlog
+    dump format); ordering is by chunk name regardless of extension."""
+    return sorted(
+        glob.glob(os.path.join(stream_dir, "chunk_*.parquet"))
+        + glob.glob(os.path.join(stream_dir, "chunk_*.jsonl")),
+        key=os.path.basename,
+    )
 
 
 _GC_MARKER = "_chunks_gc"
@@ -63,8 +70,81 @@ def read_chunks(
     splits chunks into ~2.5k-row micro-blocks, which multiplies downstream
     per-task overhead and (in file-shuffle mode) delta-file count by blocks ×
     partitions. One block per CPU is the sweet spot.
+
+    JSONL chunks are read with ``read_json`` (row-oriented: no column
+    pushdown exists, so pruning happens right after the read) and their
+    string timestamps normalized to ``timestamp[us]`` — the rest of the
+    pipeline sees the exact Parquet-chunk shape.
     """
-    return rd.read_parquet(files, columns=columns, override_num_blocks=override_num_blocks)
+    pq_files = [f for f in files if not f.endswith(".jsonl")]
+    js_files = [f for f in files if f.endswith(".jsonl")]
+    parts: list[rd.Dataset] = []
+    if pq_files:
+        parts.append(
+            rd.read_parquet(pq_files, columns=columns, override_num_blocks=override_num_blocks)
+        )
+    if js_files:
+        ds = rd.read_json(
+            js_files, file_extensions=["jsonl"], override_num_blocks=override_num_blocks
+        )
+        ds = ds.map_batches(_normalize_json_chunk, batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(columns)
+        parts.append(ds)
+    if not parts:
+        raise ValueError("read_chunks: no chunk files given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _normalize_json_chunk(batch):
+    """Align a JSON-inferred batch to the Parquet chunk shape: ISO timestamp
+    strings → timestamp[us] (pyarrow's JSON inference usually does this
+    already; the cast is a no-op then)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if "created_at" in batch.column_names:
+        col = batch["created_at"]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # ISO 8601 strings cast natively (strptime has no %f support)
+            col = col.cast(pa.timestamp("us"))
+        elif pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        else:
+            return batch
+        i = batch.column_names.index("created_at")
+        batch = batch.set_column(i, "created_at", col)
+    return batch
+
+
+def convert_chunks_to_jsonl(src_dir: str, dst_dir: str) -> list[str]:
+    """Re-dump a Parquet chunk stream as JSONL chunks (binlog-dump format
+    interop; used by tests to prove format equivalence). Timestamps become
+    ISO strings with microseconds; nullable int columns stay ints (pandas
+    Int64) so JSON type inference round-trips the schema."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst_dir, exist_ok=True)
+    written = []
+    for f in sorted(glob.glob(os.path.join(src_dir, "chunk_*.parquet"))):
+        t = pq.read_table(f)
+        df = t.to_pandas()
+        for name, typ in zip(t.schema.names, t.schema.types):
+            import pyarrow as pa
+
+            if pa.types.is_integer(typ):
+                df[name] = df[name].astype("Int64")
+            elif pa.types.is_timestamp(typ):
+                df[name] = df[name].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        dst = os.path.join(
+            dst_dir, os.path.basename(f).replace(".parquet", ".jsonl")
+        )
+        df.to_json(dst, orient="records", lines=True)
+        written.append(dst)
+    return written
 
 
 def gc_consumed_chunks(stream_dir: str, chunks_consumed: int, unlink: bool = False) -> list[str]:
