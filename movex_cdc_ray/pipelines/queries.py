@@ -1646,6 +1646,62 @@ def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+_MEDIA_STAGE = "/tmp/movex_oracle/media_200_42.parquet"
+
+
+def _stage_media() -> str:
+    """Write the deterministic media table where BOTH the Ray query and the
+    DuckDB oracle can read it (the flagship-oracle staging pattern: either
+    side may run first). Atomic tmp+replace; content is seed-deterministic
+    so a pre-existing file is always valid."""
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import synth_media_table
+
+    if not os.path.exists(_MEDIA_STAGE):
+        os.makedirs(os.path.dirname(_MEDIA_STAGE), exist_ok=True)
+        tmp = _MEDIA_STAGE + ".tmp"
+        pq.write_table(synth_media_table(200, seed=42), tmp)
+        os.replace(tmp, _MEDIA_STAGE)
+    return _MEDIA_STAGE
+
+
+def multimodal_inventory(sf_dir: str) -> pd.DataFrame:
+    """Binary-column plumbing, VALUE-checked: the staged media payloads are
+    read as Arrow binary, batch-sliced through the object store, and their
+    (md5-of-hex, byte-length) inventory is compared against DuckDB's
+    md5(hex(payload))/octet_length over the same staged parquet — proof the
+    binary column survives the read path byte-exactly (hex is injective;
+    this DuckDB build has no BLOB hash, so both sides hash the hex form).
+    Decode-stage outputs stay covered by the rows-only multimodal queries +
+    codec unit tests."""
+    import hashlib as _hl
+
+    from ..functions.scalar import string_offsets_data as _sod
+
+    def inv(b: pa.Table) -> pa.Table:
+        pay = b["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        offs, data = _sod(pay)
+        md5s = [
+            _hl.md5(bytes(data[offs[i] : offs[i + 1]]).hex().upper().encode()).hexdigest()
+            for i in range(len(pay))
+        ]
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "payload_hex_md5": pa.array(md5s, pa.string()),
+                "payload_bytes": pa.array(
+                    (offs[1:] - offs[:-1]).astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    pdf = rd.read_parquet(_stage_media()).map_batches(inv, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
 def multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: binary payload column → actor-pool decode stage
     (deterministic fake decoder; rows-only check)."""
@@ -1789,6 +1845,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
     "multimodal_frames": multimodal_frames,
@@ -2159,6 +2216,15 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_prep": _corpus_prep_sql(),
     "pq_codes": _pq_sql(),
     "ann_pq": _pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10),
+    # binary plumbing value check over the staged media parquet (the
+    # flagship-oracle staging pattern; sha256/octet_length on the BLOB col)
+    "multimodal_inventory": f"""
+        SELECT media_id,
+               md5(hex(payload)) AS payload_hex_md5,
+               CAST(octet_length(payload) AS BIGINT) AS payload_bytes
+        FROM read_parquet('{_stage_media()}')
+        ORDER BY media_id
+    """,
     # TF-IDF: rank on the ROUNDED score (both sides) so libm-ulp differences
     # in ln() cannot flip an ordering
     "text_tfidf": r"""
