@@ -191,3 +191,13 @@ def test_pq_encode_roundtrip_properties(ray_session):
     again = pq_encode(rd.from_arrow(t).repartition(5), m=4, ks=8, sample_rows=64).to_pandas()
     again = again.sort_values("vec_id").reset_index(drop=True)
     assert out.equals(again)
+
+
+def test_assign_clusters_empty_pairs(ray_session):
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(10), pa.int64())}))
+    empty = rd.from_pandas(
+        pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")})
+    )
+    out = assign_clusters(docs, empty).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == list(range(10))
+    assert out["is_canonical"].all()
