@@ -231,6 +231,52 @@ def contamination_flags(
     )
 
 
+def mixture_rates(
+    ds: rd.Dataset,
+    targets: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Domain-reweighting rate table: per-source sampling rates that hit a
+    target token MIXTURE under a total token budget (the Pile/DoReMi-style
+    knob). One distributed aggregate (per-source doc/token counts — the
+    source cardinality is tiny), then closed-form rates on the driver:
+
+        rate_s = clip(target_s * budget / tokens_s, 0, 1)
+
+    Feed the rates straight into :func:`hash_sample` (stratum_col=source)
+    for a deterministic, growth-stable realization of the mixture.
+    Returns (source, n_docs, n_tokens, rate) with rates rounded to 6."""
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.add(pc.count_substring(text, pattern=" "), 1).cast(pa.int64())
+        n = pc.if_else(pc.equal(pc.utf8_length(text), 0), pa.scalar(0, pa.int64()), n)
+        n = pc.coalesce(n, pa.scalar(0, pa.int64()))
+        return pa.table({source_col: batch[source_col], "n_tokens": n})
+
+    agg = (
+        ds.map_batches(tokens, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+        .sort_values(source_col)
+        .reset_index(drop=True)
+    )
+    total_target = sum(targets.values())
+    rates = []
+    for _, r in agg.iterrows():
+        share = targets.get(r[source_col], 0.0) / total_target if total_target else 0.0
+        want = share * token_budget
+        rates.append(round(min(1.0, want / r["n_tokens"]) if r["n_tokens"] else 0.0, 6))
+    agg["rate"] = rates
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    return agg
+
+
 _TOKEN_RE = r"\w+"
 
 

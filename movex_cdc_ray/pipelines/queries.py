@@ -1528,6 +1528,20 @@ def pq_codes(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("vec_id").reset_index(drop=True)
 
 
+MIXTURE_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIXTURE_BUDGET = 5_000
+
+
+def corpus_mixture(sf_dir: str) -> pd.DataFrame:
+    """Domain-reweighting rate table (`functions/corpus.py:mixture_rates`):
+    per-source token counts via one distributed aggregate, closed-form
+    clip(target*budget/tokens) rates; sources outside the target get 0."""
+    from ..functions.corpus import mixture_rates
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return mixture_rates(ds, MIXTURE_TARGETS, MIXTURE_BUDGET)
+
+
 def ann_pq(sf_dir: str) -> pd.DataFrame:
     """PQ asymmetric-distance top-k (`functions/similarity.py:pq_topk`):
     queries exact, corpus scanned via its PQ codes with broadcast ADC
@@ -1836,6 +1850,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_tfidf": text_tfidf,
     "pq_codes": pq_codes,
     "ann_pq": ann_pq,
+    "corpus_mixture": corpus_mixture,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
@@ -2216,6 +2231,29 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_prep": _corpus_prep_sql(),
     "pq_codes": _pq_sql(),
     "ann_pq": _pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10),
+    # mixture rates: same whitespace n_tokens semantics, closed-form
+    # clip(target*budget/tokens); generated from the same constants
+    "corpus_mixture": f"""
+        WITH t AS (
+          SELECT source,
+                 CASE WHEN COALESCE(LENGTH(text), 0) = 0 THEN 0
+                      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                 END AS n_tokens
+          FROM documents
+        ), agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source
+        ), tgt(source, share) AS (VALUES
+          {", ".join(f"('{s}', {v})" for s, v in MIXTURE_TARGETS.items())}
+        )
+        SELECT a.source, a.n_docs, a.n_tokens,
+               ROUND(LEAST(1.0, COALESCE(tg.share, 0)
+                     / {sum(MIXTURE_TARGETS.values())}
+                     * {MIXTURE_BUDGET} / a.n_tokens), 6) AS rate
+        FROM agg a LEFT JOIN tgt tg USING (source)
+        ORDER BY a.source
+    """,
     # binary plumbing value check over the staged media parquet (the
     # flagship-oracle staging pattern; sha256/octet_length on the BLOB col)
     "multimodal_inventory": f"""

@@ -101,3 +101,21 @@ def test_pack_sequences_doc_straddles_boundary(ray_session):
     got = pack_sequences(rd.from_arrow(t), budget=4, range_size=2).to_pandas().sort_values("doc_id")
     assert got["pack_id"].tolist() == [0, 0, 2]
     assert got["pack_offset"].tolist() == [0, 3, 0]
+
+
+def test_mixture_rates_closed_form(ray_session):
+    from movex_cdc_ray.functions.corpus import mixture_rates
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "c"]),
+            "text": pa.array(["w w w w", "w w w w w w", "w w", ""]),
+        }
+    )
+    # tokens: a=10, b=2, c=0
+    out = mixture_rates(rd.from_arrow(t), {"a": 0.5, "b": 0.5}, token_budget=8)
+    got = dict(zip(out["source"], out["rate"]))
+    assert got["a"] == 0.4          # 0.5*8/10
+    assert got["b"] == 1.0          # 0.5*8/2 clipped
+    assert got["c"] == 0.0          # not targeted / zero tokens
+    assert out["n_tokens"].tolist() == [10, 2, 0]
