@@ -149,6 +149,18 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_corpus_prep(args) -> int:
+    """Run the composed training-data prep flagship and write the result as
+    split-partitioned parquet (train/val/test directories) — partitioned
+    output so a re-run can skip finished partitions."""
+    from .pipelines.queries import corpus_prep_pipeline
+
+    ds = corpus_prep_pipeline(args.sf_dir)
+    ds.write_parquet(args.out_dir, partition_cols=["split"])
+    print(json.dumps({"out_dir": args.out_dir, "rows": ds.count()}))
+    return 0
+
+
 def cmd_health(args) -> int:
     from .stages.stats import health_check
 
@@ -257,6 +269,12 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--new-partitions", type=int, required=True)
     sp.set_defaults(fn=cmd_repartition)
+
+    sp = sub.add_parser("corpus-prep", help="gate→decontaminate→dedup→split→pack; split-partitioned parquet out")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--out-dir", required=True)
+    common(sp, lake=False, config=False)
+    sp.set_defaults(fn=cmd_corpus_prep)
 
     sp = sub.add_parser("health", help="health check from manifests (no data scan)")
     common(sp, config=False)

@@ -1575,6 +1575,18 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
     One SQL value oracle replays the whole chain (gate predicate, gram-set
     intersection, the literal-perm minhash pipeline over the cleaned set, a
     recursive-CTE component walk, the split CASE and a window prefix sum)."""
+    out = corpus_prep_pipeline(sf_dir).to_pandas()
+    return (
+        out[["doc_id", "split", "n_tokens", "pack_id", "pack_offset"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def corpus_prep_pipeline(sf_dir: str) -> rd.Dataset:
+    """The corpus_prep chain as a streaming Dataset (consumed by the query
+    for the oracle check and by the `corpus-prep` CLI verb, which writes
+    split-partitioned parquet for resumable output)."""
     from ..functions.cluster import assign_clusters, semi_join_ids
     from ..functions.corpus import contamination_flags, pack_sequences, split_assign
 
@@ -1605,12 +1617,7 @@ def corpus_prep(sf_dir: str) -> pd.DataFrame:
     )
     surv = semi_join_ids(clean, canon)
     packed = pack_sequences(surv, budget=2048, range_size=64)
-    out = split_assign(packed).to_pandas()  # split: pure function of doc_id
-    return (
-        out[["doc_id", "split", "n_tokens", "pack_id", "pack_offset"]]
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    return split_assign(packed)  # split: pure function of doc_id
 
 
 def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
