@@ -168,24 +168,11 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
-def ngram_jaccard_pairs(
-    ds: rd.Dataset, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 3, n_perm: int = 64, bands: int = 16, seed: int = 7,
-    max_bucket: int | None = None,
+def _pairs_ship_text(
+    ds, sigs, threshold, text_col, id_col, k, bands, max_bucket
 ) -> pd.DataFrame:
-    """LSH candidates → exact n-gram Jaccard verify → pairs ≥ threshold.
-
-    The verify compares each candidate bucket's docs pairwise; shingle sets
-    are computed ONCE per doc in the bucket (d sets), never per pair.
-    ``max_bucket`` (default None = exact) skips verification inside buckets
-    larger than ``max_bucket`` docs — the stop-bucket analog of
-    ``ngram_jaccard_exact``'s ``max_df`` cut: a degenerate band hash (e.g. a
-    corpus full of identical boilerplate) would otherwise fan out O(d²)
-    verifies in one task. With it set the result is approximate (pairs that
-    ONLY co-occur in capped buckets are missed); the SQL oracle matches the
-    default exact mode. Returns (a_id, b_id, jac)."""
-    hasher = MinHasher(text_col, k, n_perm, bands, seed)
-    sigs = ds.map_batches(hasher, batch_format="pandas", concurrency=pool_size(4))
+    """The small-scale shape of `ngram_jaccard_pairs` (ship='text'): one
+    exchange with text replicated per band; verify inside the band bucket."""
 
     def explode_with_text(batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -207,8 +194,7 @@ def ngram_jaccard_pairs(
         if len(g) < 2 or (max_bucket is not None and len(g) > max_bucket):
             return pd.DataFrame({"a_id": [], "b_id": [], "jac": []})
         ids = g[id_col].to_numpy()
-        # shingle sets ONCE per doc (the old code re-shingled both texts for
-        # every pair — O(d²) tokenizations per bucket instead of O(d))
+        # shingle sets ONCE per doc per bucket
         sets: list[set[str]] = []
         for t in g[text_col].to_numpy():
             ws = _WORD_RE.findall((t or "").lower())
@@ -241,6 +227,203 @@ def ngram_jaccard_pairs(
     return (
         pdf.drop_duplicates(subset=["a_id", "b_id"])
         .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+SHIP_PAIRS_THRESHOLD = 1_000_000  # docs; above this the 16× text replication
+# of the text-ship path dominates its fewer exchanges — switch to pairs-first
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset, threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perm: int = 64, bands: int = 16, seed: int = 7,
+    max_bucket: int | None = None, ship: str = "auto",
+) -> pd.DataFrame:
+    """LSH candidates → exact n-gram Jaccard verify → pairs ≥ threshold.
+
+    The verify compares each candidate bucket's docs pairwise; shingle sets
+    are computed ONCE per doc in the bucket (d sets), never per pair.
+    ``max_bucket`` (default None = exact) skips verification inside buckets
+    larger than ``max_bucket`` docs — the stop-bucket analog of
+    ``ngram_jaccard_exact``'s ``max_df`` cut: a degenerate band hash (e.g. a
+    corpus full of identical boilerplate) would otherwise fan out O(d²)
+    verifies in one task. With it set the result is approximate (pairs that
+    ONLY co-occur in capped buckets are missed); the SQL oracle matches the
+    default exact mode. Returns (a_id, b_id, jac).
+
+    ``ship`` picks the shuffle shape (both produce identical pairs):
+
+    - ``'text'``: one exchange, but each doc's TEXT is replicated ``bands``×
+      into the LSH shuffle — fastest at small scale (fewer exchanges), 16×
+      shuffle-byte amplification at corpus scale.
+    - ``'pairs'``: candidate pairs from an id-only band explode, deduped
+      across bands BEFORE any text moves, then ONE text pass attaches both
+      sides (coarse-bucket vectorized merges) and a bucketed verify runs.
+      More exchanges (constant cost) but text shuffles exactly once, and
+      only for docs in a candidate pair — the 100 TB shape.
+    - ``'auto'`` (default): ``'pairs'`` above ``SHIP_PAIRS_THRESHOLD`` docs
+      (``ds.count()`` — metadata-cheap on parquet reads), else ``'text'``.
+    """
+    if ship == "auto":
+        ship = "pairs" if ds.count() > SHIP_PAIRS_THRESHOLD else "text"
+    if ship not in ("text", "pairs"):
+        raise ValueError(f"ship must be 'auto'|'text'|'pairs', got {ship!r}")
+    hasher = MinHasher(text_col, k, n_perm, bands, seed)
+    sigs = ds.map_batches(hasher, batch_format="pandas", concurrency=pool_size(4))
+
+    if ship == "text":
+        return _pairs_ship_text(
+            ds, sigs, threshold, text_col, id_col, k, bands, max_bucket
+        )
+
+    # ---- phase 1: candidate pairs from an ID-ONLY band explode -----------
+    # The naive shape ships (band, hash, doc_id, TEXT) — replicating every
+    # document's text `bands`× into the LSH shuffle (16× shuffle bytes at
+    # corpus scale). Here only (band, hash, id) rows shuffle; text makes
+    # exactly ONE pass, in phase 2, and only for docs that are in a pair.
+    def explode_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bi in range(bands):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.int32(bi),
+                        "band_hash": batch[f"band_{bi}"].to_numpy(),
+                        id_col: batch[id_col].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    n_buckets = 256  # coarse buckets: vectorized pandas ops inside, never a
+    # per-pair or per-doc Python group call
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2 or (max_bucket is not None and len(ids) > max_bucket):
+            return pd.DataFrame({"pk": pd.Series(dtype="int64"),
+                                 "pkb": pd.Series(dtype="int64")})
+        if int(ids[-1]) >= 1 << 32:
+            raise ValueError(
+                "pair key packs two 32-bit ids; re-key docs below 2^32 or "
+                "widen the pair key for larger id spaces"
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        pk = (ids[ii].astype(np.int64) << 32) | ids[jj].astype(np.int64)
+        return pd.DataFrame({"pk": pk, "pkb": pk % n_buckets})
+
+    cand = (
+        sigs.map_batches(explode_ids, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pkb")  # same pair surfaces from multiple bands — dedup HERE
+        .map_groups(     # (vectorized per coarse bucket), before any text is
+            lambda g: g.drop_duplicates(subset=["pk"])[["pk"]],  # fetched
+            batch_format="pandas",
+        )
+    )
+
+    # ---- phase 2: attach texts (one corpus pass) and verify ---------------
+
+    def pair_sides(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["pk"].to_numpy()
+        a = (pk >> 32).astype(np.int64)
+        b = (pk & 0xFFFFFFFF).astype(np.int64)
+        both = np.concatenate([a, b])
+        return pd.DataFrame(
+            {
+                id_col: both,
+                "pk": np.concatenate([pk, pk]),
+                "db": both % n_buckets,
+                text_col: pd.Series([None] * len(both), dtype=object),
+            }
+        )
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "pk": np.int64(-1),
+                "db": ids % n_buckets,
+                text_col: batch[text_col].to_numpy(),
+            }
+        )
+
+    sides = cand.map_batches(pair_sides, batch_format="pandas")
+    texts = ds.map_batches(doc_rows, batch_format="pandas")
+
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized merge per coarse bucket: pair-side rows pick up
+        # their doc's text; docs not in any pair drop out here
+        t = g[g["pk"] == -1][[id_col, text_col]]
+        p = g[g["pk"] != -1][[id_col, "pk"]]
+        if p.empty or t.empty:
+            return pd.DataFrame({"pk": pd.Series(dtype="int64"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 text_col: pd.Series(dtype=object)})
+        return p.merge(t, on=id_col, how="inner")
+
+    attached = (
+        sides.union(texts)
+        .groupby("db")
+        .map_groups(attach_text, batch_format="pandas")
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # both sides of a pair land in this bucket (keyed by pk); shingle
+        # sets memoized per doc — O(distinct docs) tokenizations per bucket
+        if g.empty:
+            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                                 "b_id": pd.Series(dtype="int64"),
+                                 "jac": pd.Series(dtype="float64")})
+        memo: dict[int, set] = {}
+
+        def shingle_set(doc_id: int, t) -> set:
+            s = memo.get(doc_id)
+            if s is None:
+                ws = _WORD_RE.findall((t or "").lower())
+                s = (
+                    {" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1))}
+                    if ws
+                    else set()
+                )
+                memo[doc_id] = s
+            return s
+
+        rows = []
+        for pk, pg in g.groupby("pk", sort=False):
+            if len(pg) != 2:  # a side's doc vanished (shouldn't happen) — skip
+                continue
+            (ida, ta), (idb, tb) = (
+                (int(r[id_col]), r[text_col]) for _, r in pg.iterrows()
+            )
+            if ida > idb:
+                ida, idb, ta, tb = idb, ida, tb, ta
+            sa, sb = shingle_set(ida, ta), shingle_set(idb, tb)
+            if not sa and not sb:
+                jc = 1.0
+            else:
+                inter = len(sa & sb)
+                jc = inter / max(len(sa) + len(sb) - inter, 1)
+            if jc >= threshold:
+                rows.append((ida, idb, round(jc, 6)))
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "jac"])
+
+    def rebucket_by_pk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(vb=(b["pk"] % n_buckets).astype(np.int64))
+
+    pairs = (
+        attached.map_batches(rebucket_by_pk, batch_format="pandas")
+        .groupby("vb")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0 or "a_id" not in pdf.columns:
+        return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"), "jac": pd.Series(dtype="float64")})
+    return (
+        pdf.sort_values(["a_id", "b_id"])
         .reset_index(drop=True)
     )
 

@@ -206,3 +206,23 @@ def test_ngram_jaccard_pairs_cap_keeps_small_buckets(ray_session):
     ds = docs([base, near, "totally different content about ray data pipelines"])
     out = ngram_jaccard_pairs(ds, threshold=0.5, max_bucket=8)
     assert list(zip(out["a_id"], out["b_id"])) == [(0, 1)]  # small buckets unaffected
+
+
+def test_ngram_jaccard_pairs_ship_paths_identical(ray_session):
+    """ship='pairs' (the 100 TB shape: id-only band shuffle, one text pass)
+    must produce exactly the ship='text' pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " tail", "completely different words here entirely",
+             base.replace("quick", "slow"), "short", base]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(3)
+    a = ngram_jaccard_pairs(ds, threshold=0.4, ship="text")
+    b = ngram_jaccard_pairs(ds, threshold=0.4, ship="pairs")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) > 0  # the near-dup family must actually pair up
