@@ -333,6 +333,7 @@ class MergeContext:
     mode: str = "rewrite"
     sha_cols: list[str] | None = None  # payload cols feeding _content_sha
     invariant_cols: dict[int, list[str]] | None = None  # per-table required cols
+    compression: str = "snappy"  # CaptureConfig.lake_compression
 
 
 def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
@@ -374,7 +375,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     keyed = fresh.filter(keyed_mask)
     if len(unkeyed):
         p = os.path.join(lake_dir, UNKEYED_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
-        atomic_write_parquet(unkeyed, p)
+        atomic_write_parquet(unkeyed, p, ctx.compression)
 
     # ---- error isolation (§2.11) ---------------------------------------
     if invariant_check is not None and len(keyed):
@@ -393,7 +394,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
         delta_rows = events_to_lake_rows(ok, payload_fields, sha_cols)  # D rows stay as tombstones
         delta_rows = align_to_schema(delta_rows, lake_schema)
         out_path = staged_path(lake_dir, epoch, part).replace(".parquet", ".delta.parquet")
-        nbytes = atomic_write_parquet(delta_rows, out_path)
+        nbytes = atomic_write_parquet(delta_rows, out_path, ctx.compression)
         op_col = ok["op"].combine_chunks() if isinstance(ok["op"], pa.ChunkedArray) else ok["op"]
         n_del = int(pc.sum(pc.equal(op_col, "D").cast(pa.int8())).as_py() or 0) if len(ok) else 0
         return pa.table(
@@ -498,7 +499,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
 
     # ---- idempotent staged write ---------------------------------------
     out_path = staged_path(lake_dir, epoch, part)
-    nbytes = atomic_write_parquet(merged, out_path)
+    nbytes = atomic_write_parquet(merged, out_path, ctx.compression)
     sha = partition_sha(live, sha_cols)  # digest = LIVE rows (fences excluded)
 
     return pa.table(
@@ -546,6 +547,7 @@ def make_epoch_merger(
         mode=mode,
         sha_cols=sha_source_columns(payload_fields),
         invariant_cols=invariant_columns(cfg),
+        compression=cfg.lake_compression,
     )
 
     def merge(group: pa.Table) -> pa.Table:

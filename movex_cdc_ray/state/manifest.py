@@ -50,18 +50,24 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
-def atomic_write_parquet(t, path: str) -> int:
+def atomic_write_parquet(t, path: str, compression: str = "snappy") -> int:
     """tmp-file + fsync + os.replace + dir-fsync parquet write — a crash or
     power loss mid-write can never leave a truncated file behind (every
     ledger/lake/staging write goes through this; a torn retry file would
     wedge resume on pq.read_metadata forever). The data fsync matters
     because the manifest commit is durable: a synced manifest must never
-    reference staged pages still sitting in the page cache."""
+    reference staged pages still sitting in the page cache.
+
+    ``compression`` (CaptureConfig.lake_compression for lake writes) picks
+    the codec — zstd roughly halves lake bytes at 100 TB for some write
+    CPU; digests hash VALUES, so the codec never affects determinism. A
+    config field, not an env var: merge tasks run in Ray WORKERS, which do
+    not inherit driver env mutations."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    pq.write_table(t, tmp, row_group_size=128 * 1024)
+    pq.write_table(t, tmp, row_group_size=128 * 1024, compression=compression)
     fd = os.open(tmp, os.O_RDONLY)
     try:
         os.fsync(fd)

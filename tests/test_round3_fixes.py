@@ -185,3 +185,35 @@ def test_purge_tombstones_refuses_pending_retries(ray_session, tmp_path):
     pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), fake)
     with pytest.raises(RuntimeError, match="retry backlog"):
         purge_tombstones(lake, cfg)
+
+
+def test_lake_compression_codec_config(ray_session, tmp_path):
+    """cfg.lake_compression switches the lake codec (a CONFIG field — merge
+    tasks run in Ray workers, which don't see driver env mutations);
+    converged state is identical across codecs and the field round-trips
+    through config JSON."""
+    import dataclasses
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.config import CaptureConfig
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=3000, n_repos=4, paths_per_repo=10, chunk_size=1500)
+    stream = str(tmp_path / "s")
+    generate_stream(stream, spec)
+
+    lakes = {}
+    for codec in ("snappy", "zstd"):
+        cfg = dataclasses.replace(config_for_spec(spec, num_partitions=2),
+                                  lake_compression=codec)
+        assert CaptureConfig.from_json(cfg.to_json()).lake_compression == codec
+        lake = str(tmp_path / f"lake_{codec}")
+        replay(stream, lake, cfg, chunks_per_epoch=2)
+        f = next(p for p in _glob.glob(lake + "/_staging/epoch=*/part=*.parquet"))
+        meta = pq.ParquetFile(f).metadata
+        assert meta.row_group(0).column(0).compression.lower() == codec
+        lakes[codec] = lake_to_pandas(lake).reset_index(drop=True)
+    assert lakes["snappy"].equals(lakes["zstd"])
