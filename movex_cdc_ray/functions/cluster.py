@@ -25,29 +25,42 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 MAX_ITERS = 50  # diameter backstop; real dup graphs converge in < 6
+N_BUCKETS = 256  # coarse co-location buckets: every per-group body below is
+# ONE vectorized pandas merge/filter — never a per-node/per-doc Python call
 
 
 def _edge_labels(edges: rd.Dataset, labels: rd.Dataset) -> rd.Dataset:
     """Reduce-side join: for every directed edge (s, d), emit (d, lab(s)).
 
-    Union the edge rows (keyed by s) with the label rows (keyed by node),
-    co-group on the key, and attach the group's label to its out-edges.
-    Self-labels (node, lab) are re-emitted so isolated pair-nodes and
-    already-minimal nodes keep their label through the min-reduce."""
+    Edge rows (keyed by s) and label rows (keyed by node) co-locate in
+    coarse hash buckets; inside each bucket ONE vectorized pandas merge
+    attaches labels to out-edges (a per-node map_groups would pay a Python
+    call per graph node per round). Self-labels (node, lab) are re-emitted
+    so isolated pair-nodes keep their label through the min-reduce."""
 
     def tag_edges(b: pa.Table) -> pa.Table:
+        k = b["s"].cast(pa.int64())
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kb = pa.array(k.to_numpy(zero_copy_only=False) % N_BUCKETS)
         return pa.table(
             {
-                "k": b["s"].cast(pa.int64()),
+                "k": k,
+                "kb": kb,
                 "d": b["d"].cast(pa.int64()),
                 "lab": pa.nulls(len(b), pa.int64()),
             }
         )
 
     def tag_labels(b: pa.Table) -> pa.Table:
+        k = b["node"].cast(pa.int64())
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kb = pa.array(k.to_numpy(zero_copy_only=False) % N_BUCKETS)
         return pa.table(
             {
-                "k": b["node"].cast(pa.int64()),
+                "k": k,
+                "kb": kb,
                 "d": pa.nulls(len(b), pa.int64()),
                 "lab": b["lab"].cast(pa.int64()),
             }
@@ -58,16 +71,18 @@ def _edge_labels(edges: rd.Dataset, labels: rd.Dataset) -> rd.Dataset:
     )
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        lab_rows = g["lab"].dropna()
-        if lab_rows.empty:  # edge endpoints always have a label row; guard anyway
-            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                 "lab": pd.Series([], dtype="int64")})
-        lab = int(lab_rows.min())
-        dsts = g["d"].dropna().astype("int64")
-        nodes = pd.concat([dsts, pd.Series([int(g["k"].iloc[0])], dtype="int64")])
-        return pd.DataFrame({"node": nodes, "lab": lab})
+        lab_tbl = g.loc[g["lab"].notna(), ["k", "lab"]]
+        edge_tbl = g.loc[g["d"].notna(), ["k", "d"]]
+        out = lab_tbl.rename(columns={"k": "node"})  # self-labels
+        if not edge_tbl.empty and not lab_tbl.empty:
+            m = edge_tbl.merge(lab_tbl, on="k", how="inner")
+            out = pd.concat(
+                [out, m[["d", "lab"]].rename(columns={"d": "node"})],
+                ignore_index=True,
+            )
+        return out.astype({"node": "int64", "lab": "int64"})
 
-    return both.groupby("k").map_groups(propagate, batch_format="pandas")
+    return both.groupby("kb").map_groups(propagate, batch_format="pandas")
 
 
 def connected_components(pairs: rd.Dataset, a_col: str = "a_id", b_col: str = "b_id") -> rd.Dataset:
@@ -147,17 +162,22 @@ def semi_join_ids(data: rd.Dataset, ids: rd.Dataset, id_col: str = "doc_id") -> 
         col_types = {n: _to_pa(t) for n, t in zip(sch.names, sch.types)}
     data_cols = [c for c in sch.names if c != id_col]
 
+    def _kb(b: pa.Table):
+        k = b[id_col].cast(pa.int64())
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return k, pa.array(k.to_numpy(zero_copy_only=False) % N_BUCKETS)
+
     def tag_data(b: pa.Table) -> pa.Table:
-        cols = {id_col: b[id_col].cast(pa.int64()), "_is_id": pa.nulls(len(b), pa.bool_())}
+        k, kb = _kb(b)
+        cols = {id_col: k, "_kb": kb, "_is_id": pa.nulls(len(b), pa.bool_())}
         for c in data_cols:
             cols[c] = b[c]
         return pa.table(cols)
 
     def tag_ids(b: pa.Table) -> pa.Table:
-        cols = {
-            id_col: b[id_col].cast(pa.int64()),
-            "_is_id": pa.array([True] * len(b), pa.bool_()),
-        }
+        k, kb = _kb(b)
+        cols = {id_col: k, "_kb": kb, "_is_id": pa.array([True] * len(b), pa.bool_())}
         for c in data_cols:
             cols[c] = pa.nulls(len(b), col_types[c])
         return pa.table(cols)
@@ -167,11 +187,12 @@ def semi_join_ids(data: rd.Dataset, ids: rd.Dataset, id_col: str = "doc_id") -> 
     )
 
     def keep_matched(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0 or not g["_is_id"].notna().any():
-            return g.iloc[0:0].drop(columns=["_is_id"])
-        return g[g["_is_id"].isna()].drop(columns=["_is_id"])
+        # one vectorized isin per coarse bucket — never a per-doc group call
+        present = g.loc[g["_is_id"].notna(), id_col].unique()
+        data_rows = g[g["_is_id"].isna()]
+        return data_rows[data_rows[id_col].isin(present)].drop(columns=["_is_id", "_kb"])
 
-    return both.groupby(id_col).map_groups(keep_matched, batch_format="pandas")
+    return both.groupby("_kb").map_groups(keep_matched, batch_format="pandas")
 
 
 def assign_clusters(
