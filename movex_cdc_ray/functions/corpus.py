@@ -1,18 +1,18 @@
-"""Corpus-preparation operators for training-data pipelines: deterministic
-train/val/test splitting and GPT-style sequence packing.
+"""Corpus-preparation operators for training-data pipelines. All are
+first-class distributed ops with exact DuckDB value oracles; see
+docs/SCALE.md "Corpus-operator family" for the three scale patterns.
 
-Both are first-class distributed ops with exact DuckDB value oracles:
-
-- ``split_assign``: membership is a pure function of the row key (md5 bucket
-  of ``"<id>:<seed>"``), so the split is stable under re-runs, re-partitioning
-  and incremental corpus growth — the property a 100 TB pipeline needs so a
-  nightly rebuild never migrates a document across splits.
-- ``pack_sequences``: concatenate documents in id order into one token
-  stream and chunk it every ``budget`` tokens (each document belongs to the
-  pack where it starts). The global prefix sum is computed distributed:
-  per-range-bucket token sums (one small aggregate), a driver-side scan over
-  the tiny bucket table, then per-bucket placement in ``map_groups`` with
-  the broadcast base offsets.
+- ``split_assign`` / ``hash_sample``: membership is a pure function of the
+  row key (md5 bucket of ``"<id>:<seed>"``), so splits/samples are stable
+  under re-runs, re-partitioning and incremental corpus growth — a nightly
+  rebuild never migrates a document across splits or in/out of a sample.
+- ``pack_sequences`` / ``epoch_shuffle``: a global ordinal (token offset /
+  dense rank) via the distributed prefix-sum pattern — per-range-bucket
+  aggregates (tiny driver table), broadcast bases, per-bucket placement.
+- ``contamination_flags``: benchmark decontamination via a broadcast
+  shingle-hash set + vectorized np.isin per batch (actor pool).
+- ``top_tokens`` / ``mixture_rates``: combiner-shaped corpus statistics
+  (per-batch partial folds before one small groupby).
 """
 
 from __future__ import annotations
