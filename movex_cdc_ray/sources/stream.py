@@ -104,7 +104,6 @@ def _normalize_json_chunk(batch):
     strings → timestamp[us] (pyarrow's JSON inference usually does this
     already; the cast is a no-op then)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     if "created_at" in batch.column_names:
         col = batch["created_at"]
