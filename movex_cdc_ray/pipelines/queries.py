@@ -1560,6 +1560,85 @@ def text_tfidf(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def _dedup_inc_config(num_partitions: int = 8):
+    """CaptureConfig for content-hash-keyed corpus dedup: one DOCS table
+    keyed by ``chash`` (md5 of the text), payload = the hash itself."""
+    from ..config import (
+        CaptureConfig,
+        ColumnConfig,
+        SchemaConfig,
+        SchemaVersion,
+        TableConfig,
+    )
+
+    v1 = SchemaVersion(version=1, active_from_id=0, payload_fields={"chash": "string"})
+    table = TableConfig(
+        name="DOCS",
+        schema_name="CORPUS",
+        table_id=1,
+        topic="lake.corpus.docs",
+        key_handling="P",
+        pk_columns=["chash"],
+        columns=[ColumnConfig("chash")],
+    )
+    return CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS", topic="lake.corpus")],
+        tables=[table],
+        schema_versions=[v1],
+        num_partitions=num_partitions,
+        capture_parallelism=2,
+    )
+
+
+def dedup_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL corpus dedup implemented AS a CDC replay — the engine's
+    exactly-once merge machinery reused verbatim: every document becomes an
+    INSERT event keyed by its content hash (md5(text)), the stream replays
+    in two epochs, and the converged lake holds the arg-max doc id per
+    distinct content. Epoch 2 only pays for epoch-2 documents (epoch cost ∝
+    delta, not corpus); a re-run resumes from the manifest and is a no-op —
+    the property batch dedup lacks on a growing 100 TB corpus. At scale the
+    event staging is a ``map_batches`` + ``write_parquet`` pass; here the
+    sf-sized table stages directly."""
+    import hashlib as _hl
+    import shutil
+
+    from ..pipelines.replay import lake_to_pandas, replay
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().sort_values("doc_id")
+    chash = docs["text"].map(lambda t: _hl.md5((t or "").encode()).hexdigest())
+    n = len(docs)
+    base = "/tmp/movex_dedupinc"
+    stream, lake = os.path.join(base, "stream"), os.path.join(base, "lake")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stream, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    ts = pa.scalar(1_700_000_000_000_000, pa.timestamp("us"))
+    for ci, sl in enumerate((slice(0, n // 2), slice(n // 2, n))):
+        part = docs.iloc[sl]
+        t = pa.table(
+            {
+                "id": pa.array(part["doc_id"].to_numpy(), pa.int64()),
+                "table_id": pa.array(np.full(len(part), 1, np.int32)),
+                "op": pa.array(["I"] * len(part)),
+                "dbuser": pa.array(["corpus"] * len(part)),
+                "txn_id": pa.nulls(len(part), pa.string()),
+                "created_at": pa.array([ts.as_py()] * len(part), pa.timestamp("us")),
+                "retry_count": pa.array(np.zeros(len(part), np.int32)),
+                "new_chash": pa.array(chash.iloc[sl].to_numpy(), pa.string()),
+                "old_chash": pa.nulls(len(part), pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(stream, f"chunk_{ci:06d}.parquet"))
+    replay(stream, lake, _dedup_inc_config(), chunks_per_epoch=1)
+    g = lake_to_pandas(lake)
+    out = pd.DataFrame(
+        {"content_md5": g["chash"], "keep_id": g["_last_id"].astype("int64")}
+    )
+    return out.sort_values("content_md5").reset_index(drop=True)
+
+
 def corpus_prep(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END training-data preparation flagship, composed from the
     engine's corpus operators, streaming between stages:
@@ -1858,6 +1937,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "pq_codes": pq_codes,
     "ann_pq": ann_pq,
     "corpus_mixture": corpus_mixture,
+    "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
     "knn_bruteforce": knn_bruteforce,
@@ -2238,6 +2318,15 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_prep": _corpus_prep_sql(),
     "pq_codes": _pq_sql(),
     "ann_pq": _pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10),
+    # incremental dedup via CDC replay: converged lake == arg-max doc per
+    # distinct content (op=I stream keyed by md5(text))
+    "dedup_incremental": """
+        SELECT md5(text) AS content_md5,
+               CAST(MAX(doc_id) AS BIGINT) AS keep_id
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY content_md5
+    """,
     # mixture rates: same whitespace n_tokens semantics, closed-form
     # clip(target*budget/tokens); generated from the same constants
     "corpus_mixture": f"""

@@ -201,3 +201,19 @@ def test_assign_clusters_empty_pairs(ray_session):
     out = assign_clusters(docs, empty).to_pandas().sort_values("doc_id")
     assert out["cluster_id"].tolist() == list(range(10))
     assert out["is_canonical"].all()
+
+
+def test_dedup_incremental_is_incremental(ray_session):
+    """The CDC-replay dedup converges, a re-run is a resume no-op, and the
+    kept doc per content matches the arg-max rule."""
+    from movex_cdc_ray.pipelines.queries import _dedup_inc_config, dedup_incremental
+    from movex_cdc_ray.pipelines.replay import replay
+
+    out = dedup_incremental("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert out["content_md5"].is_unique
+    # the staged stream + lake are still on disk: a second replay must
+    # consume ZERO new epochs (manifest resume — the incremental property)
+    rep = replay("/tmp/movex_dedupinc/stream", "/tmp/movex_dedupinc/lake",
+                 _dedup_inc_config(), chunks_per_epoch=1)
+    assert rep.epochs == 0
