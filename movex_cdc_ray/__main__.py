@@ -155,8 +155,9 @@ def cmd_corpus_prep(args) -> int:
     output so a re-run can skip finished partitions."""
     from .pipelines.queries import corpus_prep_pipeline
 
-    ds = corpus_prep_pipeline(args.sf_dir)
-    ds.write_parquet(args.out_dir, partition_cols=["split"])
+    _ray_init(args.num_cpus)
+    ds = corpus_prep_pipeline(args.sf_dir).materialize()  # count() is then
+    ds.write_parquet(args.out_dir, partition_cols=["split"])  # metadata-only
     print(json.dumps({"out_dir": args.out_dir, "rows": ds.count()}))
     return 0
 

@@ -75,11 +75,17 @@ class Engine:
         return CaptureStage(self.cfg)
 
     # ---- health check (GET /health_check) ----------------------------------
-    def health_check(self) -> dict[str, Any]:
-        """Health counts plus config-drift report: lake rows whose table_id
-        vanished from the config — the orphaned-trigger check analog
-        (`app/models/db_trigger_generator_base.rb:77-119`)."""
-        return _health(self.lake_dir, cfg=self.cfg)
+    def health_check(self, check_drift: bool = False) -> dict[str, Any]:
+        """Health counts from manifests and file metadata — NO data scan by
+        default (the reference's liveness endpoint; safe to poll).
+
+        ``check_drift=True`` adds the config-drift report — lake rows whose
+        table_id vanished from the config, the orphaned-trigger check analog
+        (`app/models/db_trigger_generator_base.rb:77-119`). That reads the
+        _table_id/_last_op columns of every base/delta file (O(lake files)),
+        so it is an opt-in maintenance check, never part of a liveness
+        poll."""
+        return _health(self.lake_dir, cfg=self.cfg if check_drift else None)
 
     # ---- topic introspection (GET /kafka/topics, /kafka/describe_topic) ----
     def list_topics(self) -> list[str]:

@@ -304,9 +304,11 @@ def ngram_jaccard_pairs(
         if len(ids) < 2 or (max_bucket is not None and len(ids) > max_bucket):
             return pd.DataFrame({"pk": pd.Series(dtype="int64"),
                                  "pkb": pd.Series(dtype="int64")})
-        if int(ids[-1]) >= 1 << 32:
+        if int(ids[-1]) >= 1 << 31:
+            # (a << 32) | b must stay a POSITIVE int64: ids at 2^31..2^32
+            # would make pk negative and the >> 32 unpack sign-extends
             raise ValueError(
-                "pair key packs two 32-bit ids; re-key docs below 2^32 or "
+                "pair key packs two 31-bit ids; re-key docs below 2^31 or "
                 "widen the pair key for larger id spaces"
             )
         ii, jj = np.triu_indices(len(ids), k=1)

@@ -269,7 +269,9 @@ class DecodeStage:
                       ("feature_norm", pa.float64()),
                       ("payload_sha", pa.string()), ("payload_bytes", pa.int64())]
             if has_frame_idx:
-                schema.insert(1, ("frame_idx", pa.int32()))
+                # AFTER "kind" — must match the non-empty cols order, or
+                # mixed empty/non-empty blocks fail Arrow concatenation
+                schema.insert(2, ("frame_idx", pa.int32()))
             if self.real:
                 schema += [("decoded_width", pa.int32()), ("decoded_height", pa.int32()),
                            ("decoded_samples", pa.int64())]

@@ -154,12 +154,19 @@ def raw_to_hex(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     hx = np.empty(seg.size * 2, dtype=np.uint8)
     hx[0::2] = _HEX_LUT[seg >> 4]
     hx[1::2] = _HEX_LUT[seg & 0xF]
-    new_offs = ((offs - offs[0]) * 2).astype(np.int32)
-    hexed = pa.StringArray.from_buffers(
-        n, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(hx.tobytes())
-    )
+    new_offs = (offs - offs[0]) * 2
+    if new_offs[-1] > np.iinfo(np.int32).max:
+        # > 1 GiB of payload bytes in one chunk: int32 offsets would wrap —
+        # emit a large_string with int64 offsets instead
+        hexed = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(new_offs.astype(np.int64).tobytes()), pa.py_buffer(hx.tobytes())
+        )
+    else:
+        hexed = pa.StringArray.from_buffers(
+            n, pa.py_buffer(new_offs.astype(np.int32).tobytes()), pa.py_buffer(hx.tobytes())
+        )
     if arr.null_count:
-        hexed = pc.if_else(arr.is_valid(), hexed, pa.nulls(n, pa.string()))
+        hexed = pc.if_else(arr.is_valid(), hexed, pa.nulls(n, hexed.type))
     return hexed
 
 

@@ -311,6 +311,13 @@ def ivf_topk(
         lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
         batch_format="pyarrow",
     ).take_all()
+    if not sample_rows_list:
+        raise ValueError(
+            f"IVF training sample is empty: no rows with {id_col} < "
+            f"{sample_rows}. The SQL-checkable sampling contract is an id "
+            "filter — for sparse or offset id spaces raise sample_rows or "
+            "re-key ids to start at 0."
+        )
     sample_rows_list.sort(key=lambda r: r[id_col])
     smat = _round9(_normalize(np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows_list]
@@ -422,6 +429,13 @@ def _train_pq_books(
         lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
         batch_format="pyarrow",
     ).take_all()
+    if not sample_list:
+        raise ValueError(
+            f"PQ training sample is empty: no rows with {id_col} < "
+            f"{sample_rows}. The SQL-checkable sampling contract is an id "
+            "filter — for sparse or offset id spaces raise sample_rows or "
+            "re-key ids to start at 0."
+        )
     sample_list.sort(key=lambda r: r[id_col])
     smat = _round9(_normalize(np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample_list]

@@ -1953,7 +1953,13 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_frames": multimodal_frames,
 }
 
-ORACLE_SQL: dict[str, str] = {
+def _build_oracle_sql() -> dict[str, str]:
+    """Build the oracle map LAZILY (first access, not import): several
+    entries synthesize artifacts — the flagship oracle stages its binlog
+    stream, multimodal_inventory stages the media parquet — and at
+    module-import time that would run in EVERY Ray worker importing this
+    module, racing rmtree/regenerate on the shared /tmp staging dirs."""
+    return {
     "cdc_lake_state": """
         SELECT user_id,
                event_id  AS last_event_id,
@@ -2432,4 +2438,47 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf": _ivf_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode* /
     # multimodal_frames (binary codecs)
-}
+    }
+
+
+class _LazyOracleSQL(dict):
+    """dict façade over _build_oracle_sql(), populated on first access."""
+
+    def _ensure(self):
+        if not super().__len__():
+            self.update(_build_oracle_sql())
+
+    def __getitem__(self, k):
+        self._ensure()
+        return super().__getitem__(k)
+
+    def __iter__(self):
+        self._ensure()
+        return super().__iter__()
+
+    def __len__(self):
+        self._ensure()
+        return super().__len__()
+
+    def __contains__(self, k):
+        self._ensure()
+        return super().__contains__(k)
+
+    def keys(self):
+        self._ensure()
+        return super().keys()
+
+    def items(self):
+        self._ensure()
+        return super().items()
+
+    def values(self):
+        self._ensure()
+        return super().values()
+
+    def get(self, k, default=None):
+        self._ensure()
+        return super().get(k, default)
+
+
+ORACLE_SQL: dict[str, str] = _LazyOracleSQL()

@@ -319,6 +319,8 @@ def _merge_via_winner_filter(
         shutil.rmtree(winners_dir, ignore_errors=True)  # idempotent epoch retry
 
         def collect_winners(g: pa.Table) -> pa.Table:
+            if len(g) == 0:  # Ray may hand map_groups an empty sentinel block
+                return pa.table({"part": pa.array([], pa.int32())})
             part = int(g["part"][0].as_py())
             gb = (
                 pa.table({"key_string": g["key_string"], "id": g["id"]})
@@ -683,7 +685,7 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
 
 
 @ray.remote
-def _purge_part_task(part: int, path: str, out_path: str) -> dict[str, Any]:
+def _purge_part_task(part: int, path: str, out_path: str, compression: str = "snappy") -> dict[str, Any]:
     import pyarrow.parquet as pq
 
     from ..stages.sink import atomic_write_parquet, drop_tombstones, partition_sha
@@ -692,7 +694,7 @@ def _purge_part_task(part: int, path: str, out_path: str) -> dict[str, Any]:
     live = drop_tombstones(t)
     if len(live) == len(t):
         return {}  # no fences in this base — keep it untouched
-    nbytes = atomic_write_parquet(live, out_path)
+    nbytes = atomic_write_parquet(live, out_path, compression)
     return {
         "part": part, "path": out_path, "deltas": [], "rows": len(live),
         "sha": partition_sha(live), "bytes": nbytes,
@@ -733,7 +735,10 @@ def purge_tombstones(lake_dir: str, cfg: CaptureConfig, force: bool = False) -> 
     for k, entry in manifest.partitions.items():
         if entry.get("path"):
             refs.append(
-                _purge_part_task.remote(int(k), entry["path"], staged_path(lake_dir, epoch, int(k)))
+                _purge_part_task.remote(
+                    int(k), entry["path"], staged_path(lake_dir, epoch, int(k)),
+                    cfg.lake_compression,
+                )
             )
     rows = [r for r in ray.get(refs) if r]
     if not rows:

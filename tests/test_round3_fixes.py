@@ -92,7 +92,7 @@ def test_health_check_reports_orphaned_lake_rows(ray_session, tmp_path):
     replay(stream, lake, cfg, chunks_per_epoch=2)
 
     eng = Engine(cfg, lake)
-    hc = eng.health_check()
+    hc = eng.health_check(check_drift=True)
     assert hc["config_drift"] is False
     assert hc["orphaned_table_rows"] == {}
 
@@ -100,7 +100,7 @@ def test_health_check_reports_orphaned_lake_rows(ray_session, tmp_path):
     drifted = config_for_spec(spec, num_partitions=4)
     drifted.tables = []
     eng2 = Engine(drifted, lake)
-    hc2 = eng2.health_check()
+    hc2 = eng2.health_check(check_drift=True)
     assert hc2["config_drift"] is True
     assert hc2["orphaned_table_rows"] == {"1": hc["lake_rows"]}
 
@@ -217,3 +217,43 @@ def test_lake_compression_codec_config(ray_session, tmp_path):
         assert meta.row_group(0).column(0).compression.lower() == codec
         lakes[codec] = lake_to_pandas(lake).reset_index(drop=True)
     assert lakes["snappy"].equals(lakes["zstd"])
+
+
+def test_health_check_default_is_scanless(ray_session, tmp_path):
+    """Default health_check must not include the O(lake) drift scan."""
+    from movex_cdc_ray.api import Engine
+    from movex_cdc_ray.pipelines.replay import replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=2000, n_repos=3, paths_per_repo=8, chunk_size=1000)
+    stream, lake = str(tmp_path / "s"), str(tmp_path / "l")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=2)
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+    hc = Engine(cfg, lake).health_check()
+    assert "config_drift" not in hc or hc["config_drift"] is None
+
+
+def test_decode_stage_empty_frame_batch_schema_order(ray_session):
+    """Empty sentinel batches must emit the SAME column order as non-empty
+    ones (mixed blocks otherwise fail Arrow concatenation)."""
+    from movex_cdc_ray.functions.multimodal import DecodeStage, synth_media_table
+
+    st = DecodeStage()
+    full = synth_media_table(3, seed=1)
+    full = full.append_column("frame_idx", pa.array([0, 1, 2], pa.int32()))
+    out_full = st(full)
+    out_empty = st(full.slice(0, 0))
+    assert out_empty.schema.names == out_full.schema.names
+
+
+def test_pair_key_guard_rejects_31bit_overflow(ray_session):
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.dedup import ngram_jaccard_pairs
+
+    t = _pa.table({"doc_id": _pa.array([1 << 31, (1 << 31) + 1], _pa.int64()),
+                   "text": _pa.array(["same words here now", "same words here now"])})
+    with pytest.raises((ValueError, Exception), match="31-bit|31"):
+        ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.4, ship="pairs")
