@@ -55,12 +55,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
-    Keys absent here (multimodal_decode*, multimodal_frames) are
-    non-SQL-expressible (binary image/audio codecs) → rows-only check. The
-    seeded hash families (minhash perms, simhash, hyperplane LSH), the IVF
-    k-means quantizer (unrolled Lloyd iterations as materialized CTEs) and
-    the flagship replay's staged binlog ARE value-checked via literal
-    parameter tables / CTE chains / read_parquet over the staged chunks."""
+    The only key absent here (multimodal_decode) is non-SQL-expressible —
+    its fake features are PCG64-seeded normals — and gets a rows-only check.
+    The seeded hash families (minhash perms, simhash, hyperplane LSH), the
+    IVF k-means quantizer (unrolled Lloyd iterations as materialized CTEs),
+    the flagship replay's staged binlog AND the real multimodal decodes
+    (byte-level BMP/PPM/WAV re-decode in SQL over the staged media parquet)
+    are all value-checked."""
     from movex_cdc_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

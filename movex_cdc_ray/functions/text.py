@@ -86,6 +86,104 @@ class QualityScorer:
         return batch
 
 
+class RepetitionScorer:
+    """Gopher-style repetition quality signals (Rae et al. 2021, app. A1.1):
+    the standard pre-training filters that drop boilerplate-heavy documents.
+
+    Per document:
+      ``dup_line_frac``        — repeated lines / total lines
+      ``dup_line_char_frac``   — chars in repeated-line occurrences beyond
+                                 the first / total line chars
+      ``top_2gram_char_frac``  — chars covered by the most frequent word
+                                 2-gram / total word chars
+      ``dup_5gram_char_frac``  — chars covered by all occurrences of
+                                 duplicated word 5-grams / total word chars
+                                 (overlaps over-count, as in the paper)
+
+    Words are ``[a-z0-9_]+`` on the lowered text (ASCII class so the SQL
+    oracle's RE2 ``regexp_extract_all`` tokenizes identically); the most
+    frequent 2-gram tie-breaks by (count, char length, lexicographic) so
+    both sides pick the same winner. All heavy steps are pandas C loops
+    (split/explode/groupby/shift) — no per-row Python function."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("").reset_index(drop=True)
+        docs = pd.RangeIndex(len(t))
+
+        # --- duplicate lines -------------------------------------------------
+        lines = t.str.split("\n").explode()
+        ldf = pd.DataFrame(
+            {"doc": lines.index, "line": lines.values, "chars": lines.str.len().values}
+        )
+        lg = (
+            ldf.groupby(["doc", "line"], sort=False)["chars"]
+            .agg(cnt="size", chars="first")
+            .reset_index()
+        )
+        per = lg.groupby("doc", sort=False).agg(
+            n_lines=("cnt", "sum"), n_distinct=("cnt", "size")
+        )
+        per["excess_chars"] = (
+            ((lg["cnt"] - 1) * lg["chars"]).groupby(lg["doc"]).sum()
+        )
+        per["tot_line_chars"] = (lg["cnt"] * lg["chars"]).groupby(lg["doc"]).sum()
+
+        # --- word n-grams ----------------------------------------------------
+        words = t.str.lower().str.findall(self.word_re).explode().dropna()
+        wf = pd.DataFrame({"doc": words.index, "w": words.values})
+        wf["wlen"] = wf["w"].str.len()
+        wtot = wf.groupby("doc")["wlen"].sum()
+        nwords = wf.groupby("doc").size()
+
+        def _gram_counts(n: int) -> pd.DataFrame:
+            shifted = [wf.groupby("doc")["w"].shift(-k) for k in range(1, n)]
+            mask = shifted[-1].notna() if shifted else pd.Series(True, index=wf.index)
+            gram, glen = wf["w"][mask], wf["wlen"][mask]
+            for s in shifted:
+                gram = gram + " " + s[mask]
+                glen = glen + s[mask].str.len()
+            gdf = pd.DataFrame({"doc": wf["doc"][mask], "gram": gram, "glen": glen})
+            return (
+                gdf.groupby(["doc", "gram"], sort=False)["glen"]
+                .agg(cnt="size", glen="first")
+                .reset_index()
+            )
+
+        c2 = _gram_counts(2).sort_values(
+            ["doc", "cnt", "glen", "gram"], ascending=[True, False, False, True]
+        )
+        top2 = c2.groupby("doc", sort=False).head(1).set_index("doc")
+        top2_chars = top2["cnt"] * top2["glen"]
+
+        c5 = _gram_counts(5)
+        d5 = c5[c5["cnt"] > 1]
+        dup5_chars = (d5["cnt"] * d5["glen"]).groupby(d5["doc"]).sum()
+
+        # --- assemble (every doc has >=1 line; word frames may miss docs) ----
+        n_lines = per["n_lines"].reindex(docs).astype("int64")
+        n_dist = per["n_distinct"].reindex(docs)
+        excess = per["excess_chars"].reindex(docs)
+        tot_lc = per["tot_line_chars"].reindex(docs).clip(lower=1)
+        wchars = wtot.reindex(docs, fill_value=0).clip(lower=1)
+
+        batch = batch.copy()
+        batch["n_lines"] = n_lines.values
+        batch["n_words_rep"] = nwords.reindex(docs, fill_value=0).astype("int64").values
+        batch["dup_line_frac"] = ((n_lines - n_dist) / n_lines).round(6).values
+        batch["dup_line_char_frac"] = (excess / tot_lc).round(6).values
+        batch["top_2gram_char_frac"] = (
+            (top2_chars.reindex(docs, fill_value=0) / wchars).round(6).values
+        )
+        batch["dup_5gram_char_frac"] = (
+            (dup5_chars.reindex(docs, fill_value=0) / wchars).round(6).values
+        )
+        return batch
+
+
 class LangIdStage:
     """Language ID via stopword-profile scoring (n-gram heuristic class).
 

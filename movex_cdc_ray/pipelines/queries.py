@@ -1347,14 +1347,16 @@ def knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def ann_lsh(sf_dir: str) -> pd.DataFrame:
-    """LSH-bucketed approximate top-k (the scale path; rows-only check)."""
+    """LSH-bucketed approximate top-k (the scale path); value-checked via
+    the literal hyperplane-matrix SQL oracle (_ann_lsh_sql)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return fsim.lsh_bucketed_ann(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
 def ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF approximate top-k: deterministic k-means coarse quantizer, probe
-    the nearest cells, score inside groupby(cell) (rows-only check)."""
+    the nearest cells, score inside groupby(cell); value-checked via the
+    unrolled-Lloyd CTE oracle (_ivf_sql)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return fsim.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=4)
 
@@ -1377,6 +1379,21 @@ def text_quality(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(QualityScorer(), batch_format="pandas", concurrency=2)
     pdf = out.to_pandas()[["doc_id", "n_words", "stopword_ratio", "mean_word_len"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition filters (duplicate-line / top-2-gram /
+    duplicate-5-gram character fractions) via the shipped RepetitionScorer;
+    the SQL oracle recomputes every metric from the same tokenization."""
+    from ..functions.text import RepetitionScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(RepetitionScorer, batch_format="pandas", concurrency=2)
+    pdf = out.to_pandas()[
+        ["doc_id", "n_lines", "n_words_rep", "dup_line_frac",
+         "dup_line_char_frac", "top_2gram_char_frac", "dup_5gram_char_frac"]
+    ]
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1701,7 +1718,8 @@ def corpus_prep_pipeline(sf_dir: str) -> rd.Dataset:
 
 def dedup_embedding_lsh(sf_dir: str) -> pd.DataFrame:
     """Scale path of embedding near-dup: hyperplane-LSH buckets partition the
-    corpus, pairs compared only within buckets (rows-only check)."""
+    corpus, pairs compared only within buckets; value-checked via the literal
+    hyperplane-matrix SQL oracle (_embedding_lsh_sql)."""
     import numpy as _np
 
     from ..functions.similarity import HyperplaneHasher, _normalize, _to_matrix
@@ -1766,6 +1784,41 @@ def _stage_media() -> str:
     return _MEDIA_STAGE
 
 
+_REAL_MEDIA_STAGE = "/tmp/movex_oracle/real_media_120_42.parquet"
+_VIDEO_STAGE = "/tmp/movex_oracle/videos_60x12_42.parquet"
+
+
+def _stage_real_media() -> str:
+    """Stage the deterministic REAL media table (BMP/PPM/WAV payloads) where
+    both the Ray query and the DuckDB oracle read it (same pattern as
+    ``_stage_media``)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import synth_real_media_table
+
+    if not os.path.exists(_REAL_MEDIA_STAGE):
+        os.makedirs(os.path.dirname(_REAL_MEDIA_STAGE), exist_ok=True)
+        tmp = f"{_REAL_MEDIA_STAGE}.tmp.{os.getpid()}"
+        pq.write_table(synth_real_media_table(120, seed=42), tmp)
+        os.replace(tmp, _REAL_MEDIA_STAGE)
+    return _REAL_MEDIA_STAGE
+
+
+def _stage_videos() -> str:
+    """Stage the deterministic concatenated-PPM video table (see
+    ``_stage_real_media``)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import synth_video_table
+
+    if not os.path.exists(_VIDEO_STAGE):
+        os.makedirs(os.path.dirname(_VIDEO_STAGE), exist_ok=True)
+        tmp = f"{_VIDEO_STAGE}.tmp.{os.getpid()}"
+        pq.write_table(synth_video_table(60, n_frames=12, seed=42), tmp)
+        os.replace(tmp, _VIDEO_STAGE)
+    return _VIDEO_STAGE
+
+
 def multimodal_inventory(sf_dir: str) -> pd.DataFrame:
     """Binary-column plumbing, VALUE-checked: the staged media payloads are
     read as Arrow binary, batch-sliced through the object store, and their
@@ -1823,15 +1876,17 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
 def multimodal_decode_real(sf_dir: str) -> pd.DataFrame:
     """REAL byte→pixels/samples decoding (pure-numpy BMP/PPM/WAV codecs) in
     an actor-pool stage: features derive from actual image pixels and audio
-    samples, decoded dimensions reported per row (rows-only check)."""
-    from ..functions.multimodal import (
-        RECOMMENDED_MEDIA_BATCH_SIZE,
-        DecodeStage,
-        synth_real_media_table,
-    )
+    samples, decoded dimensions reported per row.
 
-    media = synth_real_media_table(120, seed=42)
-    ds = rd.from_arrow(media)
+    VALUE-checked: the DuckDB oracle independently re-decodes the same staged
+    payloads byte-by-byte in SQL (hex() + substr byte extraction, per-pixel /
+    per-sample unnest) and recomputes the float32-faithful feature norms —
+    see the ``multimodal_decode_real`` ORACLE_SQL entry. (``payload_sha`` is
+    covered by ``multimodal_inventory``; this DuckDB build has no BLOB hash,
+    so it is not part of this query's contract.)"""
+    from ..functions.multimodal import RECOMMENDED_MEDIA_BATCH_SIZE, DecodeStage
+
+    ds = rd.read_parquet(_stage_real_media())
     out = ds.map_batches(
         DecodeStage,
         fn_constructor_kwargs={"real": True},
@@ -1840,7 +1895,7 @@ def multimodal_decode_real(sf_dir: str) -> pd.DataFrame:
         concurrency=2,
     )
     pdf = out.to_pandas()[
-        ["media_id", "kind", "payload_sha", "decoded_width", "decoded_height",
+        ["media_id", "kind", "decoded_width", "decoded_height",
          "decoded_samples", "feature_norm"]
     ]
     pdf["feature_norm"] = pdf["feature_norm"].round(4)
@@ -1851,16 +1906,19 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     """REAL video frame pipeline: concatenated-PPM streams → header-walk
     frame sampling (evenly spaced, O(1) slice per frame) → real per-frame
     pixel decode → features. The sample→decode stages compose because each
-    sampled frame is a standalone P6 payload (rows-only check: binary
-    codecs)."""
+    sampled frame is a standalone P6 payload.
+
+    VALUE-checked: the DuckDB oracle walks the same staged concatenated-PPM
+    streams in SQL — parses the first frame header, derives the frame stride,
+    reproduces the evenly-spaced linspace sampling, and re-decodes each
+    sampled frame's pixels to the same float32-faithful feature norm."""
     from ..functions.multimodal import (
         RECOMMENDED_MEDIA_BATCH_SIZE,
         DecodeStage,
         FrameSampleStage,
-        synth_video_table,
     )
 
-    videos = rd.from_arrow(synth_video_table(60, n_frames=12, seed=42))
+    videos = rd.read_parquet(_stage_videos())
     frames = videos.map_batches(
         FrameSampleStage,
         fn_constructor_kwargs={"n_frames": 4, "real": True},
@@ -1945,6 +2003,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "ann_ivf": ann_ivf,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "multimodal_inventory": multimodal_inventory,
@@ -1952,6 +2011,221 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_decode_real": multimodal_decode_real,
     "multimodal_frames": multimodal_frames,
 }
+
+# --- byte-level SQL decode of the multimodal payloads -----------------------
+# DuckDB 1.0 has no BLOB slicing/hash, so every byte access goes through
+# hex(payload) (uppercase) + substr: byte at 0-based offset o occupies hex
+# chars 2o+1..2o+2. The oracles below re-decode the canonical encoder layouts
+# (movex_cdc_ray/functions/multimodal.py: 54-byte BITMAPINFOHEADER BMP,
+# comment-free P6 PPM, RIFF/fmt/data WAV) — byte-by-byte, per-pixel /
+# per-sample — and recompute _image_features/_audio_features norms with the
+# same float32 quantization (CAST(.. AS REAL)::DOUBLE == feats.astype(f32)).
+
+# P6 header on the hex form: 'P6\n' digits ' ' digits '\n255\n'
+_PPM_HEX_RE = "^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A"
+
+
+def _hx(off: str) -> str:
+    """SQL for the byte value (0-255) at 0-based offset ``off`` of the
+    hex-encoded payload column ``h`` in scope."""
+    lut = "'0123456789ABCDEF'"
+    return (
+        f"(strpos({lut}, substr(h, 2*({off})+1, 1))*16"
+        f" + strpos({lut}, substr(h, 2*({off})+2, 1)) - 17)"
+    )
+
+
+def _le32(off: int) -> str:
+    """SQL for the unsigned little-endian 32-bit int at 0-based ``off``."""
+    return (
+        f"({_hx(str(off))} + 256*{_hx(str(off + 1))}"
+        f" + 65536*{_hx(str(off + 2))} + 16777216*{_hx(str(off + 3))})"
+    )
+
+
+def _ppm_dim_sql(group: int) -> str:
+    """SQL for a P6 header dimension: hex digit pairs '3d' → decimal int."""
+    return (
+        f"CAST(regexp_replace(regexp_extract(h, '{_PPM_HEX_RE}', {group}),"
+        r" '3(.)', '\1', 'g') AS INT)"
+    )
+
+
+def _f32(e: str) -> str:
+    # feats.astype(np.float32) analog: quantize through REAL, widen back
+    return f"(CAST(({e}) AS REAL)::DOUBLE)"
+
+
+def _sq(e: str) -> str:
+    return f"(({e})*({e}))"
+
+
+def _img_norm_ctes(px: str, keys: str) -> str:
+    """CTE fragments reducing pixel rows (``keys``, r, g, b) to the
+    ``_image_features(dim=64)`` L2 norm: [channel means, channel stds]/255 +
+    58-bin luminance histogram (np.histogram fast path: floor(lum*58/255),
+    right-inclusive last edge), each feature float32-quantized before the
+    double-precision norm — exactly DecodeStage's feature_norm."""
+    head = " + ".join(_sq(_f32(f"{c}/255.0")) for c in ("mr", "mg", "mb", "sr", "sg", "sb"))
+    return f"""
+    agg_{px} AS (
+      SELECT {keys}, avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+             sqrt(var_pop(r)) AS sr, sqrt(var_pop(g)) AS sg, sqrt(var_pop(b)) AS sb,
+             count(*) AS npx
+      FROM {px} GROUP BY {keys}
+    ),
+    hist_{px} AS (
+      SELECT {keys}, SUM({_sq(_f32("cnt::DOUBLE / npx"))}) AS hss
+      FROM (
+        SELECT {keys},
+               LEAST(CAST(floor((r*0.299 + g*0.587 + b*0.114) * (58.0/255.0)) AS INT), 57) AS bin,
+               COUNT(*) AS cnt
+        FROM {px} GROUP BY {keys}, bin
+      ) JOIN (SELECT {keys}, npx FROM agg_{px}) USING ({keys})
+      GROUP BY {keys}
+    ),
+    norm_{px} AS (
+      SELECT {keys}, sqrt({head} + hss) AS fn
+      FROM agg_{px} JOIN hist_{px} USING ({keys})
+    )"""
+
+
+def _decode_real_sql() -> str:
+    """Full SQL re-decode of the staged real-media parquet: BMP (bottom-up
+    BGR rows, 4-byte padding, positive height as our encoder writes) and PPM
+    pixels, WAV PCM16 samples (canonical 44-byte fmt/data layout guarded by
+    magic checks) → per-row decoded dims + feature norms."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, kind, hex(payload) AS h, octet_length(payload) AS nb
+      FROM read_parquet('{_stage_real_media()}')
+    ),
+    geo AS (
+      SELECT *, CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp'
+                     WHEN substr(h, 1, 4) = '5036' THEN 'ppm'
+                     ELSE 'wav' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo WHERE fmt <> 'wav'
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    -- one row per pixel; BMP stores B,G,R at base+0/1/2, PPM stores R,G,B
+    pxoff AS (
+      SELECT im.media_id, im.h AS h,
+        CASE WHEN im.fmt = 'bmp'
+             THEN im.datoff + (t.pi // im.w)*im.rowb + (t.pi % im.w)*3
+             ELSE im.datoff + t.pi*3 END AS base,
+        CASE WHEN im.fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+      FROM img2 im, range(400) t(pi) WHERE t.pi < im.w * im.ht
+    ),
+    px AS (
+      SELECT media_id, {_hx("base + rsh")} AS r, {_hx("base + 1")} AS g,
+             {_hx("base + 2 - rsh")} AS b
+      FROM pxoff
+    ),
+    {_img_norm_ctes("px", "media_id")},
+    wav AS (
+      SELECT media_id, h, ({_le32(40)}) // 2 AS ns
+      FROM geo
+      WHERE fmt = 'wav' AND substr(h, 25, 8) = '666D7420'
+                        AND substr(h, 73, 8) = '64617461'
+    ),
+    smp AS (
+      SELECT media_id, i, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM (SELECT w.media_id, t.i,
+                   {_hx("44 + 2*t.i")} + 256*{_hx("45 + 2*t.i")} AS raw,
+                   w.h AS h
+            FROM wav w, range(2000) t(i) WHERE t.i < w.ns)
+    ),
+    wagg AS (
+      SELECT media_id, sqrt(avg((s/32768.0)*(s/32768.0))) AS rms, count(*) AS n
+      FROM smp GROUP BY media_id
+    ),
+    wz AS (
+      SELECT media_id,
+             SUM(CASE WHEN flip THEN 1 ELSE 0 END)::DOUBLE / (count(*) - 1) AS zcr
+      FROM (SELECT media_id,
+                   (s < 0) <> lag(s < 0) OVER (PARTITION BY media_id ORDER BY i) AS flip
+            FROM smp)
+      GROUP BY media_id
+    ),
+    whist AS (
+      SELECT media_id, SUM({_sq(_f32("cnt::DOUBLE / n"))}) AS hss
+      FROM (SELECT media_id,
+                   LEAST(CAST(floor(((s/32768.0) + 1.0) * (62.0/2.0)) AS INT), 61) AS bin,
+                   COUNT(*) AS cnt
+            FROM smp GROUP BY media_id, bin)
+      JOIN (SELECT media_id, n FROM wagg) USING (media_id)
+      GROUP BY media_id
+    ),
+    wnorm AS (
+      SELECT a.media_id, a.n AS ns,
+             sqrt({_sq(_f32("a.rms"))} + {_sq(_f32("z.zcr"))} + hh.hss) AS fn
+      FROM wagg a JOIN wz z USING (media_id) JOIN whist hh USING (media_id)
+    )
+    SELECT g.media_id, g.kind,
+           CAST(COALESCE(i2.w, 0) AS INT) AS decoded_width,
+           CAST(COALESCE(i2.ht, 0) AS INT) AS decoded_height,
+           CAST(COALESCE(wn.ns, 0) AS BIGINT) AS decoded_samples,
+           ROUND(COALESCE(n.fn, wn.fn), 4) AS feature_norm
+    FROM geo g
+    LEFT JOIN img2 i2 USING (media_id)
+    LEFT JOIN norm_px n USING (media_id)
+    LEFT JOIN wnorm wn USING (media_id)
+    ORDER BY media_id
+    """
+
+
+def _frames_sql() -> str:
+    """SQL re-decode of the staged concatenated-PPM video streams: parse the
+    first frame header, derive the frame stride (all frames of a stream share
+    dims — encode_ppm_stream's construction), reproduce FrameSampleStage's
+    evenly-spaced linspace pick (k*(src-1)//3 for take=4; exact because the
+    fixture's interior linspace values are non-integral), and feature-norm
+    each sampled frame's pixels."""
+    return f"""
+    WITH vids AS (
+      SELECT media_id, hex(payload) AS h, octet_length(payload) AS nb
+      FROM read_parquet('{_stage_videos()}')
+    ),
+    vgeo AS (
+      SELECT media_id, h, nb, {_ppm_dim_sql(1)} AS w, {_ppm_dim_sql(2)} AS ht,
+             9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+               + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 AS hdr
+      FROM vids
+    ),
+    vgeo2 AS (SELECT *, hdr + w*ht*3 AS fsz FROM vgeo),
+    frames AS (
+      SELECT DISTINCT media_id, h, w, ht, hdr, fsz,
+             CAST((k.k * (nb // fsz - 1)) // 3 AS INT) AS frame_idx
+      FROM vgeo2, range(4) k(k)
+      WHERE nb // fsz >= 4
+    ),
+    fpx AS (
+      SELECT f.media_id, f.frame_idx, f.h AS h,
+             f.frame_idx*f.fsz + f.hdr + t.pi*3 AS base
+      FROM frames f, range(300) t(pi) WHERE t.pi < f.w * f.ht
+    ),
+    px AS (
+      SELECT media_id, frame_idx, {_hx("base")} AS r, {_hx("base + 1")} AS g,
+             {_hx("base + 2")} AS b
+      FROM fpx
+    ),
+    {_img_norm_ctes("px", "media_id, frame_idx")}
+    SELECT f.media_id, f.frame_idx,
+           CAST(f.w AS INT) AS decoded_width, CAST(f.ht AS INT) AS decoded_height,
+           ROUND(n.fn, 4) AS feature_norm
+    FROM frames f JOIN norm_px n USING (media_id, frame_idx)
+    ORDER BY media_id, frame_idx
+    """
+
 
 def _build_oracle_sql() -> dict[str, str]:
     """Build the oracle map LAZILY (first access, not import): several
@@ -2278,6 +2552,73 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM documents
         ORDER BY doc_id
     """,
+    # mirrors RepetitionScorer: lines split on \n (empties kept), words =
+    # [a-z0-9_]+ over lowered text, top-2-gram tie-break (cnt, glen, gram)
+    "text_repetition": r"""
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+        ),
+        lagg AS (
+          SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS chars
+          FROM lines GROUP BY doc_id, line
+        ),
+        lstats AS (
+          SELECT doc_id, SUM(cnt) AS n_lines, COUNT(*) AS n_distinct,
+                 SUM((cnt - 1) * chars) AS excess_chars,
+                 SUM(cnt * chars) AS tot_line_chars
+          FROM lagg GROUP BY doc_id
+        ),
+        tok AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents)
+        ),
+        wstats AS (
+          SELECT doc_id, SUM(length(w)) AS wchars, COUNT(*) AS n_words
+          FROM tok GROUP BY doc_id
+        ),
+        seq AS (
+          SELECT doc_id, i, w, length(w) AS wlen,
+                 lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2,
+                 lead(w, 3) OVER win AS w3, lead(w, 4) OVER win AS w4
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        c2 AS (
+          SELECT doc_id, w || ' ' || w1 AS gram, COUNT(*) AS cnt,
+                 MIN(length(w) + length(w1)) AS glen
+          FROM seq WHERE w1 IS NOT NULL GROUP BY doc_id, gram
+        ),
+        top2 AS (
+          SELECT doc_id, cnt * glen AS top_chars
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, glen DESC, gram ASC) AS rn FROM c2)
+          WHERE rn = 1
+        ),
+        c5 AS (
+          SELECT doc_id, w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS gram,
+                 COUNT(*) AS cnt,
+                 MIN(length(w) + length(w1) + length(w2) + length(w3) + length(w4)) AS glen
+          FROM seq WHERE w4 IS NOT NULL GROUP BY doc_id, gram
+        ),
+        dup5 AS (
+          SELECT doc_id, SUM(cnt * glen) AS dup_chars FROM c5 WHERE cnt > 1
+          GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               CAST(l.n_lines AS BIGINT) AS n_lines,
+               CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words_rep,
+               ROUND((l.n_lines - l.n_distinct)::DOUBLE / l.n_lines, 6) AS dup_line_frac,
+               ROUND(l.excess_chars::DOUBLE / GREATEST(l.tot_line_chars, 1), 6) AS dup_line_char_frac,
+               ROUND(COALESCE(t2.top_chars, 0)::DOUBLE
+                     / GREATEST(COALESCE(w.wchars, 0), 1), 6) AS top_2gram_char_frac,
+               ROUND(COALESCE(d5.dup_chars, 0)::DOUBLE
+                     / GREATEST(COALESCE(w.wchars, 0), 1), 6) AS dup_5gram_char_frac
+        FROM lstats l
+        LEFT JOIN wstats w USING (doc_id)
+        LEFT JOIN top2 t2 USING (doc_id)
+        LEFT JOIN dup5 d5 USING (doc_id)
+        ORDER BY doc_id
+    """,
     "corpus_clean": """
         SELECT MIN(doc_id) AS doc_id
         FROM documents
@@ -2436,8 +2777,10 @@ def _build_oracle_sql() -> dict[str, str]:
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),
-    # rows-only (no SQL-expressible oracle): multimodal_decode* /
-    # multimodal_frames (binary codecs)
+    "multimodal_decode_real": _decode_real_sql(),
+    "multimodal_frames": _frames_sql(),
+    # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
+    # features are PCG64-seeded standard normals from sha256(payload)
     }
 
 

@@ -81,8 +81,4 @@ def test_every_query_has_callable_and_oracle_keys():
     assert set(os_) <= set(qs)
     # non-SQL ops are known and intentional
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "multimodal_decode",
-        "multimodal_decode_real",
-        "multimodal_frames",
-    }
+    assert rows_only == {"multimodal_decode"}

@@ -39,6 +39,70 @@ def test_quality_scorer():
     assert out["upper_ratio"][0] > 0
 
 
+def test_repetition_scorer():
+    from movex_cdc_ray.functions.text import RepetitionScorer
+
+    rep = "spam spam spam spam spam spam spam spam spam spam"  # 10x "spam"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "aa\nbb\naa\naa",          # line 'aa' x3 of 4 lines
+                rep,                        # one dominant 2-gram + dup 5-grams
+                "all distinct lines\nno repeats here",
+                "",                         # empty doc
+            ],
+        }
+    )
+    out = RepetitionScorer()(df.copy())
+    r0 = out.iloc[0]
+    assert r0["n_lines"] == 4
+    # 4 lines, 2 distinct -> 2 repeated occurrences beyond the first
+    assert r0["dup_line_frac"] == pytest.approx(0.5)
+    # excess chars = 2 extra 'aa' occurrences x 2 chars / 8 total line chars
+    assert r0["dup_line_char_frac"] == pytest.approx(0.5)
+    r1 = out.iloc[1]
+    # top 2-gram "spam spam" occurs 9x (overlapping), 8 word chars per hit,
+    # over 40 total word chars
+    assert r1["top_2gram_char_frac"] == pytest.approx(round(9 * 8 / 40, 6))
+    # all 6 distinct-position 5-grams are the same duplicated gram: 6 hits x
+    # 20 word chars / 40
+    assert r1["dup_5gram_char_frac"] == pytest.approx(round(6 * 20 / 40, 6))
+    r3 = out.iloc[3]
+    assert r3["n_lines"] == 1 and r3["n_words_rep"] == 0
+    assert r3["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_scorer_matches_oracle_on_crafted_docs():
+    """The SQL oracle and the stage must agree on multi-line / repetitive
+    docs the sf fixtures don't contain (their texts are single-line)."""
+    import duckdb
+
+    from movex_cdc_ray.functions.text import RepetitionScorer
+    from movex_cdc_ray.pipelines.queries import ORACLE_SQL
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "x\ny\nx\nz\nx\n",
+                "a b a b a b a b a b c d e f g h",
+                "one two three four five one two three four five six",
+                "tie tie bar bar",  # 2-gram tie: 'tie tie','tie bar','bar bar'
+                "",
+            ],
+        }
+    )
+    got = RepetitionScorer()(df.copy())
+    cols = ["doc_id", "n_lines", "n_words_rep", "dup_line_frac",
+            "dup_line_char_frac", "top_2gram_char_frac", "dup_5gram_char_frac"]
+    got = got[cols].sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.sql(ORACLE_SQL["text_repetition"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_langid_heuristic():
     df = pd.DataFrame(
         {
