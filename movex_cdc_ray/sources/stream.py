@@ -21,12 +21,33 @@ def list_chunks(stream_dir: str) -> list[str]:
     oldest-partition-first scan of `transfer_thread.rb:187-190` (O2).
 
     Chunks may be Parquet (the native format) or JSONL (a common binlog
-    dump format); ordering is by chunk name regardless of extension."""
+    dump format); ordering is by chunk name regardless of extension.
+
+    Producer contract: a chunk visible under ``chunk_*`` is COMPLETE.
+    Producers must publish atomically — write to a temp name that the
+    ``chunk_*`` glob cannot see, then ``os.rename`` into place (see
+    ``publish_chunk``). A tailer polling mid-copy must never observe a
+    truncated file."""
     return sorted(
         glob.glob(os.path.join(stream_dir, "chunk_*.parquet"))
         + glob.glob(os.path.join(stream_dir, "chunk_*.jsonl")),
         key=os.path.basename,
     )
+
+
+def publish_chunk(src: str, stream_dir: str) -> str:
+    """Atomically publish a finished chunk file into a live stream dir.
+
+    Copies ``src`` to a dot-prefixed temp name (invisible to ``list_chunks``)
+    and renames it into place — the only publish pattern safe against a
+    concurrent tailer. Returns the published path."""
+    import shutil
+
+    dst = os.path.join(stream_dir, os.path.basename(src))
+    tmp = os.path.join(stream_dir, "." + os.path.basename(src) + ".tmp")
+    shutil.copy(src, tmp)
+    os.rename(tmp, dst)
+    return dst
 
 
 _GC_MARKER = "_chunks_gc"

@@ -1,7 +1,6 @@
 """Continuous tail mode (W4) + in-flight config refresh (T1)."""
 
 import os
-import shutil
 import threading
 import time
 
@@ -10,7 +9,7 @@ import pytest
 
 from movex_cdc_ray.config import ConditionConfig
 from movex_cdc_ray.pipelines.replay import lake_to_pandas, run_epoch, tail
-from movex_cdc_ray.sources.stream import list_chunks
+from movex_cdc_ray.sources.stream import list_chunks, publish_chunk
 from movex_cdc_ray.state.manifest import Manifest, new_writer_token
 from movex_cdc_ray.synth import StreamSpec, config_for_spec, expected_lake_state, generate_stream
 
@@ -29,12 +28,14 @@ def test_tail_follows_growing_stream(ray_session, tmp_path):
     generate_stream(staging, SPEC)
     chunks = list_chunks(staging)
     # seed the first chunk so the tailer starts with work
-    shutil.copy(chunks[0], os.path.join(live, os.path.basename(chunks[0])))
+    publish_chunk(chunks[0], live)
 
     def feeder():
         for c in chunks[1:]:
             time.sleep(0.4)
-            shutil.copy(c, os.path.join(live, os.path.basename(c)))
+            # atomic publish: the tailer polls concurrently and must never
+            # see a half-copied parquet (the flake a bare shutil.copy causes)
+            publish_chunk(c, live)
 
     t = threading.Thread(target=feeder)
     t.start()
