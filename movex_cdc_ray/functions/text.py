@@ -184,6 +184,89 @@ class RepetitionScorer:
         return batch
 
 
+class PiiScrubber:
+    """PII detection + redaction — the standard pre-release corpus pass
+    (Dolma / BigScience-ROOTS style): emails, IPv4 addresses and
+    international-format phone numbers are counted and replaced by typed
+    placeholder tokens.
+
+    Patterns are deliberately RE2-compatible (no backrefs / lookarounds)
+    and leftmost-greedy-unambiguous so a DuckDB ``regexp_extract_all`` /
+    ``regexp_replace(..., 'g')`` oracle matches byte-for-byte. Regexes
+    compile once per actor; counting and replacement run in pandas' C
+    loops (``str.count`` / ``str.replace``) — no per-row Python.
+
+    Scale note: this is a pure per-batch map — no shuffle, no state; at
+    100 TB it fuses into whatever read→filter chain precedes it."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    PHONE = r"\+\d{1,3}-\d{3}-\d{3}-\d{4}"
+
+    def __init__(self, text_col: str = "text", out_col: str = "scrubbed"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.email_re = re.compile(self.EMAIL)
+        self.ipv4_re = re.compile(self.IPV4)
+        self.phone_re = re.compile(self.PHONE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        batch["n_emails"] = t.str.count(self.email_re).astype("int64")
+        batch["n_ipv4"] = t.str.count(self.ipv4_re).astype("int64")
+        batch["n_phones"] = t.str.count(self.phone_re).astype("int64")
+        # order matters: phones before IPs would not — the patterns are
+        # disjoint (phone requires a leading '+'), so any order is stable
+        s = t.str.replace(self.email_re, "<EMAIL>", regex=True)
+        s = s.str.replace(self.ipv4_re, "<IP>", regex=True)
+        s = s.str.replace(self.phone_re, "<PHONE>", regex=True)
+        batch[self.out_col] = s
+        return batch
+
+
+class C4LineFilter:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep only
+    lines that end in terminal punctuation AND have at least ``min_words``
+    words; drop the whole document when the lowered text contains the
+    "lorem ipsum" boilerplate marker or a curly brace (code leakage).
+
+    Emits the cleaned text (kept lines re-joined with ``\\n``), kept/total
+    line counts and the doc-level drop flag — callers filter on
+    ``c4_doc_drop`` / empty ``cleaned``. Line explode / mask / groupby-agg
+    are pandas C loops; the whole stage is a shuffle-free per-batch map."""
+
+    TERMINAL = ('.', '!', '?', '"')
+
+    def __init__(self, text_col: str = "text", min_words: int = 5):
+        self.text_col = text_col
+        self.min_words = min_words
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("").reset_index(drop=True)
+        lower = t.str.lower()
+        doc_drop = lower.str.contains("lorem ipsum", regex=False) | t.str.contains(
+            "{", regex=False
+        )
+
+        lines = t.str.split("\n").explode()
+        stripped = lines.str.strip()
+        keep = stripped.str.endswith(self.TERMINAL) & (
+            stripped.str.count(" ") + 1 >= self.min_words
+        )
+        kept = lines[keep]
+        cleaned = kept.groupby(kept.index).agg("\n".join)
+        n_total = lines.groupby(lines.index).size()
+        n_kept = keep.groupby(keep.index).sum()
+
+        docs = pd.RangeIndex(len(t))
+        batch = batch.copy()
+        batch["n_lines_total"] = n_total.reindex(docs, fill_value=0).astype("int64").values
+        batch["n_lines_kept"] = n_kept.reindex(docs, fill_value=0).astype("int64").values
+        batch["c4_doc_drop"] = doc_drop.values
+        batch["cleaned"] = cleaned.reindex(docs, fill_value="").values
+        return batch
+
+
 class LangIdStage:
     """Language ID via stopword-profile scoring (n-gram heuristic class).
 

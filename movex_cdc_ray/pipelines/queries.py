@@ -122,6 +122,33 @@ def _langid_sql() -> str:
         FROM s
         ORDER BY doc_id
     """
+def _hll_sql(p: int = 8) -> str:
+    """DuckDB oracle for the HyperLogLog register table: bucket from md5
+    byte 0 (byte-aligned p=8 layout), rank = 33 - bit_length of the
+    byte-2..5 suffix, where bit_length = length(ltrim(bin(x), '0')) — an
+    exact integer string op, the SQL analog of sketch._bit_length_u32
+    (float log2 would be off-by-one at power-of-two boundaries)."""
+    if p != 8:
+        raise ValueError("oracle hardcodes the byte-aligned p=8 layout")
+    lut = "'0123456789abcdef'"
+
+    def b(k: int) -> str:  # md5 byte k (0-based) from the lowercase hex form
+        return (
+            f"((strpos({lut}, substr(hx, {2 * k + 1}, 1)) - 1)::BIGINT * 16"
+            f" + strpos({lut}, substr(hx, {2 * k + 2}, 1)) - 1)"
+        )
+
+    suffix = f"({b(2)} * 16777216 + {b(3)} * 65536 + {b(4)} * 256 + {b(5)})"
+    return f"""
+        WITH d AS (SELECT md5(text) AS hx FROM documents WHERE text IS NOT NULL)
+        SELECT CAST({b(0)} AS BIGINT) AS bucket,
+               CAST(MAX(33 - length(ltrim(bin({suffix}), '0'))) AS BIGINT) AS max_rank
+        FROM d
+        GROUP BY bucket
+        ORDER BY bucket
+    """
+
+
 STOPWORDS = {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"}
 
 _EMBEDDING_DIM = 64  # the testdata embeddings tables are 64-wide at every sf
@@ -1419,6 +1446,100 @@ def text_fingerprint(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def text_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction via the SHIPPED PiiScrubber operator.
+
+    The synthetic corpus contains no PII, so the query first injects
+    deterministic doc_id-derived emails / IPv4s / phone numbers (the SQL
+    oracle performs the IDENTICAL string concatenation) — what gets
+    value-checked is the detection counts and the byte-exact redacted text
+    (md5), i.e. the scrubber logic itself."""
+    import hashlib as _hl
+
+    from ..functions.text import PiiScrubber
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        s = d.astype(str)
+        email = " contact user" + s + "@example.com"
+        ip = " from 10." + (d % 256).astype(str) + ".0." + (d % 100).astype(str)
+        phone = (
+            " call +1-" + (100 + d % 900).astype(str)
+            + "-" + (100 + (d * 7) % 900).astype(str)
+            + "-" + (1000 + d % 9000).astype(str)
+        )
+        batch["text"] = (
+            batch["text"].fillna("") + email
+            + ip.where(d % 2 == 0, "") + phone.where(d % 3 == 0, "")
+        )
+        return batch
+
+    out = ds.map_batches(inject, batch_format="pandas").map_batches(
+        PiiScrubber(), batch_format="pandas", concurrency=2
+    )
+    pdf = out.to_pandas()
+    pdf["scrubbed_md5"] = pdf["scrubbed"].map(lambda t: _hl.md5(t.encode()).hexdigest())
+    pdf = pdf[["doc_id", "n_emails", "n_ipv4", "n_phones", "scrubbed_md5"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_c4_filter(sf_dir: str) -> pd.DataFrame:
+    """C4-style line filtering via the SHIPPED C4LineFilter operator.
+
+    Synthetic docs are single unterminated lines, so the query appends
+    deterministic doc_id-keyed lines exercising every rule — a kept line
+    (terminal punct + >=5 words), a too-short line (doc_id%2), an
+    unterminated long line (doc_id%3) and a 'lorem ipsum' doc-drop marker
+    (doc_id%7); the SQL oracle concatenates identically and re-derives
+    kept/total counts, the doc-drop flag and the cleaned-text md5."""
+    import hashlib as _hl
+
+    from ..functions.text import C4LineFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        t = (
+            batch["text"].fillna("")
+            + "\nDocument " + d.astype(str) + " is verified and ends properly."
+        )
+        t = t + pd.Series("\ntoo short.", index=t.index).where(d % 2 == 0, "")
+        t = t + pd.Series(
+            "\nthis line is long enough but lacks terminal punctuation", index=t.index
+        ).where(d % 3 == 0, "")
+        t = t + pd.Series(
+            "\nlorem ipsum dolor sit amet makes this document drop.", index=t.index
+        ).where(d % 7 == 0, "")
+        batch["text"] = t
+        return batch
+
+    out = ds.map_batches(inject, batch_format="pandas").map_batches(
+        C4LineFilter(), batch_format="pandas", concurrency=2
+    )
+    pdf = out.to_pandas()
+    pdf["cleaned_md5"] = pdf["cleaned"].map(lambda t: _hl.md5(t.encode()).hexdigest())
+    pdf["c4_doc_drop"] = pdf["c4_doc_drop"].astype("int64")
+    pdf = pdf[["doc_id", "n_lines_total", "n_lines_kept", "c4_doc_drop", "cleaned_md5"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """Distributed HyperLogLog over documents.text: per-batch register fold
+    (<= 2^p rows leave each batch) + ONE register-sized groupby merge — the
+    mergeable-sketch shape that counts distincts at 100 TB without a
+    corpus-wide shuffle. Returns the full (bucket, max_rank) register table,
+    value-checked byte-for-byte against the md5-hex SQL re-derivation; the
+    estimator over these registers is tested vs exact distinct in pytest."""
+    from ..functions.sketch import hll_registers
+
+    ds = _read(sf_dir, "documents", ["text"])
+    pdf = hll_registers(ds, "text", p=8).to_pandas()
+    return pdf.sort_values("bucket").reset_index(drop=True)
+
+
 def corpus_clean(sf_dir: str) -> pd.DataFrame:
     """Composed training-data cleaning pipeline: quality filter (length +
     stopword-ratio gates) → exact dedup (first doc per content wins) →
@@ -2006,6 +2127,9 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_repetition": text_repetition,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "text_c4_filter": text_c4_filter,
+    "approx_distinct_hll": approx_distinct_hll,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2551,6 +2675,85 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(lower(trim(text))) AS fingerprint_md5
         FROM documents
         ORDER BY doc_id
+    """,
+    # mirrors text_pii_scrub: identical deterministic PII injection, then
+    # RE2 patterns identical to PiiScrubber.{EMAIL,IPV4,PHONE}; counts on
+    # the augmented text, redaction order email -> ip -> phone
+    "text_pii_scrub": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com'
+                   || CASE WHEN doc_id % 2 = 0
+                        THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                        ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' call +1-' || (100 + doc_id % 900) || '-'
+                             || (100 + (doc_id * 7) % 900) || '-'
+                             || (1000 + doc_id % 9000)
+                        ELSE '' END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t,
+                 '\+\d{1,3}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+\d{1,3}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM aug
+        ORDER BY doc_id
+    """,
+    "approx_distinct_hll": _hll_sql(),
+    # mirrors text_c4_filter: identical line injection; keep = trimmed line
+    # ends in [.!?"] AND has >= 5 space-delimited words; doc drop = lorem
+    # ipsum / curly brace; cleaned = kept ORIGINAL lines joined by \n
+    "text_c4_filter": r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || chr(10) || 'Document ' || doc_id
+                      || ' is verified and ends properly.'
+                   || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'too short.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+                        || 'this line is long enough but lacks terminal punctuation'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                        || 'lorem ipsum dolor sit amet makes this document drop.'
+                        ELSE '' END AS t
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS line,
+                 generate_subscripts(string_split(t, chr(10)), 1) AS i
+          FROM aug
+        ),
+        flags AS (
+          SELECT doc_id, line, i,
+                 (regexp_matches(trim(line), '[.!?"]$')
+                  AND length(trim(line)) - length(replace(trim(line), ' ', '')) + 1 >= 5)
+                 AS keep
+          FROM lines
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines_total,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                 md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY i), '')) AS cleaned_md5
+          FROM flags GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_lines_total, a.n_lines_kept,
+               CAST(CASE WHEN contains(lower(g.t), 'lorem ipsum')
+                          OR contains(g.t, '{') THEN 1 ELSE 0 END AS BIGINT)
+                 AS c4_doc_drop,
+               a.cleaned_md5
+        FROM agg a JOIN aug g USING (doc_id)
+        ORDER BY a.doc_id
     """,
     # mirrors RepetitionScorer: lines split on \n (empties kept), words =
     # [a-z0-9_]+ over lowered text, top-2-gram tie-break (cnt, glen, gram)

@@ -1,0 +1,138 @@
+"""PII scrubbing, C4 line filtering and HyperLogLog sketch operators."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from movex_cdc_ray.functions.sketch import (
+    HllPartialStage,
+    _bit_length_u32,
+    approx_distinct,
+    hll_estimate,
+    hll_registers,
+)
+from movex_cdc_ray.functions.text import C4LineFilter, PiiScrubber
+
+
+def test_pii_scrubber_counts_and_redaction():
+    batch = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail alice@example.com and bob.smith+x@sub.domain.org today",
+                "server at 192.168.0.1 and 10.0.0.255, call +1-555-123-4567",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = PiiScrubber()(batch)
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0]
+    assert out["scrubbed"][0] == "mail <EMAIL> and <EMAIL> today"
+    assert out["scrubbed"][1] == "server at <IP> and <IP>, call <PHONE>"
+    assert out["scrubbed"][2] == "nothing sensitive here"
+
+
+def test_pii_scrubber_version_like_numbers_not_ips():
+    # \b guards: a 4-part dotted string inside a word is still matched only
+    # on digit boundaries; 3-part version strings never match
+    out = PiiScrubber()(pd.DataFrame({"text": ["v1.2.3 released, api 1.2.3.4 live"]}))
+    assert out["n_ipv4"].tolist() == [1]
+    assert out["scrubbed"][0] == "v1.2.3 released, api <IP> live"
+
+
+def test_c4_line_filter_rules():
+    doc = "\n".join(
+        [
+            "This line is long enough and ends with a period.",
+            "too short.",
+            "this long line has plenty of words but no terminal punctuation",
+            '"A quoted sentence with enough words to pass the filter."',
+            "",
+        ]
+    )
+    out = C4LineFilter()(pd.DataFrame({"text": [doc, "keep {code} away. " * 6]}))
+    assert out["n_lines_total"].tolist() == [5, 1]
+    # 2nd doc's line survives line rules (strip removes the trailing space);
+    # it is excluded by the DOC-level drop flag, which callers filter on
+    assert out["n_lines_kept"].tolist() == [2, 1]
+    assert not out["c4_doc_drop"][0]
+    assert out["c4_doc_drop"][1]  # curly brace -> doc drop
+    kept = out["cleaned"][0].split("\n")
+    assert kept == [
+        "This line is long enough and ends with a period.",
+        '"A quoted sentence with enough words to pass the filter."',
+    ]
+
+
+def test_c4_lorem_ipsum_drop():
+    out = C4LineFilter()(pd.DataFrame({"text": ["Fine text. Lorem Ipsum dolor."]}))
+    assert out["c4_doc_drop"].tolist() == [True]
+
+
+def _reference_registers(values, p=8):
+    regs = {}
+    for v in values:
+        dig = hashlib.md5(v.encode()).digest()
+        bucket = ((dig[0] << 8) | dig[1]) >> (16 - p)
+        suffix = int.from_bytes(dig[2:6], "big")
+        rank = 33 - suffix.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def test_bit_length_u32_exact():
+    xs = np.array([0, 1, 2, 3, 7, 8, 255, 256, 2**16 - 1, 2**16, 2**31, 2**32 - 1], dtype=np.uint32)
+    assert _bit_length_u32(xs).tolist() == [int(v).bit_length() for v in xs]
+
+
+def test_hll_registers_match_reference(ray_session):
+    values = [f"doc-{i % 700}" for i in range(3000)]  # 700 distinct, many dups
+    ds = rd.from_arrow(pa.table({"text": values})).repartition(4)
+    got = hll_registers(ds, "text", p=8).to_pandas().sort_values("bucket")
+    ref = _reference_registers(sorted(set(values)))
+    assert dict(zip(got["bucket"], got["max_rank"])) == ref
+
+
+def test_hll_merge_invariance(ray_session):
+    # registers are max-mergeable: sketching two halves separately and
+    # max-merging equals sketching the union (the multi-day composition)
+    a = [f"a-{i}" for i in range(400)]
+    b = [f"b-{i}" for i in range(400)] + a[:100]
+    ra = hll_registers(rd.from_arrow(pa.table({"text": a})), "text").to_pandas()
+    rb = hll_registers(rd.from_arrow(pa.table({"text": b})), "text").to_pandas()
+    merged = (
+        pd.concat([ra, rb]).groupby("bucket", as_index=False)["max_rank"].max()
+    )
+    ru = hll_registers(rd.from_arrow(pa.table({"text": a + b})), "text").to_pandas()
+    assert dict(zip(merged["bucket"], merged["max_rank"])) == dict(
+        zip(ru["bucket"], ru["max_rank"])
+    )
+
+
+def test_hll_estimate_accuracy(ray_session):
+    true_n = 5000
+    ds = rd.from_arrow(pa.table({"text": [f"item-{i}" for i in range(true_n)]})).repartition(4)
+    est = approx_distinct(ds, "text", p=8)
+    # standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - true_n) / true_n < 0.20
+
+
+def test_hll_nulls_skipped(ray_session):
+    ds = rd.from_arrow(pa.table({"text": pa.array(["x", None, "y", None], pa.string())}))
+    regs = hll_registers(ds, "text").to_pandas()
+    assert dict(zip(regs["bucket"], regs["max_rank"])) == _reference_registers(["x", "y"])
+
+
+def test_hll_partial_stage_bounds_output():
+    # a 10k-row batch folds to at most 2^p partial rows
+    t = pa.table({"text": [f"r{i}" for i in range(10_000)]})
+    out = HllPartialStage("text", p=8)(t)
+    assert len(out) <= 256
+    est = hll_estimate(out.to_pandas().rename(columns={"rank": "max_rank"}), 8)
+    assert abs(est - 10_000) / 10_000 < 0.20
