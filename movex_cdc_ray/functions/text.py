@@ -334,6 +334,110 @@ class Fingerprinter:
         return batch
 
 
+def bigram_lm_scores(
+    ds,
+    sample_mod: int = 5,
+    alpha: float = 0.1,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style LM quality filter (Wenzek et al. 2020): score every
+    document by its average negative log-likelihood under an add-alpha
+    bigram model trained on a deterministic corpus sample.
+
+    Train pass (distributed): docs with ``doc_id % sample_mod == 0``
+    contribute (w1, w2) bigram counts — folded per batch BEFORE one
+    bigram-vocabulary-sized groupby (the combiner shape). The unigram-left
+    table derives from the bigram table (c1(w1) = Σ_w2 c2(w1, w2)); V is
+    the training docs' distinct-token count via the same fold→groupby
+    shape. Both count maps broadcast ONCE via ``ray.put``.
+
+    Score pass: per batch, tokens explode → bigrams via groupby-shift,
+    counts via dict map, nll = -ln((c2+α)/(c1+α·V)) vectorized; docs with
+    fewer than 2 tokens score 0. Scores round to 6 decimals for
+    reproducible ordering vs the SQL oracle.
+
+    Scale: the broadcast bigram map is sample-sized, not corpus-sized —
+    at 100 TB keep ``sample_mod`` high and raise ``min_count`` to cut the
+    singleton tail (documented approximation: pruned bigrams fall back to
+    the α numerator, slightly RAISING their nll)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch[id_col] % sample_mod == 0]
+        toks = sel[text_col].fillna("").str.lower().str.findall(word_re)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        f = pd.DataFrame({"doc": ex.index, "w1": ex.values})
+        f["w2"] = f.groupby("doc")["w1"].shift(-1)
+        f = f[f["w2"].notna()]
+        return f.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+
+    def token_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch[id_col] % sample_mod == 0]
+        toks = sel[text_col].fillna("").str.lower().str.findall(word_re)
+        uniq = set()
+        for ts in toks:
+            uniq.update(ts)
+        return pd.DataFrame({"w": sorted(uniq)})
+
+    c2_tbl = (
+        ds.map_batches(bigram_partials, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n2"))
+        .to_pandas()
+    )
+    if min_count > 1:
+        c2_tbl = c2_tbl[c2_tbl["n2"] >= min_count]
+    c1_tbl = c2_tbl.groupby("w1", as_index=False)["n2"].sum().rename(columns={"n2": "n1"})
+    vocab_n = (
+        ds.map_batches(token_partials, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    c2_ref = ray.put(dict(zip(c2_tbl["w1"] + " " + c2_tbl["w2"], c2_tbl["n2"].astype("int64"))))
+    c1_ref = ray.put(dict(zip(c1_tbl["w1"], c1_tbl["n1"].astype("int64"))))
+
+    class ScoreStage:
+        def __init__(self):
+            self.c2 = ray.get(c2_ref)
+            self.c1 = ray.get(c1_ref)
+            self.v = float(vocab_n)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            t = batch[text_col].reset_index(drop=True).fillna("")
+            toks = t.str.lower().str.findall(word_re)
+            ex = toks.explode().dropna()
+            docs = pd.RangeIndex(len(batch))
+            out = pd.DataFrame({id_col: batch[id_col].to_numpy()}, index=docs)
+            if ex.empty:
+                out["n_bigrams"] = np.int64(0)
+                out["avg_nll"] = 0.0
+                return out
+            f = pd.DataFrame({"doc": ex.index, "w1": ex.values})
+            f["w2"] = f.groupby("doc")["w1"].shift(-1)
+            f = f[f["w2"].notna()]
+            n2 = (f["w1"] + " " + f["w2"]).map(self.c2).fillna(0).to_numpy(dtype="float64")
+            n1 = f["w1"].map(self.c1).fillna(0).to_numpy(dtype="float64")
+            nll = -np.log((n2 + alpha) / (n1 + alpha * self.v))
+            g = pd.DataFrame({"doc": f["doc"].to_numpy(), "nll": nll}).groupby("doc")["nll"]
+            out["n_bigrams"] = g.size().reindex(docs, fill_value=0).astype("int64").values
+            out["avg_nll"] = np.round(g.mean().reindex(docs, fill_value=0.0).values, 6)
+            return out
+
+    from ._pool import pool_size
+
+    return ds.map_batches(ScoreStage, batch_format="pandas", concurrency=pool_size(4))
+
+
 def tfidf_top_terms(
     ds,
     top_n: int = 3,

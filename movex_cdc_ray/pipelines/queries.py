@@ -1526,6 +1526,19 @@ def text_c4_filter(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def text_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style bigram-LM quality scores via the SHIPPED
+    bigram_lm_scores operator (sample-trained add-alpha bigram model,
+    broadcast counts, vectorized nll). The SQL oracle re-trains the same
+    model from the same deterministic sample and re-scores every doc."""
+    from ..functions.text import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_scores(ds, sample_mod=5, alpha=0.1)
+    pdf = out.to_pandas()[["doc_id", "n_bigrams", "avg_nll"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
     """Distributed HyperLogLog over documents.text: per-batch register fold
     (<= 2^p rows leave each batch) + ONE register-sized groupby merge — the
@@ -2130,6 +2143,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "text_c4_filter": text_c4_filter,
     "approx_distinct_hll": approx_distinct_hll,
+    "text_lm_perplexity": text_lm_perplexity,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2708,6 +2722,47 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """,
     "approx_distinct_hll": _hll_sql(),
+    # mirrors bigram_lm_scores(sample_mod=5, alpha=0.1): same tokenization,
+    # same training sample, c1 derived as the bigram-left marginal, V =
+    # training docs' distinct tokens (all positions)
+    "text_lm_perplexity": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents)
+        ),
+        big AS (
+          SELECT doc_id, w AS w1,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+          FROM tok
+        ),
+        train_big AS (
+          SELECT w1, w2 FROM big WHERE doc_id % 5 = 0 AND w2 IS NOT NULL
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM train_big GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS n1 FROM train_big GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT w) AS vsz FROM tok WHERE doc_id % 5 = 0),
+        scored AS (
+          SELECT b.doc_id,
+                 -ln((COALESCE(c2.n2, 0) + 0.1)
+                     / (COALESCE(c1.n1, 0) + 0.1 * v.vsz)) AS nll
+          FROM big b
+          LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+          LEFT JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN v
+          WHERE b.w2 IS NOT NULL
+        ),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 ROUND(AVG(nll), 6) AS avg_nll
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.avg_nll, 0.0) AS avg_nll
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     # mirrors text_c4_filter: identical line injection; keep = trimmed line
     # ends in [.!?"] AND has >= 5 space-delimited words; doc drop = lorem
     # ipsum / curly brace; cleaned = kept ORIGINAL lines joined by \n
