@@ -168,6 +168,26 @@ def run_queries(num_cpus: int) -> dict:
     return out
 
 
+def host_phase_probe() -> float:
+    """Fingerprint the host's fresh-page first-touch bandwidth (MB/s).
+
+    This VM's hypervisor intermittently throttles page-fault servicing to
+    ~10 MB/s (observed: 100 MB of first-touch pages = 7-14 s while
+    steady-state memcpy holds ~16 GB/s) — which collapses Ray worker
+    startup, object-store writes and every fresh allocation by 10-20x.
+    Recording the probe alongside each bench artifact lets a reader
+    separate engine changes from host phase: healthy is >1000 MB/s,
+    a degraded phase reads single-digit MB/s."""
+    import numpy as np
+
+    n = 32 * 1024 * 1024
+    t0 = time.perf_counter()
+    a = np.empty(n, dtype=np.uint8)
+    a[::4096] = 1  # one touch per 4 KiB page
+    dt = time.perf_counter() - t0
+    return round(n / (1 << 20) / dt, 1)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -207,12 +227,14 @@ def main() -> None:
 
         trials = []
         for i in range(n_trials):
+            phase = host_phase_probe()
             r_lo = run_level(lo)
             r_hi = run_level(hi)
             eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
             trials.append(
                 {
                     "trial": i + 1,
+                    "host_first_touch_mb_s": phase,
                     f"sec_{lo}": r_lo["value"],
                     f"sec_{hi}": r_hi["value"],
                     f"events_per_sec_{lo}": r_lo["events_per_sec"],
@@ -242,11 +264,13 @@ def main() -> None:
                     "trials": trials,
                     "events": SCALING_EVENTS,
                     "sf": SF_DIR,
+                    "host_first_touch_mb_s": [t["host_first_touch_mb_s"] for t in trials],
                 }
             )
         )
         return
 
+    phase = host_phase_probe()
     headline = run_headline(NUM_CPUS)
     queries = {} if "--headline-only" in sys.argv else run_queries(NUM_CPUS)
     print(
@@ -262,6 +286,7 @@ def main() -> None:
                 "events_per_sec": headline["events_per_sec"],
                 "epochs": headline["epochs"],
                 "lake_rows": headline["lake_rows"],
+                "host_first_touch_mb_s": phase,
             }
         )
     )
