@@ -440,3 +440,35 @@ def pack_sequences(
         )
 
     return tok.groupby("rb").map_groups(place, batch_format="pandas")
+
+
+def bottom_k_sample(ds: rd.Dataset, k: int, id_col: str = "doc_id") -> rd.Dataset:
+    """Exact-size deterministic uniform sample: the k smallest
+    md5(CAST(id AS VARCHAR)) order statistics win (bottom-k / KMV).
+
+    Complements ``hash_sample`` (rate-based, size ∝ corpus): bottom-k
+    guarantees EXACTLY k rows regardless of corpus size, with the same
+    determinism/growth-stability (a new doc only enters by evicting the
+    current largest hash). Distributed shape: every batch folds to its own
+    bottom-k inside ``map_batches`` — at most k rows leave any batch, so
+    the final sort+limit runs over ≤ k·n_blocks rows, never the corpus.
+
+    md5 is fed from the Arrow buffer of the stringified id (no per-row
+    Python string objects)."""
+    md5 = hashlib.md5
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        s = pc.cast(ids, pa.string())
+        offs, data = string_offsets_data(s)
+        n = len(s)
+        hx = np.empty(n, dtype=object)
+        for i in range(n):
+            hx[i] = md5(data[offs[i] : offs[i + 1]]).hexdigest()
+        t = pa.table({id_col: ids, "sample_hash": pa.array(hx, pa.string())})
+        idx = pc.sort_indices(t, sort_keys=[("sample_hash", "ascending")])
+        return t.take(idx[:k])
+
+    return ds.map_batches(partial, batch_format="pyarrow").sort("sample_hash").limit(k)

@@ -1015,6 +1015,44 @@ def _flagship_sql() -> str:
     """
 
 
+def cdc_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """SCD Type-2 version history from the change stream — the other
+    canonical lake materialization besides last-writer-wins
+    (cdc_lake_state): every event OPENS a version of its key; the next
+    event for the same key CLOSES it (valid_to_id = successor id, NULL =
+    current). 'error' events are tombstones: they close the prior version
+    and open none — the same delete semantics the merge path applies.
+
+    Scale shape: ONE key-hash shuffle (groupby user_id) with a vectorized
+    sort+shift body per group — the exact partitioning key the lake merge
+    uses, so at 100 TB this materializes alongside it for free."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "valid_from_id": g["event_id"].to_numpy(),
+                "valid_to_id": pd.array(g["event_id"].shift(-1), dtype="Int64"),
+                "event_type": g["event_type"].to_numpy(),
+                "value": g["value"].to_numpy(),
+            }
+        )
+        # tombstones close the predecessor (their id is already its
+        # valid_to_id) but never open a version themselves
+        return out[out["event_type"] != "error"]
+
+    out = ds.groupby("user_id").map_groups(versions, batch_format="pandas")
+    pdf = out.to_pandas()
+    pdf["is_current"] = pdf["valid_to_id"].isna().astype("int64")
+    return (
+        pdf[["user_id", "valid_from_id", "valid_to_id", "event_type", "value", "is_current"]]
+        .sort_values(["user_id", "valid_from_id"])
+        .reset_index(drop=True)
+    )
+
+
 def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
     """The flagship end-to-end pipeline as a driver-visible query: replay a
     deterministic synthetic change stream (north-rule input shape, with
@@ -1627,6 +1665,17 @@ def corpus_sample(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def corpus_sample_bottomk(sf_dir: str) -> pd.DataFrame:
+    """Exact-size deterministic sample (`functions/corpus.py:
+    bottom_k_sample`): k smallest md5(id) order statistics, per-batch
+    bottom-k fold before a tiny global sort+limit."""
+    from ..functions.corpus import bottom_k_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = bottom_k_sample(ds, k=100).to_pandas()
+    return out[["doc_id", "sample_hash"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def text_topk_tokens(sf_dir: str) -> pd.DataFrame:
     """Corpus heavy hitters (`functions/corpus.py:top_tokens`): top-50
     tokens by frequency, per-batch partial counts before one vocab groupby."""
@@ -2144,6 +2193,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_c4_filter": text_c4_filter,
     "approx_distinct_hll": approx_distinct_hll,
     "text_lm_perplexity": text_lm_perplexity,
+    "cdc_scd2_history": cdc_scd2_history,
+    "corpus_sample_bottomk": corpus_sample_bottomk,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2722,6 +2773,30 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """,
     "approx_distinct_hll": _hll_sql(),
+    # mirrors cdc_scd2_history: lead() over ALL events per key (tombstones
+    # close predecessors), then drop tombstone rows
+    "cdc_scd2_history": """
+        SELECT user_id, valid_from_id, valid_to_id, event_type, value,
+               CAST(CASE WHEN valid_to_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_current
+        FROM (
+            SELECT user_id,
+                   event_id AS valid_from_id,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                     AS valid_to_id,
+                   event_type, value
+            FROM events
+        )
+        WHERE event_type <> 'error'
+        ORDER BY user_id, valid_from_id
+    """,
+    "corpus_sample_bottomk": """
+        SELECT doc_id, sample_hash FROM (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_hash
+            FROM documents ORDER BY sample_hash LIMIT 100
+        )
+        ORDER BY doc_id
+    """,
     # mirrors bigram_lm_scores(sample_mod=5, alpha=0.1): same tokenization,
     # same training sample, c1 derived as the bigram-left marginal, V =
     # training docs' distinct tokens (all positions)

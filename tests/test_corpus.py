@@ -119,3 +119,39 @@ def test_mixture_rates_closed_form(ray_session):
     assert got["b"] == 1.0          # 0.5*8/2 clipped
     assert got["c"] == 0.0          # not targeted / zero tokens
     assert out["n_tokens"].tolist() == [10, 2, 0]
+
+
+def test_bottom_k_sample_exact_size_and_growth_stable(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.corpus import bottom_k_sample
+
+    small = rd.from_arrow(pa.table({"doc_id": list(range(500))})).repartition(4)
+    s1 = bottom_k_sample(small, k=50).to_pandas()
+    assert len(s1) == 50
+    # growth stability: adding docs can only evict the largest hashes —
+    # the new sample is a subset-or-rotation drawn from the superset
+    big = rd.from_arrow(pa.table({"doc_id": list(range(1000))})).repartition(4)
+    s2 = bottom_k_sample(big, k=50).to_pandas()
+    assert len(s2) == 50
+    assert s2["sample_hash"].max() <= s1["sample_hash"].max()
+    # determinism
+    s1b = bottom_k_sample(small, k=50).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s1b["doc_id"])
+
+
+def test_bottom_k_partial_bounds_batch_output():
+    import hashlib
+
+    import pyarrow as pa
+
+    from movex_cdc_ray.functions.corpus import bottom_k_sample  # noqa: F401
+    # reference: k smallest md5(str(id)) over the full id range
+    ids = list(range(2000))
+    ref = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:25]
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(8)
+    got = bottom_k_sample(ds, k=25).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(ref)

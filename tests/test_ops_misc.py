@@ -148,3 +148,34 @@ def test_lake_to_lake_migration_via_snapshot(ray_session, tmp_path):
         new.sort_values(["repo", "path"])[cols].reset_index(drop=True),
     )
     assert (new["_last_op"] == "i").all()
+
+
+def test_scd2_history_semantics(ray_session, tmp_path):
+    # crafted stream: u1 has 3 versions, the last closed by a tombstone;
+    # u2 has one open (current) version
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.queries import cdc_scd2_history
+
+    events = pa.table(
+        {
+            "event_id": [1, 3, 5, 7, 2],
+            "user_id": [1, 1, 1, 1, 2],
+            "event_type": ["create", "update", "update", "error", "create"],
+            "value": [10.0, 11.0, 12.0, 0.0, 99.0],
+            "ts": pd.to_datetime([1, 2, 3, 4, 5], unit="s"),
+            "props": ["{}"] * 5,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(events, str(d / "events.parquet"))
+    got = cdc_scd2_history(str(d))
+    u1 = got[got["user_id"] == 1]
+    assert u1["valid_from_id"].tolist() == [1, 3, 5]
+    assert u1["valid_to_id"].tolist() == [3, 5, 7]  # tombstone id closes v3
+    assert u1["is_current"].tolist() == [0, 0, 0]  # tombstoned: no current
+    u2 = got[got["user_id"] == 2]
+    assert u2["valid_to_id"].isna().all() and u2["is_current"].tolist() == [1]
