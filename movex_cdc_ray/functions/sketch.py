@@ -112,3 +112,81 @@ def approx_distinct(ds: rd.Dataset, col: str = "text", p: int = 8) -> float:
     """End-to-end approximate distinct count of ``col``."""
     regs = hll_registers(ds, col, p).to_pandas()
     return hll_estimate(regs, p)
+
+
+class CountMinStage:
+    """Per-batch count-min partial (Cormode & Muthukrishnan 2005): fold the
+    batch's token counts into a d×w counter matrix, emit nonzero cells.
+
+    Like the HLL fold, at most d·w rows leave any batch regardless of batch
+    size, and cells are sum-mergeable — ONE (row, col)-sized groupby merges
+    the corpus; sketches from different days/sources add cell-wise.
+
+    Row hashes derive from a single md5 per DISTINCT token (memoized per
+    actor, vocabulary-bounded): h1 = bytes [0:4], h2 = bytes [4:8],
+    cell_j = (h1 + j·h2) mod w — the standard two-hash family, chosen
+    because the SQL oracle can re-derive it from the same md5 hex."""
+
+    def __init__(self, col: str = "text", d: int = 4, w: int = 1024):
+        import re as _re
+
+        self.col = col
+        self.d = d
+        self.w = w
+        self.word_re = _re.compile(r"[a-z0-9_]+")
+        self.memo: dict[str, tuple[int, int]] = {}
+
+    def _hashes(self, tokens) -> tuple[np.ndarray, np.ndarray]:
+        h1 = np.empty(len(tokens), dtype=np.int64)
+        h2 = np.empty(len(tokens), dtype=np.int64)
+        md5, memo = hashlib.md5, self.memo
+        for i, t in enumerate(tokens):
+            hit = memo.get(t)
+            if hit is None:
+                dig = md5(t.encode()).digest()
+                hit = (int.from_bytes(dig[0:4], "big"), int.from_bytes(dig[4:8], "big"))
+                memo[t] = hit
+            h1[i], h2[i] = hit
+        return h1, h2
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.col].fillna("").str.lower().str.findall(self.word_re)
+        vc = toks.explode().dropna().value_counts()
+        if vc.empty:
+            return pd.DataFrame(
+                {"row": pd.Series([], dtype="int64"),
+                 "col": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        h1, h2 = self._hashes(vc.index.to_numpy())
+        cnt = vc.to_numpy(dtype=np.int64)
+        m = np.zeros((self.d, self.w), dtype=np.int64)
+        for j in range(self.d):  # d is 4: four vector scatters, not a token loop
+            np.add.at(m[j], (h1 + j * h2) % self.w, cnt)
+        rows, cols = np.nonzero(m)
+        return pd.DataFrame(
+            {"row": rows.astype("int64"), "col": cols.astype("int64"), "n": m[rows, cols]}
+        )
+
+
+def count_min_sketch(ds: rd.Dataset, col: str = "text", d: int = 4, w: int = 1024) -> rd.Dataset:
+    """Distributed count-min sketch: (row, col, n) nonzero cells."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(CountMinStage(col, d, w), batch_format="pandas")
+    return partials.groupby(["row", "col"]).aggregate(Sum("n", alias_name="n"))
+
+
+def count_min_query(cells: pd.DataFrame, tokens: list[str], d: int = 4, w: int = 1024) -> dict[str, int]:
+    """Point-estimate token frequencies from a merged cell table: the min
+    over the d row counters (never under-counts; over-counts by at most
+    eps·N with the usual guarantees)."""
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[cells["row"].to_numpy(), cells["col"].to_numpy()] = cells["n"].to_numpy()
+    out = {}
+    for t in tokens:
+        dig = hashlib.md5(t.encode()).digest()
+        h1 = int.from_bytes(dig[0:4], "big")
+        h2 = int.from_bytes(dig[4:8], "big")
+        out[t] = int(min(grid[j, (h1 + j * h2) % w] for j in range(d)))
+    return out

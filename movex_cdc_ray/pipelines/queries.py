@@ -149,6 +149,38 @@ def _hll_sql(p: int = 8) -> str:
     """
 
 
+def _cms_sql(d: int = 4, w: int = 1024) -> str:
+    """DuckDB oracle for the count-min cell table: per-token md5, h1/h2
+    from bytes [0:4]/[4:8] via the hex LUT, cell_j = (h1 + j*h2) mod w —
+    the same two-hash family CountMinStage uses."""
+    lut = "'0123456789abcdef'"
+
+    def b(k: int) -> str:
+        return (
+            f"((strpos({lut}, substr(hx, {2 * k + 1}, 1)) - 1)::BIGINT * 16"
+            f" + strpos({lut}, substr(hx, {2 * k + 2}, 1)) - 1)"
+        )
+
+    h1 = f"({b(0)} * 16777216 + {b(1)} * 65536 + {b(2)} * 256 + {b(3)})"
+    h2 = f"({b(4)} * 16777216 + {b(5)} * 65536 + {b(6)} * 256 + {b(7)})"
+    js = ", ".join(f"({j})" for j in range(d))
+    return f"""
+        WITH tok AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tkn
+          FROM documents
+        ),
+        tc AS (SELECT tkn, COUNT(*) AS n FROM tok GROUP BY tkn),
+        h AS (SELECT n, md5(tkn) AS hx FROM tc),
+        cells AS (
+          SELECT r.j, ({h1} + r.j * {h2}) % {w} AS col, n
+          FROM h CROSS JOIN (VALUES {js}) AS r(j)
+        )
+        SELECT CAST(j AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM cells GROUP BY j, col ORDER BY row, col
+    """
+
+
 STOPWORDS = {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"}
 
 _EMBEDDING_DIM = 64  # the testdata embeddings tables are 64-wide at every sf
@@ -1564,6 +1596,19 @@ def text_c4_filter(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def text_countmin(sf_dir: str) -> pd.DataFrame:
+    """Distributed count-min sketch over document tokens: per-batch d×w
+    cell fold (≤ d·w rows leave any batch) + one cell-sized groupby sum —
+    the sum-mergeable frequency sketch beside HLL's max-mergeable
+    cardinality sketch. Full register-level value oracle; the min-row
+    point estimator is tested vs exact counts in pytest."""
+    from ..functions.sketch import count_min_sketch
+
+    ds = _read(sf_dir, "documents", ["text"])
+    pdf = count_min_sketch(ds, "text").to_pandas()
+    return pdf.sort_values(["row", "col"]).reset_index(drop=True)
+
+
 def text_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     """CCNet-style bigram-LM quality scores via the SHIPPED
     bigram_lm_scores operator (sample-trained add-alpha bigram model,
@@ -1663,6 +1708,57 @@ def corpus_sample(sf_dir: str) -> pd.DataFrame:
         ds, rate=0.2, stratum_col="lang", stratum_rates=CORPUS_SAMPLE_RATES
     ).to_pandas()
     return out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# overlapping half-open [lo, hi) value bands — overlap makes this a true
+# interval join (an event can match several bands), not a binning
+_RANGE_BANDS: list[tuple[int, float, float]] = [
+    (0, 0.0, 50.0), (1, 25.0, 100.0), (2, 50.0, 200.0), (3, 100.0, 300.0),
+    (4, 150.0, 350.0), (5, 0.0, 500.0), (6, 300.0, 480.0), (7, 400.0, 1000.0),
+]
+
+
+def events_range_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast RANGE JOIN (interval-predicate join): each event joins
+    every band whose half-open [lo, hi) interval contains its value, with
+    the OVERLAPPING band dimension broadcast to every task.
+
+    Scale shape: the n×B membership matrix is two vectorized broadcast
+    comparisons per batch, and per-band (count, sum) partials fold
+    IN-BATCH — only B rows leave any batch, one B-row groupby finishes. A
+    broadcast range join assumes a small band side by definition; with a
+    large interval side you bucket both inputs by range and co-partition
+    (the events_asof_join pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ids = np.array([b[0] for b in _RANGE_BANDS], dtype=np.int64)
+    los = np.array([b[1] for b in _RANGE_BANDS])
+    his = np.array([b[2] for b in _RANGE_BANDS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        m = (v[:, None] >= los[None, :]) & (v[:, None] < his[None, :])
+        return pa.table(
+            {
+                "band_id": pa.array(ids, pa.int64()),
+                "n": pa.array(m.sum(axis=0), pa.int64()),
+                "s": pa.array((v[:, None] * m).sum(axis=0), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    out["sum_value_cents"] = np.floor(out["s"] * 100 + 0.5).astype("int64")
+    return (
+        out[["band_id", "n_events", "sum_value_cents"]]
+        .sort_values("band_id")
+        .reset_index(drop=True)
+    )
 
 
 def corpus_sample_bottomk(sf_dir: str) -> pd.DataFrame:
@@ -2195,6 +2291,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_lm_perplexity": text_lm_perplexity,
     "cdc_scd2_history": cdc_scd2_history,
     "corpus_sample_bottomk": corpus_sample_bottomk,
+    "events_range_join": events_range_join,
+    "text_countmin": text_countmin,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2773,6 +2871,7 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """,
     "approx_distinct_hll": _hll_sql(),
+    "text_countmin": _cms_sql(),
     # mirrors cdc_scd2_history: lead() over ALL events per key (tombstones
     # close predecessors), then drop tombstone rows
     "cdc_scd2_history": """
@@ -2796,6 +2895,20 @@ def _build_oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY sample_hash LIMIT 100
         )
         ORDER BY doc_id
+    """,
+    # generated from the same _RANGE_BANDS literal so the two sides can't
+    # drift; LEFT JOIN keeps bands no event falls into
+    "events_range_join": f"""
+        WITH bands(band_id, lo, hi) AS (VALUES
+            {", ".join(f"({i}, {lo!r}, {hi!r})" for i, lo, hi in _RANGE_BANDS)})
+        SELECT b.band_id,
+               CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+               CAST(floor(COALESCE(SUM(e.value), 0) * 100 + 0.5) AS BIGINT)
+                 AS sum_value_cents
+        FROM bands b
+        LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band_id
+        ORDER BY b.band_id
     """,
     # mirrors bigram_lm_scores(sample_mod=5, alpha=0.1): same tokenization,
     # same training sample, c1 derived as the bigram-left marginal, V =

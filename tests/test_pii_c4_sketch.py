@@ -209,3 +209,32 @@ def test_bigram_lm_min_count_prunes(ray_session):
     # BETTER because the c1 marginal shrinks with the pruned table
     assert pruned["avg_nll"][1] > full["avg_nll"][1]
     assert pruned["n_bigrams"].tolist() == full["n_bigrams"].tolist()
+
+
+def test_count_min_never_undercounts(ray_session):
+    from movex_cdc_ray.functions.sketch import count_min_query, count_min_sketch
+
+    texts = ["apple banana apple", "banana cherry", "apple date elderberry fig"] * 20
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(4)
+    cells = count_min_sketch(ds, "text").to_pandas()
+    est = count_min_query(cells, ["apple", "banana", "cherry", "zebra"])
+    assert est["apple"] >= 60 and est["banana"] >= 40 and est["cherry"] >= 20
+    # w=1024 >> vocab here, so collisions are unlikely: estimates are exact
+    assert est["apple"] == 60
+    # absent tokens can only over-count (collision), never appear negative
+    assert est["zebra"] >= 0
+
+
+def test_count_min_sum_mergeable(ray_session):
+    from movex_cdc_ray.functions.sketch import count_min_sketch
+
+    a = ["red green blue"] * 5
+    b = ["green yellow"] * 3
+    ca = count_min_sketch(rd.from_arrow(pa.table({"text": a})), "text").to_pandas()
+    cb = count_min_sketch(rd.from_arrow(pa.table({"text": b})), "text").to_pandas()
+    merged = (
+        pd.concat([ca, cb]).groupby(["row", "col"], as_index=False)["n"].sum()
+    )
+    cu = count_min_sketch(rd.from_arrow(pa.table({"text": a + b})), "text").to_pandas()
+    key = lambda df: dict(zip(zip(df["row"], df["col"]), df["n"]))  # noqa: E731
+    assert key(merged) == key(cu)
