@@ -47,6 +47,11 @@ QUERY_SWEEP = [
     "dedup_clusters",
     "corpus_pack",
     "corpus_decontaminate",
+    "approx_distinct_hll",
+    "text_countmin",
+    "text_pii_scrub",
+    "events_range_join",
+    "cdc_scd2_history",
 ]
 
 
