@@ -269,7 +269,6 @@ def main() -> None:
                     "trials": trials,
                     "events": SCALING_EVENTS,
                     "sf": SF_DIR,
-                    "host_first_touch_mb_s": [t["host_first_touch_mb_s"] for t in trials],
                 }
             )
         )

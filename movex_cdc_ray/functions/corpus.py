@@ -455,20 +455,25 @@ def bottom_k_sample(ds: rd.Dataset, k: int, id_col: str = "doc_id") -> rd.Datase
 
     md5 is fed from the Arrow buffer of the stringified id (no per-row
     Python string objects)."""
-    md5 = hashlib.md5
+    import functools
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        s = pc.cast(ids, pa.string())
-        offs, data = string_offsets_data(s)
-        n = len(s)
-        hx = np.empty(n, dtype=object)
-        for i in range(n):
-            hx[i] = md5(data[offs[i] : offs[i + 1]]).hexdigest()
-        t = pa.table({id_col: ids, "sample_hash": pa.array(hx, pa.string())})
-        idx = pc.sort_indices(t, sort_keys=[("sample_hash", "ascending")])
-        return t.take(idx[:k])
-
+    partial = functools.partial(bottom_k_partial, k=k, id_col=id_col)
     return ds.map_batches(partial, batch_format="pyarrow").sort("sample_hash").limit(k)
+
+
+def bottom_k_partial(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Table:
+    """Per-batch bottom-k fold for ``bottom_k_sample`` — module-level so the
+    '≤ k rows leave any batch' invariant is directly testable."""
+    md5 = hashlib.md5
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    s = pc.cast(ids, pa.string())
+    offs, data = string_offsets_data(s)
+    n = len(s)
+    hx = np.empty(n, dtype=object)
+    for i in range(n):
+        hx[i] = md5(data[offs[i] : offs[i + 1]]).hexdigest()
+    t = pa.table({id_col: ids, "sample_hash": pa.array(hx, pa.string())})
+    idx = pc.sort_indices(t, sort_keys=[("sample_hash", "ascending")])
+    return t.take(idx[:k])

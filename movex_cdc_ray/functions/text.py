@@ -206,9 +206,12 @@ class PiiScrubber:
     def __init__(self, text_col: str = "text", out_col: str = "scrubbed"):
         self.text_col = text_col
         self.out_col = out_col
-        self.email_re = re.compile(self.EMAIL)
-        self.ipv4_re = re.compile(self.IPV4)
-        self.phone_re = re.compile(self.PHONE)
+        # re.ASCII: Python's \d/\b default to Unicode (arabic-indic or
+        # fullwidth digits would match), RE2's are ASCII-only — without the
+        # flag the two sides diverge on non-ASCII digits
+        self.email_re = re.compile(self.EMAIL, re.ASCII)
+        self.ipv4_re = re.compile(self.IPV4, re.ASCII)
+        self.phone_re = re.compile(self.PHONE, re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")
@@ -386,7 +389,9 @@ def bigram_lm_scores(
         uniq = set()
         for ts in toks:
             uniq.update(ts)
-        return pd.DataFrame({"w": sorted(uniq)})
+        # explicit object dtype: an empty set would otherwise produce a
+        # float64 column and a schema-divergent block
+        return pd.DataFrame({"w": pd.Series(sorted(uniq), dtype=object)})
 
     c2_tbl = (
         ds.map_batches(bigram_partials, batch_format="pandas")
@@ -403,6 +408,11 @@ def bigram_lm_scores(
         .aggregate(Count(alias_name="c"))
         .count()
     )
+    if vocab_n == 0:
+        raise ValueError(
+            f"bigram LM training sample is empty (no doc_id % {sample_mod} == 0 "
+            "docs with tokens) — lower sample_mod"
+        )
     c2_ref = ray.put(dict(zip(c2_tbl["w1"] + " " + c2_tbl["w2"], c2_tbl["n2"].astype("int64"))))
     c1_ref = ray.put(dict(zip(c1_tbl["w1"], c1_tbl["n1"].astype("int64"))))
 

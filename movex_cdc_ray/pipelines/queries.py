@@ -122,6 +122,19 @@ def _langid_sql() -> str:
         FROM s
         ORDER BY doc_id
     """
+def _md5_byte_sql(k: int, col: str = "hx") -> str:
+    """SQL for byte k (0-based, as BIGINT) of a LOWERCASE md5-hex column —
+    the single strpos-LUT decoder shared by the sketch oracles (_hll_sql,
+    _cms_sql). The multimodal oracles keep their own uppercase variant
+    (_hx) because DuckDB's hex() emits uppercase while md5() emits
+    lowercase."""
+    lut = "'0123456789abcdef'"
+    return (
+        f"((strpos({lut}, substr({col}, {2 * k + 1}, 1)) - 1)::BIGINT * 16"
+        f" + strpos({lut}, substr({col}, {2 * k + 2}, 1)) - 1)"
+    )
+
+
 def _hll_sql(p: int = 8) -> str:
     """DuckDB oracle for the HyperLogLog register table: bucket from md5
     byte 0 (byte-aligned p=8 layout), rank = 33 - bit_length of the
@@ -130,14 +143,7 @@ def _hll_sql(p: int = 8) -> str:
     (float log2 would be off-by-one at power-of-two boundaries)."""
     if p != 8:
         raise ValueError("oracle hardcodes the byte-aligned p=8 layout")
-    lut = "'0123456789abcdef'"
-
-    def b(k: int) -> str:  # md5 byte k (0-based) from the lowercase hex form
-        return (
-            f"((strpos({lut}, substr(hx, {2 * k + 1}, 1)) - 1)::BIGINT * 16"
-            f" + strpos({lut}, substr(hx, {2 * k + 2}, 1)) - 1)"
-        )
-
+    b = _md5_byte_sql
     suffix = f"({b(2)} * 16777216 + {b(3)} * 65536 + {b(4)} * 256 + {b(5)})"
     return f"""
         WITH d AS (SELECT md5(text) AS hx FROM documents WHERE text IS NOT NULL)
@@ -153,14 +159,7 @@ def _cms_sql(d: int = 4, w: int = 1024) -> str:
     """DuckDB oracle for the count-min cell table: per-token md5, h1/h2
     from bytes [0:4]/[4:8] via the hex LUT, cell_j = (h1 + j*h2) mod w —
     the same two-hash family CountMinStage uses."""
-    lut = "'0123456789abcdef'"
-
-    def b(k: int) -> str:
-        return (
-            f"((strpos({lut}, substr(hx, {2 * k + 1}, 1)) - 1)::BIGINT * 16"
-            f" + strpos({lut}, substr(hx, {2 * k + 2}, 1)) - 1)"
-        )
-
+    b = _md5_byte_sql
     h1 = f"({b(0)} * 16777216 + {b(1)} * 65536 + {b(2)} * 256 + {b(3)})"
     h2 = f"({b(4)} * 16777216 + {b(5)} * 65536 + {b(6)} * 256 + {b(7)})"
     js = ", ".join(f"({j})" for j in range(d))
@@ -1739,11 +1738,14 @@ def events_range_join(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
         m = (v[:, None] >= los[None, :]) & (v[:, None] < his[None, :])
+        # np.where, not v*m: a NULL/NaN value row (m all-False — NaN fails
+        # both comparisons, like SQL's NULL predicate) must contribute 0,
+        # while NaN*False would poison every band's sum
         return pa.table(
             {
                 "band_id": pa.array(ids, pa.int64()),
                 "n": pa.array(m.sum(axis=0), pa.int64()),
-                "s": pa.array((v[:, None] * m).sum(axis=0), pa.float64()),
+                "s": pa.array(np.where(m, v[:, None], 0.0).sum(axis=0), pa.float64()),
             }
         )
 
@@ -2845,7 +2847,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_pii_scrub": r"""
         WITH aug AS (
           SELECT doc_id,
-                 text || ' contact user' || doc_id || '@example.com'
+                 COALESCE(text, '') || ' contact user' || doc_id || '@example.com'
                    || CASE WHEN doc_id % 2 = 0
                         THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
                         ELSE '' END
@@ -2957,7 +2959,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_c4_filter": r"""
         WITH aug AS (
           SELECT doc_id,
-                 text || chr(10) || 'Document ' || doc_id
+                 COALESCE(text, '') || chr(10) || 'Document ' || doc_id
                       || ' is verified and ends properly.'
                    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'too short.'
                         ELSE '' END
@@ -3002,7 +3004,8 @@ def _build_oracle_sql() -> dict[str, str]:
     # [a-z0-9_]+ over lowered text, top-2-gram tie-break (cnt, glen, gram)
     "text_repetition": r"""
         WITH lines AS (
-          SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+          SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS line
+          FROM documents
         ),
         lagg AS (
           SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS chars

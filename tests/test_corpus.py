@@ -145,13 +145,18 @@ def test_bottom_k_partial_bounds_batch_output():
     import hashlib
 
     import pyarrow as pa
-
-    from movex_cdc_ray.functions.corpus import bottom_k_sample  # noqa: F401
-    # reference: k smallest md5(str(id)) over the full id range
-    ids = list(range(2000))
-    ref = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:25]
     import ray.data as rd
 
+    from movex_cdc_ray.functions.corpus import bottom_k_partial, bottom_k_sample
+
+    ids = list(range(2000))
+    # the scale invariant itself: a 2000-row batch folds to exactly k rows
+    folded = bottom_k_partial(pa.table({"doc_id": ids}), k=25)
+    assert len(folded) == 25
+    # and the fold keeps the true bottom-k of ITS batch
+    ref = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:25]
+    assert sorted(folded["doc_id"].to_pylist()) == sorted(ref)
+    # end-to-end across 8 blocks agrees with the single-batch reference
     ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(8)
     got = bottom_k_sample(ds, k=25).to_pandas()
     assert sorted(got["doc_id"]) == sorted(ref)

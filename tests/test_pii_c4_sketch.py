@@ -238,3 +238,38 @@ def test_count_min_sum_mergeable(ray_session):
     cu = count_min_sketch(rd.from_arrow(pa.table({"text": a + b})), "text").to_pandas()
     key = lambda df: dict(zip(zip(df["row"], df["col"]), df["n"]))  # noqa: E731
     assert key(merged) == key(cu)
+
+
+def test_pii_scrubber_ascii_only_digits():
+    # RE2 parity: \d/\b must not match Unicode digits (arabic-indic,
+    # fullwidth) — the DuckDB oracle would count 0 for these
+    out = PiiScrubber()(
+        pd.DataFrame({"text": ["server at ١٢٣.٤٥.٦٧.٨٩ up", "call +１-555-123-4567"]})
+    )
+    assert out["n_ipv4"].tolist() == [0, 0]
+    assert out["n_phones"].tolist() == [0, 0]
+    assert (out["scrubbed"] == out["text"]).all()
+
+
+def test_range_join_null_value_contributes_nothing(ray_session, tmp_path):
+    # a NULL event value must neither crash the cents cast nor poison sums
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.queries import events_range_join
+
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": ["click"] * 3,
+            "value": pa.array([10.0, None, 30.0], pa.float64()),
+            "props": ["{}"] * 3,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(events, str(d / "events.parquet"))
+    got = events_range_join(str(d))
+    band0 = got[got["band_id"] == 0].iloc[0]  # [0, 50): events 10 and 30
+    assert band0["n_events"] == 2 and band0["sum_value_cents"] == 4000
