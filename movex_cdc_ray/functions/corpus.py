@@ -463,7 +463,9 @@ def bottom_k_sample(ds: rd.Dataset, k: int, id_col: str = "doc_id") -> rd.Datase
 
 def bottom_k_partial(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Table:
     """Per-batch bottom-k fold for ``bottom_k_sample`` — module-level so the
-    '≤ k rows leave any batch' invariant is directly testable."""
+    '≤ k rows leave any batch' invariant is directly testable. Payload
+    columns ride along (the sampled quantile sketch needs the sampled
+    rows' values, not just their ids)."""
     md5 = hashlib.md5
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
@@ -474,6 +476,6 @@ def bottom_k_partial(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Tabl
     hx = np.empty(n, dtype=object)
     for i in range(n):
         hx[i] = md5(data[offs[i] : offs[i + 1]]).hexdigest()
-    t = pa.table({id_col: ids, "sample_hash": pa.array(hx, pa.string())})
+    t = batch.append_column("sample_hash", pa.array(hx, pa.string()))
     idx = pc.sort_indices(t, sort_keys=[("sample_hash", "ascending")])
     return t.take(idx[:k])

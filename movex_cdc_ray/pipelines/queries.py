@@ -1763,6 +1763,31 @@ def events_range_join(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_QSKETCH_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def events_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Mergeable approximate quantiles via a deterministic KMV sample:
+    quantiles of the bottom-k-by-md5(id) sample estimate stream quantiles
+    with the standard uniform-sampling rank error (~1/sqrt(k)).
+
+    Composes the shipped ``bottom_k_sample`` primitive — deterministic,
+    exactly-k, and mergeable across shards (union + re-trim) — so the
+    quantile sketch inherits distributed mergeability WITHOUT a custom
+    summary structure (t-digest/KLL centroids aren't byte-reproducible in
+    SQL; this sample is). Full value oracle: DuckDB re-draws the identical
+    sample and interpolates with quantile_cont (= numpy 'linear')."""
+    from ..functions.corpus import bottom_k_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    sample = bottom_k_sample(ds, k=500, id_col="event_id").to_pandas()
+    vals = sample["value"].to_numpy(dtype="float64")
+    est = np.percentile(vals, [q * 100 for q in _QSKETCH_QS], method="linear")
+    return pd.DataFrame(
+        {"q": np.array(_QSKETCH_QS, dtype="float64"), "estimate": np.round(est, 6)}
+    )
+
+
 def corpus_sample_bottomk(sf_dir: str) -> pd.DataFrame:
     """Exact-size deterministic sample (`functions/corpus.py:
     bottom_k_sample`): k smallest md5(id) order statistics, per-batch
@@ -2295,6 +2320,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_sample_bottomk": corpus_sample_bottomk,
     "events_range_join": events_range_join,
     "text_countmin": text_countmin,
+    "events_quantile_sketch": events_quantile_sketch,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2874,6 +2900,24 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "approx_distinct_hll": _hll_sql(),
     "text_countmin": _cms_sql(),
+    # generated from the same _QSKETCH_QS literal; sample = same KMV
+    # bottom-k the corpus_sample_bottomk oracle draws
+    "events_quantile_sketch": (
+        """
+        WITH s AS (
+          SELECT value FROM (
+            SELECT value, md5(CAST(event_id AS VARCHAR)) AS h FROM events
+            ORDER BY h LIMIT 500
+          )
+        )
+        """
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" ROUND(quantile_cont(value, {q}), 6) AS estimate FROM s"
+            for q in _QSKETCH_QS
+        )
+        + "\nORDER BY q"
+    ),
     # mirrors cdc_scd2_history: lead() over ALL events per key (tombstones
     # close predecessors), then drop tombstone rows
     "cdc_scd2_history": """

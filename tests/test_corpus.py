@@ -160,3 +160,32 @@ def test_bottom_k_partial_bounds_batch_output():
     ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(8)
     got = bottom_k_sample(ds, k=25).to_pandas()
     assert sorted(got["doc_id"]) == sorted(ref)
+
+
+def test_quantile_sketch_close_to_exact(ray_session, tmp_path):
+    # the KMV-sample quantile estimates track exact quantiles within the
+    # uniform-sampling rank error (~1/sqrt(500) ≈ 4.5 percentile points)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.queries import events_quantile_sketch
+
+    n = 20_000
+    vals = np.sort(np.arange(n, dtype="float64"))  # uniform 0..n-1
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(np.arange(n), pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n), pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(events, str(d / "events.parquet"))
+    got = events_quantile_sketch(str(d))
+    for q, est in zip(got["q"], got["estimate"]):
+        assert abs(est / n - q) < 0.06, (q, est)
