@@ -162,6 +162,45 @@ def cmd_corpus_prep(args) -> int:
     return 0
 
 
+def cmd_corpus_stats(args) -> int:
+    """One-pass corpus profile from the mergeable-sketch family: HLL
+    approximate distinct texts, count-min-backed frequencies for the exact
+    heavy hitters, and KMV-sampled doc-length quantiles — each sketch is a
+    bounded per-batch fold, so the whole profile costs one streaming scan
+    regardless of corpus size."""
+    import numpy as np
+    import ray.data as rd
+
+    from .functions.corpus import bottom_k_sample, top_tokens
+    from .functions.sketch import approx_distinct, count_min_query, count_min_sketch
+
+    _ray_init(args.num_cpus)
+    path = args.docs if args.docs.endswith(".parquet") else f"{args.docs}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    distinct = approx_distinct(ds, "text")
+    top = top_tokens(ds, k=args.top_k).to_pandas()
+    cells = count_min_sketch(ds, "text").to_pandas()
+    cms = count_min_query(cells, top["token"].tolist())
+    sample = bottom_k_sample(ds, k=500).to_pandas()
+    lens = sample["text"].str.len().to_numpy(dtype="float64")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    quants = dict(zip((str(q) for q in qs), np.round(np.percentile(lens, [q * 100 for q in qs]), 1)))
+    print(
+        json.dumps(
+            {
+                "docs": ds.count(),
+                "approx_distinct_texts": round(distinct),
+                "top_tokens": [
+                    {"token": t, "n": int(n), "cms_estimate": cms[t]}
+                    for t, n in zip(top["token"], top["n"])
+                ],
+                "doc_chars_quantiles_sampled": quants,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_health(args) -> int:
     from .stages.stats import health_check
 
@@ -276,6 +315,12 @@ def main(argv=None) -> int:
     sp.add_argument("--out-dir", required=True)
     common(sp, lake=False, config=False)
     sp.set_defaults(fn=cmd_corpus_prep)
+
+    sp = sub.add_parser("corpus-stats", help="one-pass sketch profile: HLL distinct, heavy hitters + count-min, sampled length quantiles")
+    sp.add_argument("--docs", default="/root/testdata/sf0.001", help="documents.parquet or its sf dir")
+    sp.add_argument("--top-k", type=int, default=10)
+    common(sp, lake=False, config=False)
+    sp.set_defaults(fn=cmd_corpus_stats)
 
     sp = sub.add_parser("health", help="health check from manifests (no data scan)")
     common(sp, config=False)

@@ -52,3 +52,19 @@ def test_cli_synth_health_verify(tmp_path):
     doc = json.loads(out.stdout)
     assert doc["num_partitions"] == 16
     assert doc["tables"][0]["name"] == "FILES"
+
+
+def test_cli_corpus_stats(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "movex_cdc_ray", "corpus-stats",
+         "--docs", "/root/testdata/sf0.001", "--top-k", "3", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["docs"] == 500
+    # HLL at p=8: ~6.5% standard error on 500 distinct texts
+    assert abs(doc["approx_distinct_texts"] - 500) / 500 < 0.2
+    assert len(doc["top_tokens"]) == 3
+    for t in doc["top_tokens"]:
+        assert t["cms_estimate"] >= t["n"]  # count-min never under-counts
+    assert set(doc["doc_chars_quantiles_sampled"]) == {"0.25", "0.5", "0.9", "0.99"}
