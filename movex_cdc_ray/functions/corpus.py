@@ -479,3 +479,50 @@ def bottom_k_partial(batch: pa.Table, k: int, id_col: str = "doc_id") -> pa.Tabl
     t = batch.append_column("sample_hash", pa.array(hx, pa.string()))
     idx = pc.sort_indices(t, sort_keys=[("sample_hash", "ascending")])
     return t.take(idx[:k])
+
+
+def weighted_sample_es(
+    ds: rd.Dataset, k: int, weight_col: str, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Exact-size deterministic WEIGHTED sample (Efraimidis-Spirakis 2006):
+    the k largest ln(u_i)/w_i keys win, where u_i is the md5-uniform of the
+    id — inclusion probability ∝ weight, reproducible, mergeable across
+    shards like ``bottom_k_sample`` (union + re-trim). Rows with weight
+    <= 0 can never be drawn.
+
+    Same bounded-fold shape: each batch keeps its own top-k keys, the
+    global sort+limit touches ≤ k·n_blocks rows. The ln-transform of the
+    classical u^(1/w) key is order-equivalent and avoids pow()
+    (one libm call per row instead of two — and it is the form the SQL
+    oracle reproduces exactly)."""
+    import functools
+
+    partial = functools.partial(_es_partial, k=k, weight_col=weight_col, id_col=id_col)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("es_key", descending=True)
+        .limit(k)
+    )
+
+
+def _es_partial(batch: pa.Table, k: int, weight_col: str, id_col: str) -> pa.Table:
+    """Per-batch E-S top-k fold: u from md5 bytes [0:4] of the stringified
+    id (the exact dyadic (h+1)/2^32 the SQL oracle re-derives), key =
+    ln(u)/w, keep the batch's k largest."""
+    md5 = hashlib.md5
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    s = pc.cast(ids, pa.string())
+    offs, data = string_offsets_data(s)
+    n = len(s)
+    h = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        h[i] = int.from_bytes(md5(data[offs[i] : offs[i + 1]]).digest()[:4], "big")
+    u = (h.astype(np.float64) + 1.0) / 4294967296.0  # (h+1)/2^32 in (0, 1]
+    w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        key = np.where(w > 0, np.log(u) / w, -np.inf)
+    t = batch.append_column("es_key", pa.array(key, pa.float64()))
+    idx = pc.sort_indices(t, sort_keys=[("es_key", "descending")])
+    return t.take(idx[:k])

@@ -1799,6 +1799,21 @@ def corpus_sample_bottomk(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "sample_hash"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def corpus_sample_weighted(sf_dir: str) -> pd.DataFrame:
+    """Exact-size WEIGHTED sample (Efraimidis-Spirakis) of documents with
+    inclusion probability ∝ n_chars — the token-budget-aware complement to
+    the uniform bottom-k sample; deterministic, per-batch bounded fold."""
+    from ..functions.corpus import weighted_sample_es
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 0)), batch_format="pyarrow"
+    )
+    out = weighted_sample_es(ds, k=100, weight_col="n_chars").to_pandas()
+    out["es_key"] = np.round(out["es_key"], 6)
+    return out[["doc_id", "n_chars", "es_key"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def text_topk_tokens(sf_dir: str) -> pd.DataFrame:
     """Corpus heavy hitters (`functions/corpus.py:top_tokens`): top-50
     tokens by frequency, per-batch partial counts before one vocab groupby."""
@@ -2321,6 +2336,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_range_join": events_range_join,
     "text_countmin": text_countmin,
     "events_quantile_sketch": events_quantile_sketch,
+    "corpus_sample_weighted": corpus_sample_weighted,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2900,6 +2916,24 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "approx_distinct_hll": _hll_sql(),
     "text_countmin": _cms_sql(),
+    # mirrors weighted_sample_es: u = (md5-bytes[0:4](id) + 1)/2^32,
+    # key = ln(u)/weight, top-k by key
+    "corpus_sample_weighted": f"""
+        WITH h AS (
+          SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents WHERE n_chars > 0
+        ),
+        keyed AS (
+          SELECT doc_id, n_chars,
+                 ln(({_md5_byte_sql(0)} * 16777216 + {_md5_byte_sql(1)} * 65536
+                     + {_md5_byte_sql(2)} * 256 + {_md5_byte_sql(3)} + 1)
+                    / 4294967296.0) / n_chars AS es_key
+          FROM h
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(es_key, 6) AS es_key
+        FROM (SELECT * FROM keyed ORDER BY es_key DESC LIMIT 100)
+        ORDER BY doc_id
+    """,
     # generated from the same _QSKETCH_QS literal; sample = same KMV
     # bottom-k the corpus_sample_bottomk oracle draws
     "events_quantile_sketch": (

@@ -189,3 +189,35 @@ def test_quantile_sketch_close_to_exact(ray_session, tmp_path):
     got = events_quantile_sketch(str(d))
     for q, est in zip(got["q"], got["estimate"]):
         assert abs(est / n - q) < 0.06, (q, est)
+
+
+def test_weighted_sample_es_properties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.corpus import weighted_sample_es
+
+    # two weight classes: heavy docs (weight 100) vs light (weight 1)
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "w": pa.array([100 if i % 2 == 0 else 1 for i in range(n)], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    got = weighted_sample_es(ds, k=200, weight_col="w").to_pandas()
+    assert len(got) == 200
+    heavy = (got["doc_id"] % 2 == 0).sum()
+    # P(inclusion) ∝ weight: heavy docs should dominate the sample hard
+    assert heavy > 170
+    # deterministic
+    again = weighted_sample_es(ds, k=200, weight_col="w").to_pandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    # zero/negative weights can never be drawn
+    t2 = pa.table(
+        {"doc_id": pa.array(range(20), pa.int64()),
+         "w": pa.array([0] * 10 + [1] * 10, pa.int64())}
+    )
+    g2 = weighted_sample_es(rd.from_arrow(t2), k=10, weight_col="w").to_pandas()
+    assert (g2["doc_id"] >= 10).all()
