@@ -1077,6 +1077,10 @@ def cdc_scd2_history(sf_dir: str) -> pd.DataFrame:
     out = ds.groupby("user_id").map_groups(versions, batch_format="pandas")
     pdf = out.to_pandas()
     pdf["is_current"] = pdf["valid_to_id"].isna().astype("int64")
+    # float64-with-NaN on BOTH sides (SQL casts to DOUBLE): the driver's
+    # value compare needs exact type parity, and NULLABLE ints come back
+    # from DuckDB as float64 anyway
+    pdf["valid_to_id"] = pdf["valid_to_id"].astype("float64")
     return (
         pdf[["user_id", "valid_from_id", "valid_to_id", "event_type", "value", "is_current"]]
         .sort_values(["user_id", "valid_from_id"])
@@ -2955,7 +2959,8 @@ def _build_oracle_sql() -> dict[str, str]:
     # mirrors cdc_scd2_history: lead() over ALL events per key (tombstones
     # close predecessors), then drop tombstone rows
     "cdc_scd2_history": """
-        SELECT user_id, valid_from_id, valid_to_id, event_type, value,
+        SELECT user_id, valid_from_id,
+               CAST(valid_to_id AS DOUBLE) AS valid_to_id, event_type, value,
                CAST(CASE WHEN valid_to_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
                  AS is_current
         FROM (

@@ -19,6 +19,13 @@ SUBSET = [
     "text_quality",
     "corpus_split",
     "corpus_pack",
+    "approx_distinct_hll",
+    "text_countmin",
+    "text_pii_scrub",
+    "events_range_join",
+    "events_quantile_sketch",
+    "cdc_scd2_history",
+    "corpus_sample_weighted",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
@@ -44,6 +51,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype) == "Int64":
+            # nullable-int columns (e.g. scd2 valid_to_id) come back from
+            # DuckDB as float64-with-NaN; compare in that representation
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
