@@ -698,3 +698,113 @@ def embedding_neardup_pairs(
         .sort_values(["a_id", "b_id"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-run dedup: winnowed fingerprints (Lee et al. 2021 shape)
+# ---------------------------------------------------------------------------
+
+
+class WinnowStage:
+    """Per-batch winnowed fingerprints for exact substring-run detection
+    (Schleimer et al. 2003 winnowing; the candidate-generation half of
+    Lee et al. 2021's exact-substring dedup, at word granularity).
+
+    Every word ``n``-gram gets the md5_number_upper hash (the engine's
+    shared SQL-checkable convention); each window of ``s`` consecutive
+    gram positions selects its MINIMUM hash value. Guarantee: two docs
+    sharing a verbatim run of >= n+s-1 consecutive words share at least
+    one selected fingerprint — and because equal fingerprints come from
+    equal n-grams (md5), every candidate pair truly shares an exact
+    n-word substring; no verify pass is needed.
+
+    All hot steps are pandas/numpy C loops: explode + groupby-shift for
+    grams, exact uint64 window-min via s-1 vector minimums (pandas
+    rolling would go through float64 and corrupt 64-bit hashes)."""
+
+    def __init__(self, n: int = 8, s: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+        if n < 2 or s < 2:
+            raise ValueError("need n >= 2 gram words and s >= 2 window positions")
+        self.n = n
+        self.s = s
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word_re = re.compile(r"[a-z0-9_]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {self.id_col: pd.Series([], dtype="int64"),
+             "fp": pd.Series([], dtype="uint64")}
+        )
+        t = batch[self.text_col].reset_index(drop=True).fillna("")
+        ids = batch[self.id_col].reset_index(drop=True).to_numpy()
+        toks = t.str.lower().str.findall(self.word_re)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return empty
+        f = pd.DataFrame({"doc": ex.index.to_numpy(), "w": ex.to_numpy()})
+        gram = f["w"].copy()
+        last = None
+        for k in range(1, self.n):
+            last = f.groupby("doc")["w"].shift(-k)
+            gram = gram + " " + last
+        mask = last.notna().to_numpy()
+        if not mask.any():
+            return empty
+        gram = gram.to_numpy()[mask]
+        gdoc = f["doc"].to_numpy()[mask]
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (int.from_bytes(md5(g.encode()).digest()[:8], "little") for g in gram),
+            dtype=np.uint64,
+            count=len(gram),
+        )
+        # exact window-min over s gram positions, doc-bounded: gram rows of
+        # one doc are contiguous, so window i is valid iff position i+s-1
+        # still belongs to the same doc
+        m = h.copy()
+        for k in range(1, self.s):
+            m[:-k] = np.minimum(m[:-k], h[k:])
+        valid = np.zeros(len(m), dtype=bool)
+        lim = len(m) - (self.s - 1)
+        if lim > 0:
+            valid[:lim] = gdoc[:lim] == gdoc[self.s - 1 :]
+        sel = pd.DataFrame({self.id_col: ids[gdoc[valid]], "fp": m[valid]})
+        return sel.drop_duplicates()
+
+
+def substring_dup_pairs(
+    ds: rd.Dataset,
+    n: int = 8,
+    s: int = 4,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Candidate pairs sharing an exact run of >= n+s-1 words, with the
+    count of shared winnowed fingerprints per pair.
+
+    Shape: per-batch winnow fold (output ∝ selected fingerprints, not
+    words) → ONE fingerprint-bucket groupby → within-bucket pair
+    generation capped at ``max_bucket`` docs (a boilerplate fingerprint
+    shared by thousands of docs would otherwise emit O(d²) pairs — the
+    same hot-bucket guard the LSH verify path uses) → pair-count groupby
+    over the (tiny) pair set."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g[id_col].to_numpy())
+        if len(d) < 2 or len(d) > max_bucket:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"doc_a": d[ii].astype("int64"), "doc_b": d[jj].astype("int64")})
+
+    fps = ds.map_batches(
+        WinnowStage(n=n, s=s, text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+        concurrency=pool_size(4),
+    )
+    pairs = fps.groupby("fp").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))

@@ -1803,6 +1803,37 @@ def corpus_sample_bottomk(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "sample_hash"]].sort_values("doc_id").reset_index(drop=True)
 
 
+_BOILER_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+_BOILER_B = ("uno duo tres quattro quinque sex septem octo novem decem undecim "
+             "duodecim tredecim quattuordecim quindecim sedecim")
+
+
+def dedup_substrings(sf_dir: str) -> pd.DataFrame:
+    """Exact substring-run dedup (Lee et al. 2021 shape) via the SHIPPED
+    winnowed-fingerprint operator: pairs of docs sharing a verbatim run of
+    >= n+s-1 = 11 words, with shared-fingerprint counts.
+
+    The synthetic word-soup corpus has no verbatim runs, so the query
+    appends two deterministic 16-word boilerplate sentences to doc_id%50
+    and doc_id%77 cliques (the SQL oracle concatenates identically) — the
+    detected pair set must be exactly those cliques' pairs."""
+    from ..functions.dedup import substring_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        t = batch["text"].fillna("")
+        t = t + pd.Series(" " + _BOILER_A, index=t.index).where(d % 50 == 0, "")
+        t = t + pd.Series(" " + _BOILER_B, index=t.index).where(d % 77 == 0, "")
+        batch["text"] = t
+        return batch
+
+    out = substring_dup_pairs(ds.map_batches(inject, batch_format="pandas"))
+    pdf = out.to_pandas()
+    return pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def corpus_sample_weighted(sf_dir: str) -> pd.DataFrame:
     """Exact-size WEIGHTED sample (Efraimidis-Spirakis) of documents with
     inclusion probability ∝ n_chars — the token-budget-aware complement to
@@ -2341,6 +2372,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_countmin": text_countmin,
     "events_quantile_sketch": events_quantile_sketch,
     "corpus_sample_weighted": corpus_sample_weighted,
+    "dedup_substrings": dedup_substrings,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2920,6 +2952,52 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "approx_distinct_hll": _hll_sql(),
     "text_countmin": _cms_sql(),
+    # mirrors dedup_substrings/WinnowStage: same injection, same 8-gram
+    # md5_number_upper hashes, window-min over 4 positions (guard =
+    # lead(h,3) keeps only windows fully inside the doc), DISTINCT
+    # (doc, fp), hot-bucket cap 64, pair-count
+    "dedup_substrings": f"""
+        WITH aug AS (
+          SELECT doc_id, COALESCE(text, '')
+            || CASE WHEN doc_id % 50 = 0 THEN ' {_BOILER_A}' ELSE '' END
+            || CASE WHEN doc_id % 77 = 0 THEN ' {_BOILER_B}' ELSE '' END AS t
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM (SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9_]+') AS ws
+                FROM aug)
+        ),
+        seq AS (
+          SELECT doc_id, i, w,
+                 {", ".join(f"lead(w, {k}) OVER win AS w{k}" for k in range(1, 8))}
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        grams AS (
+          SELECT doc_id, i,
+                 md5_number_upper(w || ' ' ||
+                   {" || ' ' || ".join(f"w{k}" for k in range(1, 8))}) AS h
+          FROM seq WHERE w7 IS NOT NULL
+        ),
+        winmin AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 lead(h, 3) OVER (PARTITION BY doc_id ORDER BY i) AS guard
+          FROM grams
+        ),
+        sel AS (SELECT DISTINCT doc_id, fp FROM winmin WHERE guard IS NOT NULL),
+        bs AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sel a
+          JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN bs ON a.fp = bs.fp
+        )
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY doc_a, doc_b
+        ORDER BY doc_a, doc_b
+    """,
     # mirrors weighted_sample_es: u = (md5-bytes[0:4](id) + 1)/2^32,
     # key = ln(u)/weight, top-k by key
     "corpus_sample_weighted": f"""

@@ -290,3 +290,47 @@ def test_ngram_jaccard_pairs_ship_paths_identical(ray_session):
     b = ngram_jaccard_pairs(ds, threshold=0.4, ship="pairs")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert len(a) > 0  # the near-dup family must actually pair up
+
+
+def test_winnow_substring_pairs_detects_shared_runs(ray_session):
+    from movex_cdc_ray.functions.dedup import WinnowStage, substring_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"  # 13 words
+    texts = [
+        "intro words here " + shared + " and a unique tail",
+        shared + " totally different continuation of this document",
+        "no overlap with anything else in this corpus at all whatsoever",
+        "another completely unrelated document with its own words only",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    got = substring_dup_pairs(ds, n=8, s=4).to_pandas()
+    # docs 0 and 1 share a 13-word run >= n+s-1=11 -> guaranteed pair
+    assert [(0, 1)] == list(zip(got["doc_a"], got["doc_b"]))
+    assert (got["n_shared"] >= 1).all()
+
+    # winnow fold bounds: selected fingerprints <= gram count, distinct
+    stage = WinnowStage(n=8, s=4)
+    sel = stage(pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": texts}))
+    assert not sel.duplicated().any()
+    assert set(sel["doc_id"]) <= {0, 1, 2, 3}
+
+
+def test_winnow_no_false_pairs_without_shared_grams(ray_session):
+    from movex_cdc_ray.functions.dedup import substring_dup_pairs
+
+    texts = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h w{i}i w{i}j w{i}k w{i}l" for i in range(6)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(6)), "text": texts}))
+    got = substring_dup_pairs(ds, n=8, s=4).to_pandas()
+    assert len(got) == 0  # equal fingerprints require equal 8-grams
+
+
+def test_winnow_hot_bucket_cap(ray_session):
+    from movex_cdc_ray.functions.dedup import substring_dup_pairs
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    texts = [f"unique{i} " + boiler for i in range(10)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(10)), "text": texts}))
+    capped = substring_dup_pairs(ds, n=8, s=4, max_bucket=5).to_pandas()
+    full = substring_dup_pairs(ds, n=8, s=4, max_bucket=64).to_pandas()
+    assert len(full) == 45  # 10-doc clique
+    assert len(capped) == 0  # boilerplate bucket (10 docs) > cap 5 dropped
