@@ -169,3 +169,34 @@ def test_winners_partition_fallback_matches(ray_session, stream_dir, tmp_path, m
     # winner scratch files are consumed after the merge
     import glob
     assert glob.glob(os.path.join(b, "_winners", "*", "*")) == []
+
+
+def test_empty_capture_epochs_still_commit(ray_session, tmp_path):
+    # a condition that drops EVERY event: each epoch captures zero rows but
+    # must still commit its manifest, advance the chunk ledger, and leave
+    # an empty (or absent) lake; a follow-up unfiltered replay on a FRESH
+    # lake from the same stream converges normally
+    from movex_cdc_ray.state.manifest import Manifest
+
+    spec = StreamSpec(n_events=4_000, n_repos=4, paths_per_repo=20, chunk_size=1_000)
+    stream = str(tmp_path / "s")
+    generate_stream(stream, spec)
+
+    cfg = config_for_spec(spec, num_partitions=4)
+    cfg.tables[0].conditions = [
+        ConditionConfig("I", "pc.equal(c('new_lang'), 'no-such-lang')"),
+        ConditionConfig("U", "pc.equal(c('new_lang'), 'no-such-lang')"),
+        ConditionConfig("D", "pc.equal(c('new_lang'), 'no-such-lang')"),
+    ]
+    lake_empty = str(tmp_path / "l1")
+    rep = replay(stream, lake_empty, cfg, chunks_per_epoch=2)
+    assert rep.epochs == 2 and rep.lake_rows == 0
+    m = Manifest.latest(lake_empty)
+    assert m.chunks_consumed == 4  # ledger advanced past every chunk
+    # resume is a no-op on the fully-consumed stream
+    rep2 = replay(stream, lake_empty, cfg, chunks_per_epoch=2)
+    assert rep2.epochs == 0
+    # sanity: same stream, unfiltered config, fresh lake converges normally
+    lake_full = str(tmp_path / "l2")
+    rep3 = replay(stream, lake_full, config_for_spec(spec, num_partitions=4), chunks_per_epoch=2)
+    assert rep3.lake_rows > 0
