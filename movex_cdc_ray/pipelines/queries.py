@@ -2012,6 +2012,179 @@ def dedup_incremental(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("content_md5").reset_index(drop=True)
 
 
+def _minhash_inc_config(num_partitions: int = 8):
+    """CaptureConfig for incremental MinHash-LSH state: TWO logical tables
+    in one stream (the engine's multi-table isolation) — BANDS keyed by
+    (band_id, band_hash, doc_id) holds LSH bucket membership, DOCS keyed
+    by doc_id holds the text the verify step needs. Band rows carry no
+    text (the 16× replication the batch LSH path also avoids)."""
+    from ..config import (
+        CaptureConfig,
+        ColumnConfig,
+        SchemaConfig,
+        SchemaVersion,
+        TableConfig,
+    )
+
+    v1 = SchemaVersion(
+        version=1,
+        active_from_id=0,
+        payload_fields={
+            "band_id": "int64",
+            "band_hash": "string",
+            "doc_id": "int64",
+            "text": "string",
+        },
+    )
+    bands = TableConfig(
+        name="BANDS", schema_name="CORPUS", table_id=1, topic="lake.corpus.bands",
+        key_handling="P", pk_columns=["band_id", "band_hash", "doc_id"],
+        columns=[ColumnConfig(c) for c in ("band_id", "band_hash", "doc_id")],
+    )
+    docs = TableConfig(
+        name="DOCS", schema_name="CORPUS", table_id=2, topic="lake.corpus.docs",
+        key_handling="P", pk_columns=["doc_id"],
+        columns=[ColumnConfig("doc_id"), ColumnConfig("text")],
+    )
+    return CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS", topic="lake.corpus")],
+        tables=[bands, docs],
+        schema_versions=[v1],
+        num_partitions=num_partitions,
+        capture_parallelism=2,
+    )
+
+
+def dedup_minhash_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup as a CDC replay — the daily-corpus
+    shape: LSH bucket membership is EXACTLY-ONCE lake state, so adding a
+    batch of new docs costs one delta-sized epoch (their band rows), not a
+    corpus rescan, and candidate pairs are confined to buckets the new
+    docs touched. Composition: minhash bands (the batch MinHasher,
+    unchanged) → one stream with two logical tables (BANDS membership /
+    DOCS text) → two replay epochs (old corpus, new batch) → bucket
+    groupby over the converged BANDS lake emitting pairs with >= 1 new
+    member → exact n-gram Jaccard verify.
+
+    Output = the BATCH LSH pipeline's pairs restricted to pairs involving
+    a new doc (doc_id >= cutoff = 80% of the id range) — the SQL oracle
+    replays the batch pipeline with exactly that filter, so incremental
+    and batch semantics are value-locked to each other. The pair set is
+    delta-bounded; the verify here runs on the driver (at corpus scale it
+    is the same per-bucket distributed verify the batch path ships)."""
+    import shutil
+
+    from ..functions.dedup import MinHasher, jaccard
+    from ..pipelines.replay import lake_to_pandas, read_lake, replay
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().sort_values("doc_id")
+    docs = docs.reset_index(drop=True)
+    cutoff = int(docs["doc_id"].max() + 1) * 4 // 5
+
+    mh = MinHasher()
+    sigs = mh(docs[["doc_id", "text"]].copy())
+    band_cols = [f"band_{i}" for i in range(mh.bands)]
+    long = pd.DataFrame(
+        {
+            "doc_id": np.repeat(sigs["doc_id"].to_numpy(), mh.bands),
+            "band_id": np.tile(np.arange(mh.bands, dtype=np.int64), len(sigs)),
+            "band_hash": np.stack([sigs[c].to_numpy() for c in band_cols], axis=1)
+            .astype("uint64")
+            .ravel()
+            .astype(str),
+        }
+    )
+
+    ts = pa.scalar(1_700_000_000_000_000, pa.timestamp("us")).as_py()
+
+    def events_for(sel_docs: pd.DataFrame, sel_bands: pd.DataFrame) -> pa.Table:
+        nb, ndc = len(sel_bands), len(sel_docs)
+        return pa.table(
+            {
+                # ONE monotone id sequence across both tables and epochs
+                # (doc_id-ordered): per-partition watermarks advance past
+                # everything epoch 1 shipped, so epoch-2 ids MUST be larger
+                # — out-of-order ids would be stale-dropped (by design)
+                "id": pa.array(
+                    np.concatenate(
+                        [
+                            sel_bands["doc_id"].to_numpy() * (mh.bands + 4)
+                            + sel_bands["band_id"].to_numpy() + 1,
+                            sel_docs["doc_id"].to_numpy() * (mh.bands + 4) + mh.bands + 1,
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "table_id": pa.array([1] * nb + [2] * ndc, pa.int32()),
+                "op": pa.array(["I"] * (nb + ndc)),
+                "dbuser": pa.array(["corpus"] * (nb + ndc)),
+                "txn_id": pa.nulls(nb + ndc, pa.string()),
+                "created_at": pa.array([ts] * (nb + ndc), pa.timestamp("us")),
+                "retry_count": pa.array(np.zeros(nb + ndc, np.int32)),
+                "new_band_id": pa.array(
+                    np.concatenate([sel_bands["band_id"].to_numpy(), np.zeros(ndc)]).astype("int64")
+                ),
+                "new_band_hash": pa.array(
+                    sel_bands["band_hash"].tolist() + [None] * ndc, pa.string()
+                ),
+                "new_doc_id": pa.array(
+                    np.concatenate([sel_bands["doc_id"].to_numpy(), sel_docs["doc_id"].to_numpy()]).astype("int64")
+                ),
+                "new_text": pa.array([None] * nb + sel_docs["text"].tolist(), pa.string()),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    base = "/tmp/movex_mhinc"
+    stream, lake = os.path.join(base, "stream"), os.path.join(base, "lake")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stream, exist_ok=True)
+    old_m, new_m = docs["doc_id"] < cutoff, docs["doc_id"] >= cutoff
+    oldb_m, newb_m = long["doc_id"] < cutoff, long["doc_id"] >= cutoff
+    pq.write_table(events_for(docs[old_m], long[oldb_m]), os.path.join(stream, "chunk_000000.parquet"))
+    pq.write_table(events_for(docs[new_m], long[newb_m]), os.path.join(stream, "chunk_000001.parquet"))
+    replay(stream, lake, _minhash_inc_config(), chunks_per_epoch=1)
+
+    # candidate pairs from buckets a new doc touched — distributed groupby
+    # over the converged BANDS lake
+    bands_ds = read_lake(lake).filter(lambda r: r["_table_id"] == 1)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["doc_id"].to_numpy().astype("int64"))
+        if len(d) < 2 or d[-1] < cutoff:  # no new member -> nothing new to pair
+            return pd.DataFrame(
+                {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64")}
+            )
+        ii, jj = np.triu_indices(len(d), k=1)
+        a, b = d[ii], d[jj]
+        keep = b >= cutoff  # pair must involve a new doc (b = max of pair)
+        return pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+
+    pairs = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64"),
+             "jac": pd.Series([], dtype="float64")}
+        )
+    # verify with texts from the DOCS lake (candidate ids only)
+    need = np.unique(np.concatenate([pairs["a_id"].to_numpy(), pairs["b_id"].to_numpy()]))
+    lake_pdf = lake_to_pandas(lake)
+    doc_rows = lake_pdf[lake_pdf["_table_id"] == 2]
+    texts = dict(zip(doc_rows["doc_id"].astype("int64"), doc_rows["text"]))
+    jac = np.array([round(jaccard(texts[a], texts[b]), 6) for a, b in zip(pairs["a_id"], pairs["b_id"])])
+    out = pairs.assign(jac=jac)
+    out = out[out["jac"] >= 0.5]
+    out["a_id"] = out["a_id"].astype("int64")
+    out["b_id"] = out["b_id"].astype("int64")
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
 def corpus_prep(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END training-data preparation flagship, composed from the
     engine's corpus operators, streaming between stages:
@@ -2373,6 +2546,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_quantile_sketch": events_quantile_sketch,
     "corpus_sample_weighted": corpus_sample_weighted,
     "dedup_substrings": dedup_substrings,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -2997,6 +3171,15 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM pairs GROUP BY doc_a, doc_b
         ORDER BY doc_a, doc_b
+    """,
+    # the batch LSH pipeline restricted to pairs involving a new doc
+    # (b_id >= cutoff; a_id < b_id, so b_id carries the "any new" test) —
+    # value-locks incremental and batch semantics to each other
+    "dedup_minhash_incremental": f"""
+        WITH pairs AS ({_minhash_sql()})
+        SELECT a_id, b_id, jac FROM pairs
+        WHERE b_id >= (SELECT (MAX(doc_id) + 1) * 4 // 5 FROM documents)
+        ORDER BY a_id, b_id
     """,
     # mirrors weighted_sample_es: u = (md5-bytes[0:4](id) + 1)/2^32,
     # key = ln(u)/weight, top-k by key

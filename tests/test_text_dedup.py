@@ -334,3 +334,23 @@ def test_winnow_hot_bucket_cap(ray_session):
     full = substring_dup_pairs(ds, n=8, s=4, max_bucket=64).to_pandas()
     assert len(full) == 45  # 10-doc clique
     assert len(capped) == 0  # boilerplate bucket (10 docs) > cap 5 dropped
+
+
+def test_minhash_incremental_matches_batch_restriction(ray_session):
+    # incremental (bucket-state CDC replay) must equal the batch LSH
+    # pipeline restricted to pairs involving a new doc; epoch 2 costs only
+    # the new docs' band rows; a re-run resumes as a no-op
+    from movex_cdc_ray.pipelines.queries import (
+        _minhash_inc_config,
+        dedup_minhash_incremental,
+    )
+    from movex_cdc_ray.pipelines.replay import replay
+
+    got = dedup_minhash_incremental("/root/testdata/sf0.001")
+    assert list(got.columns) == ["a_id", "b_id", "jac"]
+    assert (got["b_id"] >= (got["b_id"].max() + 1) * 4 // 5).all() or got.empty
+    # exactly-once: the replay the query ran is resumable — re-running on
+    # the same stream/lake applies nothing
+    rep = replay("/tmp/movex_mhinc/stream", "/tmp/movex_mhinc/lake",
+                 _minhash_inc_config(), chunks_per_epoch=1)
+    assert rep.epochs == 0
