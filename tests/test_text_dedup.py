@@ -354,3 +354,82 @@ def test_minhash_incremental_matches_batch_restriction(ray_session):
     rep = replay("/tmp/movex_mhinc/stream", "/tmp/movex_mhinc/lake",
                  _minhash_inc_config(), chunks_per_epoch=1)
     assert rep.epochs == 0
+
+
+def test_minhash_incremental_update_retires_stale_buckets(ray_session, tmp_path):
+    # a document EDIT in incremental LSH = tombstone its old band rows +
+    # insert the new ones + update DOCS — the CDC engine's D/U ops make
+    # stateful dedup maintenance exact, which append-only LSH state can't do
+    import os
+
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.functions.dedup import MinHasher
+    from movex_cdc_ray.pipelines.queries import _minhash_inc_config
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+
+    mh = MinHasher()
+    stride = mh.bands + 4
+
+    def band_rows(doc_id, text):
+        sig = mh(pd.DataFrame({"doc_id": [doc_id], "text": [text]}))
+        return [int(np.uint64(sig[f"band_{i}"][0])) for i in range(mh.bands)]
+
+    def events(rows):
+        # rows: list of (id, table_id, op, band_id, band_hash, doc_id, text)
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "id": pa.array(cols[0], pa.int64()),
+                "table_id": pa.array(cols[1], pa.int32()),
+                "op": pa.array(cols[2], pa.string()),
+                "dbuser": pa.array(["t"] * len(rows)),
+                "txn_id": pa.nulls(len(rows), pa.string()),
+                "created_at": pa.array([0] * len(rows), pa.timestamp("us")),
+                "retry_count": pa.array([0] * len(rows), pa.int32()),
+                "new_band_id": pa.array(cols[3], pa.int64()),
+                "new_band_hash": pa.array([str(h) if h is not None else None for h in cols[4]], pa.string()),
+                "new_doc_id": pa.array(cols[5], pa.int64()),
+                "new_text": pa.array(cols[6], pa.string()),
+                # D events must key on the OLD image (the row being retired)
+                "old_band_id": pa.array(cols[3], pa.int64()),
+                "old_band_hash": pa.array([str(h) if h is not None else None for h in cols[4]], pa.string()),
+                "old_doc_id": pa.array(cols[5], pa.int64()),
+                "old_text": pa.nulls(len(rows), pa.string()),
+            }
+        )
+
+    t0 = "alpha beta gamma delta epsilon zeta eta theta"
+    t1 = "completely different words nothing shared here at all"
+    stream = str(tmp_path / "s")
+    lake = str(tmp_path / "l")
+    os.makedirs(stream)
+
+    # epoch 1: docs 0 (t0) and 1 (t1) — no near-dups
+    rows = []
+    for d, txt in ((0, t0), (1, t1)):
+        for bi, bh in enumerate(band_rows(d, txt)):
+            rows.append((d * stride + bi + 1, 1, "I", bi, bh, d, None))
+        rows.append((d * stride + mh.bands + 1, 2, "I", 0, None, d, txt))
+    pq.write_table(events(rows), os.path.join(stream, "chunk_000000.parquet"))
+
+    # epoch 2: doc 1 is EDITED to equal t0 -> D its old band rows, I the new
+    base = 10 * stride
+    rows, old_bands, new_bands = [], band_rows(1, t1), band_rows(1, t0)
+    for bi, bh in enumerate(old_bands):
+        rows.append((base + bi + 1, 1, "D", bi, bh, 1, None))
+    for bi, bh in enumerate(new_bands):
+        rows.append((base + mh.bands + bi + 1, 1, "I", bi, bh, 1, None))
+    rows.append((base + 2 * mh.bands + 1, 2, "U", 0, None, 1, t0))
+    pq.write_table(events(rows), os.path.join(stream, "chunk_000001.parquet"))
+
+    replay(stream, lake, _minhash_inc_config(num_partitions=4), chunks_per_epoch=1)
+    lp = lake_to_pandas(lake)
+    bands = lp[lp["_table_id"] == 1]
+    doc1 = bands[bands["doc_id"] == 1]
+    # stale band rows tombstoned, new rows live: doc 1 now shares EVERY
+    # bucket with doc 0 (identical text -> identical signature)
+    assert len(doc1) == mh.bands
+    assert set(doc1["band_hash"]) == set(str(h) for h in band_rows(0, t0))
+    docs_tbl = lp[lp["_table_id"] == 2]
+    assert docs_tbl.set_index("doc_id")["text"][1] == t0
