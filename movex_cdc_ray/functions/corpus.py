@@ -526,3 +526,16 @@ def _es_partial(batch: pa.Table, k: int, weight_col: str, id_col: str) -> pa.Tab
     t = batch.append_column("es_key", pa.array(key, pa.float64()))
     idx = pc.sort_indices(t, sort_keys=[("es_key", "descending")])
     return t.take(idx[:k])
+
+
+def merge_samples(parts: list[pd.DataFrame], k: int, key: str = "sample_hash",
+                  ascending: bool = True) -> pd.DataFrame:
+    """Cross-shard / cross-day sample merge — the 'union + re-trim' the
+    bottom-k and E-S docstrings promise, as an explicit helper: because
+    each row's key is a pure function of the row, the merged top/bottom-k
+    of per-shard samples EQUALS the sample drawn from the union corpus
+    (tested). ``ascending=True`` re-trims bottom-k (``sample_hash``);
+    ``ascending=False`` re-trims E-S (``es_key``)."""
+    merged = pd.concat(parts, ignore_index=True).drop_duplicates()
+    merged = merged.sort_values(key, ascending=ascending, kind="mergesort")
+    return merged.head(k).reset_index(drop=True)

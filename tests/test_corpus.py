@@ -221,3 +221,33 @@ def test_weighted_sample_es_properties(ray_session):
     )
     g2 = weighted_sample_es(rd.from_arrow(t2), k=10, weight_col="w").to_pandas()
     assert (g2["doc_id"] >= 10).all()
+
+
+def test_sample_merge_equals_union_sample(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.corpus import (
+        bottom_k_sample,
+        merge_samples,
+        weighted_sample_es,
+    )
+
+    a_ids, b_ids = list(range(0, 600)), list(range(600, 1100))
+    ta = pa.table({"doc_id": a_ids, "w": [(i % 7) + 1 for i in a_ids]})
+    tb = pa.table({"doc_id": b_ids, "w": [(i % 7) + 1 for i in b_ids]})
+    tu = pa.concat_tables([ta, tb])
+
+    # bottom-k: merge of per-shard samples == union sample
+    sa = bottom_k_sample(rd.from_arrow(ta), k=40).to_pandas()
+    sb = bottom_k_sample(rd.from_arrow(tb), k=40).to_pandas()
+    su = bottom_k_sample(rd.from_arrow(tu), k=40).to_pandas()
+    m = merge_samples([sa, sb], k=40)
+    assert sorted(m["doc_id"]) == sorted(su["doc_id"])
+
+    # E-S weighted: same property with the descending key
+    wa = weighted_sample_es(rd.from_arrow(ta), k=40, weight_col="w").to_pandas()
+    wb = weighted_sample_es(rd.from_arrow(tb), k=40, weight_col="w").to_pandas()
+    wu = weighted_sample_es(rd.from_arrow(tu), k=40, weight_col="w").to_pandas()
+    wm = merge_samples([wa, wb], k=40, key="es_key", ascending=False)
+    assert sorted(wm["doc_id"]) == sorted(wu["doc_id"])
