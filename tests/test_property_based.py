@@ -1,0 +1,86 @@
+"""Hypothesis property tests over the pure kernels (derandomized so CI is
+reproducible): bit math, winnow guarantee, sampler merge, split edges."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from movex_cdc_ray.functions.corpus import merge_samples, split_edges
+from movex_cdc_ray.functions.dedup import WinnowStage, jaccard
+from movex_cdc_ray.functions.sketch import _bit_length_u32
+
+DET = settings(derandomize=True, max_examples=60, deadline=None)
+
+
+@DET
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=200))
+def test_bit_length_matches_python(xs):
+    arr = np.array(xs, dtype=np.uint32)
+    assert _bit_length_u32(arr).tolist() == [int(v).bit_length() for v in xs]
+
+
+@DET
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.01, max_value=10, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=10, max_value=100_000),
+)
+def test_split_edges_partition_the_bucket_space(weights, n_buckets):
+    labels, edges = split_edges(weights, n_buckets)
+    assert labels == list(weights)
+    assert edges[-1] == n_buckets  # tail always owns the last bucket
+    assert all(0 <= a <= b <= n_buckets for a, b in zip(edges, edges[1:]))
+
+
+@DET
+@given(st.text(alphabet="ab ", max_size=60), st.text(alphabet="ab ", max_size=60))
+def test_jaccard_symmetric_bounded(a, b):
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(b, a)
+    assert jaccard(a, a) == 1.0
+
+
+WORDS = st.lists(st.sampled_from([f"w{i}" for i in range(30)]), min_size=0, max_size=40)
+
+
+@DET
+@given(WORDS, WORDS, st.integers(min_value=0, max_value=25))
+def test_winnow_guarantee_shared_run_shares_fingerprint(wa, wb, run_start):
+    # plant a verbatim 11-word run (n + s - 1 for n=8, s=4) into both docs
+    run = [f"run{i}x" for i in range(11)]
+    pos = min(run_start, len(wa))
+    ta = " ".join(wa[:pos] + run + wa[pos:])
+    tb = " ".join(run + wb)
+    stage = WinnowStage(n=8, s=4)
+    sel = stage(pd.DataFrame({"doc_id": [0, 1], "text": [ta, tb]}))
+    fps0 = set(sel[sel["doc_id"] == 0]["fp"])
+    fps1 = set(sel[sel["doc_id"] == 1]["fp"])
+    assert fps0 & fps1, "shared >=11-word run must share a winnowed fingerprint"
+
+
+@DET
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300, unique=True),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=299),
+)
+def test_sample_merge_property_pure(ids, k, cut):
+    # pure-pandas version of the union property: merging shard bottom-k
+    # samples == bottom-k of the union, for any shard split
+    def sample(sub):
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in sub]
+        df = pd.DataFrame({"doc_id": sub, "sample_hash": h})
+        return df.sort_values("sample_hash").head(k).reset_index(drop=True)
+
+    cut = min(cut, len(ids))
+    merged = merge_samples([sample(ids[:cut]), sample(ids[cut:])], k=k)
+    union = sample(ids)
+    assert merged["doc_id"].tolist() == union["doc_id"].tolist()
