@@ -52,6 +52,8 @@ QUERY_SWEEP = [
     "text_pii_scrub",
     "events_range_join",
     "cdc_scd2_history",
+    "dedup_substrings",
+    "corpus_sample_weighted",
 ]
 
 
