@@ -163,11 +163,13 @@ def cmd_corpus_prep(args) -> int:
 
 
 def cmd_corpus_stats(args) -> int:
-    """One-pass corpus profile from the mergeable-sketch family: HLL
-    approximate distinct texts, count-min-backed frequencies for the exact
-    heavy hitters, and KMV-sampled doc-length quantiles — each sketch is a
-    bounded per-batch fold, so the whole profile costs one streaming scan
-    regardless of corpus size."""
+    """Corpus profile from the mergeable-sketch family: HLL approximate
+    distinct texts, count-min-backed frequencies for the exact heavy
+    hitters, and KMV-sampled doc-length quantiles. Each sketch is a
+    bounded per-batch fold costing ONE streaming scan; this verb runs
+    them as separate passes (one scan per sketch) — at corpus scale you
+    fuse the folds into a single map_batches stage emitting all three
+    partials at once."""
     import numpy as np
     import ray.data as rd
 

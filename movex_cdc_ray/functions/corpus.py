@@ -488,7 +488,8 @@ def weighted_sample_es(
     the k largest ln(u_i)/w_i keys win, where u_i is the md5-uniform of the
     id — inclusion probability ∝ weight, reproducible, mergeable across
     shards like ``bottom_k_sample`` (union + re-trim). Rows with weight
-    <= 0 can never be drawn.
+    <= 0 are dropped in the fold and can never be drawn — if fewer than k
+    positive-weight rows exist, the sample is smaller than k.
 
     Same bounded-fold shape: each batch keeps its own top-k keys, the
     global sort+limit touches ≤ k·n_blocks rows. The ln-transform of the
@@ -521,9 +522,13 @@ def _es_partial(batch: pa.Table, k: int, weight_col: str, id_col: str) -> pa.Tab
         h[i] = int.from_bytes(md5(data[offs[i] : offs[i + 1]]).digest()[:4], "big")
     u = (h.astype(np.float64) + 1.0) / 4294967296.0  # (h+1)/2^32 in (0, 1]
     w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        key = np.where(w > 0, np.log(u) / w, -np.inf)
-    t = batch.append_column("es_key", pa.array(key, pa.float64()))
+    # drop non-positive weights HERE: a -inf sentinel would still win a
+    # slot whenever a batch holds fewer than k positive-weight rows,
+    # breaking the 'never drawn' contract
+    pos = w > 0
+    with np.errstate(divide="ignore"):
+        key = np.log(u[pos]) / w[pos]
+    t = batch.filter(pa.array(pos)).append_column("es_key", pa.array(key, pa.float64()))
     idx = pc.sort_indices(t, sort_keys=[("es_key", "descending")])
     return t.take(idx[:k])
 

@@ -2075,7 +2075,7 @@ def dedup_minhash_incremental(sf_dir: str) -> pd.DataFrame:
     import shutil
 
     from ..functions.dedup import MinHasher, jaccard
-    from ..pipelines.replay import lake_to_pandas, read_lake, replay
+    from ..pipelines.replay import read_lake, replay
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas().sort_values("doc_id")
     docs = docs.reset_index(drop=True)
@@ -2172,14 +2172,29 @@ def dedup_minhash_incremental(sf_dir: str) -> pd.DataFrame:
             {"a_id": pd.Series([], dtype="int64"), "b_id": pd.Series([], dtype="int64"),
              "jac": pd.Series([], dtype="float64")}
         )
-    # verify with texts from the DOCS lake (candidate ids only)
+    # verify with texts for the CANDIDATE ids only: the filter runs inside
+    # the distributed lake read, so the driver materializes |candidates|
+    # texts, not the corpus
     need = np.unique(np.concatenate([pairs["a_id"].to_numpy(), pairs["b_id"].to_numpy()]))
-    lake_pdf = lake_to_pandas(lake)
-    doc_rows = lake_pdf[lake_pdf["_table_id"] == 2]
+    need_set = pa.array(need.astype("int64"))
+    doc_rows = (
+        read_lake(lake)
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["_table_id"], 2),
+                    pc.is_in(t["doc_id"].combine_chunks().cast(pa.int64()), value_set=need_set),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     texts = dict(zip(doc_rows["doc_id"].astype("int64"), doc_rows["text"]))
-    jac = np.array([round(jaccard(texts[a], texts[b]), 6) for a, b in zip(pairs["a_id"], pairs["b_id"])])
-    out = pairs.assign(jac=jac)
-    out = out[out["jac"] >= 0.5]
+    # filter on the UNROUNDED jaccard (exactly like the batch verify and
+    # the SQL oracle), round only for display
+    jac = np.array([jaccard(texts[a], texts[b]) for a, b in zip(pairs["a_id"], pairs["b_id"])])
+    out = pairs.assign(jac=np.round(jac, 6))[jac >= 0.5]
     out["a_id"] = out["a_id"].astype("int64")
     out["b_id"] = out["b_id"].astype("int64")
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)

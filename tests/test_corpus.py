@@ -221,6 +221,10 @@ def test_weighted_sample_es_properties(ray_session):
     )
     g2 = weighted_sample_es(rd.from_arrow(t2), k=10, weight_col="w").to_pandas()
     assert (g2["doc_id"] >= 10).all()
+    # ... even when positive-weight rows are SCARCER than k: the sample
+    # shrinks rather than padding with weight-0 rows
+    g3 = weighted_sample_es(rd.from_arrow(t2), k=15, weight_col="w").to_pandas()
+    assert len(g3) == 10 and (g3["doc_id"] >= 10).all()
 
 
 def test_sample_merge_equals_union_sample(ray_session):

@@ -346,9 +346,17 @@ def test_minhash_incremental_matches_batch_restriction(ray_session):
     )
     from movex_cdc_ray.pipelines.replay import replay
 
+    import pyarrow.parquet as _pq
+
     got = dedup_minhash_incremental("/root/testdata/sf0.001")
     assert list(got.columns) == ["a_id", "b_id", "jac"]
-    assert (got["b_id"] >= (got["b_id"].max() + 1) * 4 // 5).all() or got.empty
+    # cutoff from the DOCUMENTS table, not from the result (a result-derived
+    # threshold could never catch an old-old pair leaking through)
+    max_doc = _pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pandas().max()
+    cutoff = int(max_doc + 1) * 4 // 5
+    assert got.empty or (got["b_id"] >= cutoff).all()
     # exactly-once: the replay the query ran is resumable — re-running on
     # the same stream/lake applies nothing
     rep = replay("/tmp/movex_mhinc/stream", "/tmp/movex_mhinc/lake",
