@@ -1088,6 +1088,29 @@ def cdc_scd2_history(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Cumulative per-key aggregates (running sum/count ordered by event
+    id) — the windowed-aggregate family member beside hopping windows and
+    sessionization: one key-hash shuffle, vectorized cumsum per group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "running_n": np.arange(1, len(g) + 1, dtype="int64"),
+                "running_sum_cents": np.floor(
+                    g["value"].to_numpy(dtype="float64").cumsum() * 100 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return _sorted_pdf(out, "user_id", "event_id")
+
+
 def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
     """The flagship end-to-end pipeline as a driver-visible query: replay a
     deterministic synthetic change stream (north-rule input shape, with
@@ -2562,6 +2585,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_sample_weighted": corpus_sample_weighted,
     "dedup_substrings": dedup_substrings,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "events_running_totals": events_running_totals,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3186,6 +3210,16 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM pairs GROUP BY doc_a, doc_b
         ORDER BY doc_a, doc_b
+    """,
+    "events_running_totals": """
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+               CAST(floor(SUM(value) OVER w * 100 + 0.5) AS BIGINT)
+                 AS running_sum_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
     """,
     # the batch LSH pipeline restricted to pairs involving a new doc
     # (b_id >= cutoff; a_id < b_id, so b_id carries the "any new" test) —
