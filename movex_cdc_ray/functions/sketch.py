@@ -195,3 +195,63 @@ def count_min_query(cells: pd.DataFrame, tokens: list[str], d: int = 4, w: int =
         h2 = int.from_bytes(dig[4:8], "big")
         out[t] = int(min(grid[j, (h1 + j * h2) % w] for j in range(d)))
     return out
+
+
+class HllGroupedPartialStage:
+    """Grouped HLL partial: per-batch fold to <= n_batch_groups·2^p
+    (group, bucket, rank) rows — per-domain distinct counts in one scan.
+    Group keys live WITH the registers, so the merge is still ONE
+    register-sized groupby and each group's sketch stays independently
+    mergeable across shards/days."""
+
+    def __init__(self, col: str = "text", group_col: str = "source", p: int = 8):
+        if not 4 <= p <= 16:
+            raise ValueError(f"p must be in [4, 16], got {p}")
+        self.col = col
+        self.group_col = group_col
+        self.p = p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        offs, data = string_offsets_data(text)
+        valid = text.is_valid().to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        bucket = np.empty(n, dtype=np.int64)
+        suffix = np.empty(n, dtype=np.uint32)
+        shift = 16 - self.p
+        for i in range(n):
+            if not valid[i]:
+                bucket[i] = -1
+                suffix[i] = 0
+                continue
+            dig = md5(data[offs[i] : offs[i + 1]]).digest()
+            bucket[i] = ((dig[0] << 8) | dig[1]) >> shift
+            suffix[i] = int.from_bytes(dig[2:6], "big")
+        rank = _RANK_MAX - _bit_length_u32(suffix)
+        # per-(group, bucket) fold via a dense scatter: group codes from
+        # the batch's own dictionary, one matrix max per batch
+        gvals, gcodes = np.unique(
+            batch[self.group_col].to_pandas().to_numpy(dtype=object), return_inverse=True
+        )
+        keep = bucket >= 0
+        regs = np.zeros((len(gvals), 1 << self.p), dtype=np.int64)
+        np.maximum.at(regs, (gcodes[keep], bucket[keep]), rank[keep])
+        gi, bi = np.nonzero(regs)
+        return pa.table(
+            {
+                self.group_col: pa.array(gvals[gi], pa.string()),
+                "bucket": pa.array(bi.astype("int64")),
+                "rank": pa.array(regs[gi, bi], pa.int64()),
+            }
+        )
+
+
+def hll_registers_grouped(
+    ds: rd.Dataset, col: str = "text", group_col: str = "source", p: int = 8
+) -> rd.Dataset:
+    """Per-group HLL register table: (group, bucket, max_rank)."""
+    partials = ds.map_batches(HllGroupedPartialStage(col, group_col, p), batch_format="pyarrow")
+    return partials.groupby([group_col, "bucket"]).aggregate(Max("rank", alias_name="max_rank"))

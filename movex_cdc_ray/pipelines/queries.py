@@ -135,23 +135,25 @@ def _md5_byte_sql(k: int, col: str = "hx") -> str:
     )
 
 
-def _hll_sql(p: int = 8) -> str:
+def _hll_sql(p: int = 8, group_col: str | None = None) -> str:
     """DuckDB oracle for the HyperLogLog register table: bucket from md5
     byte 0 (byte-aligned p=8 layout), rank = 33 - bit_length of the
     byte-2..5 suffix, where bit_length = length(ltrim(bin(x), '0')) — an
     exact integer string op, the SQL analog of sketch._bit_length_u32
-    (float log2 would be off-by-one at power-of-two boundaries)."""
+    (float log2 would be off-by-one at power-of-two boundaries).
+    ``group_col`` emits the grouped-register variant."""
     if p != 8:
         raise ValueError("oracle hardcodes the byte-aligned p=8 layout")
     b = _md5_byte_sql
     suffix = f"({b(2)} * 16777216 + {b(3)} * 65536 + {b(4)} * 256 + {b(5)})"
+    gsel = f"{group_col}, " if group_col else ""
     return f"""
-        WITH d AS (SELECT md5(text) AS hx FROM documents WHERE text IS NOT NULL)
-        SELECT CAST({b(0)} AS BIGINT) AS bucket,
+        WITH d AS (SELECT {gsel}md5(text) AS hx FROM documents WHERE text IS NOT NULL)
+        SELECT {gsel}CAST({b(0)} AS BIGINT) AS bucket,
                CAST(MAX(33 - length(ltrim(bin({suffix}), '0'))) AS BIGINT) AS max_rank
         FROM d
-        GROUP BY bucket
-        ORDER BY bucket
+        GROUP BY {gsel}bucket
+        ORDER BY {gsel}bucket
     """
 
 
@@ -1622,6 +1624,18 @@ def text_c4_filter(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def approx_distinct_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source HLL registers (grouped mergeable sketch): distinct-text
+    counts per domain in ONE scan — group keys live with the registers, so
+    the merge is still one register-sized groupby and each group's sketch
+    merges independently across shards/days."""
+    from ..functions.sketch import hll_registers_grouped
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    pdf = hll_registers_grouped(ds, "text", "source", p=8).to_pandas()
+    return pdf.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
 def text_countmin(sf_dir: str) -> pd.DataFrame:
     """Distributed count-min sketch over document tokens: per-batch d×w
     cell fold (≤ d·w rows leave any batch) + one cell-sized groupby sum —
@@ -2586,6 +2600,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_substrings": dedup_substrings,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "events_running_totals": events_running_totals,
+    "approx_distinct_by_source": approx_distinct_by_source,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3164,6 +3179,7 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """,
     "approx_distinct_hll": _hll_sql(),
+    "approx_distinct_by_source": _hll_sql(group_col="source"),
     "text_countmin": _cms_sql(),
     # mirrors dedup_substrings/WinnowStage: same injection, same 8-gram
     # md5_number_upper hashes, window-min over 4 positions (guard =

@@ -273,3 +273,20 @@ def test_range_join_null_value_contributes_nothing(ray_session, tmp_path):
     got = events_range_join(str(d))
     band0 = got[got["band_id"] == 0].iloc[0]  # [0, 50): events 10 and 30
     assert band0["n_events"] == 2 and band0["sum_value_cents"] == 4000
+
+
+def test_hll_grouped_matches_per_group_reference(ray_session):
+    from movex_cdc_ray.functions.sketch import hll_estimate, hll_registers_grouped
+
+    rows = [(f"g{i % 3}", f"doc-{i % 500}") for i in range(2000)]
+    ds = rd.from_arrow(
+        pa.table({"source": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    ).repartition(4)
+    got = hll_registers_grouped(ds, "text", "source").to_pandas()
+    for g in ("g0", "g1", "g2"):
+        vals = sorted({t for s, t in rows if s == g})
+        ref = _reference_registers(vals)
+        sub = got[got["source"] == g]
+        assert dict(zip(sub["bucket"], sub["max_rank"])) == ref
+        est = hll_estimate(sub.rename(columns={"max_rank": "max_rank"}), 8)
+        assert abs(est - len(vals)) / len(vals) < 0.25
