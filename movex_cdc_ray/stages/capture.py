@@ -258,7 +258,11 @@ class CaptureStage:
             if plan.observed[o]:
                 keep |= op_eq[o]
 
-        # 3) per-op row predicates (M3)
+        # 3) per-op row predicates (M3). SQL trigger semantics: the
+        #    condition must evaluate TRUE to capture — NULL drops the row,
+        #    so a predicate over a schema-evolved column silently excludes
+        #    pre-boundary events (their aligned value is NULL); tested in
+        #    test_replay_e2e.test_condition_on_evolved_column_null_drops
         for o, code in plan.conditions.items():
             rows_o = op_eq[o]
             if not rows_o.any():

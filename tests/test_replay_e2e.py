@@ -200,3 +200,22 @@ def test_empty_capture_epochs_still_commit(ray_session, tmp_path):
     lake_full = str(tmp_path / "l2")
     rep3 = replay(stream, lake_full, config_for_spec(spec, num_partitions=4), chunks_per_epoch=2)
     assert rep3.lake_rows > 0
+
+
+def test_condition_on_evolved_column_null_drops(ray_session, tmp_path):
+    # SQL trigger semantics: a predicate must evaluate TRUE to capture.
+    # Pre-boundary events align the evolved column to NULL, the condition
+    # evaluates NULL, and the event is dropped — so a stars-predicate lake
+    # contains ONLY post-boundary state
+    spec = StreamSpec(n_events=4_000, n_repos=4, paths_per_repo=20,
+                      chunk_size=1_000, evolve_at_event=2_000)
+    stream = str(tmp_path / "s")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    cfg.tables[0].conditions = [ConditionConfig("I", "pc.greater(c('new_stars'), -1)")]
+    lake = str(tmp_path / "l")
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+    got = lake_to_pandas(lake)
+    assert len(got) > 0
+    assert got["stars"].notna().all()
+    assert (got["_last_id"] >= spec.first_id + spec.evolve_at_event).all()
