@@ -633,18 +633,25 @@ def _corpus_prep_sql() -> str:
     """
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+def _read(
+    sf_dir: str, table: str, columns: list[str] | None = None, filter=None
+) -> rd.Dataset:
     """Column-pruned parquet read with a metadata-free schema: the testdata
     files carry pandas schema metadata that makes pa.Schema unhashable, which
     defeats Ray's block-schema deduplication (the 'Failed to hash the
-    schemas' warning) — pass an explicit clean schema instead."""
+    schemas' warning) — pass an explicit clean schema instead.
+
+    ``filter`` (a ``pyarrow.dataset`` expression) pushes row predicates into
+    the parquet scan itself — row groups whose statistics exclude the
+    predicate never leave storage, which is the difference between scanning
+    100 TB and scanning the matching slice."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     full = pq.read_schema(path)
     names = columns or full.names
     clean = pa.schema([pa.field(n, full.field(n).type) for n in names])
-    return rd.read_parquet(path, columns=columns, schema=clean)
+    return rd.read_parquet(path, columns=columns, schema=clean, filter=filter)
 
 
 # ---------------------------------------------------------------------------
@@ -687,8 +694,17 @@ def cdc_lake_state(sf_dir: str) -> pd.DataFrame:
 
 
 def cdc_capture_project_filter(sf_dir: str) -> pd.DataFrame:
-    """M2+M3: per-op column projection + condition predicate, at the read."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    """M2+M3: per-op column projection + condition predicate, AT THE READ —
+    the predicate is pushed into the parquet scan (row-group statistics
+    pruning), so non-matching data never leaves storage; the in-batch
+    filter remains only to catch rows the coarse row-group stats let
+    through."""
+    import pyarrow.dataset as pads
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value"],
+        filter=(pads.field("event_type") == "click") & (pads.field("value") > 100.0),
+    )
     out = ds.map_batches(
         lambda t: t.filter(
             pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 100.0))
