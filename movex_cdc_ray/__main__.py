@@ -165,26 +165,24 @@ def cmd_corpus_prep(args) -> int:
 def cmd_corpus_stats(args) -> int:
     """Corpus profile from the mergeable-sketch family: HLL approximate
     distinct texts, count-min-backed frequencies for the exact heavy
-    hitters, and KMV-sampled doc-length quantiles. Each sketch is a
-    bounded per-batch fold costing ONE streaming scan; this verb runs
-    them as separate passes (one scan per sketch) — at corpus scale you
-    fuse the folds into a single map_batches stage emitting all three
-    partials at once."""
+    hitters, and KMV-sampled doc-length quantiles. The three sketches run
+    as ONE fused streaming scan (`sketch.corpus_profile`: every batch
+    emits the tagged union of its three bounded partials); the exact
+    heavy-hitter pass is the only second read."""
     import numpy as np
     import ray.data as rd
 
-    from .functions.corpus import bottom_k_sample, top_tokens
-    from .functions.sketch import approx_distinct, count_min_query, count_min_sketch
+    from .functions.corpus import top_tokens
+    from .functions.sketch import corpus_profile, count_min_query
 
     _ray_init(args.num_cpus)
     path = args.docs if args.docs.endswith(".parquet") else f"{args.docs}/documents.parquet"
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-    distinct = approx_distinct(ds, "text")
+    prof = corpus_profile(ds, k=500)
+    distinct = prof["approx_distinct"]
     top = top_tokens(ds, k=args.top_k).to_pandas()
-    cells = count_min_sketch(ds, "text").to_pandas()
-    cms = count_min_query(cells, top["token"].tolist())
-    sample = bottom_k_sample(ds, k=500).to_pandas()
-    lens = sample["text"].str.len().to_numpy(dtype="float64")
+    cms = count_min_query(prof["cms_cells"], top["token"].tolist())
+    lens = prof["sample"]["text_chars"].to_numpy(dtype="float64")
     qs = [0.25, 0.5, 0.9, 0.99]
     quants = dict(zip((str(q) for q in qs), np.round(np.percentile(lens, [q * 100 for q in qs]), 1)))
     print(

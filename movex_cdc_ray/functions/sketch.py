@@ -22,6 +22,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max
 
@@ -255,3 +256,108 @@ def hll_registers_grouped(
     """Per-group HLL register table: (group, bucket, max_rank)."""
     partials = ds.map_batches(HllGroupedPartialStage(col, group_col, p), batch_format="pyarrow")
     return partials.groupby([group_col, "bucket"]).aggregate(Max("rank", alias_name="max_rank"))
+
+
+class CorpusProfileStage:
+    """ONE-SCAN fused sketch fold: each batch emits the tagged union of its
+    HLL register partial, count-min cell partial and bottom-k sample
+    partial — the corpus is read once, and everything downstream operates
+    on bounded partials (≤ 2^p + d·w + k rows per batch).
+
+    Unified partial schema: ``kind`` ('hll' | 'cms' | 'bk'), two int64
+    slots ``a``/``b`` (bucket/rank, row/col, doc_id/text_chars), count
+    ``n`` (cms only) and string slot ``s`` (bk sample_hash)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 p: int = 8, d: int = 4, w: int = 1024, k: int = 500):
+        self.hll = HllPartialStage(text_col, p)
+        self.cms = CountMinStage(text_col, d, w)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .corpus import bottom_k_partial
+
+        hll = self.hll(batch)
+        cms = self.cms(batch.to_pandas())
+        bk = bottom_k_partial(batch, self.k, self.id_col)
+        text_chars = pc.utf8_length(
+            pc.coalesce(bk[self.text_col].combine_chunks(), "")
+        ).cast(pa.int64())
+        n_h, n_c, n_b = len(hll), len(cms), len(bk)
+        return pa.table(
+            {
+                "kind": pa.array(["hll"] * n_h + ["cms"] * n_c + ["bk"] * n_b),
+                "a": pa.concat_arrays(
+                    [
+                        hll["bucket"].combine_chunks(),
+                        pa.array(cms["row"].to_numpy(), pa.int64()),
+                        bk[self.id_col].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "b": pa.concat_arrays(
+                    [
+                        hll["rank"].combine_chunks(),
+                        pa.array(cms["col"].to_numpy(), pa.int64()),
+                        text_chars,
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pa.nulls(n_h, pa.int64()),
+                        pa.array(cms["n"].to_numpy(), pa.int64()),
+                        pa.nulls(n_b, pa.int64()),
+                    ]
+                ),
+                "s": pa.concat_arrays(
+                    [
+                        pa.nulls(n_h, pa.string()),
+                        pa.nulls(n_c, pa.string()),
+                        bk["sample_hash"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+
+def corpus_profile(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                   p: int = 8, d: int = 4, w: int = 1024, k: int = 500) -> dict:
+    """One-scan corpus profile: run the fused fold once, then merge each
+    sketch from the TINY partial dataset (materialized once — it is
+    kilobytes per input block, so the corpus itself is never re-read).
+
+    Returns {'approx_distinct': float, 'cms_cells': DataFrame,
+    'sample': DataFrame (id, text_chars, sample_hash)}."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(
+        CorpusProfileStage(text_col, id_col, p, d, w, k), batch_format="pyarrow"
+    ).materialize()
+
+    hll = (
+        parts.filter(expr="kind == 'hll'")
+        .groupby("a")
+        .aggregate(Max("b", alias_name="max_rank"))
+        .to_pandas()
+        .rename(columns={"a": "bucket"})
+    )
+    cms = (
+        parts.filter(expr="kind == 'cms'")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .rename(columns={"a": "row", "b": "col"})
+    )
+    sample = (
+        parts.filter(expr="kind == 'bk'")
+        .sort("s")
+        .limit(k)
+        .to_pandas()
+        .rename(columns={"a": id_col, "b": "text_chars", "s": "sample_hash"})
+    )[[id_col, "text_chars", "sample_hash"]]
+    return {
+        "approx_distinct": hll_estimate(hll, p),
+        "cms_cells": cms,
+        "sample": sample,
+    }

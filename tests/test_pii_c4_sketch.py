@@ -290,3 +290,29 @@ def test_hll_grouped_matches_per_group_reference(ray_session):
         assert dict(zip(sub["bucket"], sub["max_rank"])) == ref
         est = hll_estimate(sub.rename(columns={"max_rank": "max_rank"}), 8)
         assert abs(est - len(vals)) / len(vals) < 0.25
+
+
+def test_corpus_profile_one_scan_matches_unfused(ray_session):
+    from movex_cdc_ray.functions.corpus import bottom_k_sample
+    from movex_cdc_ray.functions.sketch import (
+        approx_distinct,
+        corpus_profile,
+        count_min_sketch,
+    )
+
+    texts = [f"token{i % 37} filler words for doc {i % 211}" for i in range(1500)]
+    t = pa.table({"doc_id": pa.array(range(1500), pa.int64()), "text": texts})
+    ds = rd.from_arrow(t).repartition(5)
+
+    prof = corpus_profile(ds, k=60)
+    # HLL estimate identical to the standalone path
+    assert prof["approx_distinct"] == approx_distinct(ds, "text")
+    # count-min cells identical
+    cells = count_min_sketch(ds, "text").to_pandas()
+    key = lambda df: dict(zip(zip(df["row"], df["col"]), df["n"]))  # noqa: E731
+    assert key(prof["cms_cells"]) == key(cells)
+    # bottom-k sample identical ids, text_chars carried through
+    bk = bottom_k_sample(ds, k=60).to_pandas()
+    assert sorted(prof["sample"]["doc_id"]) == sorted(bk["doc_id"])
+    lens = dict(zip(t["doc_id"].to_pylist(), (len(x) for x in texts)))
+    assert all(lens[d] == c for d, c in zip(prof["sample"]["doc_id"], prof["sample"]["text_chars"]))
