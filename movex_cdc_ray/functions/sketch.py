@@ -233,17 +233,21 @@ class HllGroupedPartialStage:
             suffix[i] = int.from_bytes(dig[2:6], "big")
         rank = _RANK_MAX - _bit_length_u32(suffix)
         # per-(group, bucket) fold via a dense scatter: group codes from
-        # the batch's own dictionary, one matrix max per batch
-        gvals, gcodes = np.unique(
-            batch[self.group_col].to_pandas().to_numpy(dtype=object), return_inverse=True
+        # the batch's own dictionary, one matrix max per batch. factorize
+        # (not np.unique) so a NULL group key forms its own group instead
+        # of raising on None-vs-str comparison — matching SQL GROUP BY.
+        gcodes, gvals = pd.factorize(
+            batch[self.group_col].to_pandas(), use_na_sentinel=False
         )
+        gvals = np.asarray(gvals, dtype=object)
         keep = bucket >= 0
         regs = np.zeros((len(gvals), 1 << self.p), dtype=np.int64)
         np.maximum.at(regs, (gcodes[keep], bucket[keep]), rank[keep])
         gi, bi = np.nonzero(regs)
+        gout = np.where(pd.isna(gvals[gi]), None, gvals[gi])
         return pa.table(
             {
-                self.group_col: pa.array(gvals[gi], pa.string()),
+                self.group_col: pa.array(gout, pa.string()),
                 "bucket": pa.array(bi.astype("int64")),
                 "rank": pa.array(regs[gi, bi], pa.int64()),
             }

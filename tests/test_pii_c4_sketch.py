@@ -316,3 +316,19 @@ def test_corpus_profile_one_scan_matches_unfused(ray_session):
     assert sorted(prof["sample"]["doc_id"]) == sorted(bk["doc_id"])
     lens = dict(zip(t["doc_id"].to_pylist(), (len(x) for x in texts)))
     assert all(lens[d] == c for d, c in zip(prof["sample"]["doc_id"], prof["sample"]["text_chars"]))
+
+
+def test_hll_grouped_null_group_forms_its_own_group(ray_session):
+    from movex_cdc_ray.functions.sketch import hll_registers_grouped
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", None, "a", None], pa.string()),
+            "text": ["t1", "t2", "t3", "t4"],
+        }
+    )
+    got = hll_registers_grouped(rd.from_arrow(t), "text", "source").to_pandas()
+    a = got[got["source"] == "a"]
+    nul = got[got["source"].isna()]
+    assert dict(zip(a["bucket"], a["max_rank"])) == _reference_registers(["t1", "t3"])
+    assert dict(zip(nul["bucket"], nul["max_rank"])) == _reference_registers(["t2", "t4"])
