@@ -217,3 +217,23 @@ def test_dedup_incremental_is_incremental(ray_session):
     rep = replay("/tmp/movex_dedupinc/stream", "/tmp/movex_dedupinc/lake",
                  _dedup_inc_config(), chunks_per_epoch=1)
     assert rep.epochs == 0
+
+
+def test_connected_components_local_matches_distributed(ray_session):
+    # same graph through both paths: the driver-local numpy fixpoint
+    # (edge count under threshold) and the distributed min-label rounds
+    # (threshold 0 forces them) must agree exactly
+    edges = (
+        [(i, i + 1) for i in range(0, 30, 3)]
+        + [(100, 103), (103, 106), (106, 109), (109, 112)]
+        + [(200, 201)]
+    )
+    loc = connected_components(_pairs(edges)).to_pandas().sort_values("node")
+    dist = (
+        connected_components(_pairs(edges), local_edge_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert dict(zip(loc["node"], loc["cluster_id"])) == dict(
+        zip(dist["node"], dist["cluster_id"])
+    )
