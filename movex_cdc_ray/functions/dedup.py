@@ -742,22 +742,30 @@ class WinnowStage:
         ex = toks.explode().dropna()
         if ex.empty:
             return empty
-        f = pd.DataFrame({"doc": ex.index.to_numpy(), "w": ex.to_numpy()})
-        gram = f["w"].copy()
-        last = None
-        for k in range(1, self.n):
-            last = f.groupby("doc")["w"].shift(-k)
-            gram = gram + " " + last
-        mask = last.notna().to_numpy()
-        if not mask.any():
+        # explode keeps each doc's tokens contiguous, so the k-th gram word
+        # is a GLOBAL shift of the token array; a gram is valid iff its
+        # first and last word share a doc. Cheaper than n-1 groupby.shift
+        # calls + n-1 full object-string concatenations: one join per
+        # valid gram, hashed in the same pass.
+        w = ex.to_numpy()
+        docs = ex.index.to_numpy()
+        lim0 = len(w) - self.n + 1
+        if lim0 <= 0:
             return empty
-        gram = gram.to_numpy()[mask]
-        gdoc = f["doc"].to_numpy()[mask]
+        vi = np.nonzero(docs[:lim0] == docs[self.n - 1 :])[0]
+        if len(vi) == 0:
+            return empty
+        parts = [w[k : lim0 + k][vi] for k in range(self.n)]
+        gdoc = docs[vi]
         md5 = hashlib.md5
+        join = " ".join
         h = np.fromiter(
-            (int.from_bytes(md5(g.encode()).digest()[:8], "little") for g in gram),
+            (
+                int.from_bytes(md5(join(g).encode()).digest()[:8], "little")
+                for g in zip(*parts)
+            ),
             dtype=np.uint64,
-            count=len(gram),
+            count=len(vi),
         )
         # exact window-min over s gram positions, doc-bounded: gram rows of
         # one doc are contiguous, so window i is valid iff position i+s-1
