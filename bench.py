@@ -54,6 +54,7 @@ QUERY_SWEEP = [
     "cdc_scd2_history",
     "dedup_substrings",
     "corpus_sample_weighted",
+    "dedup_semantic",
 ]
 
 

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
@@ -698,6 +699,73 @@ def embedding_neardup_pairs(
         .sort_values(["a_id", "b_id"])
         .reset_index(drop=True)
     )
+
+
+def semantic_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): a coarse k-means
+    quantizer clusters the embedding space, then near-dup pairs are found
+    ONLY within each cluster — the quadratic comparison is local to a
+    cell, never corpus-wide.
+
+    Scale shape: the quantizer trains on a deterministic id-filter sample
+    (pushed into the scan), centroids broadcast once via ``ray.put``, the
+    assignment stage streams (one argmax matmul per batch), and the
+    within-cell all-pairs runs inside ``groupby(cell).map_groups`` — one
+    shuffle, each row moves once (vs the exact triangle join's n·B
+    replication). Approximate by design: a cross-cell near-dup pair is
+    missed, which is SemDeDup's documented recall tradeoff; ``n_centroids``
+    scales with corpus size to bound the per-cell quadratic term.
+
+    Deterministic and SQL-checkable end-to-end: the same round-9
+    normalization / fixed-iteration Lloyd contract as ``ivf_topk``, pair
+    filter on round-6 cosine (`queries.py:_semdedup_sql` re-derives the
+    full pipeline, k-means included, in DuckDB)."""
+    from .similarity import _normalize, _round9, _to_matrix, train_coarse_quantizer
+
+    centroids = train_coarse_quantizer(ds, n_centroids, sample_rows, id_col, vec_col)
+    side = ray.put(centroids)
+
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        mat = _round9(_normalize(_to_matrix(batch[vec_col])))
+        cells = np.argmax(mat @ ray.get(side).T, axis=1).astype(np.int64)
+        return batch.select([id_col, vec_col]).append_column("cell", pa.array(cells))
+
+    def pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        mat = _round9(_normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g[vec_col]]
+        )))
+        sims = np.round(mat @ mat.T, 6)
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": sims[ii, jj]})
+
+    pairs = (
+        ds.map_batches(assign_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(pairs_in_cell, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()  # only matching PAIRS reach the driver
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

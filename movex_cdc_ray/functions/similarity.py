@@ -285,6 +285,35 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     return cent
 
 
+def train_coarse_quantizer(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse-quantizer training shared by IVF ANN and
+    SemDeDup-style semantic dedup: collect the SQL-checkable id-filter
+    sample (pushed into the scan at 100 TB) and run the fixed-iteration
+    Lloyd's k-means of ``_kmeans``. Returns round-9 normalized centroids."""
+    sample_rows_list = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
+        batch_format="pyarrow",
+    ).take_all()
+    if not sample_rows_list:
+        raise ValueError(
+            f"k-means training sample is empty: no rows with {id_col} < "
+            f"{sample_rows}. The SQL-checkable sampling contract is an id "
+            "filter — for sparse or offset id spaces raise sample_rows or "
+            "re-key ids to start at 0."
+        )
+    sample_rows_list.sort(key=lambda r: r[id_col])
+    smat = _round9(_normalize(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows_list]
+    )))
+    return _kmeans(smat, n_centroids)
+
+
 def ivf_topk(
     ds: rd.Dataset,
     query_ids: list[int],
@@ -307,22 +336,7 @@ def ivf_topk(
     broadcast. Every matrix is normalized and rounded to 9 decimals so the
     whole pipeline is value-checked against a DuckDB SQL oracle
     (`queries.py:_ivf_sql`)."""
-    sample_rows_list = ds.map_batches(
-        lambda t: t.filter(pa.compute.less(t[id_col], sample_rows)),
-        batch_format="pyarrow",
-    ).take_all()
-    if not sample_rows_list:
-        raise ValueError(
-            f"IVF training sample is empty: no rows with {id_col} < "
-            f"{sample_rows}. The SQL-checkable sampling contract is an id "
-            "filter — for sparse or offset id spaces raise sample_rows or "
-            "re-key ids to start at 0."
-        )
-    sample_rows_list.sort(key=lambda r: r[id_col])
-    smat = _round9(_normalize(np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows_list]
-    )))
-    centroids = _kmeans(smat, n_centroids)
+    centroids = train_coarse_quantizer(ds, n_centroids, sample_rows, id_col, vec_col)
 
     qset = set(query_ids)
     qrows = ds.map_batches(

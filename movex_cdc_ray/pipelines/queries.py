@@ -276,22 +276,12 @@ def _ann_lsh_sql(k: int = 10, n_bits: int = 8, seed: int = 11) -> str:
     """
 
 
-def _ivf_sql(
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    iters: int = 8,
-    sample_rows: int = 2048,
-) -> str:
-    """DuckDB value oracle for ann_ivf: the full IVF pipeline — Lloyd's
-    k-means coarse-quantizer training included — re-derived in SQL.
-
-    The engine (`similarity.py:_kmeans`/`ivf_topk`) is deliberately
-    SQL-expressible: sample = ``vec_id < sample_rows``, init = first k sample
-    vectors, a FIXED number of Lloyd iterations unrolled here as chained
-    CTEs, argmax ties toward the lower cell, and every normalized vector /
-    centroid rounded to 9 decimals so numpy (pairwise-sum BLAS) and DuckDB
-    (sequential SUM) quantize to identical values."""
+def _kmeans_cte_chain(n_centroids: int, iters: int, sample_rows: int) -> str:
+    """The unrolled-Lloyd CTE prefix shared by the IVF ANN and SemDeDup
+    oracles: normalized round-9 corpus (``ex``), id-filter sample (``sx``),
+    first-k init (``c0``), and ``iters`` chained assign/mean/re-normalize
+    rounds ending at centroid CTE ``c{iters}``. Same determinism contract
+    as `similarity.py:_kmeans` (see `_ivf_sql`)."""
     head = f"""
         WITH e AS MATERIALIZED (
           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -335,6 +325,26 @@ def _ivf_sql(
           SELECT c.cell, c.i, c.x FROM c{j - 1} c
           WHERE c.cell NOT IN (SELECT cell FROM m{j})
         )""")
+    return head + "".join(its)
+
+
+def _ivf_sql(
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 8,
+    sample_rows: int = 2048,
+) -> str:
+    """DuckDB value oracle for ann_ivf: the full IVF pipeline — Lloyd's
+    k-means coarse-quantizer training included — re-derived in SQL.
+
+    The engine (`similarity.py:_kmeans`/`ivf_topk`) is deliberately
+    SQL-expressible: sample = ``vec_id < sample_rows``, init = first k sample
+    vectors, a FIXED number of Lloyd iterations unrolled as chained CTEs
+    (`_kmeans_cte_chain`), argmax ties toward the lower cell, and every
+    normalized vector / centroid rounded to 9 decimals so numpy
+    (pairwise-sum BLAS) and DuckDB (sequential SUM) quantize to identical
+    values."""
     tail = f"""
         , qx AS MATERIALIZED (
           SELECT * FROM ex WHERE vec_id IN (0, 1, 2, 3, 4)
@@ -377,7 +387,42 @@ def _ivf_sql(
         FROM rk WHERE rank <= {k}
         ORDER BY query_id, rank
     """
-    return head + "".join(its) + tail
+    return _kmeans_cte_chain(n_centroids, iters, sample_rows) + tail
+
+
+def _semdedup_sql(
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_rows: int = 2048,
+) -> str:
+    """DuckDB value oracle for dedup_semantic: the SAME unrolled-Lloyd
+    quantizer chain as the IVF oracle, then within-cell pairs filtered on
+    round-6 cosine — the SQL restatement of SemDeDup's cluster-local
+    quadratic comparison (`functions/dedup.py:semantic_dup_pairs`)."""
+    tail = f"""
+        , asg AS MATERIALIZED (
+          -- corpus → cell assignment (argmax, ties toward the lower cell)
+          SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY SUM(v.x * c.x) DESC, c.cell ASC) AS rn
+            FROM ex v JOIN c{iters} c ON c.i = v.i
+            GROUP BY v.vec_id, c.cell) WHERE rn = 1
+        ), p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND(SUM(va.x * vb.x), 6) AS cosine
+          FROM asg a
+          JOIN asg b ON b.cell = a.cell AND b.vec_id > a.vec_id
+          JOIN ex va ON va.vec_id = a.vec_id
+          JOIN ex vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+          GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, cosine
+        FROM p WHERE cosine >= {threshold}
+        ORDER BY a_id, b_id
+    """
+    return _kmeans_cte_chain(n_centroids, iters, sample_rows) + tail
 
 
 def _pq_sql(
@@ -1478,6 +1523,17 @@ def dedup_embedding(sf_dir: str) -> pd.DataFrame:
     return pdf[["a_id", "b_id"]].astype("int64") if len(pdf) else pd.DataFrame(
         {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
     )
+
+
+def dedup_semantic(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup: k-means-clustered embedding space,
+    near-dup pairs (cosine ≥ 0.45) found only WITHIN each cluster — the
+    single-shuffle scale path between the exact triangle join
+    (dedup_embedding) and the hyperplane-LSH buckets (dedup_embedding_lsh).
+    Full SQL value oracle incl. the unrolled Lloyd training (_semdedup_sql)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = fdedup.semantic_dup_pairs(ds, threshold=0.45)
+    return pdf
 
 
 def knn_bruteforce(sf_dir: str) -> pd.DataFrame:
@@ -2617,6 +2673,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "events_running_totals": events_running_totals,
     "approx_distinct_by_source": approx_distinct_by_source,
+    "dedup_semantic": dedup_semantic,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3651,6 +3708,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),
+    "dedup_semantic": _semdedup_sql(),
     "multimodal_decode_real": _decode_real_sql(),
     "multimodal_frames": _frames_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

@@ -441,3 +441,40 @@ def test_minhash_incremental_update_retires_stale_buckets(ray_session, tmp_path)
     assert set(doc1["band_hash"]) == set(str(h) for h in band_rows(0, t0))
     docs_tbl = lp[lp["_table_id"] == 2]
     assert docs_tbl.set_index("doc_id")["text"][1] == t0
+
+
+def test_semantic_dup_pairs_cluster_local(ray_session):
+    from movex_cdc_ray.functions.dedup import semantic_dup_pairs
+
+    # two tight clusters around orthogonal axes + one lone vector; near-dup
+    # pairs must appear only inside a cluster, with exact round-6 cosines
+    rng = np.random.default_rng(7)
+    base_a = np.array([1.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0, 0.0])
+    # interleave the two clusters so the first-k init sees both (k-means
+    # init = first sample rows by id); even ids = A, odd ids = B
+    vecs = [
+        (base_a if i % 2 == 0 else base_b) + rng.normal(0, 0.01, 4)
+        for i in range(12)
+    ]
+    vecs.append(np.array([0.0, 0.0, 1.0, 0.0]))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    got = semantic_dup_pairs(ds, threshold=0.9, n_centroids=2, sample_rows=100)
+    pairs = set(zip(got["a_id"], got["b_id"]))
+    # every within-cluster pair found, no cross-cluster pair, singleton alone
+    evens = [i for i in range(12) if i % 2 == 0]
+    odds = [i for i in range(12) if i % 2 == 1]
+    expect_a = {(a, b) for a in evens for b in evens if a < b}
+    expect_b = {(a, b) for a in odds for b in odds if a < b}
+    assert pairs == expect_a | expect_b
+    assert (got["cosine"] >= 0.9).all()
+    # deterministic across runs
+    again = semantic_dup_pairs(ds, threshold=0.9, n_centroids=2, sample_rows=100)
+    pd.testing.assert_frame_equal(got, again)
