@@ -544,3 +544,90 @@ def merge_samples(parts: list[pd.DataFrame], k: int, key: str = "sample_hash",
     merged = pd.concat(parts, ignore_index=True).drop_duplicates()
     merged = merged.sort_values(key, ascending=ascending, kind="mergesort")
     return merged.head(k).reset_index(drop=True)
+
+
+def cap_per_group(
+    ds: rd.Dataset,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> rd.Dataset:
+    """Per-group quota (domain capping): keep at most ``cap`` rows per
+    ``group_col`` value, selected as the ``cap`` smallest md5("<id>:<seed>")
+    order statistics within the group — a uniform, reproducible draw with
+    no RNG (the bottom-k sample, partitioned by group).
+
+    Scale shape: a per-batch head-cap fold first (at most
+    batch_groups x cap rows leave any batch), then ONE group-hash groupby
+    re-trims — the same bounded union-then-re-trim merge ``merge_samples``
+    proves for bottom-k, so the capped set is independent of sharding.
+    A mega-domain never concentrates: its survivors are cap rows total,
+    and each merge input is bounded by blocks x cap."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hashes(pa.array(batch[id_col]), seed)
+        b = batch.assign(_qh=h)
+        b = b.sort_values([group_col, "_qh", id_col], kind="mergesort")
+        return b.groupby(group_col, sort=False, dropna=False).head(cap)
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_qh", id_col], kind="mergesort").head(cap)
+        return g.drop(columns=["_qh"])
+
+    part = ds.map_batches(partial, batch_format="pandas")
+    return part.groupby(group_col).map_groups(trim, batch_format="pandas")
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Fixed-window document chunking with overlap (the long-document
+    stage before tokenize/pack): chunk ``k`` covers codepoints
+    ``[k*stride, k*stride + chunk_chars)``; a doc yields
+    ``ceil(len/stride)`` chunks (empty/null text yields none). Stateless
+    flat map — no shuffle, no state; vectorized as one ``str.slice`` per
+    chunk INDEX (not per chunk), so a batch pays max_chunks C-loop passes."""
+    if stride < 1 or chunk_chars < stride:
+        raise ValueError("need stride >= 1 and chunk_chars >= stride")
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        lens = t.str.len().to_numpy(dtype=np.int64)
+        ids = batch[id_col].to_numpy()
+        frames = []
+        kmax = int(-(-int(lens.max()) // stride)) if len(lens) else 0
+        for k in range(kmax):
+            m = lens > k * stride
+            if not m.any():
+                break
+            sub = t[m].str.slice(k * stride, k * stride + chunk_chars)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids[m],
+                        "chunk_idx": np.full(int(m.sum()), k, dtype=np.int64),
+                        "chunk_text": sub.to_numpy(),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "chunk_idx": pd.Series(dtype="int64"),
+                    "chunk_text": pd.Series(dtype="object"),
+                    "n_chunk_chars": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["n_chunk_chars"] = out["chunk_text"].str.len().astype("int64")
+        return out
+
+    return ds.map_batches(chunks, batch_format="pandas")

@@ -365,3 +365,137 @@ def corpus_profile(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id
         "cms_cells": cms,
         "sample": sample,
     }
+
+
+class BloomPartialStage:
+    """Per-batch Bloom-filter partial (Bloom 1970): fold the batch's values
+    into an ``m``-bit array — ``k`` positions per value from the count-min
+    two-hash family (h1/h2 = md5 bytes [0:4]/[4:8], pos_j = (h1 + j*h2)
+    mod m) — and emit the nonzero 32-bit words as (word_idx, word) rows.
+
+    Words are OR-mergeable, so the sketch composes across shards/days like
+    the HLL registers; at most m/32 rows leave any batch. 32-bit words keep
+    every value exactly representable in an int64 column (and in SQL)."""
+
+    def __init__(self, col: str = "text", m_bits: int = 1 << 15, k_hashes: int = 4):
+        if m_bits % 32:
+            raise ValueError(f"m_bits must be a multiple of 32, got {m_bits}")
+        self.col = col
+        self.m = m_bits
+        self.k = k_hashes
+
+    def _positions(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(row_valid mask, (n_valid, k) bit positions) for a string array."""
+        offs, data = string_offsets_data(text)
+        valid = text.is_valid().to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        n = len(text)
+        h1 = np.empty(n, dtype=np.int64)
+        h2 = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            if not valid[i]:
+                h1[i] = h2[i] = 0
+                continue
+            dig = md5(data[offs[i] : offs[i + 1]]).digest()
+            h1[i] = int.from_bytes(dig[0:4], "big")
+            h2[i] = int.from_bytes(dig[4:8], "big")
+        js = np.arange(self.k, dtype=np.int64)
+        pos = (h1[valid, None] + js[None, :] * h2[valid, None]) % self.m
+        return valid, pos
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, pos = self._positions(text)
+        words = np.zeros(self.m // 32, dtype=np.uint32)
+        flat = pos.ravel()
+        np.bitwise_or.at(words, flat // 32, np.uint32(1) << (flat % 32).astype(np.uint32))
+        nz = np.nonzero(words)[0]
+        return pa.table(
+            {
+                "word_idx": pa.array(nz.astype(np.int64)),
+                "word": pa.array(words[nz].astype(np.int64)),
+            }
+        )
+
+
+def bloom_build(
+    ds: rd.Dataset, col: str = "text", m_bits: int = 1 << 15, k_hashes: int = 4
+) -> np.ndarray:
+    """Build the merged Bloom filter: per-batch word folds, then a driver
+    OR over the bounded partials (≤ blocks · m/32 rows — the filter is a
+    driver-sized broadcast object by design, like the query matrix in
+    brute-force KNN). Returns the dense uint32 word array."""
+    parts = ds.map_batches(
+        BloomPartialStage(col, m_bits, k_hashes), batch_format="pyarrow"
+    ).to_pandas()
+    words = np.zeros(m_bits // 32, dtype=np.uint32)
+    if len(parts):
+        np.bitwise_or.at(
+            words,
+            parts["word_idx"].to_numpy(dtype=np.int64),
+            parts["word"].to_numpy(dtype=np.int64).astype(np.uint32),
+        )
+    return words
+
+
+class BloomProbeStage:
+    """Membership probe against a broadcast Bloom filter: a value is a
+    (possible) member iff all k bits are set. No false negatives; false
+    positives at the standard (1 - e^{-kn/m})^k rate. NULL values probe
+    to False. The filter ships once via ``ray.put``."""
+
+    def __init__(self, words_ref, col: str = "text", m_bits: int = 1 << 15,
+                 k_hashes: int = 4, out_col: str = "maybe_member"):
+        import ray as _ray
+
+        self.words = (
+            _ray.get(words_ref) if isinstance(words_ref, _ray.ObjectRef) else words_ref
+        )
+        self.hasher = BloomPartialStage(col, m_bits, k_hashes)
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        valid, pos = self.hasher._positions(text)
+        bits = (self.words[pos // 32] >> (pos % 32).astype(np.uint32)) & np.uint32(1)
+        member = np.zeros(len(text), dtype=bool)
+        member[valid] = bits.all(axis=1)
+        return batch.append_column(self.out_col, pa.array(member))
+
+
+def bloom_probe(
+    ds: rd.Dataset,
+    words: np.ndarray,
+    col: str = "text",
+    m_bits: int = 1 << 15,
+    k_hashes: int = 4,
+    out_col: str = "maybe_member",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """Stream ``ds`` through a Bloom-membership actor pool: the filter is
+    broadcast once via ``ray.put`` (zero-copy numpy in each actor), every
+    batch pays two vectorized gathers. The incremental-dedup shape at
+    100 TB: build on yesterday's corpus, probe today's delta — no id set,
+    no join, m/8 bytes total state."""
+    import ray as _ray
+
+    from ._pool import pool_size
+
+    ref = _ray.put(words)
+    return ds.map_batches(
+        BloomProbeStage,
+        fn_constructor_kwargs={
+            "words_ref": ref,
+            "col": col,
+            "m_bits": m_bits,
+            "k_hashes": k_hashes,
+            "out_col": out_col,
+        },
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency),
+    )

@@ -328,6 +328,33 @@ def _kmeans_cte_chain(n_centroids: int, iters: int, sample_rows: int) -> str:
     return head + "".join(its)
 
 
+def _bloom_sql(m_bits: int = 1 << 15, k_hashes: int = 4) -> str:
+    """DuckDB oracle for corpus_bloom_dedup: the same two-hash family as
+    count-min (h1/h2 = md5 bytes [0:4]/[4:8] via the hex LUT), bit
+    positions (h1 + j*h2) mod m. The build set is the DISTINCT positions
+    of the even docs; membership = every probe position present. Bit
+    arithmetic reduces to position-set membership, so engine word packing
+    never has to be mirrored — and false positives value-match too."""
+    b = _md5_byte_sql
+    h1 = f"({b(0)} * 16777216 + {b(1)} * 65536 + {b(2)} * 256 + {b(3)})"
+    h2 = f"({b(4)} * 16777216 + {b(5)} * 65536 + {b(6)} * 256 + {b(7)})"
+    js = ", ".join(f"({j})" for j in range(k_hashes))
+    return f"""
+        WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        probe AS (
+          SELECT doc_id, ({h1} + r.j * {h2}) % {m_bits} AS pos
+          FROM h CROSS JOIN (VALUES {js}) AS r(j)
+        ),
+        bits AS (
+          SELECT DISTINCT pos FROM probe WHERE doc_id % 2 = 0 AND pos IS NOT NULL
+        )
+        SELECT doc_id,
+               COALESCE(bool_and(pos IN (SELECT pos FROM bits)), FALSE)
+                 AS maybe_member
+        FROM probe GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _ivf_sql(
     k: int = 10,
     n_centroids: int = 16,
@@ -1708,6 +1735,48 @@ def approx_distinct_by_source(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["source", "bucket"]).reset_index(drop=True)
 
 
+def corpus_cap_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source quota (domain capping, `functions/corpus.py:cap_per_group`):
+    keep the 10 smallest md5("<id>:23")-order docs per source — a uniform
+    reproducible draw per domain; per-batch head-cap fold, one group groupby."""
+    from ..functions.corpus import cap_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = cap_per_group(ds, cap=10, group_col="source").to_pandas()
+    return out[["doc_id", "source"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_chunk(sf_dir: str) -> pd.DataFrame:
+    """Fixed-window chunking with overlap (`corpus.py:chunk_documents`):
+    chunk k covers codepoints [k*150, k*150+200); ceil(len/150) chunks per
+    doc. Stateless flat map, one vectorized str.slice per chunk index."""
+    from ..functions.corpus import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, chunk_chars=200, stride=150).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def corpus_bloom_dedup(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter membership against 'yesterday's corpus' (the even
+    doc_ids): build the m=2^15-bit filter from the even docs' texts
+    (`sketch.py:bloom_build`, OR-mergeable word partials), broadcast it
+    once, probe EVERY doc (`bloom_probe`). No false negatives — every even
+    doc flags true; odd docs flag only on hash collision. The SQL oracle
+    re-derives the identical bit positions, so even the false positives
+    value-match."""
+    from ..functions.sketch import bloom_build, bloom_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    build = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    words = bloom_build(build, "text", m_bits=1 << 15, k_hashes=4)
+    out = bloom_probe(ds, words, "text", m_bits=1 << 15, k_hashes=4).to_pandas()
+    return out[["doc_id", "maybe_member"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def text_countmin(sf_dir: str) -> pd.DataFrame:
     """Distributed count-min sketch over document tokens: per-batch d×w
     cell fold (≤ d·w rows leave any batch) + one cell-sized groupby sum —
@@ -2674,6 +2743,9 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_running_totals": events_running_totals,
     "approx_distinct_by_source": approx_distinct_by_source,
     "dedup_semantic": dedup_semantic,
+    "corpus_cap_source": corpus_cap_source,
+    "corpus_chunk": corpus_chunk,
+    "corpus_bloom_dedup": corpus_bloom_dedup,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3709,6 +3781,30 @@ def _build_oracle_sql() -> dict[str, str]:
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),
     "dedup_semantic": _semdedup_sql(),
+    "corpus_cap_source": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR) || ':23'),
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10 ORDER BY doc_id
+    """,
+    "corpus_chunk": """
+        WITH c AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, CAST(ceil(length(text) / 150.0) AS BIGINT) - 1)) AS gs
+          FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id, CAST(gs AS BIGINT) AS chunk_idx,
+               substring(text, CAST(gs * 150 + 1 AS INT), 200) AS chunk_text,
+               CAST(length(substring(text, CAST(gs * 150 + 1 AS INT), 200))
+                    AS BIGINT) AS n_chunk_chars
+        FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "corpus_bloom_dedup": _bloom_sql(),
     "multimodal_decode_real": _decode_real_sql(),
     "multimodal_frames": _frames_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

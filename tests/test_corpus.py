@@ -255,3 +255,62 @@ def test_sample_merge_equals_union_sample(ray_session):
     wu = weighted_sample_es(rd.from_arrow(tu), k=40, weight_col="w").to_pandas()
     wm = merge_samples([wa, wb], k=40, key="es_key", ascending=False)
     assert sorted(wm["doc_id"]) == sorted(wu["doc_id"])
+
+
+def test_cap_per_group_sharding_invariant_and_bounded(ray_session):
+    from movex_cdc_ray.functions.corpus import cap_per_group
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "source": pa.array([f"s{i % 3}" for i in range(300)], pa.string()),
+        }
+    )
+    outs = []
+    for nparts in (1, 4, 9):
+        ds = rd.from_arrow(t).repartition(nparts)
+        got = (
+            cap_per_group(ds, cap=7, group_col="source")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+        assert (got.groupby("source").size() == 7).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    # a group smaller than the cap survives whole
+    small = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "source": pa.array(["only"] * 3, pa.string()),
+        }
+    )
+    got = cap_per_group(rd.from_arrow(small), cap=10, group_col="source").to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 2]
+
+
+def test_chunk_documents_boundaries(ray_session):
+    from movex_cdc_ray.functions.corpus import chunk_documents
+
+    texts = ["a" * 10, "", None, "b" * 25]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        chunk_documents(rd.from_arrow(t), chunk_chars=8, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 0 (len 10): starts 0,4,8 -> lens 8,6,2; docs 1/2 empty -> none;
+    # doc 3 (len 25): starts 0..24 step 4 -> 7 chunks
+    d0 = got[got["doc_id"] == 0]
+    assert d0["chunk_text"].tolist() == ["a" * 8, "a" * 6, "a" * 2]
+    assert d0["n_chunk_chars"].tolist() == [8, 6, 2]
+    assert (got["doc_id"] != 1).all() and (got["doc_id"] != 2).all()
+    d3 = got[got["doc_id"] == 3]
+    assert len(d3) == 7 and d3["n_chunk_chars"].tolist() == [8, 8, 8, 8, 8, 5, 1]

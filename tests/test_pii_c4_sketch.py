@@ -332,3 +332,27 @@ def test_hll_grouped_null_group_forms_its_own_group(ray_session):
     nul = got[got["source"].isna()]
     assert dict(zip(a["bucket"], a["max_rank"])) == _reference_registers(["t1", "t3"])
     assert dict(zip(nul["bucket"], nul["max_rank"])) == _reference_registers(["t2", "t4"])
+
+
+def test_bloom_no_false_negatives_and_mergeable(ray_session):
+    from movex_cdc_ray.functions.sketch import bloom_build, bloom_probe
+
+    vals = [f"value-{i}" for i in range(400)]
+    t = pa.table(
+        {"doc_id": pa.array(range(400), pa.int64()), "text": pa.array(vals)}
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    words = bloom_build(ds, "text", m_bits=1 << 14, k_hashes=4)
+    # no false negatives: every built value probes True
+    got = bloom_probe(ds, words, "text", m_bits=1 << 14, k_hashes=4).to_pandas()
+    assert got["maybe_member"].all()
+    # mergeable: OR of shard filters == filter of the union
+    w1 = bloom_build(rd.from_arrow(t.slice(0, 200)), "text", m_bits=1 << 14)
+    w2 = bloom_build(rd.from_arrow(t.slice(200)), "text", m_bits=1 << 14)
+    assert np.array_equal(np.bitwise_or(w1, w2), words)
+    # null text probes False
+    tn = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array([None], pa.string())}
+    )
+    gn = bloom_probe(rd.from_arrow(tn), words, "text", m_bits=1 << 14).to_pandas()
+    assert not gn["maybe_member"].iloc[0]
