@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ._pool import pool_size
 from .scalar import string_offsets_data
@@ -57,6 +57,85 @@ def exact_dedup_keep_first(ds: rd.Dataset, text_col: str = "text", id_col: str =
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
     return hashed.groupby("content_md5").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
+    )
+
+
+def normalized_dedup_keep_first(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Normalized exact dedup (the RefinedWeb/CCNet pre-step): lowercase,
+    collapse non-alphanumeric runs to single spaces, trim — then the
+    canonical hash-partition + per-group-first exact dedup over the
+    NORMALIZED text. Catches casing / punctuation / whitespace trivial
+    variants that byte-exact dedup misses.
+
+    Normalization is three Arrow kernels (utf8_lower,
+    replace_substring_regex, utf8_trim_whitespace) — no Python strings
+    until the md5 feed; nulls propagate (null text groups under a null
+    hash, like ``exact_dedup_keep_first``). Returns
+    (norm_md5, keep_id, dup_count)."""
+
+    def stage(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t), pattern="[^a-z0-9]+", replacement=" "
+            )
+        )
+        hashed = add_content_hash(pa.table({"_norm": norm}), "_norm", "norm_md5")
+        return b.append_column("norm_md5", hashed["norm_md5"])
+
+    hashed = ds.map_batches(stage, batch_format="pyarrow")
+    return hashed.groupby("norm_md5").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
+    )
+
+
+def passage_dup_stats(
+    ds: rd.Dataset,
+    chunk_chars: int = 120,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Corpus-level passage dedup (the C4-style unit-dedup shape at fixed
+    windows): documents split into NON-overlapping ``chunk_chars`` windows
+    (`corpus.chunk_documents` with stride == chunk), each window md5'd; a
+    window instance is a duplicate iff its text occurs anywhere else in
+    the corpus. Returns per-doc (n_passages, n_dup_passages).
+
+    Scale shape: one flat map (chunking + hashing), ONE coarse
+    hash-bucket groupby whose per-bucket body is a single vectorized
+    ``value_counts`` (equal windows co-locate by hash prefix — never a
+    per-window group call), then a doc-keyed count/sum groupby. No text
+    leaves the chunk stage twice: the bucket exchange carries (id, hash)
+    only."""
+    from .corpus import chunk_documents
+
+    chunks = chunk_documents(ds, chunk_chars, chunk_chars, text_col, id_col)
+
+    def hash_stage(b: pa.Table) -> pa.Table:
+        hashed = add_content_hash(b, "chunk_text", "h")
+        kb = pc.utf8_slice_codeunits(hashed["h"], 0, 2)  # 256 hex-prefix buckets
+        return pa.table({id_col: b[id_col], "h": hashed["h"], "kb": kb})
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["h"].value_counts()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "is_dup": (g["h"].map(vc) > 1).to_numpy().astype("int64"),
+            }
+        )
+
+    marked = (
+        chunks.map_batches(hash_stage, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(mark, batch_format="pandas")
+    )
+    return marked.groupby(id_col).aggregate(
+        Count(alias_name="n_passages"), Sum("is_dup", alias_name="n_dup_passages")
     )
 
 

@@ -2012,6 +2012,70 @@ def dedup_substrings(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+_PASSAGE_BOILER = (
+    "shared boilerplate preamble for the passage dedup oracle clique with "
+    "exactly enough characters to fill one whole window and then some more"
+)  # 139 chars >= the 120-char window, so clique docs share chunk 0 verbatim
+
+
+def dedup_passages(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level passage dedup (C4-style unit dedup): per-doc counts of
+    120-char windows whose text occurs elsewhere in the corpus. The
+    word-soup corpus shares no verbatim windows, so the query PREPENDS a
+    139-char boilerplate to the doc_id%50 clique (the oracle concatenates
+    identically) — clique docs must report exactly their shared window."""
+    from ..functions.dedup import passage_dup_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        t = batch["text"].fillna("")
+        pre = pd.Series(_PASSAGE_BOILER + " ", index=t.index).where(d % 50 == 0, "")
+        batch["text"] = pre + t
+        return batch
+
+    out = passage_dup_stats(ds.map_batches(inject, batch_format="pandas"))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_normalized(sf_dir: str) -> pd.DataFrame:
+    """Normalized exact dedup (RefinedWeb-style): lowercase + collapse
+    non-alphanumeric runs + trim, then exact dedup on the normalized form.
+    The synthetic corpus has no trivial variants, so docs with
+    doc_id%25 < 5 form engineered variant cliques (same normalized
+    content, five different casings/punctuations — the oracle constructs
+    them identically); all other docs keep their real text."""
+    from ..functions.dedup import normalized_dedup_keep_first
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        g = (d // 25).astype(str)
+        base = "repo " + g + " sync batch " + (d // 25 * 7 + 3).astype(str) + " merge queue state"
+        v = d % 25
+        batch["text"] = np.select(
+            [v == 0, v == 1, v == 2, v == 3, v == 4],
+            [
+                base,
+                base.str.upper(),
+                base + "!!!",
+                base.str.replace(" ", "  ", regex=False),
+                "  " + base.str.upper() + "  ",
+            ],
+            default=batch["text"].fillna(""),
+        )
+        return batch
+
+    out = normalized_dedup_keep_first(ds.map_batches(inject, batch_format="pandas"))
+    return (
+        out.to_pandas()[["norm_md5", "keep_id", "dup_count"]]
+        .sort_values("keep_id")
+        .reset_index(drop=True)
+    )
+
+
 def corpus_sample_weighted(sf_dir: str) -> pd.DataFrame:
     """Exact-size WEIGHTED sample (Efraimidis-Spirakis) of documents with
     inclusion probability ∝ n_chars — the token-budget-aware complement to
@@ -2746,6 +2810,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_cap_source": corpus_cap_source,
     "corpus_chunk": corpus_chunk,
     "corpus_bloom_dedup": corpus_bloom_dedup,
+    "dedup_passages": dedup_passages,
+    "dedup_normalized": dedup_normalized,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3805,6 +3871,58 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM c ORDER BY doc_id, chunk_idx
     """,
     "corpus_bloom_dedup": _bloom_sql(),
+    "dedup_passages": f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0
+                      THEN '{_PASSAGE_BOILER} ' || COALESCE(text, '')
+                      ELSE COALESCE(text, '') END AS text
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, CAST(ceil(length(text) / 120.0) AS BIGINT) - 1)) AS gs
+          FROM inj WHERE length(text) > 0
+        ), h AS (
+          SELECT doc_id,
+                 md5(substring(text, CAST(gs * 120 + 1 AS INT), 120)) AS h
+          FROM c
+        ), m AS (
+          SELECT doc_id,
+                 CASE WHEN COUNT(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END
+                   AS is_dup
+          FROM h
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_passages
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+    "dedup_normalized": """
+        WITH base AS (
+          SELECT doc_id,
+                 'repo ' || CAST(doc_id // 25 AS VARCHAR) || ' sync batch ' ||
+                 CAST(doc_id // 25 * 7 + 3 AS VARCHAR) || ' merge queue state'
+                   AS b,
+                 doc_id % 25 AS v, COALESCE(text, '') AS t
+          FROM documents
+        ), inj AS (
+          SELECT doc_id,
+                 CASE v WHEN 0 THEN b WHEN 1 THEN upper(b)
+                        WHEN 2 THEN b || '!!!'
+                        WHEN 3 THEN replace(b, ' ', '  ')
+                        WHEN 4 THEN '  ' || upper(b) || '  '
+                        ELSE t END AS text
+          FROM base
+        ), n AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS norm_md5
+          FROM inj
+        )
+        SELECT norm_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM n GROUP BY norm_md5 ORDER BY keep_id
+    """,
     "multimodal_decode_real": _decode_real_sql(),
     "multimodal_frames": _frames_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

@@ -478,3 +478,57 @@ def test_semantic_dup_pairs_cluster_local(ray_session):
     # deterministic across runs
     again = semantic_dup_pairs(ds, threshold=0.9, n_centroids=2, sample_rows=100)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_normalized_dedup_collapses_trivial_variants(ray_session):
+    from movex_cdc_ray.functions.dedup import normalized_dedup_keep_first
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello, World!",
+                    "  hello   world  ",
+                    "HELLO-WORLD",
+                    "something else",
+                    None,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        normalized_dedup_keep_first(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("keep_id")
+        .reset_index(drop=True)
+    )
+    # docs 0/1/2 normalize identically; 3 unique; null text keeps a null-hash group
+    row = out[out["keep_id"] == 0].iloc[0]
+    assert row["dup_count"] == 3
+    assert out[out["keep_id"] == 3].iloc[0]["dup_count"] == 1
+    assert out["norm_md5"].isna().sum() == 1
+
+
+def test_passage_dup_stats_counts_shared_windows(ray_session):
+    from movex_cdc_ray.functions.dedup import passage_dup_stats
+
+    shared = "x" * 12  # one full window at chunk_chars=12
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [shared + "unique-tail-aa", shared + "different-bb", "all original"],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        passage_dup_stats(rd.from_arrow(t).repartition(3), chunk_chars=12)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {r.doc_id: (r.n_passages, r.n_dup_passages) for r in out.itertuples()}
+    assert got[0] == (3, 1) and got[1] == (2, 1) and got[2] == (1, 0)
