@@ -55,6 +55,8 @@ QUERY_SWEEP = [
     "dedup_substrings",
     "corpus_sample_weighted",
     "dedup_semantic",
+    "corpus_quality_cut",
+    "embedding_centroids",
 ]
 
 

@@ -631,3 +631,45 @@ def chunk_documents(
         return out
 
     return ds.map_batches(chunks, batch_format="pandas")
+
+
+def quality_cut_per_group(
+    scored: rd.Dataset,
+    score_col: str = "n_words",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-group quality cut at the median-low order statistic: within each
+    ``group_col`` value keep rows whose ``score_col`` >= the group's
+    ((n+1)//2)-th smallest score — the deterministic, SQL-checkable analog
+    of "drop the bottom half of each domain by quality" (per-domain
+    percentile filtering, the CCNet/DCLM shape; a global cut would let one
+    high-quality domain crowd out every other).
+
+    Scale shape (two-pass threshold-broadcast): pass 1 computes thresholds
+    from the NARROW (group, score) projection — the only exchange is
+    group-keyed and carries two columns; the threshold table is one row
+    per group, collected to the driver like any broadcast small side and
+    shipped once via ``ray.put``. Pass 2 streams the corpus through a
+    vectorized lookup filter — no second shuffle, rows never move.
+    The threshold is a VALUE at a rank, so tie order inside a group
+    cannot change it."""
+
+    def thr(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[score_col].to_numpy())
+        k = (len(v) + 1) // 2
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "thr": [v[k - 1]]})
+
+    thresholds = (
+        scored.select_columns([group_col, score_col])
+        .groupby(group_col)
+        .map_groups(thr, batch_format="pandas")
+        .to_pandas()
+    )
+    side = ray.put(dict(zip(thresholds[group_col], thresholds["thr"])))
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[group_col].map(ray.get(side))
+        return b[b[score_col].to_numpy() >= t.to_numpy()]
+
+    return scored.map_batches(cut, batch_format="pandas")

@@ -581,3 +581,80 @@ def pq_topk(
     return pd.concat(frames, ignore_index=True)[
         ["query_id", "neighbor_id", "rank", "adc_dist"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# grouped vector aggregate: per-group mean embedding (centroids)
+# ---------------------------------------------------------------------------
+
+
+class CentroidPartialStage:
+    """Per-batch grouped vector-sum fold: each batch emits one
+    (group, dim-index, partial_sum, partial_count) row per group x dim —
+    at most ``batch_groups x d`` rows leave any batch, so the downstream
+    merge is a register-sized groupby exactly like the grouped-HLL
+    partials (`sketch.HllGroupedPartialStage`). The per-batch reduction is
+    one one-hot matmul (BLAS), never a Python loop over rows."""
+
+    def __init__(self, group_col: str = "label", vec_col: str = "embedding"):
+        self.group_col = group_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        g = batch[self.group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(g)
+        n_g, d = len(uniq), mat.shape[1]
+        onehot = (codes[:, None] == np.arange(n_g)[None, :]).astype(np.float64)
+        sums = onehot.T @ mat
+        counts = np.bincount(codes, minlength=n_g).astype(np.int64)
+        return pa.table(
+            {
+                self.group_col: pa.array(
+                    np.repeat(np.asarray(uniq, dtype=np.int64), d)
+                ),
+                "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n_g)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+
+def group_centroids(
+    ds: rd.Dataset, group_col: str = "label", vec_col: str = "embedding"
+) -> rd.Dataset:
+    """Per-group mean embedding (the vector-aggregate family member): the
+    corpus streams through ONE bounded fold (`CentroidPartialStage`), the
+    only exchange is the (group x d)-sized partial groupby, and the mean
+    is finished vectorized. Returns (group, i, centroid_x, n_vecs) with
+    ``i`` 1-indexed (SQL ``generate_subscripts`` parity) and ``centroid_x``
+    rounded to 6 — sums are float64 (exact float32 widening both here and
+    in the ``embedding::DOUBLE[]`` oracle cast), so numpy-vs-DuckDB
+    summation-order drift stays ~1e-12, far inside the rounding quantum.
+
+    Scale shape: partials are independent of corpus size (groups x d rows
+    per batch); a 100 TB embedding table with 1k groups x 1k dims merges
+    via a 1M-row groupby. Per-group sketches merge across shards/days like
+    the HLL registers."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(
+        CentroidPartialStage(group_col, vec_col), batch_format="pyarrow"
+    )
+    agg = parts.groupby([group_col, "i"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: b[group_col].cast(pa.int64()),
+                "i": b["i"].cast(pa.int64()),
+                "centroid_x": pa.array(np.round(s / n, 6)),
+                "n_vecs": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2605,6 +2605,47 @@ def _stage_videos() -> str:
     return _VIDEO_STAGE
 
 
+def corpus_quality_cut(sf_dir: str) -> pd.DataFrame:
+    """Per-SOURCE quality cut (`corpus.quality_cut_per_group`): keep docs
+    whose word count clears their own domain's median-low order statistic —
+    per-domain percentile filtering, so one verbose domain can't crowd out
+    every other. Word count = the QualityScorer regex ([a-z']+ over
+    lowercased text), counted in pandas' C loop; thresholds broadcast once."""
+    from ..functions.corpus import quality_cut_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(),
+                "n_words": b["text"]
+                .fillna("")
+                .str.lower()
+                .str.count(r"[a-z']+")
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    out = quality_cut_per_group(scored).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (`similarity.group_centroids`): the grouped
+    VECTOR aggregate — one bounded per-batch fold (groups x dims partial
+    rows), one register-sized groupby, vectorized finish. The label column
+    of the embeddings table is the group key."""
+    from ..functions.similarity import group_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    pdf = group_centroids(ds, "label", "embedding").to_pandas()
+    return pdf.sort_values(["label", "i"]).reset_index(drop=True)
+
+
 def multimodal_inventory(sf_dir: str) -> pd.DataFrame:
     """Binary-column plumbing, VALUE-checked: the staged media payloads are
     read as Arrow binary, batch-sliced through the object store, and their
@@ -2812,6 +2853,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_bloom_dedup": corpus_bloom_dedup,
     "dedup_passages": dedup_passages,
     "dedup_normalized": dedup_normalized,
+    "corpus_quality_cut": corpus_quality_cut,
+    "embedding_centroids": embedding_centroids,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3847,6 +3890,35 @@ def _build_oracle_sql() -> dict[str, str]:
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),
     "dedup_semantic": _semdedup_sql(),
+    "corpus_quality_cut": r"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                             '[a-z'']+')) AS BIGINT) AS n_words
+          FROM documents
+        ), th AS (
+          SELECT source, n_words AS thr FROM (
+            SELECT source, n_words,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_words) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM s) WHERE rn = (n + 1) // 2
+        )
+        SELECT s.doc_id, s.source, s.n_words
+        FROM s JOIN th USING (source)
+        WHERE s.n_words >= th.thr
+        ORDER BY s.doc_id
+    """,
+    "embedding_centroids": """
+        WITH e AS (
+          SELECT label, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+          FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+               ROUND(SUM(x) / COUNT(*), 6) AS centroid_x,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM e GROUP BY label, i
+        ORDER BY label, i
+    """,
     "corpus_cap_source": """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,

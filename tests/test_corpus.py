@@ -314,3 +314,55 @@ def test_chunk_documents_boundaries(ray_session):
     assert (got["doc_id"] != 1).all() and (got["doc_id"] != 2).all()
     d3 = got[got["doc_id"] == 3]
     assert len(d3) == 7 and d3["n_chunk_chars"].tolist() == [8, 8, 8, 8, 8, 5, 1]
+
+
+def test_quality_cut_per_group_median_low(ray_session):
+    from movex_cdc_ray.functions.corpus import quality_cut_per_group
+
+    # group a: scores 1..5 -> median-low = 3 -> keep {3,4,5}
+    # group b: scores 10,20 -> median-low ((2+1)//2 = 1st) = 10 -> keep both
+    scored = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "source": pa.array(["a"] * 5 + ["b"] * 2),
+                "n_words": pa.array([5, 1, 4, 2, 3, 20, 10], pa.int64()),
+            }
+        )
+    )
+    out = quality_cut_per_group(scored).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2, 4, 5, 6]
+    # tie flood: all-equal scores keep every row (threshold == the value)
+    ties = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "source": pa.array(["a"] * 4),
+                "n_words": pa.array([7, 7, 7, 7], pa.int64()),
+            }
+        )
+    )
+    assert len(quality_cut_per_group(ties).to_pandas()) == 4
+
+
+def test_group_centroids_exact_means(ray_session):
+    from movex_cdc_ray.functions.similarity import group_centroids
+
+    vecs = pa.table(
+        {
+            "label": pa.array([0, 0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        group_centroids(rd.from_arrow(vecs))
+        .to_pandas()
+        .sort_values(["label", "i"])
+        .reset_index(drop=True)
+    )
+    assert out["label"].tolist() == [0, 0, 1, 1]
+    assert out["i"].tolist() == [1, 2, 1, 2]  # 1-indexed (SQL subscripts parity)
+    assert out["centroid_x"].tolist() == [2.0, 3.0, 10.0, 20.0]
+    assert out["n_vecs"].tolist() == [2, 2, 1, 1]
