@@ -356,3 +356,74 @@ def test_bloom_no_false_negatives_and_mergeable(ray_session):
     )
     gn = bloom_probe(rd.from_arrow(tn), words, "text", m_bits=1 << 14).to_pandas()
     assert not gn["maybe_member"].iloc[0]
+
+
+def test_grouped_hll_shard_merge_invariance(ray_session):
+    # per-group registers merge across shards exactly like the ungrouped
+    # ones: max-merging two shards' grouped registers == one-shot registers
+    from movex_cdc_ray.functions.sketch import hll_registers_grouped
+
+    def tbl(lo, hi):
+        return pa.table(
+            {
+                "text": pa.array([f"t-{i % 300}" for i in range(lo, hi)]),
+                "source": pa.array([f"s{i % 3}" for i in range(lo, hi)]),
+            }
+        )
+
+    ra = hll_registers_grouped(rd.from_arrow(tbl(0, 500)), "text", "source").to_pandas()
+    rb = hll_registers_grouped(rd.from_arrow(tbl(500, 900)), "text", "source").to_pandas()
+    merged = (
+        pd.concat([ra, rb])
+        .groupby(["source", "bucket"], as_index=False)["max_rank"]
+        .max()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    ru = (
+        hll_registers_grouped(rd.from_arrow(tbl(0, 900)), "text", "source")
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, ru, check_dtype=False)
+
+
+def test_group_centroids_shard_merge_invariance(ray_session):
+    # (sum, n) partials are sum-mergeable: merging two shards' partial
+    # folds equals the one-shot centroid table (multi-day composition)
+    import numpy as np
+
+    from movex_cdc_ray.functions.similarity import CentroidPartialStage, group_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    labels = (np.arange(200) % 4).astype(np.int32)
+
+    def tbl(sl):
+        return pa.table(
+            {
+                "label": pa.array(labels[sl], pa.int32()),
+                "embedding": pa.array(list(vecs[sl]), pa.list_(pa.float32())),
+            }
+        )
+
+    stage = CentroidPartialStage()
+    parts = pd.concat(
+        [stage(tbl(slice(0, 120))).to_pandas(), stage(tbl(slice(120, 200))).to_pandas()]
+    )
+    merged = parts.groupby(["label", "i"], as_index=False)[["s", "n"]].sum()
+    merged["centroid_x"] = np.round(merged["s"] / merged["n"], 6)
+    one_shot = (
+        group_centroids(rd.from_arrow(tbl(slice(0, 200))))
+        .to_pandas()
+        .sort_values(["label", "i"])
+        .reset_index(drop=True)
+    )
+    m = merged.sort_values(["label", "i"]).reset_index(drop=True)
+    assert m["n"].tolist() == one_shot["n_vecs"].tolist()
+    # float64 partial sums: shard split changes addition order by ~1e-12,
+    # far inside the 1e-6 rounding quantum
+    np.testing.assert_allclose(
+        m["centroid_x"].to_numpy(), one_shot["centroid_x"].to_numpy(), atol=2e-6, rtol=0
+    )
