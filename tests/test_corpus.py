@@ -366,3 +366,25 @@ def test_group_centroids_exact_means(ray_session):
     assert out["i"].tolist() == [1, 2, 1, 2]  # 1-indexed (SQL subscripts parity)
     assert out["centroid_x"].tolist() == [2.0, 3.0, 10.0, 20.0]
     assert out["n_vecs"].tolist() == [2, 2, 1, 1]
+
+
+def test_cap_per_group_block_split_invariant(ray_session):
+    # the per-batch head-cap fold + one group re-trim must give the SAME
+    # capped set regardless of how Ray splits the input into blocks
+    from movex_cdc_ray.functions.corpus import cap_per_group
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "source": pa.array([f"s{i % 7}" for i in range(300)]),
+        }
+    )
+
+    def run(n_blocks):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        out = cap_per_group(ds, cap=5, group_col="source").to_pandas()
+        return out.sort_values("doc_id")["doc_id"].tolist()
+
+    one = run(1)
+    assert run(4) == one and run(13) == one
+    assert len(one) == 35  # 7 sources x cap 5
