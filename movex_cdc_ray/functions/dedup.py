@@ -85,7 +85,10 @@ def normalized_dedup_keep_first(
             )
         )
         hashed = add_content_hash(pa.table({"_norm": norm}), "_norm", "norm_md5")
-        return b.append_column("norm_md5", hashed["norm_md5"])
+        # emit ONLY the groupby inputs: the text never enters the exchange,
+        # and the fresh table carries no pandas schema metadata (unhashable
+        # schemas defeat Ray's block-schema dedup in the Aggregate).
+        return pa.table({id_col: b[id_col], "norm_md5": hashed["norm_md5"]})
 
     hashed = ds.map_batches(stage, batch_format="pyarrow")
     return hashed.groupby("norm_md5").aggregate(
