@@ -54,7 +54,15 @@ def exact_dedup_keep_first(ds: rd.Dataset, text_col: str = "text", id_col: str =
 
     hash-partition (groupby content hash) + per-group first — the canonical
     exact-dedup shape. Returns (content_md5, keep_id, dup_count)."""
-    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+    # ship ONLY the groupby inputs into the exchange: the text column stays
+    # behind, and the fresh table carries no pandas schema metadata (an
+    # unhashable schema defeats Ray's block-schema dedup in the Aggregate)
+    hashed = ds.map_batches(
+        lambda b: pa.table(
+            {id_col: b[id_col], "content_md5": add_content_hash(b, text_col)["content_md5"]}
+        ),
+        batch_format="pyarrow",
+    )
     return hashed.groupby("content_md5").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
     )
