@@ -76,11 +76,18 @@ class QualityScorer:
         batch["punct_ratio"] = (
             t.str.count(self.punct_re) / n_chars.replace(0, 1)
         ).round(6)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: round(sum(w in self.stop for w in ws) / len(ws), 6) if ws else 0.0
+        # per-word reductions vectorized: one explode, then C-loop isin /
+        # str.len + an index-grouped mean — no per-row Python lambda. Rows
+        # with zero words reindex back in as 0.0.
+        ex = words.explode()
+        ex = ex[ex.notna()]
+        grouped_stop = ex.isin(self.stop).groupby(level=0).mean()
+        grouped_len = ex.str.len().groupby(level=0).mean()
+        batch["stopword_ratio"] = (
+            grouped_stop.reindex(t.index, fill_value=0.0).astype("float64").round(6)
         )
-        batch["mean_word_len"] = words.map(
-            lambda ws: round(sum(len(w) for w in ws) / len(ws), 6) if ws else 0.0
+        batch["mean_word_len"] = (
+            grouped_len.reindex(t.index, fill_value=0.0).astype("float64").round(6)
         )
         batch["upper_ratio"] = (t.str.count(r"[A-Z]") / n_chars.replace(0, 1)).round(6)
         return batch

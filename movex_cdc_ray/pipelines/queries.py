@@ -1827,7 +1827,15 @@ def corpus_clean(sf_dir: str) -> pd.DataFrame:
     def quality_gate(batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].fillna("").str.split(" ")
         n_words = words.str.len()
-        stop_ratio = words.map(lambda ws: sum(w in STOPWORDS for w in ws) / len(ws) if ws else 0.0)
+        # vectorized stopword ratio: one explode + C-loop isin + grouped mean
+        ex = words.explode()
+        ex = ex[ex.notna()]
+        stop_ratio = (
+            ex.isin(STOPWORDS)
+            .groupby(level=0)
+            .mean()
+            .reindex(batch.index, fill_value=0.0)
+        )
         keep = (n_words >= 20) & (stop_ratio >= 0.02)
         return batch[keep]
 
