@@ -2486,8 +2486,13 @@ def corpus_prep_pipeline(sf_dir: str) -> rd.Dataset:
         train = batch[(batch["doc_id"] % 97) != 0]
         words = train["text"].fillna("").str.split(" ")
         n_words = words.str.len()
-        stop_ratio = words.map(
-            lambda ws: sum(w in STOPWORDS for w in ws) / len(ws) if ws else 0.0
+        ex = words.explode()
+        ex = ex[ex.notna()]
+        stop_ratio = (
+            ex.isin(STOPWORDS)
+            .groupby(level=0)
+            .mean()
+            .reindex(train.index, fill_value=0.0)
         )
         return train[(n_words >= 20) & (stop_ratio >= 0.02)]
 
