@@ -489,13 +489,14 @@ def tfidf_top_terms(
 
     def distinct_doc_tokens(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[text_col].fillna("").str.lower().str.findall(token_re)
-        ex = toks.map(lambda ts: list(set(ts)))
+        # (doc, term) pairs deduped in one C-loop drop_duplicates — no
+        # per-row Python set() construction
         out = pd.DataFrame(
-            {id_col: batch[id_col].repeat(ex.str.len()).to_numpy(),
-             "term": np.concatenate([np.asarray(x, dtype=object) for x in ex])
-             if len(ex) else np.array([], dtype=object)}
+            {id_col: batch[id_col].repeat(toks.str.len()).to_numpy(),
+             "term": np.concatenate([np.asarray(x, dtype=object) for x in toks])
+             if len(toks) else np.array([], dtype=object)}
         )
-        return out
+        return out.drop_duplicates()
 
     n_docs = ds.count()
     df_tbl = (
