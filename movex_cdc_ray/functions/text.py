@@ -292,18 +292,20 @@ class LangIdStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         words = batch[self.text_col].fillna("").str.lower().str.findall(self.word_re)
-
-        def predict(ws: list[str]) -> str:
-            if not ws:
-                return "und"
-            best, best_score = "und", 0
-            for lang, prof in self.profiles:
-                score = sum(w in prof for w in ws)
-                if score > best_score:
-                    best, best_score = lang, score
-            return best
-
-        batch["pred_lang"] = words.map(predict)
+        # vectorized profile scoring: one explode, then one C-loop isin +
+        # grouped sum per LANGUAGE (not per row). argmax ties resolve to the
+        # lowest column index = earlier profile order, matching the strict
+        # `score > best_score` scan; zero matches anywhere -> 'und'.
+        ex = words.explode()
+        ex = ex[ex.notna()]
+        scores = np.zeros((len(batch), len(self.profiles)), dtype=np.int64)
+        for j, (_, prof) in enumerate(self.profiles):
+            s = ex.isin(prof).groupby(level=0).sum()
+            scores[:, j] = s.reindex(words.index, fill_value=0).to_numpy()
+        best_j = scores.argmax(axis=1)
+        best_score = scores[np.arange(len(scores)), best_j]
+        langs = np.array([lang for lang, _ in self.profiles], dtype=object)
+        batch["pred_lang"] = np.where(best_score > 0, langs[best_j], "und")
         return batch
 
 
