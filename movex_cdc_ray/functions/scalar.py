@@ -28,6 +28,21 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 
+def round_half_away(x, digits: int = 6) -> np.ndarray:
+    """Decimal rounding that mirrors DuckDB's ``ROUND(DOUBLE, n)`` exactly:
+    half-away-from-zero on the scaled double (sign-aware
+    ``floor(|x|·10^n + 0.5)``). numpy/Python ``round`` are half-EVEN, which
+    diverges whenever a value lands exactly on the boundary — real for
+    small-integer ratios, e.g. 9/128 = 0.0703125 rounds to 0.070312
+    (half-even) vs DuckDB's 0.070313. Because both sides then evaluate the
+    identical float expression, oracle agreement holds at EVERY boundary,
+    not just the ones a given sf happens to avoid. ``+ 0.0`` folds -0.0 to
+    +0.0 so value hashes can't split on the zero sign."""
+    p = 10.0 ** digits
+    v = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(v) * p + 0.5), v) / p + 0.0
+
+
 def string_offsets_data(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
     """(offsets, utf8 data buffer) of a string/large_string Array slice —
     the zero-copy feed for per-row digest loops (sink.content_sha_array,

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .scalar import round_half_away
+
 # small per-language stopword profiles for the n-gram/stopword heuristic
 _STOPWORDS = {
     "en": {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"},
@@ -73,9 +75,9 @@ class QualityScorer:
         n_words = words.str.len().clip(lower=0)
         batch["n_chars_q"] = n_chars.astype("int64")
         batch["n_words"] = n_words.astype("int64")
-        batch["punct_ratio"] = (
+        batch["punct_ratio"] = round_half_away(
             t.str.count(self.punct_re) / n_chars.replace(0, 1)
-        ).round(6)
+        )
         # per-word reductions vectorized: one explode, then C-loop isin /
         # str.len + an index-grouped mean — no per-row Python lambda. Rows
         # with zero words reindex back in as 0.0.
@@ -83,13 +85,15 @@ class QualityScorer:
         ex = ex[ex.notna()]
         grouped_stop = ex.isin(self.stop).groupby(level=0).mean()
         grouped_len = ex.str.len().groupby(level=0).mean()
-        batch["stopword_ratio"] = (
-            grouped_stop.reindex(t.index, fill_value=0.0).astype("float64").round(6)
+        batch["stopword_ratio"] = round_half_away(
+            grouped_stop.reindex(t.index, fill_value=0.0)
         )
-        batch["mean_word_len"] = (
-            grouped_len.reindex(t.index, fill_value=0.0).astype("float64").round(6)
+        batch["mean_word_len"] = round_half_away(
+            grouped_len.reindex(t.index, fill_value=0.0)
         )
-        batch["upper_ratio"] = (t.str.count(r"[A-Z]") / n_chars.replace(0, 1)).round(6)
+        batch["upper_ratio"] = round_half_away(
+            t.str.count(r"[A-Z]") / n_chars.replace(0, 1)
+        )
         return batch
 
 
@@ -180,13 +184,13 @@ class RepetitionScorer:
         batch = batch.copy()
         batch["n_lines"] = n_lines.values
         batch["n_words_rep"] = nwords.reindex(docs, fill_value=0).astype("int64").values
-        batch["dup_line_frac"] = ((n_lines - n_dist) / n_lines).round(6).values
-        batch["dup_line_char_frac"] = (excess / tot_lc).round(6).values
-        batch["top_2gram_char_frac"] = (
-            (top2_chars.reindex(docs, fill_value=0) / wchars).round(6).values
+        batch["dup_line_frac"] = round_half_away((n_lines - n_dist) / n_lines)
+        batch["dup_line_char_frac"] = round_half_away(excess / tot_lc)
+        batch["top_2gram_char_frac"] = round_half_away(
+            top2_chars.reindex(docs, fill_value=0) / wchars
         )
-        batch["dup_5gram_char_frac"] = (
-            (dup5_chars.reindex(docs, fill_value=0) / wchars).round(6).values
+        batch["dup_5gram_char_frac"] = round_half_away(
+            dup5_chars.reindex(docs, fill_value=0) / wchars
         )
         return batch
 
@@ -449,7 +453,7 @@ def bigram_lm_scores(
             nll = -np.log((n2 + alpha) / (n1 + alpha * self.v))
             g = pd.DataFrame({"doc": f["doc"].to_numpy(), "nll": nll}).groupby("doc")["nll"]
             out["n_bigrams"] = g.size().reindex(docs, fill_value=0).astype("int64").values
-            out["avg_nll"] = np.round(g.mean().reindex(docs, fill_value=0.0).values, 6)
+            out["avg_nll"] = round_half_away(g.mean().reindex(docs, fill_value=0.0).values)
             return out
 
     from ._pool import pool_size
@@ -534,7 +538,7 @@ def tfidf_top_terms(
             dfv = dfv.dropna().astype("int64")
             score = (tf["tf"].to_numpy(dtype="float64")
                      * np.log(float(self.n) / dfv.to_numpy(dtype="float64")))
-            tf = tf.assign(score=np.round(score, 6))
+            tf = tf.assign(score=round_half_away(score))
             tf = tf.sort_values([id_col, "score", "term"],
                                 ascending=[True, False, True])
             top = tf.groupby(id_col, sort=False).head(top_n).copy()

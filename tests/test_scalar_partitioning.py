@@ -83,3 +83,23 @@ def test_assign_partitions_stable_and_salted():
     salts = out1["salt"].to_pylist()
     assert salts[2] == 0 and salts[3] == 0  # only hot keys salted
     assert {s for s in salts[:2]} <= {0, 1, 2, 3}
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from movex_cdc_ray.functions.scalar import round_half_away
+
+    # 9/128 = 0.0703125 sits EXACTLY on the 6-decimal boundary: half-even
+    # (numpy/python round) gives ...12, DuckDB ROUND gives ...13
+    vals = [9 / 128, 1 / 128, 0.0, 1.0, 2 / 3, -9 / 128, 1e-7, 123.4567895]
+    got = round_half_away(np.array(vals))
+    exp = [
+        duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        for v in vals
+    ]
+    assert got.tolist() == exp
+    assert got[0] == 0.070313  # the observed sf0.1 divergence, pinned
+    # -0.0 never escapes (value hashes must not split on zero sign)
+    assert str(round_half_away(np.array([-1e-9]))[0]) == "0.0"
