@@ -28,7 +28,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from . import _pool
-from .scalar import string_offsets_data
+from .scalar import round_half_away, string_offsets_data
 
 DEFAULT_SPLIT_WEIGHTS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
 SAMPLE_BUCKETS = 1_000_000  # hash-sample resolution: rates are exact to 1e-6
@@ -270,7 +270,7 @@ def mixture_rates(
     for _, r in agg.iterrows():
         share = targets.get(r[source_col], 0.0) / total_target if total_target else 0.0
         want = share * token_budget
-        rates.append(round(min(1.0, want / r["n_tokens"]) if r["n_tokens"] else 0.0, 6))
+        rates.append(float(round_half_away(min(1.0, want / r["n_tokens"]) if r["n_tokens"] else 0.0)))
     agg["rate"] = rates
     agg["n_docs"] = agg["n_docs"].astype("int64")
     agg["n_tokens"] = agg["n_tokens"].astype("int64")

@@ -22,7 +22,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from ._pool import pool_size
-from .scalar import string_offsets_data
+from .scalar import round_half_away, string_offsets_data
 
 _WORD_RE = re.compile(r"\w+")
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -303,7 +303,7 @@ def _pairs_ship_text(
                     inter = len(si & sj)
                     jc = inter / max(len(si) + len(sj) - inter, 1)
                 if jc >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(jc, 6)))
+                    rows.append((int(ids[i]), int(ids[j]), float(round_half_away(jc))))
         return pd.DataFrame(rows, columns=["a_id", "b_id", "jac"])
 
     pairs = (
@@ -501,7 +501,7 @@ def ngram_jaccard_pairs(
                 inter = len(sa & sb)
                 jc = inter / max(len(sa) + len(sb) - inter, 1)
             if jc >= threshold:
-                rows.append((ida, idb, round(jc, 6)))
+                rows.append((ida, idb, float(round_half_away(jc))))
         return pd.DataFrame(rows, columns=["a_id", "b_id", "jac"])
 
     def rebucket_by_pk(b: pd.DataFrame) -> pd.DataFrame:
@@ -623,7 +623,7 @@ def ngram_jaccard_exact(
         agg = agg[jac >= threshold]
         return pd.DataFrame(
             {"a_id": agg["a_id"], "b_id": agg["b_id"],
-             "jac": (agg["ninter"] / (agg["sa"] + agg["sb"] - agg["ninter"])).round(6)}
+             "jac": round_half_away(agg["ninter"] / (agg["sa"] + agg["sb"] - agg["ninter"]))}
         )
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:

@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import dedup as fdedup
+from ..functions.scalar import round_half_away as _rha
 from ..functions import similarity as fsim
 from ..stages import stats as fstats
 
@@ -2444,7 +2445,7 @@ def dedup_minhash_incremental(sf_dir: str) -> pd.DataFrame:
     # filter on the UNROUNDED jaccard (exactly like the batch verify and
     # the SQL oracle), round only for display
     jac = np.array([jaccard(texts[a], texts[b]) for a, b in zip(pairs["a_id"], pairs["b_id"])])
-    out = pairs.assign(jac=np.round(jac, 6))[jac >= 0.5]
+    out = pairs.assign(jac=_rha(jac))[jac >= 0.5]
     out["a_id"] = out["a_id"].astype("int64")
     out["b_id"] = out["b_id"].astype("int64")
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
