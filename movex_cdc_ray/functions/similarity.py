@@ -16,6 +16,7 @@ import ray
 import ray.data as rd
 
 from ._pool import pool_size
+from .scalar import round_half_away
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -652,7 +653,7 @@ def group_centroids(
             {
                 group_col: b[group_col].cast(pa.int64()),
                 "i": b["i"].cast(pa.int64()),
-                "centroid_x": pa.array(np.round(s / n, 6)),
+                "centroid_x": pa.array(round_half_away(s / n)),
                 "n_vecs": pa.array(n.astype(np.int64)),
             }
         )
