@@ -13,14 +13,27 @@ import json
 import sys
 
 
+def _ray_init_kwargs(num_cpus: int | None, env: dict | None = None) -> dict:
+    """ray.init kwargs for a CLI driver. ``RAY_ADDRESS`` decides the mode:
+    unset/'local' starts a single-node session (num_cpus honored); anything
+    else — what `ray job submit` exports for the job driver — JOINS the
+    existing cluster, where num_cpus must not (and does not) constrain the
+    session. The same `python -m movex_cdc_ray <cmd>` line is therefore the
+    `ray job submit --working-dir . -- ...` entrypoint unchanged."""
+    import os
+
+    address = (env if env is not None else os.environ).get("RAY_ADDRESS", "local")
+    kwargs = {"address": address, "include_dashboard": False, "logging_level": "ERROR"}
+    if num_cpus and address == "local":
+        kwargs["num_cpus"] = num_cpus
+    return kwargs
+
+
 def _ray_init(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+        ray.init(**_ray_init_kwargs(num_cpus))
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

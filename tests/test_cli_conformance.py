@@ -68,3 +68,17 @@ def test_cli_corpus_stats(tmp_path):
     for t in doc["top_tokens"]:
         assert t["cms_estimate"] >= t["n"]  # count-min never under-counts
     assert set(doc["doc_chars_quantiles_sampled"]) == {"0.25", "0.5", "0.9", "0.99"}
+
+
+def test_ray_init_kwargs_job_submit_mode():
+    from movex_cdc_ray.__main__ import _ray_init_kwargs
+
+    # sandbox/local mode: num_cpus honored
+    k = _ray_init_kwargs(8, env={"RAY_ADDRESS": "local"})
+    assert k["address"] == "local" and k["num_cpus"] == 8
+    k = _ray_init_kwargs(8, env={})
+    assert k["address"] == "local" and k["num_cpus"] == 8
+    # `ray job submit` exports the cluster address: join it, and never try
+    # to constrain an existing cluster with num_cpus
+    k = _ray_init_kwargs(8, env={"RAY_ADDRESS": "ray://gcs:10001"})
+    assert k["address"] == "ray://gcs:10001" and "num_cpus" not in k
