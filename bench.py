@@ -57,6 +57,7 @@ QUERY_SWEEP = [
     "dedup_semantic",
     "corpus_quality_cut",
     "embedding_centroids",
+    "text_bm25_topk",
 ]
 
 

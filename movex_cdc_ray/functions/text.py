@@ -548,3 +548,112 @@ def tfidf_top_terms(
     from ._pool import pool_size
 
     return ds.map_batches(ScoreStage, batch_format="pandas", concurrency=pool_size(4))
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (text-side similarity search)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    ds,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """BM25 (Robertson/Lucene variant) top-k document retrieval for a small
+    broadcast query set — the text-side sibling of `similarity.py`'s vector
+    ANN family.
+
+    Two-pass retrieval shape:
+      pass 1 (corpus constants): one narrow scan folds each batch to
+        (n_docs, total_tokens) plus per-QUERY-TERM document frequencies —
+        a bounded partial (≤ |terms|+1 rows per batch) merged on the
+        driver; at 100 TB these stats persist beside the corpus and the
+        pass is amortized across query sets.
+      pass 2 (scoring): stats broadcast once; each batch tokenizes
+        vectorized, computes tf for the |terms| query terms via one
+        explode + per-term C-loop equality (never per row), scores all
+        queries, and emits only its LOCAL top-k per query — the merge is
+        a (batches × queries × k)-row groupby trim, corpus-independent.
+
+    idf = ln((N - df + .5)/(df + .5) + 1); score rounded half-away to 6
+    (ranking on the ROUNDED value, doc-id tiebreak) so the DuckDB oracle
+    re-derives identical ranks."""
+    import math
+
+    import ray.data as rd  # noqa: F401  (signature parity with siblings)
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    terms = sorted({t for ts in queries.values() for t in ts})
+
+    def stats_fold(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+        ex = toks.explode().dropna()
+        # '#' cannot appear in a [a-z0-9_]+ token, so the scalar stats can
+        # never collide with a real term. NUL-prefixed sentinels are NOT
+        # safe here: pandas' object factorize hashes embedded-NUL strings
+        # as C strings, silently merging "\x00a" and "\x00b" in groupby.
+        rows = {"term": ["#n_docs", "#n_tokens"],
+                "v": [len(batch), int(len(ex))]}
+        for t in terms:
+            hit = ex[ex == t]
+            rows["term"].append(t)
+            rows["v"].append(int(hit.index.nunique()))
+        return pd.DataFrame(rows)
+
+    stats = (
+        ds.map_batches(stats_fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("term")["v"]
+        .sum()
+    )
+    n_docs = int(stats["#n_docs"])
+    avgdl = float(stats["#n_tokens"]) / max(n_docs, 1)
+    idf = {
+        t: math.log((n_docs - int(stats.get(t, 0)) + 0.5) / (int(stats.get(t, 0)) + 0.5) + 1.0)
+        for t in terms
+    }
+
+    def score_fold(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+        ids = batch[id_col].to_numpy()
+        dl = toks.str.len().to_numpy(dtype=np.float64)
+        ex = toks.explode().dropna()
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        frames = []
+        for qid, qterms in queries.items():
+            score = np.zeros(len(batch))
+            for t in qterms:
+                tf = (ex == t).groupby(level=0).sum().reindex(
+                    batch.index, fill_value=0
+                ).to_numpy(dtype=np.float64)
+                score += idf[t] * tf * (k1 + 1.0) / np.where(tf > 0, tf + norm, 1.0)
+            keep = score > 0
+            f = pd.DataFrame(
+                {"query_id": qid, id_col: ids[keep], "score": round_half_away(score[keep])}
+            )
+            f = f.sort_values(["score", id_col], ascending=[False, True]).head(k)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    out = (
+        ds.map_batches(score_fold, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(trim, batch_format="pandas")
+        .to_pandas()
+    )
+    return out[["query_id", id_col, "rank", "score"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)

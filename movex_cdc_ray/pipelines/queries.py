@@ -2660,6 +2660,20 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["label", "i"]).reset_index(drop=True)
 
 
+_BM25_QUERIES = {0: ["hash", "join"], 1: ["batch", "merge", "scan"], 2: ["filter", "window"]}
+
+
+def text_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 retrieval for three fixed term queries
+    (`functions/text.py:bm25_topk`) — the text-side similarity search
+    beside the vector ANN family: bounded stats fold, broadcast constants,
+    per-batch local top-k, one query-keyed trim groupby."""
+    from ..functions.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
 def multimodal_inventory(sf_dir: str) -> pd.DataFrame:
     """Binary-column plumbing, VALUE-checked: the staged media payloads are
     read as Arrow binary, batch-sliced through the object store, and their
@@ -2869,6 +2883,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_normalized": dedup_normalized,
     "corpus_quality_cut": corpus_quality_cut,
     "embedding_centroids": embedding_centroids,
+    "text_bm25_topk": text_bm25_topk,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3921,6 +3936,45 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM s JOIN th USING (source)
         WHERE s.n_words >= th.thr
         ORDER BY s.doc_id
+    """,
+    "text_bm25_topk": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                           '[a-z0-9_]+')) AS w
+          FROM documents
+        ), consts AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS n_tokens
+        ), dl AS (
+          SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ), q(query_id, w) AS (
+          VALUES (0,'hash'),(0,'join'),(1,'batch'),(1,'merge'),(1,'scan'),
+                 (2,'filter'),(2,'window')
+        ), df AS (
+          SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+          WHERE w IN (SELECT w FROM q) GROUP BY w
+        ), tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf FROM tok
+          WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w
+        ), scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 SUM( ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                      * tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                           / (CAST(c.n_tokens AS DOUBLE) / c.n_docs))) ) AS s
+          FROM q JOIN tf USING (w) JOIN df USING (w)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN consts c
+          GROUP BY q.query_id, tf.doc_id
+        ), rk AS (
+          SELECT query_id, doc_id, ROUND(s, 6) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(s, 6) DESC, doc_id) AS rank
+          FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(rank AS BIGINT) AS rank, score
+        FROM rk WHERE rank <= 10 ORDER BY query_id, rank
     """,
     "embedding_centroids": """
         WITH e AS (

@@ -532,3 +532,32 @@ def test_passage_dup_stats_counts_shared_windows(ray_session):
     )
     got = {r.doc_id: (r.n_passages, r.n_dup_passages) for r in out.itertuples()}
     assert got[0] == (3, 1) and got[1] == (2, 1) and got[2] == (1, 0)
+
+
+def test_bm25_topk_ranks_and_sentinels(ray_session):
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.text import bm25_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                [
+                    "hash join hash join hash",   # dense in both terms
+                    "hash join",                  # both terms, shorter-but-padded below
+                    "hash only here with filler words to lengthen the document",
+                    "nothing relevant at all",
+                ]
+            ),
+        }
+    )
+    out = bm25_topk(rd.from_arrow(docs), {0: ["hash", "join"]}, k=3)
+    assert out["query_id"].tolist() == [0, 0, 0]
+    # doc 3 has no query term and must be absent; doc 0 outranks the rest
+    assert 3 not in set(out["doc_id"])
+    assert out.iloc[0]["doc_id"] == 0 and out.iloc[0]["rank"] == 1
+    assert (out["score"] > 0).all()
+    # sentinel regression guard: the stats fold must keep n_docs and
+    # n_tokens distinct (pandas factorize merges NUL-prefixed keys)
+    assert out["score"].is_monotonic_decreasing
