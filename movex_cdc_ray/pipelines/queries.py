@@ -2674,6 +2674,31 @@ def text_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def hybrid_rrf_topk(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the BM25 term-query top-10 (`text_bm25_topk`) with the vector
+    cosine top-10 for the SAME query ids 0-2 (`knn_bruteforce`, doc_id =
+    vec_id in the synthetic corpus) as rrf = Σ 1/(60 + rank); re-rank on
+    the rounded fused score. Both source rankings are fully distributed
+    pipelines; the fusion itself is a (queries × 2k)-row driver table by
+    construction — the standard hybrid-search shape."""
+    from ..functions.scalar import round_half_away
+
+    bm = text_bm25_topk(sf_dir)[["query_id", "doc_id", "rank"]]
+    kn = knn_bruteforce(sf_dir)
+    kn = kn[kn["query_id"].isin(list(_BM25_QUERIES))][
+        ["query_id", "neighbor_id", "rank"]
+    ].rename(columns={"neighbor_id": "doc_id"})
+    u = pd.concat([bm, kn], ignore_index=True)
+    u["c"] = 1.0 / (60.0 + u["rank"].to_numpy(dtype="float64"))
+    f = u.groupby(["query_id", "doc_id"], as_index=False)["c"].sum()
+    f["rrf"] = round_half_away(f["c"])
+    f = f.sort_values(["query_id", "rrf", "doc_id"], ascending=[True, False, True])
+    f["rank"] = f.groupby("query_id").cumcount() + 1
+    out = f[f["rank"] <= 10][["query_id", "doc_id", "rank", "rrf"]]
+    return out.reset_index(drop=True)
+
+
 def multimodal_inventory(sf_dir: str) -> pd.DataFrame:
     """Binary-column plumbing, VALUE-checked: the staged media payloads are
     read as Arrow binary, batch-sliced through the object store, and their
@@ -2884,6 +2909,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_quality_cut": corpus_quality_cut,
     "embedding_centroids": embedding_centroids,
     "text_bm25_topk": text_bm25_topk,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3102,6 +3128,47 @@ def _frames_sql() -> str:
            ROUND(n.fn, 4) AS feature_norm
     FROM frames f JOIN norm_px n USING (media_id, frame_idx)
     ORDER BY media_id, frame_idx
+    """
+
+
+_BM25_SQL = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                           '[a-z0-9_]+')) AS w
+          FROM documents
+        ), consts AS (
+          SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM tok) AS n_tokens
+        ), dl AS (
+          SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ), q(query_id, w) AS (
+          VALUES (0,'hash'),(0,'join'),(1,'batch'),(1,'merge'),(1,'scan'),
+                 (2,'filter'),(2,'window')
+        ), df AS (
+          SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+          WHERE w IN (SELECT w FROM q) GROUP BY w
+        ), tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf FROM tok
+          WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w
+        ), scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 SUM( ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                      * tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                           / (CAST(c.n_tokens AS DOUBLE) / c.n_docs))) ) AS s
+          FROM q JOIN tf USING (w) JOIN df USING (w)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN consts c
+          GROUP BY q.query_id, tf.doc_id
+        ), rk AS (
+          SELECT query_id, doc_id, ROUND(s, 6) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(s, 6) DESC, doc_id) AS rank
+          FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(rank AS BIGINT) AS rank, score
+        FROM rk WHERE rank <= 10 ORDER BY query_id, rank
     """
 
 
@@ -3937,44 +4004,34 @@ def _build_oracle_sql() -> dict[str, str]:
         WHERE s.n_words >= th.thr
         ORDER BY s.doc_id
     """,
-    "text_bm25_topk": """
-        WITH tok AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(COALESCE(text, '')),
-                                           '[a-z0-9_]+')) AS w
-          FROM documents
-        ), consts AS (
-          SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-                 (SELECT COUNT(*) FROM tok) AS n_tokens
-        ), dl AS (
-          SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
-        ), q(query_id, w) AS (
-          VALUES (0,'hash'),(0,'join'),(1,'batch'),(1,'merge'),(1,'scan'),
-                 (2,'filter'),(2,'window')
-        ), df AS (
-          SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
-          WHERE w IN (SELECT w FROM q) GROUP BY w
-        ), tf AS (
-          SELECT doc_id, w, COUNT(*) AS tf FROM tok
-          WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w
-        ), scored AS (
-          SELECT q.query_id, tf.doc_id,
-                 SUM( ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                      * tf.tf * (1.2 + 1.0)
-                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
-                           / (CAST(c.n_tokens AS DOUBLE) / c.n_docs))) ) AS s
-          FROM q JOIN tf USING (w) JOIN df USING (w)
-          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN consts c
-          GROUP BY q.query_id, tf.doc_id
-        ), rk AS (
-          SELECT query_id, doc_id, ROUND(s, 6) AS score,
+    "text_bm25_topk": _BM25_SQL,
+    "hybrid_rrf_topk": f"""
+        WITH bm AS (
+          SELECT query_id, doc_id, rank FROM ({_BM25_SQL})
+        ), kn AS (
+          SELECT query_id, neighbor_id AS doc_id, rank FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     v.embedding::DOUBLE[]) DESC,
+                              v.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0, 1, 2)
+          ) WHERE rank <= 10
+        ), u AS (
+          SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM bm
+          UNION ALL
+          SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM kn
+        ), f AS (
+          SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf,
                  ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY ROUND(s, 6) DESC, doc_id) AS rank
-          FROM scored
+                                    ORDER BY ROUND(SUM(c), 6) DESC, doc_id) AS rank
+          FROM u GROUP BY query_id, doc_id
         )
         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-               CAST(rank AS BIGINT) AS rank, score
-        FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+               CAST(rank AS BIGINT) AS rank, rrf
+        FROM f WHERE rank <= 10 ORDER BY query_id, rank
     """,
     "embedding_centroids": """
         WITH e AS (
