@@ -61,6 +61,19 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else None
+    if sf_dir == "all":
+        # every scale in one invocation (fresh Ray session per dir) — the
+        # sf0.1 pass is what catches boundary bugs the driver's sf0.01
+        # gate happens to miss
+        rc = 0
+        for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            print(f"=== {d}")
+            rc |= _run_dir(d, only)
+        return rc
+    return _run_dir(sf_dir, only)
+
+
+def _run_dir(sf_dir: str, only: str | None) -> int:
     import ray
 
     sys.path.insert(0, "/root/repo")
