@@ -103,3 +103,27 @@ def test_round_half_away_matches_duckdb():
     assert got[0] == 0.070313  # the observed sf0.1 divergence, pinned
     # -0.0 never escapes (value hashes must not split on zero sign)
     assert str(round_half_away(np.array([-1e-9]))[0]) == "0.0"
+
+
+def test_round_half_away_property_vs_duckdb():
+    # derandomized sweep: random magnitudes + engineered dyadic boundaries
+    import duckdb
+    import numpy as np
+
+    from movex_cdc_ray.functions.scalar import round_half_away
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [
+            rng.uniform(-10, 10, 120),
+            rng.uniform(0, 1, 60),
+            np.arange(1, 60, dtype=np.float64) / 128.0,   # 7-digit .5 boundaries
+            np.arange(1, 30, dtype=np.float64) / 640.0,
+        ]
+    )
+    got = round_half_away(vals)
+    con = duckdb.connect()
+    exp = np.array(
+        [con.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0] for v in vals]
+    )
+    assert (got == exp).all()
