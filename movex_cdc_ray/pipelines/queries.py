@@ -2674,6 +2674,30 @@ def text_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def ann_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of the approximate indexes against the exact brute-force
+    top-10 — the standard ANN quality metric, as a first-class query: for
+    each query id 0-4 and each method (hyperplane-LSH, IVF), the fraction
+    of the exact neighbors the approximate index recovered. All three
+    rankings are distributed pipelines; the recall join runs on
+    (queries × k)-row driver tables."""
+    exact = knn_bruteforce(sf_dir)[["query_id", "neighbor_id"]]
+    methods = {
+        "lsh": ann_lsh(sf_dir)[["query_id", "neighbor_id"]],
+        "ivf": ann_ivf(sf_dir)[["query_id", "neighbor_id"]],
+    }
+    rows = []
+    for m, approx in sorted(methods.items()):
+        hits = exact.merge(approx, on=["query_id", "neighbor_id"]).groupby(
+            "query_id"
+        ).size()
+        for q in sorted(exact["query_id"].unique()):
+            n = int(hits.get(q, 0))
+            rows.append({"method": m, "query_id": int(q), "n_hits": n,
+                         "recall": n / 10.0})
+    return pd.DataFrame(rows)
+
+
 def hybrid_rrf_topk(sf_dir: str) -> pd.DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     fuse the BM25 term-query top-10 (`text_bm25_topk`) with the vector
@@ -2910,6 +2934,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "embedding_centroids": embedding_centroids,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "ann_recall": ann_recall,
     "multimodal_inventory": multimodal_inventory,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
@@ -3985,6 +4010,41 @@ def _build_oracle_sql() -> dict[str, str]:
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),
+    # recall@10 = overlap of each approximate ranking with the exact one;
+    # every ranking is the SAME SQL its own oracle uses, nested verbatim
+    "ann_recall": f"""
+        WITH ex AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                     v.embedding::DOUBLE[]) DESC,
+                              v.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+          ) WHERE rank <= 10
+        ), lsh AS (
+          SELECT query_id, neighbor_id FROM ({_ann_lsh_sql()})
+        ), ivf AS (
+          SELECT query_id, neighbor_id FROM ({_ivf_sql()})
+        ), qs AS (
+          SELECT DISTINCT query_id FROM ex
+        ), hits AS (
+          SELECT 'lsh' AS method, e.query_id, COUNT(*) AS n
+          FROM ex e JOIN lsh a USING (query_id, neighbor_id) GROUP BY e.query_id
+          UNION ALL
+          SELECT 'ivf' AS method, e.query_id, COUNT(*) AS n
+          FROM ex e JOIN ivf a USING (query_id, neighbor_id) GROUP BY e.query_id
+        )
+        SELECT m.method, qs.query_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0 AS recall
+        FROM (VALUES ('ivf'), ('lsh')) AS m(method)
+        CROSS JOIN qs
+        LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.query_id
+        ORDER BY m.method, qs.query_id
+    """,
     "dedup_semantic": _semdedup_sql(),
     "corpus_quality_cut": r"""
         WITH s AS (
