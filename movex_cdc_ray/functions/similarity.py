@@ -156,47 +156,57 @@ def lsh_bucketed_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 1,
+    n_tables: int = 1,
 ) -> pd.DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    ``multiprobe`` bit-flips of the query's bucket.
+    ``multiprobe`` bit-flips of the query's bucket in ANY of ``n_tables``
+    independent hash tables (Indyk-Motwani multi-table LSH; table t uses
+    seed+t, its buckets tagged t<<n_bits so one groupby serves all tables).
 
     The scale path of brute_force_topk: the bucket column partitions the
-    corpus (a groupby at scale); recall < 1.0 by design. Deterministic given
-    the seed."""
+    corpus (a groupby at scale); recall < 1.0 by design, rising with
+    n_tables (union of independent candidate sets) at n_tables× the
+    map-side replication — the standard recall/cost dial. Deterministic
+    given the seed."""
     qset = set(query_ids)
     qrows = ds.map_batches(
         lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
         batch_format="pyarrow",
     ).take_all()
     dim = len(qrows[0][vec_col])
-    hasher = HyperplaneHasher(dim, n_bits, seed)
+    hashers = [HyperplaneHasher(dim, n_bits, seed + t) for t in range(n_tables)]
     qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    qbuckets = hasher.bucket(qmat)
     # probe every bucket within Hamming distance ≤ multiprobe of the
-    # query's bucket (multiprobe=0 → exact bucket only)
+    # query's bucket, per table (multiprobe=0 → exact bucket only);
+    # composite bucket id = (table << n_bits) | bucket
     from itertools import combinations
 
-    probe_sets = []
-    for qb in qbuckets:
-        probes = {int(qb)}
-        for d in range(1, min(multiprobe, n_bits) + 1):
-            for bits in combinations(range(n_bits), d):
-                flip = 0
-                for b in bits:
-                    flip |= 1 << b
-                probes.add(int(qb) ^ flip)
-        probe_sets.append(probes)
+    flips = [0]
+    for d in range(1, min(multiprobe, n_bits) + 1):
+        for bits in combinations(range(n_bits), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flips.append(m)
+    probe_sets = [set() for _ in range(len(qids))]
+    for t, hasher in enumerate(hashers):
+        tag = t << n_bits
+        for qi, qb in enumerate(hasher.bucket(qmat)):
+            probe_sets[qi].update(tag | (int(qb) ^ m) for m in flips)
     all_probes = set().union(*probe_sets)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _normalize(_to_matrix(batch[vec_col]))
-        buckets = hasher.bucket(mat)
-        keep = np.isin(buckets, list(all_probes))
-        t = batch.select([id_col, vec_col]).append_column(
-            "bucket", pa.array(buckets.astype(np.int64))
-        )
-        return t.filter(pa.array(keep))
+        base = batch.select([id_col, vec_col])
+        parts = []
+        for t, hasher in enumerate(hashers):
+            buckets = hasher.bucket(mat).astype(np.int64) | (t << n_bits)
+            keep = np.isin(buckets, list(all_probes))
+            parts.append(
+                base.append_column("bucket", pa.array(buckets)).filter(pa.array(keep))
+            )
+        return pa.concat_tables(parts)
 
     # which query probes which bucket — a tiny broadcast table
     bucket_to_queries: dict[int, list[int]] = {}
