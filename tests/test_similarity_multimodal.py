@@ -314,3 +314,24 @@ def test_frame_sample_stage_rejects_non_stream_payloads(ray_session):
     stage = FrameSampleStage(n_frames=2, real=True)
     with pytest.raises(ValueError, match="P6"):
         stage(synth_media_table(2, seed=1))  # random bytes: not a PPM stream
+
+
+def test_lsh_multi_table_recall_monotone(emb_ds):
+    ds, mat = emb_ds
+
+    def recall(n_tables):
+        out = lsh_bucketed_ann(ds, query_ids=[0, 7], k=5, n_bits=6, n_tables=n_tables)
+        hits = 0
+        for qid in (0, 7):
+            exact = set(_exact_topk(mat, qid, 5))
+            hits += len(exact & set(out[out["query_id"] == qid]["neighbor_id"]))
+        return hits, out
+
+    h1, _ = recall(1)
+    h4, out4 = recall(4)
+    # union of independent candidate sets can only help (fixed seeds)
+    assert h4 >= h1
+    # deterministic across runs, ranks well-formed
+    _, again = recall(4)
+    assert out4.equals(again)
+    assert (out4.groupby("query_id")["rank"].min() == 1).all()
