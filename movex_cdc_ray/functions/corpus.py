@@ -666,6 +666,8 @@ def quality_cut_per_group(
         .map_groups(thr, batch_format="pandas")
         .to_pandas()
     )
+    if thresholds.empty:  # empty input: nothing to cut, stream through
+        return scored
     side = ray.put(dict(zip(thresholds[group_col], thresholds["thr"])))
 
     def cut(b: pd.DataFrame) -> pd.DataFrame:

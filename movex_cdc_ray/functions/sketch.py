@@ -96,6 +96,8 @@ def hll_estimate(registers: pd.DataFrame, p: int) -> float:
     """Cardinality estimate from a register table (standard HLL corrections:
     linear counting below 2.5m when empty buckets remain)."""
     m = 1 << p
+    if len(registers) == 0:  # empty corpus: all registers zero -> 0 distinct
+        return 0.0
     ranks = np.zeros(m, dtype=np.float64)
     ranks[registers["bucket"].to_numpy()] = registers["max_rank"].to_numpy()
     zeros = int((ranks == 0).sum())
@@ -353,13 +355,22 @@ def corpus_profile(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id
         .to_pandas()
         .rename(columns={"a": "row", "b": "col"})
     )
-    sample = (
+    sample_raw = (
         parts.filter(expr="kind == 'bk'")
         .sort("s")
         .limit(k)
         .to_pandas()
         .rename(columns={"a": id_col, "b": "text_chars", "s": "sample_hash"})
-    )[[id_col, "text_chars", "sample_hash"]]
+    )
+    sample = (
+        sample_raw[[id_col, "text_chars", "sample_hash"]]
+        if len(sample_raw)
+        else pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "text_chars": pd.Series(dtype="int64"),
+             "sample_hash": pd.Series(dtype="object")}
+        )
+    )
     return {
         "approx_distinct": hll_estimate(hll, p),
         "cms_cells": cms,

@@ -605,12 +605,13 @@ def bm25_topk(
             rows["v"].append(int(hit.index.nunique()))
         return pd.DataFrame(rows)
 
-    stats = (
-        ds.map_batches(stats_fold, batch_format="pandas")
-        .to_pandas()
-        .groupby("term")["v"]
-        .sum()
-    )
+    stats_pdf = ds.map_batches(stats_fold, batch_format="pandas").to_pandas()
+    if stats_pdf.empty:  # empty corpus: every query retrieves nothing
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
+             "rank": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+    stats = stats_pdf.groupby("term")["v"].sum()
     n_docs = int(stats["#n_docs"])
     avgdl = float(stats["#n_tokens"]) / max(n_docs, 1)
     idf = {

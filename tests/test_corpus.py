@@ -388,3 +388,26 @@ def test_cap_per_group_block_split_invariant(ray_session):
     one = run(1)
     assert run(4) == one and run(13) == one
     assert len(one) == 35  # 7 sources x cap 5
+
+
+def test_empty_input_operators_no_crash(ray_session):
+    # daily-delta pipelines hit genuinely empty inputs; every corpus
+    # operator must stream them through as typed empties, not crash
+    from movex_cdc_ray.functions import corpus as C
+    from movex_cdc_ray.functions import sketch as S
+    from movex_cdc_ray.functions import text as T
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert len(C.quality_cut_per_group(empty, "doc_id").to_pandas()) == 0
+    prof = S.corpus_profile(empty)
+    assert len(prof["sample"]) == 0 and prof["approx_distinct"] == 0.0
+    bm = T.bm25_topk(empty, {0: ["hash"]})
+    assert list(bm.columns) == ["query_id", "doc_id", "rank", "score"] and len(bm) == 0
