@@ -105,6 +105,11 @@ def brute_force_topk(
         lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
         batch_format="pyarrow",
     ).take_all()
+    if not qrows:
+        raise ValueError(
+            f"no query vectors found for ids {sorted(qset)} — empty dataset "
+            f"or wrong {id_col} values"
+        )
     qrows.sort(key=lambda r: query_ids.index(r[id_col]))
     q = {
         "ids": [r[id_col] for r in qrows],
@@ -173,6 +178,11 @@ def lsh_bucketed_ann(
         lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
         batch_format="pyarrow",
     ).take_all()
+    if not qrows:
+        raise ValueError(
+            f"no query vectors found for ids {sorted(qset)} — empty dataset "
+            f"or wrong {id_col} values"
+        )
     dim = len(qrows[0][vec_col])
     hashers = [HyperplaneHasher(dim, n_bits, seed + t) for t in range(n_tables)]
     qmat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]))
@@ -354,6 +364,11 @@ def ivf_topk(
         lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(sorted(qset)))),
         batch_format="pyarrow",
     ).take_all()
+    if not qrows:
+        raise ValueError(
+            f"no query vectors found for ids {sorted(qset)} — empty dataset "
+            f"or wrong {id_col} values"
+        )
     qmat = _round9(_normalize(np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]
     )))
@@ -546,6 +561,11 @@ def pq_topk(
         lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(qset))),
         batch_format="pyarrow",
     ).take_all()
+    if not qrows:
+        raise ValueError(
+            f"no query vectors found for ids {sorted(qset)} — empty dataset "
+            f"or wrong {id_col} values"
+        )
     qrows.sort(key=lambda r: r[id_col])
     qmat = _round9(_normalize(np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in qrows]

@@ -335,3 +335,22 @@ def test_lsh_multi_table_recall_monotone(emb_ds):
     _, again = recall(4)
     assert out4.equals(again)
     assert (out4.groupby("query_id")["rank"].min() == 1).all()
+
+
+def test_ann_missing_queries_clear_error(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.similarity import brute_force_topk, lsh_bucketed_ann
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    for fn in (brute_force_topk, lsh_bucketed_ann):
+        with pytest.raises(ValueError, match="no query vectors"):
+            fn(empty, query_ids=[0, 1], k=3)
