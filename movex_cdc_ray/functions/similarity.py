@@ -689,3 +689,130 @@ def group_centroids(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+class KMeansAssignPartialStage:
+    """Per-batch Lloyd step against a broadcast centroid set: assign every
+    vector to its nearest centroid and fold the batch to (cluster, i, s, n)
+    partial sums via one one-hot matmul — at most ``k x d`` rows leave any
+    batch regardless of batch size (the `CentroidPartialStage` shape, with
+    the group key COMPUTED by the assignment instead of read from a column).
+
+    Distance contract (mirrored verbatim by the SQL oracle,
+    `queries.py:_kmeans_full_sql`): squared L2 rounded half-away to 9
+    decimals BEFORE the argmin, ties broken toward the lower cluster id
+    (numpy first-min == SQL ``ORDER BY dist, cluster``). Rounding first
+    makes the ordering invariant to numpy-vs-DuckDB summation-order drift
+    (~1e-13, far inside the 5e-10 quantum)."""
+
+    def __init__(self, cent_ref, vec_col: str = "embedding"):
+        cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.cent = np.asarray(cent, dtype=np.float64)  # (k, d)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k, d = self.cent.shape
+        schema = pa.schema(
+            [("cluster", pa.int64()), ("i", pa.int64()),
+             ("s", pa.float64()), ("n", pa.int64())]
+        )
+        if len(batch) == 0:
+            return schema.empty_table()
+        x = _to_matrix(batch[self.vec_col])
+        if k * d <= (1 << 16):
+            # direct Σ(x-c)² — the form the SQL oracle evaluates
+            d2 = ((x[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        else:
+            # expansion form for large k·d (scale path; same ordering after
+            # the round-9 quantization except adversarial near-ties)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ self.cent.T)
+                + (self.cent * self.cent).sum(axis=1)[None, :]
+            )
+        assign = np.argmin(round_half_away(d2, 9), axis=1)
+        onehot = (assign[:, None] == np.arange(k)[None, :]).astype(np.float64)
+        sums = onehot.T @ x  # (k, d)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            },
+            schema=schema,
+        )
+
+
+def kmeans_full(
+    ds: rd.Dataset,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Full-corpus distributed Lloyd's k-means — the iterative-algorithm
+    family member beside the sample-trained quantizer (`_kmeans`): every
+    iteration streams the WHOLE table once through a broadcast-centroid
+    assignment fold; the entire cross-worker exchange per iteration is the
+    ≤ (blocks × k × d)-row partial groupby, and the driver only ever holds
+    the k × d centroid matrix. This is the MLlib-style shape that holds at
+    100 TB — no per-row driver work, no full materialization; if re-reads
+    dominate, materialize the two projected columns upstream once.
+
+    Deterministic, SQL-checkable contract: init = the vectors with
+    ``id_col < k`` ordered by id; squared-L2 assignment rounded half-away
+    to 9 with ties toward the lower cluster; per-cluster means rounded
+    half-away to 9 each iteration; empty clusters carry the previous
+    centroid forward (n_vecs 0). Returns (cluster, i, centroid_x round-6,
+    n_vecs of the final assignment) with ``i`` 1-indexed."""
+    from ray.data.aggregate import Sum
+
+    init_rows = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t[id_col], k)), batch_format="pyarrow"
+    ).take_all()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k-means init needs the {k} rows with {id_col} < {k}; found "
+            f"{len(init_rows)}. The SQL-checkable init contract is an id "
+            "filter — re-key sparse id spaces to start at 0 or lower k."
+        )
+    init_rows.sort(key=lambda r: r[id_col])
+    cent = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows[:k]]
+    )
+    d = cent.shape[1]
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(cent.copy())
+        parts = ds.map_batches(
+            KMeansAssignPartialStage,
+            fn_constructor_args=(ref, vec_col),
+            batch_format="pyarrow",
+            concurrency=pool_size(4),
+            batch_size=4096,
+        )
+        agg = (
+            parts.groupby(["cluster", "i"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()  # ≤ k·d rows
+        )
+        s = np.zeros((k, d))
+        n = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            s[r["cluster"], r["i"] - 1] = r["s"]
+            if r["i"] == 1:
+                n[r["cluster"]] = r["n"]
+        nz = n > 0
+        if nz.any():
+            cent[nz] = round_half_away(s[nz] / n[nz][:, None], 9)
+        counts = n
+    return pd.DataFrame(
+        {
+            "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+            "i": np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+            "centroid_x": round_half_away(cent, 6).ravel(),
+            "n_vecs": np.repeat(counts, d),
+        }
+    )

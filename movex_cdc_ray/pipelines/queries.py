@@ -2710,6 +2710,21 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["label", "i"]).reset_index(drop=True)
 
 
+def embedding_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus distributed Lloyd's k-means, k=4 / 3 iterations
+    (`similarity.kmeans_full`) — the iterative-algorithm family member:
+    each iteration streams the whole embeddings table once through a
+    broadcast-centroid assignment fold; the only exchange is the
+    (k x d)-sized partial groupby and the driver holds just the centroid
+    matrix. Oracle: the same three Lloyd iterations unrolled as chained
+    CTEs (`_kmeans_full_sql`), round-9 means and round-9 distances with
+    ties toward the lower cluster on both sides."""
+    from ..functions.similarity import kmeans_full
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_full(ds, k=4, iters=3)
+
+
 _BM25_QUERIES = {0: ["hash", "join"], 1: ["batch", "merge", "scan"], 2: ["filter", "window"]}
 
 
@@ -2982,6 +2997,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_normalized": dedup_normalized,
     "corpus_quality_cut": corpus_quality_cut,
     "embedding_centroids": embedding_centroids,
+    "embedding_kmeans": embedding_kmeans,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
@@ -3245,6 +3261,53 @@ _BM25_SQL = """
                CAST(rank AS BIGINT) AS rank, score
         FROM rk WHERE rank <= 10 ORDER BY query_id, rank
     """
+
+
+def _kmeans_full_sql(k: int = 4, iters: int = 3) -> str:
+    """DuckDB value oracle for embedding_kmeans: the full-corpus Lloyd
+    iterations of `similarity.kmeans_full` unrolled as chained materialized
+    CTEs. Contract mirrored exactly: init = vectors with vec_id < k, squared
+    L2 rounded to 9 before the per-vector argmin (ties toward the lower
+    cluster), per-cluster means rounded to 9 each iteration, empty clusters
+    carry the previous centroid with n_vecs 0."""
+    sql = f"""
+        WITH ex AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        ), c0 AS MATERIALIZED (
+          SELECT vec_id AS cluster, i, x AS cx FROM ex WHERE vec_id < {k}
+        )"""
+    for t in range(1, iters + 1):
+        sql += f"""
+        , a{t} AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.cluster,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 9) ASC,
+                              c.cluster ASC) AS rn
+            FROM ex v JOIN c{t - 1} c ON c.i = v.i
+            GROUP BY v.vec_id, c.cluster) WHERE rn = 1
+        ), m{t} AS MATERIALIZED (
+          SELECT a.cluster, v.i, SUM(v.x) AS s, COUNT(*) AS n
+          FROM a{t} a JOIN ex v ON v.vec_id = a.vec_id
+          GROUP BY a.cluster, v.i
+        ), c{t} AS MATERIALIZED (
+          SELECT c.cluster, c.i,
+                 CASE WHEN m.n IS NULL THEN c.cx
+                      ELSE ROUND(m.s / m.n, 9) END AS cx
+          FROM c{t - 1} c LEFT JOIN m{t} m
+            ON m.cluster = c.cluster AND m.i = c.i
+        )"""
+    sql += f"""
+        SELECT CAST(c.cluster AS BIGINT) AS cluster, CAST(c.i AS BIGINT) AS i,
+               ROUND(c.cx, 6) AS centroid_x,
+               CAST(COALESCE(m.n, 0) AS BIGINT) AS n_vecs
+        FROM c{iters} c LEFT JOIN m{iters} m
+          ON m.cluster = c.cluster AND m.i = c.i
+        ORDER BY cluster, i
+    """
+    return sql
 
 
 def _build_oracle_sql() -> dict[str, str]:
@@ -4143,6 +4206,7 @@ def _build_oracle_sql() -> dict[str, str]:
                CAST(rank AS BIGINT) AS rank, rrf
         FROM f WHERE rank <= 10 ORDER BY query_id, rank
     """,
+    "embedding_kmeans": _kmeans_full_sql(),
     "embedding_centroids": """
         WITH e AS (
           SELECT label, generate_subscripts(emb, 1) AS i, unnest(emb) AS x

@@ -354,3 +354,60 @@ def test_ann_missing_queries_clear_error(ray_session):
     for fn in (brute_force_topk, lsh_bucketed_ann):
         with pytest.raises(ValueError, match="no query vectors"):
             fn(empty, query_ids=[0, 1], k=3)
+
+
+def _emb_table(mat: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def test_kmeans_full_block_split_invariance(ray_session):
+    from movex_cdc_ray.functions.similarity import kmeans_full
+
+    rng = np.random.default_rng(7)
+    mat = np.round(rng.normal(size=(60, 5)).astype(np.float32), 3)
+    t = _emb_table(mat)
+    one = kmeans_full(rd.from_arrow(t), k=4, iters=3)
+    many = kmeans_full(rd.from_arrow(t).repartition(7), k=4, iters=3)
+    assert one.equals(many)
+    assert list(one.columns) == ["cluster", "i", "centroid_x", "n_vecs"]
+    assert len(one) == 4 * 5
+    # every vector assigned exactly once in the final iteration
+    assert int(one[one["i"] == 1]["n_vecs"].sum()) == 60
+
+
+def test_kmeans_full_empty_cluster_carries_centroid(ray_session):
+    from movex_cdc_ray.functions.similarity import kmeans_full
+
+    # id2's vector duplicates id0's: every point ties toward the LOWER
+    # cluster, so cluster 2 is empty after iteration 1 and must carry its
+    # init centroid with n_vecs 0 (the SQL LEFT-JOIN carry rule).
+    mat = np.array(
+        [[0.0, 0.0], [10.0, 10.0], [0.0, 0.0], [0.1, -0.1], [9.9, 10.2]],
+        dtype=np.float32,
+    )
+    ds = rd.from_arrow(_emb_table(mat))
+    out = kmeans_full(ds, k=3, iters=1)
+    c2 = out[out["cluster"] == 2].sort_values("i")
+    assert (c2["n_vecs"] == 0).all()
+    assert list(c2["centroid_x"]) == [0.0, 0.0]
+    assert int(out[out["i"] == 1]["n_vecs"].sum()) == 5
+    # and the carried centroid stays LIVE: once cluster 0's mean moves off
+    # [0,0], iteration 2 re-captures the duplicate points for cluster 2
+    out2 = kmeans_full(ds, k=3, iters=2)
+    c2b = out2[(out2["cluster"] == 2) & (out2["i"] == 1)]
+    assert int(c2b["n_vecs"].iloc[0]) == 2
+
+
+def test_kmeans_full_missing_init_rows_raises(ray_session):
+    from movex_cdc_ray.functions.similarity import kmeans_full
+
+    mat = np.ones((2, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="init needs"):
+        kmeans_full(rd.from_arrow(_emb_table(mat)), k=5, iters=1)
