@@ -658,3 +658,299 @@ def bm25_topk(
     return out[["query_id", id_col, "rank", "score"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sparse all-pairs IDF-weighted shingle-cosine similarity join
+# ---------------------------------------------------------------------------
+
+
+def tfidf_simjoin(
+    ds,
+    threshold: float = 0.5,
+    max_df: int = 20,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """All-pairs cosine similarity over sparse IDF-weighted word-``k``-shingle
+    sets — the sparse counterpart of the dense embedding near-dup join, and
+    the cosine-weighted sibling of `dedup.ngram_jaccard_exact`: doc pairs
+    never meet unless they SHARE a shingle, so the join is driven by a
+    shingle-partitioned inverted index, not an all-pairs product. Shingles
+    (not unigrams) are the term space because real template-heavy corpora —
+    including the synthetic one — have a tiny unigram vocabulary where every
+    word is a stopword; k-grams restore discriminative coordinates.
+
+    Contract (mirrored by the SQL oracle): docs with ≥1 word; distinct
+    word-``k``-shingles (whole doc when < k words — `ngram_jaccard_exact`
+    rules); vector space = shingles with ``df <= max_df``; weight =
+    ln(N/df) (set semantics, tf ≡ 1); cosine over the L2-normalized capped
+    vectors; pairs kept where the ROUND-6 cosine >= threshold.
+
+    Distributed shape (DISCO/Elsayed-style pair generation); EVERY wide step
+    is the coarse-bucket sort+map_groups reduce — Ray's generic
+    `groupby().aggregate()` walks groups in Python and measured 75 s for the
+    27k-group DF pass alone at sf0.1 (the `ngram_jaccard_exact` lesson):
+      1. DF pass: per-batch distinct (doc, shingle-hash) explode →
+         groupby(sh % NB).map_groups with a vectorized `value_counts` +
+         ``df <= max_df`` cut INSIDE the bucket (a shingle's postings
+         co-locate in its bucket, so the bucket count IS the global df).
+         ``max_df`` is the SCALE knob: a shingle with df = d emits d(d-1)/2
+         partial products, so the cap bounds per-shingle work at max_df²/2
+         while dropping exactly the lowest-idf coordinates. Shingles travel
+         as 64-bit hashes (`pd.util.hash_array`) — same collision bound as
+         the Jaccard path.
+      2. Postings: broadcast (shingle → df) once (the `tfidf_top_terms`
+         broadcast assumption — the KEPT vocab fits worker memory; add
+         min-df pruning at 100 TB or go relational); each batch re-shingles
+         its own docs and computes their normalized weights locally (a
+         doc's shingles live in its own batch — tokenizing twice beats the
+         per-doc norm shuffle that a single-pass layout would need).
+      3. Pair partials: groupby(sh % NB).map_groups — ONE Ray group per
+         bucket, a vectorized pandas self-merge on the shingle hash inside
+         (upper triangle via doc_b > doc_a), then a local packed-pair-key
+         partial sum (ids validated to fit 31 bits).
+      4. Pair fold: groupby(pair % NB).map_groups — every partial of a pair
+         lands in one group, so the in-group pandas sum is the full cosine
+         and the ROUND-6 ≥ threshold cut happens there, not on the driver.
+    """
+    import ray
+
+    from ._pool import pool_size
+
+    word_re = re.compile(r"\w+")
+    out_cols = {
+        "a_id": pd.Series([], dtype="int64"),
+        "b_id": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def explode_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        if len(ids) and ((ids < 0).any() or ids.max() >= (1 << 31)):
+            raise ValueError(
+                f"{id_col} must fit 31 bits for the packed pair key; "
+                "re-key the corpus or use a two-column pair groupby"
+            )
+        doc_ids: list[np.ndarray] = []
+        hashes: list[np.ndarray] = []
+        for did, txt in zip(ids, batch[text_col].fillna("")):
+            words = word_re.findall(txt.lower())
+            if not words:
+                continue  # no words: no vector (oracle: len(w) > 0)
+            if len(words) < k:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            sh = np.unique(
+                pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False)
+            )
+            doc_ids.append(np.full(len(sh), did, dtype=np.int64))
+            # int64 bit-view: uint64 group keys come back from Ray's
+            # sort-groupby with per-block int64/uint64 dtype drift, and the
+            # pandas concat upcasts to float64 — silently corrupting hashes
+            # above 2^53
+            hashes.append(sh.view(np.int64))
+        if not doc_ids:
+            return pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "sh": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc": np.concatenate(doc_ids), "sh": np.concatenate(hashes)}
+        )
+
+    num_buckets = 256
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bkt"] = (
+            batch["sh"].to_numpy().view(np.uint64) % np.uint64(num_buckets)
+        ).astype("int64")
+        return batch
+
+    def df_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["sh"].value_counts()
+        vc = vc[vc <= max_df]
+        return pd.DataFrame({
+            "sh": vc.index.to_numpy(dtype="int64"),
+            "df": vc.to_numpy(dtype="int64"),
+        })
+
+    n_docs = ds.count()
+    if n_docs == 0:
+        return pd.DataFrame(out_cols)
+    df_tbl = (
+        ds.map_batches(explode_shingles, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(df_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if df_tbl.empty:
+        return pd.DataFrame(out_cols)
+    df_ref = ray.put(
+        dict(zip(df_tbl["sh"].astype("int64"), df_tbl["df"].astype("int64")))
+    )
+
+    class PostingStage:
+        """(shingle, doc, normalized idf weight) postings, batch-local."""
+
+        def __init__(self):
+            self.df = ray.get(df_ref)
+            self.n = float(n_docs)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ex = explode_shingles(batch)
+            empty = pd.DataFrame({
+                "sh": pd.Series([], dtype="int64"),
+                "doc": pd.Series([], dtype="int64"),
+                "w": pd.Series([], dtype="float64"),
+            })
+            if ex.empty:
+                return empty
+            dfv = ex["sh"].map(self.df)
+            ex = ex[dfv.notna()].reset_index(drop=True)
+            if ex.empty:
+                return empty
+            w = np.log(self.n / dfv.dropna().to_numpy(dtype="float64"))
+            norm = np.sqrt(
+                pd.DataFrame({"d": ex["doc"].to_numpy(), "w2": w * w})
+                .groupby("d", sort=False)["w2"].transform("sum").to_numpy()
+            )
+            return pd.DataFrame({
+                "sh": ex["sh"].to_numpy(),
+                "doc": ex["doc"].to_numpy(dtype="int64"),
+                "w": w / norm,
+            })
+
+    postings = ds.map_batches(
+        PostingStage, batch_format="pandas", concurrency=pool_size(4)
+    ).map_batches(add_bucket, batch_format="pandas")
+
+    empty_pairs = pd.DataFrame({
+        "pair": pd.Series([], dtype="int64"),
+        "dot": pd.Series([], dtype="float64"),
+        "pkt": pd.Series([], dtype="int64"),
+    })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty_pairs
+        lhs = g[["sh", "doc", "w"]]
+        m = lhs.merge(lhs, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_a"].to_numpy() < m["doc_b"].to_numpy()]
+        if m.empty:
+            return empty_pairs
+        part = pd.DataFrame({
+            "pair": (m["doc_a"].to_numpy(dtype="int64") << np.int64(31))
+            | m["doc_b"].to_numpy(dtype="int64"),
+            "dot": m["w_a"].to_numpy() * m["w_b"].to_numpy(),
+        })
+        # local partial sum: a pair hit on many shingles in this bucket
+        # collapses to one row before the cross-bucket exchange
+        out = part.groupby("pair", sort=False)["dot"].sum().reset_index()
+        out["pkt"] = (out["pair"].to_numpy() % num_buckets).astype("int64")
+        return out
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pair", sort=False)["dot"].sum()
+        cos = round_half_away(agg.to_numpy())
+        keep = cos >= threshold
+        key = agg.index.to_numpy(dtype="int64")[keep]
+        return pd.DataFrame({
+            "a_id": (key >> np.int64(31)).astype("int64"),
+            "b_id": (key & np.int64((1 << 31) - 1)).astype("int64"),
+            "cosine": cos[keep],
+        })
+
+    out = (
+        postings.groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pkt")
+        .map_groups(reduce_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(out_cols)
+    return (
+        out[["a_id", "b_id", "cosine"]]
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule document filter
+# ---------------------------------------------------------------------------
+
+
+class GopherRulesFilter:
+    """Gopher quality-rule document filter (Rae et al. 2021, app. A1.1) —
+    the full rule set the QualityScorer/RepetitionScorer signals feed into,
+    evaluated to per-rule verdicts + a final keep flag. Pure per-batch map,
+    no shuffle; regexes compile once per actor.
+
+    Every ratio rule is evaluated in INTEGER arithmetic (e.g. "symbol ratio
+    <= 0.1" as ``10*(n_hash+n_ellipsis) <= n_words``) so the SQL oracle can
+    never diverge on a float boundary — the same dyadic-boundary lesson as
+    `scalar.round_half_away`.
+
+    Rules (words = ``\\w+`` over lowercased text, lines = ``\\n``-split):
+      r_word_count — 50 <= words <= 100 000
+      r_mean_len   — 3 <= mean word length <= 10 (0-word docs fail)
+      r_symbol     — (#-count + non-overlapping "..."-count) / words <= 0.1
+      r_bullets    — <= 10% of lines start with a bullet (-, *, •)
+      r_ellipsis   — <= 30% of lines end with "..."
+      r_alpha      — >= 80% of words contain an [a-z] character
+      r_stop       — >= 2 distinct of {the, be, to, of, and, that, have, with}
+    """
+
+    STOP8 = frozenset(("the", "be", "to", "of", "and", "that", "have", "with"))
+    RULES = ("r_word_count", "r_mean_len", "r_symbol", "r_bullets",
+             "r_ellipsis", "r_alpha", "r_stop")
+
+    def __init__(self, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000):
+        self.text_col = text_col
+        self.min_words = min_words
+        self.max_words = max_words
+        self.word_re = re.compile(r"\w+")
+        self.ellipsis_re = re.compile(r"\.\.\.")
+        self.bullet_re = re.compile(r"^\s*[-*•]")
+        self.ell_end_re = re.compile(r"\.\.\.\s*$")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        idx = t.index
+        words = t.str.lower().str.findall(self.word_re)
+        n_words = words.str.len().astype("int64")
+        ex = words.explode().dropna()
+        g = lambda s: s.groupby(level=0).sum().reindex(idx, fill_value=0).astype("int64")  # noqa: E731
+        sum_wlen = g(ex.str.len())
+        n_alpha = g(ex.str.contains(r"[a-z]", regex=True))
+        n_stop = (
+            ex[ex.isin(self.STOP8)].groupby(level=0).nunique()
+            .reindex(idx, fill_value=0).astype("int64")
+        )
+        n_hash = t.str.count("#").astype("int64")
+        n_ellipsis = t.str.count(self.ellipsis_re).astype("int64")
+        lines = t.str.split("\n")
+        n_lines = lines.str.len().astype("int64")
+        lx = lines.explode()
+        n_bullet = g(lx.str.match(self.bullet_re))
+        n_ell_end = g(lx.str.contains(self.ell_end_re))
+
+        out = batch.copy()
+        out["n_words"] = n_words
+        out["n_lines"] = n_lines
+        out["r_word_count"] = (n_words >= self.min_words) & (n_words <= self.max_words)
+        out["r_mean_len"] = (
+            (n_words > 0) & (sum_wlen >= 3 * n_words) & (sum_wlen <= 10 * n_words)
+        )
+        out["r_symbol"] = 10 * (n_hash + n_ellipsis) <= n_words
+        out["r_bullets"] = 10 * n_bullet <= n_lines
+        out["r_ellipsis"] = 10 * n_ell_end <= 3 * n_lines
+        out["r_alpha"] = 10 * n_alpha >= 8 * n_words
+        out["r_stop"] = n_stop >= 2
+        out["keep"] = np.logical_and.reduce([out[r].to_numpy() for r in self.RULES])
+        return out

@@ -2227,6 +2227,18 @@ def text_tfidf(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def text_tfidf_simjoin(sf_dir: str) -> pd.DataFrame:
+    """Sparse all-pairs IDF-weighted shingle-cosine join
+    (`functions/text.py:tfidf_simjoin`, threshold 0.5, df cap 20) — the
+    inverted-index sparse counterpart of the dense embedding near-dup join:
+    pairs are generated per SHINGLE group (bounded by max_df²/2 each),
+    partial dot products fold through one packed-pair-key groupby."""
+    from ..functions.text import tfidf_simjoin
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_simjoin(ds, threshold=0.5, max_df=20)
+
+
 def _dedup_inc_config(num_partitions: int = 8):
     """CaptureConfig for content-hash-keyed corpus dedup: one DOCS table
     keyed by ``chash`` (md5 of the text), payload = the hash itself."""
@@ -2961,6 +2973,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_prep": corpus_prep,
     "text_tfidf": text_tfidf,
+    "text_tfidf_simjoin": text_tfidf_simjoin,
     "pq_codes": pq_codes,
     "ann_pq": ann_pq,
     "corpus_mixture": corpus_mixture,
@@ -4077,6 +4090,39 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT doc_id, term, rank, score FROM ranked
         WHERE rank <= 3
         ORDER BY doc_id, rank
+    """,
+    # engine intersects 64-bit shingle hashes, the oracle the gram strings
+    # (equivalent up to the documented ~n²/2⁶⁴ collision bound)
+    "text_tfidf_simjoin": r"""
+        WITH docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+2], ' ')
+                       for i in generate_series(1, len(w) - 2)] END)) AS term
+          FROM docs WHERE len(w) > 0
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM grams GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n FROM documents),
+        wt AS (
+          -- vector space = shingles with df <= 20; weight = ln(N/df)
+          SELECT g.doc_id, g.term, LN(CAST(n.n AS DOUBLE) / df.df) AS w
+          FROM grams g JOIN df USING (term) CROSS JOIN n
+          WHERE df.df <= 20
+        ), nw AS (
+          SELECT doc_id, term,
+                 w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id)) AS w
+          FROM wt
+        ), p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 ROUND(SUM(a.w * b.w), 6) AS cosine
+          FROM nw a JOIN nw b ON b.term = a.term AND b.doc_id > a.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id, cosine FROM p
+        WHERE cosine >= 0.5 ORDER BY a_id, b_id
     """,
     # decontamination: same word-3-gram sets as the minhash gram CTE; the
     # engine intersects md5 hashes, the oracle the gram strings (equivalent)

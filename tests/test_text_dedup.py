@@ -561,3 +561,116 @@ def test_bm25_topk_ranks_and_sentinels(ray_session):
     # sentinel regression guard: the stats fold must keep n_docs and
     # n_tokens distinct (pandas factorize merges NUL-prefixed keys)
     assert out["score"].is_monotonic_decreasing
+
+
+def test_tfidf_simjoin_identical_docs_cosine_one(ray_session):
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    out = tfidf_simjoin(
+        docs(["alpha beta gamma delta", "alpha beta gamma delta",
+              "totally different words here"]),
+        threshold=0.5,
+    )
+    assert out[["a_id", "b_id"]].values.tolist() == [[0, 1]]
+    assert out["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_tfidf_simjoin_no_shared_shingle_no_pair(ray_session):
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    out = tfidf_simjoin(
+        docs(["one two three four", "five six seven eight"]), threshold=0.0
+    )
+    assert out.empty
+    assert list(out.columns) == ["a_id", "b_id", "cosine"]
+
+
+def test_tfidf_simjoin_matches_numpy_dense(ray_session):
+    """Hand-check: cosine over IDF-weighted distinct-3-shingle vectors."""
+    import numpy as np
+
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    texts = [
+        "the quick brown fox jumps over",
+        "the quick brown fox sleeps all day",
+        "a quick brown fox jumps over fences",
+    ]
+    out = tfidf_simjoin(docs(texts), threshold=0.0, max_df=20)
+
+    # dense reference
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = [shingles(t) for t in texts]
+    vocab = sorted(set().union(*sets))
+    df = {s: sum(s in ss for ss in sets) for s in vocab}
+    n = len(texts)
+    vecs = []
+    for ss in sets:
+        v = np.array([np.log(n / df[s]) if s in ss else 0.0 for s in vocab])
+        vecs.append(v / np.linalg.norm(v))
+    exp = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            # a pair exists iff the docs SHARE a kept shingle — even when
+            # every shared shingle has idf ln(n/n)=0 and the cosine is 0.0
+            if sets[a] & sets[b]:
+                exp[(a, b)] = round(float(vecs[a] @ vecs[b]), 6)
+    got = {(r.a_id, r.b_id): r.cosine for r in out.itertuples()}
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == pytest.approx(exp[key], abs=1e-6)
+
+
+def test_tfidf_simjoin_max_df_drops_universal_shingles(ray_session):
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    # the only shared shingle appears in all 3 docs; max_df=2 excludes it,
+    # leaving no common coordinate -> no pairs at all
+    texts = [
+        "common shared phrase plus aaa",
+        "common shared phrase plus bbb",
+        "common shared phrase plus ccc",
+    ]
+    none = tfidf_simjoin(docs(texts), threshold=0.0, max_df=2)
+    assert none.empty
+    some = tfidf_simjoin(docs(texts), threshold=0.0, max_df=3)
+    assert len(some) == 3  # all pairs share the df-3 shingles
+
+
+def test_tfidf_simjoin_short_docs_whole_text_shingle(ray_session):
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    # < k words: the whole doc is the single shingle (ngram_jaccard rules)
+    out = tfidf_simjoin(docs(["tiny doc", "tiny doc", "other"]), threshold=0.5)
+    assert out[["a_id", "b_id"]].values.tolist() == [[0, 1]]
+    assert out["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_tfidf_simjoin_id_over_31_bits_raises(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    big = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1 << 31], pa.int64()), "text": ["x y z w"]})
+    )
+    with pytest.raises(Exception) as ei:
+        tfidf_simjoin(big, threshold=0.0)
+    assert "31 bits" in str(ei.value)
+
+
+def test_tfidf_simjoin_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.text import tfidf_simjoin
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = tfidf_simjoin(empty)
+    assert out.empty and list(out.columns) == ["a_id", "b_id", "cosine"]
