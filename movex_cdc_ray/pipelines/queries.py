@@ -2239,6 +2239,21 @@ def text_tfidf_simjoin(sf_dir: str) -> pd.DataFrame:
     return tfidf_simjoin(ds, threshold=0.5, max_df=20)
 
 
+def text_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher A1.1 quality-rule verdicts (`functions/text.py:GopherRulesFilter`):
+    per-rule booleans + keep flag, all ratio rules evaluated in integer
+    arithmetic on BOTH sides so no float boundary can diverge. Pure
+    per-batch map over documents — no shuffle."""
+    from ..functions.text import GopherRulesFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        GopherRulesFilter(min_words=30), batch_format="pandas", concurrency=2
+    )
+    cols = ["doc_id", "n_words", "n_lines", *GopherRulesFilter.RULES, "keep"]
+    return out.to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def _dedup_inc_config(num_partitions: int = 8):
     """CaptureConfig for content-hash-keyed corpus dedup: one DOCS table
     keyed by ``chash`` (md5 of the text), payload = the hash itself."""
@@ -2974,6 +2989,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_prep": corpus_prep,
     "text_tfidf": text_tfidf,
     "text_tfidf_simjoin": text_tfidf_simjoin,
+    "text_gopher_rules": text_gopher_rules,
     "pq_codes": pq_codes,
     "ann_pq": ann_pq,
     "corpus_mixture": corpus_mixture,
@@ -4123,6 +4139,43 @@ def _build_oracle_sql() -> dict[str, str]:
         )
         SELECT a_id, b_id, cosine FROM p
         WHERE cosine >= 0.5 ORDER BY a_id, b_id
+    """,
+    # every ratio rule re-derived in integer arithmetic (10*x <= k*y), the
+    # exact comparisons GopherRulesFilter makes — no float boundary exists
+    "text_gopher_rules": r"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 regexp_extract_all(lower(coalesce(text, '')), '\w+') AS w,
+                 string_split(coalesce(text, ''), chr(10)) AS ls
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(w) AS n_words,
+            len(ls) AS n_lines,
+            coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_wlen,
+            len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+            len(list_distinct(list_filter(w, x -> x IN
+              ('the','be','to','of','and','that','have','with')))) AS n_stop,
+            length(t) - length(replace(t, '#', '')) AS n_hash,
+            (length(t) - length(replace(t, '...', ''))) / 3 AS n_ellipsis,
+            len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]'))) AS n_bullet,
+            len(list_filter(ls, x -> regexp_matches(x, '\.\.\.\s*$'))) AS n_ell_end
+          FROM base
+        ), r AS (
+          SELECT doc_id, n_words, n_lines,
+            (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+            (n_words > 0 AND sum_wlen >= 3 * n_words
+                         AND sum_wlen <= 10 * n_words) AS r_mean_len,
+            (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol,
+            (10 * n_bullet <= n_lines) AS r_bullets,
+            (10 * n_ell_end <= 3 * n_lines) AS r_ellipsis,
+            (10 * n_alpha >= 8 * n_words) AS r_alpha,
+            (n_stop >= 2) AS r_stop
+          FROM m
+        )
+        SELECT *, (r_word_count AND r_mean_len AND r_symbol AND r_bullets
+                   AND r_ellipsis AND r_alpha AND r_stop) AS keep
+        FROM r ORDER BY doc_id
     """,
     # decontamination: same word-3-gram sets as the minhash gram CTE; the
     # engine intersects md5 hashes, the oracle the gram strings (equivalent)

@@ -674,3 +674,44 @@ def test_tfidf_simjoin_empty_input(ray_session):
     )
     out = tfidf_simjoin(empty)
     assert out.empty and list(out.columns) == ["a_id", "b_id", "cosine"]
+
+
+def _gopher(rows, **kw):
+    from movex_cdc_ray.functions.text import GopherRulesFilter
+
+    return GopherRulesFilter(**kw)(
+        pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    )
+
+
+def test_gopher_rules_clean_doc_keeps():
+    good = "the cat and dog have that with be to of word " * 5
+    out = _gopher([good], min_words=30)
+    assert bool(out["keep"][0])
+
+
+def test_gopher_rules_each_rule_fires():
+    base = "the cat and dog have that with be to of word " * 5  # passes all
+    cases = {
+        "r_word_count": "the be short",
+        "r_mean_len": "a b c d e f g h i j " * 6 + "the be",  # mean < 3
+        "r_symbol": base + "#" * 40,
+        "r_bullets": "\n".join(["- item"] * 9 + [base]),
+        "r_ellipsis": "\n".join([base + "..."] * 4 + [base] * 6),
+        "r_alpha": base + " ".join(["123"] * 20),
+        "r_stop": "cat dog bird fish mouse horse goat lion " * 8,
+    }
+    out = _gopher(list(cases.values()), min_words=30)
+    for i, rule in enumerate(cases):
+        assert not out[rule][i], rule
+        other = [r for r in out.columns if r.startswith("r_") and r != rule]
+        # the crafted doc violates ONLY its target rule
+        assert out.loc[i, other].all(), (rule, out.loc[i, other])
+        assert not out["keep"][i]
+
+
+def test_gopher_rules_empty_and_null_text():
+    out = _gopher(["", None], min_words=30)
+    assert not out["keep"].any()
+    assert (out["n_words"] == 0).all()
+    assert (out["n_lines"] == 1).all()  # ''.split('\n') -> ['']
