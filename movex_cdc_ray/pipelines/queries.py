@@ -1535,6 +1535,139 @@ def sessionize(sf_dir: str) -> pd.DataFrame:
     return _sorted_pdf(out, "user_id")
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: a user reaches
+    step i when an event of that type occurs STRICTLY after their earliest
+    completion of step i-1 (min-ts chaining). Per-user groups stay small at
+    any corpus size, so the heavy work is one user-hash shuffle +
+    map_groups; the per-step counts come from a second tiny aggregate over
+    one row per user (never a driver-side scan of events)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        t_prev = None
+        d = 0
+        for step in FUNNEL_STEPS:
+            sel = g.loc[g["event_type"].eq(step), "ts"]
+            if t_prev is not None:
+                sel = sel[sel > t_prev]
+            if sel.empty:
+                break
+            t_prev = sel.min()
+            d += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "depth": [d]})
+
+    from ray.data.aggregate import Count
+
+    per_depth = (
+        ds.groupby("user_id")
+        .map_groups(depth, batch_format="pandas")
+        .groupby("depth")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    # n_users reaching step i = users whose depth >= i (≤ |steps|+1 rows).
+    counts = per_depth.set_index("depth")["n"]
+    rows = [
+        {
+            "step_idx": np.int64(i + 1),
+            "step": step,
+            "n_users": np.int64(counts[counts.index >= i + 1].sum()),
+        }
+        for i, step in enumerate(FUNNEL_STEPS)
+    ]
+    return pd.DataFrame(rows, columns=["step_idx", "step", "n_users"])
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: cohort = calendar date of a user's first
+    event; cell (cohort, k) = distinct users of that cohort active k days
+    later. Per-user map_groups emits (cohort, offset) pairs already
+    deduplicated within the user (≤ active-days rows per user), so the
+    final groupby counts users directly — no DISTINCT over raw events."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].dt.normalize().drop_duplicates()
+        d0 = days.min()
+        return pd.DataFrame(
+            {
+                "cohort_date": d0.strftime("%Y-%m-%d"),
+                "day_offset": (days - d0).dt.days.astype("int64"),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_date", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["day_offset"] = out["day_offset"].astype("int64")
+    return (
+        out.sort_values(["cohort_date", "day_offset"]).reset_index(drop=True)[
+            ["cohort_date", "day_offset", "n_users"]
+        ]
+    )
+
+
+def events_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type outlier detection: |value − median| > 3·MAD. Two
+    per-type median passes (same exact-quantile shape as
+    events_value_quantiles — pre-bucket + histogram-merge is the unbounded
+    alternative, see that docstring) produce a tiny (type → med, mad) map
+    that is broadcast into a streaming map_batches filter — the full events
+    table is never shuffled, only the two single-column median exchanges."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def med_of(col: str):
+        def m(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"event_type": [g["event_type"].iloc[0]],
+                 "med": [float(np.median(g[col].to_numpy()))]}
+            )
+        return m
+
+    meds = (
+        ds.groupby("event_type").map_groups(med_of("value"), batch_format="pandas").to_pandas()
+    )
+    med_map = dict(zip(meds["event_type"], meds["med"]))
+
+    def absdev(batch: pd.DataFrame) -> pd.DataFrame:
+        med = batch["event_type"].map(med_map).to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {"event_type": batch["event_type"],
+             "ad": np.abs(batch["value"].to_numpy() - med)}
+        )
+
+    mads = (
+        ds.map_batches(absdev, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(med_of("ad"), batch_format="pandas")
+        .to_pandas()
+    )
+    mad_map = dict(zip(mads["event_type"], mads["med"]))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        med = batch["event_type"].map(med_map).to_numpy(dtype="float64")
+        mad = batch["event_type"].map(mad_map).to_numpy(dtype="float64")
+        dev = batch["value"].to_numpy() - med
+        keep = (mad > 0) & (np.abs(dev) > 3 * mad)
+        out = batch.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["robust_z"] = _rha(dev[keep] / mad[keep], 6)
+        return out
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -2974,6 +3107,9 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_hourly_rollup": events_hourly_rollup,
     "distinct_users_per_type": distinct_users_per_type,
     "sessionize": sessionize,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_anomaly": events_anomaly,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard": dedup_jaccard,
@@ -3743,6 +3879,62 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM pairs GROUP BY doc_a, doc_b
         ORDER BY doc_a, doc_b
+    """,
+    # min-ts chaining: step i's per-user time = earliest event of that type
+    # STRICTLY after the user's step-(i-1) time (mirrors events_funnel)
+    "events_funnel": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+          WHERE e.event_type = 'view' GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), s4 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+                 CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+          UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+          UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+          UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+        ) ORDER BY step_idx
+    """,
+    "events_retention": """
+        WITH firstd AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+        ), act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        )
+        SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_date,
+               CAST(a.d - f.d0 AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM act a JOIN firstd f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # DuckDB median == quantile_cont(0.5) == np.median (linear midpoint)
+    "events_anomaly": """
+        WITH med AS (
+          SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+        ), mad AS (
+          SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+          FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND((e.value - m.med) / d.mad, 6) AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0 AND abs(e.value - m.med) > 3 * d.mad
+        ORDER BY e.event_id
     """,
     "events_running_totals": """
         SELECT user_id, event_id,

@@ -26,6 +26,9 @@ SUBSET = [
     "events_quantile_sketch",
     "cdc_scd2_history",
     "corpus_sample_weighted",
+    "events_funnel",
+    "events_retention",
+    "events_anomaly",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
