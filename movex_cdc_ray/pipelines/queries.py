@@ -12,6 +12,7 @@ so the engine's capture/merge semantics are exercised against plain SQL.
 from __future__ import annotations
 
 import os
+from datetime import datetime
 from typing import Callable
 
 import numpy as np
@@ -1079,6 +1080,335 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     pdf = out.to_pandas()
     pdf["sum_qty"] = pdf["sum_qty"].round(2)
     return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: scan → pushed-down predicate → scalar sum. The ship-date
+    band is a ``pyarrow.dataset`` filter expression, so row groups whose
+    min/max statistics exclude 1996 never leave storage — at 100 TB this is a
+    ~1/6th scan, not a full pass. The discount band compares in integer cents
+    (``floor(x*100+0.5)``) so no float-literal boundary can diverge between
+    numpy doubles and DuckDB decimals. Per-batch partials reduce each block to
+    ONE row; the only exchange is the kilobyte partial stream."""
+    import pyarrow.dataset as pads
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        disc_c = np.floor(disc * 100 + 0.5).astype("int64")
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = (disc_c >= 2) & (disc_c <= 4) & (qty < 24)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+        rev = np.floor(ep * disc[mask] * 100 + 0.5).astype("int64").sum()
+        return pa.table(
+            {"revenue_cents": pa.array([int(rev)], pa.int64()),
+             "n_items": pa.array([int(mask.sum())], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+    return pd.DataFrame(
+        {"revenue_cents": [int(agg["revenue_cents"] or 0)],
+         "n_items": [int(agg["n_items"] or 0)]}
+    )
+
+
+# declared exchange schema shared by BOTH q3 join stages (and the lineitem
+# tag), so every union side block-concats without slow schema unification
+_Q3_STAGE2_SCHEMA = pa.schema(
+    [("bucket", pa.int64()), ("orderkey", pa.int64()), ("rev_cents", pa.int64()),
+     ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+     ("side", pa.string())]
+)
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: two REDUCE-SIDE joins (no broadcast anywhere — at
+    100 TB both customer and orders are fact-sized, so neither side ships to
+    every task). Stage 1 co-locates filtered customers and orders by
+    ``custkey % B`` and semi-joins inside ``map_groups``; stage 2 co-locates
+    the surviving orders with date-filtered lineitem by ``orderkey % B`` and
+    joins + aggregates per bucket. Because orderkey groups are complete
+    within their bucket, each bucket emits only its LOCAL top-10 — the driver
+    merges B×10 rows, never the full order list. All three reads carry pushed
+    predicates (segment / order-date / ship-date)."""
+    B = 16
+    seg, cutoff = "BUILDING", datetime(1998, 3, 15)
+    import pyarrow.dataset as pads
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 filter=(pads.field("c_mktsegment") == seg))
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") < cutoff),
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") > cutoff),
+    )
+
+    # ---- stage 1: orders ⋉ customer[segment] on custkey (reduce-side) ----
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].combine_chunks() if isinstance(batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"]
+        ck = ck.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": pa.nulls(n, pa.int64()),
+             "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+             "o_orderpriority": pa.nulls(n, pa.string()),
+             "side": pa.array(["C"] * n, pa.string())}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].combine_chunks() if isinstance(batch["o_custkey"], pa.ChunkedArray) else batch["o_custkey"]
+        ck = ck.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": batch["o_orderkey"].cast(pa.int64()),
+             "o_orderdate": batch["o_orderdate"].cast(pa.timestamp("us")),
+             "o_orderpriority": batch["o_orderpriority"].cast(pa.string()),
+             "side": pa.array(["O"] * n, pa.string())}
+        )
+
+    def semi_bucket(g: pd.DataFrame) -> pa.Table:
+        keep_keys = g.loc[g["side"] == "C", "custkey"].to_numpy()
+        o = g[g["side"] == "O"]
+        o = o[np.isin(o["custkey"].to_numpy(), keep_keys)]
+        ok = o["orderkey"].to_numpy(dtype="int64", na_value=0)
+        return pa.table(
+            {"bucket": pa.array(ok & (B - 1), pa.int64()),
+             "orderkey": pa.array(ok, pa.int64()),
+             "rev_cents": pa.array(np.zeros(len(o), dtype="int64")),
+             "o_orderdate": pa.array(o["o_orderdate"]).cast(pa.timestamp("us")),
+             "o_orderpriority": pa.array(o["o_orderpriority"], pa.string()),
+             "side": pa.array(["O"] * len(o), pa.string())},
+            schema=_Q3_STAGE2_SCHEMA,
+        )
+
+    stage1 = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("cbucket")
+        .map_groups(semi_bucket, batch_format="pandas")
+    )
+
+    # ---- stage 2: (orders ⋉ cust) ⋈ lineitem on orderkey (reduce-side) ----
+    def tag_li(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].combine_chunks() if isinstance(batch["l_orderkey"], pa.ChunkedArray) else batch["l_orderkey"]
+        ok = ok.cast(pa.int64())
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "rev_cents": pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")),
+             "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+             "o_orderpriority": pa.nulls(n, pa.string()),
+             "side": pa.array(["L"] * n, pa.string())},
+            schema=_Q3_STAGE2_SCHEMA,
+        )
+
+    def join_topk(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "rev_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "o_orderdate", "o_orderpriority"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        agg = j.groupby(
+            ["orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        )["rev_cents"].sum()
+        # orderkey groups are bucket-complete: a LOCAL top-10 is safe
+        agg = agg.sort_values(
+            ["rev_cents", "o_orderdate", "orderkey"], ascending=[False, True, True]
+        ).head(10)
+        return pa.table(
+            {"l_orderkey": pa.array(agg["orderkey"], pa.int64()),
+             "o_orderdate": pa.array(agg["o_orderdate"]).cast(pa.timestamp("us")),
+             "o_orderpriority": pa.array(agg["o_orderpriority"], pa.string()),
+             "revenue_cents": pa.array(agg["rev_cents"], pa.int64())}
+        )
+
+    pdf = (
+        stage1.union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    pdf = pdf.sort_values(
+        ["revenue_cents", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+    ).head(10)
+    return pdf.reset_index(drop=True)
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: six tables, ONE region's revenue where the supplier and
+    the customer share a nation. nation⋈region (25 rows) and supplier→nation
+    (the smallest relation, ~1/750th of lineitem in TPC-H) are broadcast once
+    per actor via constructor args; customer⋈orders and then ⋈lineitem are
+    reduce-side bucket joins like :func:`q3_shipping_priority`. Scale pruning:
+    customers and lineitems outside the target region's nations are dropped
+    BEFORE their shuffle (a 1/|regions| cut on both exchanges); at a scale
+    where supplier outgrows broadcast, swap its lookup for a third bucket
+    join — the stage shape is unchanged."""
+    B = 16
+    region, lo, hi = "ASIA", datetime(1996, 1, 1), datetime(1997, 1, 1)
+    import pyarrow.dataset as pads
+
+    # tiny dimensions on the driver: nations of the region, nation names
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"],
+                filter=(pads.field("r_name") == region)).take_all()
+    rkeys = {r["r_regionkey"] for r in reg}
+    nat_keys = pa.array(
+        [n["n_nationkey"] for n in nation if n["n_regionkey"] in rkeys], pa.int64()
+    )
+    nat_names = {int(n["n_nationkey"]): n["n_name"]
+                 for n in nation if n["n_regionkey"] in rkeys}
+
+    # supplier → nationkey, pre-filtered to the region (broadcast side)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    sup_in = [(s["s_suppkey"], s["s_nationkey"]) for s in sup
+              if int(s["s_nationkey"]) in nat_names]
+    sup_side = {
+        "suppkey": pa.array([k for k, _ in sup_in], pa.int64()),
+        "natkey": pa.array([v for _, v in sup_in], pa.int64()),
+    }
+
+    stage2_schema = pa.schema(
+        [("bucket", pa.int64()), ("orderkey", pa.int64()),
+         ("nationkey", pa.int64()), ("rev_cents", pa.int64()),
+         ("side", pa.string())]
+    )
+
+    # ---- stage 1: orders[date] ⋈ customer[region] on custkey ----
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].combine_chunks() if isinstance(batch["c_nationkey"], pa.ChunkedArray) else batch["c_nationkey"]
+        nk = nk.cast(pa.int64())
+        keep = pc.is_in(nk, value_set=nat_keys)  # prune BEFORE the shuffle
+        batch, nk = batch.filter(keep), nk.filter(keep)
+        ck = batch["c_custkey"].combine_chunks() if isinstance(batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"]
+        ck = ck.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": pa.nulls(n, pa.int64()), "nationkey": nk,
+             "side": pa.array(["C"] * n, pa.string())}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].combine_chunks() if isinstance(batch["o_custkey"], pa.ChunkedArray) else batch["o_custkey"]
+        ck = ck.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": batch["o_orderkey"].cast(pa.int64()),
+             "nationkey": pa.nulls(n, pa.int64()),
+             "side": pa.array(["O"] * n, pa.string())}
+        )
+
+    def join_cust(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "O"][["custkey", "orderkey"]]
+        right = g[g["side"] == "C"][["custkey", "nationkey"]]
+        j = left.merge(right, on="custkey", how="inner")
+        ok = j["orderkey"].to_numpy(dtype="int64", na_value=0)
+        return pa.table(
+            {"bucket": pa.array(ok & (B - 1), pa.int64()),
+             "orderkey": pa.array(ok, pa.int64()),
+             "nationkey": pa.array(j["nationkey"].to_numpy(dtype="int64", na_value=0)),
+             "rev_cents": pa.array(np.zeros(len(j), dtype="int64")),
+             "side": pa.array(["O"] * len(j), pa.string())},
+            schema=stage2_schema,
+        )
+
+    stage1 = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("cbucket")
+        .map_groups(join_cust, batch_format="pandas")
+    )
+
+    # ---- lineitem leg: broadcast supplier→nation, prune to region ----
+    class TagLineitem:
+        """Supplier map ships once per actor; per-batch lookup is
+        ``pc.index_in`` + take, rows with non-region suppliers dropped before
+        the orderkey shuffle."""
+
+        def __init__(self, side):
+            self.suppkey = side["suppkey"]
+            self.natkey = side["natkey"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["l_suppkey"].combine_chunks() if isinstance(batch["l_suppkey"], pa.ChunkedArray) else batch["l_suppkey"]
+            idx = pc.index_in(sk.cast(pa.int64()), value_set=self.suppkey)
+            keep = pc.is_valid(idx)
+            batch, idx = batch.filter(keep), idx.filter(keep)
+            ok = batch["l_orderkey"].combine_chunks() if isinstance(batch["l_orderkey"], pa.ChunkedArray) else batch["l_orderkey"]
+            ok = ok.cast(pa.int64())
+            ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            n = len(batch)
+            return pa.table(
+                {"bucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+                 "nationkey": self.natkey.take(idx),
+                 "rev_cents": pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")),
+                 "side": pa.array(["L"] * n, pa.string())},
+                schema=stage2_schema,
+            )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li_tagged = li.map_batches(
+        TagLineitem, fn_constructor_args=(sup_side,), batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    # ---- stage 2: join on orderkey, same-nation filter, partial sum ----
+    def join_nation(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "nationkey", "rev_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "nationkey"]].rename(
+            columns={"nationkey": "c_nationkey"}
+        )
+        j = left.merge(right, on="orderkey", how="inner")
+        j = j[j["nationkey"] == j["c_nationkey"]]
+        agg = j.groupby("nationkey", as_index=False)["rev_cents"].sum()
+        return pa.table(
+            {"nationkey": pa.array(agg["nationkey"], pa.int64()),
+             "rev_cents": pa.array(agg["rev_cents"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        stage1.union(li_tagged)
+        .groupby("bucket")
+        .map_groups(join_nation, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    pdf = out.to_pandas()
+    pdf["n_name"] = pdf["nationkey"].map(lambda k: nat_names[int(k)])
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+    return pdf.sort_values(
+        ["revenue_cents", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)[["n_name", "revenue_cents"]]
 
 
 def top_events_per_user(sf_dir: str) -> pd.DataFrame:
@@ -3097,6 +3427,9 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_dlq_routing": cdc_dlq_routing,
     "cdc_flagship_replay": cdc_flagship_replay,
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "top_events_per_user": top_events_per_user,
     "join_broadcast": join_broadcast,
     "join_hash": join_hash,
@@ -3587,6 +3920,46 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l.l_orderkey,
+               o.o_orderdate,
+               o.o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE s.s_nationkey = c.c_nationkey
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue_cents DESC, n.n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
+          AND l_quantity < 24
     """,
     "join_broadcast": """
         SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -13,6 +13,9 @@ SUBSET = [
     "cdc_update_suppression",
     "cdc_stats_rollup",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "dedup_exact",
     "knn_bruteforce",
     "ann_ivf",
