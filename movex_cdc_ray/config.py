@@ -209,6 +209,34 @@ class SchemaConfig:
 
 
 @dataclass
+class ViewSpec:
+    """An incrementally-maintained grouped-aggregate view over the lake.
+
+    The merge computes each epoch's view delta from state it already holds
+    (rows removed from the base vs rows written), so maintenance cost is
+    ∝ delta keys — the lake is never rescanned. Maintained aggregates:
+    ``n_rows`` (live-row count) and ``sum_<f>`` for every ``sum_fields``
+    entry; both are self-inverse under retraction, which is what lets an
+    UPDATE be applied as (new contribution − old contribution).
+    """
+
+    name: str
+    group_by: list[str] = field(default_factory=list)
+    sum_fields: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        import re
+
+        if not re.fullmatch(r"[a-z0-9_]+", self.name or ""):
+            raise ValueError(f"view name must be [a-z0-9_]+, got {self.name!r}")
+        if not self.group_by:
+            raise ValueError(f"view {self.name!r} needs at least one group_by column")
+        overlap = set(self.group_by) & set(self.sum_fields)
+        if overlap:
+            raise ValueError(f"view {self.name!r}: {sorted(overlap)} in both group_by and sum_fields")
+
+
+@dataclass
 class CaptureConfig:
     """The full registry + engine runtime knobs.
 
@@ -257,6 +285,10 @@ class CaptureConfig:
     # lz4 | none): zstd roughly halves lake bytes at 100 TB for some write
     # CPU; digests hash VALUES, so the codec never affects determinism
     lake_compression: str = "snappy"
+    # incrementally-maintained grouped-aggregate views (rewrite merge mode
+    # only: delta mode never loads the previous per-key state the retraction
+    # needs — run_epoch validates)
+    views: list[ViewSpec] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         # capture_parallelism=0 historically meant "one block per CPU"; that
@@ -271,6 +303,9 @@ class CaptureConfig:
             )
         if self.num_partitions < 1:
             raise ValueError(f"num_partitions must be >= 1, got {self.num_partitions}")
+        names = [v.name for v in self.views]
+        if len(names) != len(set(names)):
+            raise ValueError(f"duplicate view names: {sorted(n for n in set(names) if names.count(n) > 1)}")
 
     # ---- lookups -----------------------------------------------------------
     def table_by_id(self, table_id: int) -> TableConfig:
@@ -330,6 +365,7 @@ class CaptureConfig:
             schemas=[SchemaConfig(**s) for s in d.get("schemas", [])],
             tables=tables,
             schema_versions=[SchemaVersion(**v) for v in d.get("schema_versions", [])],
+            views=[ViewSpec(**v) for v in d.get("views", [])],
             **{
                 k: d[k]
                 for k in (

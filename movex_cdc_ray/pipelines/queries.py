@@ -1590,6 +1590,51 @@ def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
                 "_last_id", "_last_op"]]
 
 
+def cdc_view_maintenance(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance (IVM): a grouped-aggregate view
+    (rows + sum(size) per repo) maintained THROUGH the exactly-once merge at
+    delta cost — each epoch's merge task writes the view delta
+    (new contribution − retracted contribution) from state it already holds,
+    so the lake is never rescanned (``stages/sink.py:view_contribution``).
+    ``read_view`` folds the committed epochs' delta files with one
+    group-cardinality groupby. chunks_per_epoch=1 maximizes the number of
+    incremental steps the oracle must agree with (updates retract, deletes
+    retract-without-adding, the mid-stream schema widening flows through).
+    The reference materializes only the event stream (`transfer_thread.rb`);
+    this is the natural next step a lake-sink user asks of a CDC engine."""
+    import shutil as _shutil
+
+    from ..config import ViewSpec as _VS
+    from ..pipelines.replay import read_view as _rv
+    from ..pipelines.replay import replay as _replay
+    from ..synth import config_for_spec as _cfs
+
+    stream = _flagship_stream()
+    lake = "/tmp/movex_flagship/lake_views"
+    _shutil.rmtree(lake, ignore_errors=True)
+    cfg = _cfs(_flagship_spec(), num_partitions=8)
+    cfg.views = [_VS("by_repo", ["repo"], ["size"])]
+    _replay(stream, lake, cfg, chunks_per_epoch=1)
+    pdf = _rv(lake, "by_repo").to_pandas()
+    pdf["n_rows"] = pdf["n_rows"].astype("int64")
+    pdf["sum_size"] = pdf["sum_size"].astype("int64")
+    return pdf.sort_values("repo").reset_index(drop=True)[["repo", "n_rows", "sum_size"]]
+
+
+def _view_maintenance_sql() -> str:
+    """Oracle: the same grouped aggregate recomputed from scratch over the
+    converged flagship state (the full _flagship_sql chain as a subquery) —
+    incremental maintenance and batch recomputation must agree exactly."""
+    return f"""
+        SELECT repo,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(size) AS BIGINT) AS sum_size
+        FROM ({_flagship_sql()})
+        GROUP BY repo
+        ORDER BY repo
+    """
+
+
 def join_broadcast(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J1 pattern): tiny dimension shipped once via ray.put,
     looked up per batch — never a shuffle join. Customers per nation."""
@@ -3426,6 +3471,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_payload_parse": cdc_payload_parse,
     "cdc_dlq_routing": cdc_dlq_routing,
     "cdc_flagship_replay": cdc_flagship_replay,
+    "cdc_view_maintenance": cdc_view_maintenance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4784,6 +4830,7 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "text_langid": _langid_sql(),
     "cdc_flagship_replay": _flagship_sql(),
+    "cdc_view_maintenance": _view_maintenance_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),

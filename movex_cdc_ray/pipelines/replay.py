@@ -192,6 +192,8 @@ def _merge_via_delta_files(
         mode=merge_mode,
         sha_cols=_shc(payload_fields),
         invariant_cols=_inv(cfg),
+        compression=cfg.lake_compression,
+        views=list(cfg.views) or None,
     )
     ctx_ref = ray.put(ctx)
     refs = []
@@ -459,6 +461,18 @@ def run_epoch(
     # partitioning fence (see Manifest.check_partitioning): a resume with a
     # different P would silently split keys across partitions
     manifest.check_partitioning(cfg.num_partitions)
+    if cfg.views:
+        if merge_mode != "rewrite":
+            raise ValueError(
+                "incremental views require merge_mode='rewrite': delta mode "
+                "never loads the previous per-key state the retraction needs"
+            )
+        payload = set(cfg.latest_version().payload_fields)
+        for v in cfg.views:
+            missing = (set(v.group_by) | set(v.sum_fields)) - payload
+            if missing:
+                raise ValueError(f"view {v.name!r} references non-payload columns {sorted(missing)}")
+        _register_view_specs(lake_dir, cfg.views)
     files = list(chunk_files) + list(extra_event_files or [])
     if not files:
         # empty epoch: a pure time-marker commit (advances the epoch clock for
@@ -941,6 +955,71 @@ def read_lake(lake_dir: str, columns: list[str] | None = None, cfg: CaptureConfi
 
     ds = ds.groupby("_key").map_groups(resolve, batch_format="pyarrow")
     return ds.select_columns(columns) if columns else ds
+
+
+def _register_view_specs(lake_dir: str, views) -> None:
+    """Persist each ViewSpec next to its delta files (idempotent), so
+    ``read_view`` needs no config object. Re-registering a view whose
+    definition CHANGED is refused: folding deltas produced under two
+    different aggregations would silently corrupt the view."""
+    import json
+    from dataclasses import asdict
+
+    from ..stages.sink import VIEWS_DIR
+    from ..state.manifest import atomic_write_json
+
+    for v in views:
+        p = os.path.join(lake_dir, VIEWS_DIR, v.name, "_SPEC.json")
+        doc = asdict(v)
+        if os.path.exists(p):
+            with open(p) as f:
+                if json.load(f) != doc:
+                    raise ValueError(
+                        f"view {v.name!r} already registered with a different "
+                        "definition; pick a new name or rebuild the lake"
+                    )
+            continue
+        atomic_write_json(p, doc)
+
+
+def read_view(lake_dir: str, name: str) -> rd.Dataset:
+    """Current state of an incrementally-maintained view (``n_rows`` +
+    ``sum_<f>`` per group): fold every COMMITTED epoch's delta files with one
+    group-cardinality groupby, then drop retracted-to-zero groups. Cost ∝
+    total delta rows (bounded by epochs × partitions × group cardinality),
+    never the lake; staged-but-uncommitted epochs are excluded the same way
+    the base read trusts only the manifest. Integer sum fields are exact
+    under retraction; float sums are subject to float addition order (use
+    integer cents for money, the repo-wide policy)."""
+    import glob
+    import json
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.sink import VIEWS_DIR
+
+    vdir = os.path.join(lake_dir, VIEWS_DIR, name)
+    with open(os.path.join(vdir, "_SPEC.json")) as f:
+        spec = json.load(f)
+    committed = Manifest.latest(lake_dir).epoch
+    files = []
+    for d in sorted(glob.glob(os.path.join(vdir, "epoch=*"))):
+        if int(os.path.basename(d).split("=")[1]) <= committed:
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not files:
+        return rd.from_items([])
+    ds = rd.read_parquet(files)
+    aggs = [Sum("n_rows", alias_name="n_rows")] + [
+        Sum("sum_" + f, alias_name="sum_" + f) for f in spec["sum_fields"]
+    ]
+    ds = ds.groupby(spec["group_by"]).aggregate(*aggs)
+
+    def live_groups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch["n_rows"], 0))
+
+    return ds.map_batches(live_groups, batch_format="pyarrow")
 
 
 def lake_to_pandas(lake_dir: str):

@@ -209,6 +209,48 @@ def make_invariant_check(per_table_cols: dict[int, list[str]]):
     return check
 
 
+VIEWS_DIR = "_views"
+
+
+def view_delta_path(lake_dir: str, name: str, epoch: int, part: int) -> str:
+    """Deterministic staged path — epoch retries overwrite byte-identically,
+    the same idempotency contract as the base files."""
+    return os.path.join(
+        lake_dir, VIEWS_DIR, name, f"epoch={epoch:06d}", f"part={part:05d}.parquet"
+    )
+
+
+def view_contribution(live: pa.Table, spec, sign: int) -> pa.Table:
+    """Grouped contribution of ``live`` rows to a :class:`ViewSpec`:
+    ``group_by`` → (``n_rows``, ``sum_<f>`` …), multiplied by ``sign``
+    (+1 = rows entering the state, −1 = rows retracted from it). Sum columns
+    widen to a deterministic type (int64 / float64) BEFORE aggregating so
+    every partition's delta file carries the identical schema; null payload
+    values contribute 0."""
+    cols: dict[str, Any] = {}
+    for g in spec.group_by:
+        c = live[g]
+        cols[g] = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    for f in spec.sum_fields:
+        c = live[f]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        t = pa.float64() if pa.types.is_floating(c.type) else pa.int64()
+        cols[f] = pc.fill_null(c.cast(t), pa.scalar(0, t))
+    agg = (
+        pa.table(cols)
+        .group_by(spec.group_by)
+        .aggregate([(f, "sum") for f in spec.sum_fields] + [([], "count_all")])
+    )
+    out: dict[str, Any] = {g: agg[g] for g in spec.group_by}
+    for f in spec.sum_fields:
+        col = agg[f + "_sum"]
+        out["sum_" + f] = col if sign > 0 else pc.multiply(col, pa.scalar(sign, col.type))
+    n = agg["count_all"].cast(pa.int64())
+    out["n_rows"] = n if sign > 0 else pc.multiply(n, pa.scalar(sign, pa.int64()))
+    return pa.table(out)
+
+
 def drop_tombstones(t: pa.Table) -> pa.Table:
     if len(t) == 0:
         return t
@@ -334,6 +376,8 @@ class MergeContext:
     sha_cols: list[str] | None = None  # payload cols feeding _content_sha
     invariant_cols: dict[int, list[str]] | None = None  # per-table required cols
     compression: str = "snappy"  # CaptureConfig.lake_compression
+    # incrementally-maintained views (CaptureConfig.views); rewrite mode only
+    views: list[Any] = None  # list[ViewSpec] | None
 
 
 def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
@@ -491,6 +535,27 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
         base_keep = base
     lake_rows = events_to_lake_rows(ok, payload_fields, sha_cols)
     lake_rows = align_to_schema(lake_rows, lake_schema)
+
+    # ---- incremental view maintenance (delta = new − retracted) --------
+    # Both inputs are already in hand at delta-key cost: the rows the merge
+    # is removing from the base and the rows it is writing. No lake rescan,
+    # ever; an untouched partition writes nothing.
+    if ctx.views and len(ok):
+        removed_live = (
+            drop_tombstones(base.filter(pc.is_in(base["_key"], value_set=touched)))
+            if len(base)
+            else base
+        )
+        new_live = drop_tombstones(lake_rows)
+        for spec in ctx.views:
+            vdelta = pa.concat_tables(
+                [view_contribution(new_live, spec, 1),
+                 view_contribution(removed_live, spec, -1)]
+            )
+            atomic_write_parquet(
+                vdelta, view_delta_path(lake_dir, spec.name, epoch, part), ctx.compression
+            )
+
     merged = pa.concat_tables([base_keep, lake_rows]) if len(lake_rows) else base_keep
     if len(merged):
         sort_idx = pc.sort_indices(merged["_key"].combine_chunks() if isinstance(merged["_key"], pa.ChunkedArray) else merged["_key"])
@@ -548,6 +613,7 @@ def make_epoch_merger(
         sha_cols=sha_source_columns(payload_fields),
         invariant_cols=invariant_columns(cfg),
         compression=cfg.lake_compression,
+        views=list(cfg.views) or None,
     )
 
     def merge(group: pa.Table) -> pa.Table:

@@ -1,0 +1,144 @@
+"""Incremental view maintenance (ViewSpec → merge-side deltas → read_view):
+the folded view must equal a from-scratch groupby of the converged lake under
+every epoch granularity, resume, and crash-replay scenario the merge itself
+survives — IVM inherits exactly-once from the same staged-path + manifest
+protocol."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from movex_cdc_ray.config import CaptureConfig, ViewSpec
+from movex_cdc_ray.pipelines.replay import lake_to_pandas, read_view, replay
+from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+SPEC = StreamSpec(n_events=8_000, n_repos=8, paths_per_repo=40, chunk_size=1_600,
+                  evolve_at_event=6_000)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_views"))
+    generate_stream(d, SPEC)
+    return d
+
+
+def _cfg():
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.views = [ViewSpec("by_repo", ["repo"], ["size"]),
+                 ViewSpec("by_lang", ["lang"])]
+    return cfg
+
+
+def _view_pdf(lake, name, cols):
+    pdf = read_view(lake, name).to_pandas()
+    for c in pdf.columns:
+        if c.startswith(("n_", "sum_")):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(cols).reset_index(drop=True)
+
+
+def _recompute(lake):
+    live = lake_to_pandas(lake)
+    by_repo = (
+        live.groupby("repo", as_index=False)
+        .agg(n_rows=("repo", "size"), sum_size=("size", "sum"))
+        .astype({"n_rows": "int64", "sum_size": "int64"})
+        .sort_values("repo").reset_index(drop=True)
+    )
+    by_lang = (
+        live.groupby("lang", as_index=False, dropna=False)
+        .agg(n_rows=("lang", "size"))
+        .astype({"n_rows": "int64"})
+        .sort_values("lang").reset_index(drop=True)
+    )
+    return by_repo, by_lang
+
+
+def test_view_matches_recompute(ray_session, stream_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=2)
+    exp_repo, exp_lang = _recompute(lake)
+    got_repo = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
+    got_lang = _view_pdf(lake, "by_lang", ["lang"])[["lang", "n_rows"]]
+    pd.testing.assert_frame_equal(got_repo, exp_repo[["repo", "n_rows", "sum_size"]])
+    pd.testing.assert_frame_equal(got_lang, exp_lang[["lang", "n_rows"]])
+
+
+def test_view_epoch_granularity_invariance(ray_session, stream_dir, tmp_path):
+    # 1-chunk epochs (max incremental steps) and 5-chunk epochs must fold to
+    # the identical view — associativity of the delta = new − retracted math
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    replay(stream_dir, a, _cfg(), chunks_per_epoch=1)
+    replay(stream_dir, b, _cfg(), chunks_per_epoch=5)
+    pd.testing.assert_frame_equal(
+        _view_pdf(a, "by_repo", ["repo"]), _view_pdf(b, "by_repo", ["repo"])
+    )
+    pd.testing.assert_frame_equal(
+        _view_pdf(a, "by_lang", ["lang"]), _view_pdf(b, "by_lang", ["lang"])
+    )
+
+
+def test_view_crash_resume(ray_session, stream_dir, tmp_path):
+    # die after an epoch's view deltas are staged but before its commit:
+    # resume re-stages byte-identically and the folded view converges
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    replay(stream_dir, clean, _cfg(), chunks_per_epoch=1)
+    replay(stream_dir, crashed, _cfg(), chunks_per_epoch=1, gc_staging=False)
+    manifests = sorted(glob.glob(os.path.join(crashed, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])  # lose the last commit; its view deltas remain staged
+    replay(stream_dir, crashed, _cfg(), chunks_per_epoch=1)
+    pd.testing.assert_frame_equal(
+        _view_pdf(clean, "by_repo", ["repo"]), _view_pdf(crashed, "by_repo", ["repo"])
+    )
+
+
+def test_view_resume_noop(ray_session, stream_dir, tmp_path):
+    lake = str(tmp_path / "lake_noop")
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=2)
+    before = _view_pdf(lake, "by_repo", ["repo"])
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=2)  # nothing pending
+    pd.testing.assert_frame_equal(before, _view_pdf(lake, "by_repo", ["repo"]))
+
+
+def test_views_require_rewrite_mode(ray_session, stream_dir, tmp_path):
+    with pytest.raises(ValueError, match="rewrite"):
+        replay(stream_dir, str(tmp_path / "lake_d"), _cfg(),
+               chunks_per_epoch=2, merge_mode="delta")
+
+
+def test_view_nonpayload_column_refused(ray_session, stream_dir, tmp_path):
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.views = [ViewSpec("bad", ["no_such_col"])]
+    with pytest.raises(ValueError, match="non-payload"):
+        replay(stream_dir, str(tmp_path / "lake_np"), cfg, chunks_per_epoch=2)
+
+
+def test_view_changed_definition_refused(ray_session, stream_dir, tmp_path):
+    lake = str(tmp_path / "lake_re")
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=4)
+    cfg2 = config_for_spec(SPEC, num_partitions=4)
+    cfg2.views = [ViewSpec("by_repo", ["repo"])]  # sum_fields dropped = new definition
+    with pytest.raises(ValueError, match="different"):
+        replay(stream_dir, lake, cfg2, chunks_per_epoch=4, resume=False)
+
+
+def test_view_spec_validation():
+    with pytest.raises(ValueError, match="\\[a-z0-9_\\]"):
+        ViewSpec("Bad Name", ["repo"])
+    with pytest.raises(ValueError, match="group_by"):
+        ViewSpec("v", [])
+    with pytest.raises(ValueError, match="both"):
+        ViewSpec("v", ["size"], ["size"])
+    with pytest.raises(ValueError, match="duplicate view names"):
+        CaptureConfig(
+            schema_versions=[], views=[ViewSpec("v", ["a"]), ViewSpec("v", ["b"])]
+        )
+
+
+def test_view_config_roundtrip():
+    cfg = _cfg()
+    back = CaptureConfig.from_json(cfg.to_json())
+    assert back.views == cfg.views
