@@ -162,6 +162,22 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import compact_view, read_view
+
+    if args.compact:
+        path = compact_view(args.lake_dir, args.name)
+        print(json.dumps({"view": args.name, "snapshot": path}))
+    else:
+        rows = read_view(args.lake_dir, args.name).take(args.limit)
+        print(json.dumps({"view": args.name, "rows": rows}, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_corpus_prep(args) -> int:
     """Run the composed training-data prep flagship and write the result as
     split-partitioned parquet (train/val/test directories) — partitioned
@@ -312,6 +328,13 @@ def main(argv=None) -> int:
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("view", help="read or compact an incrementally-maintained view")
+    common(sp, config=False)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--compact", action="store_true", help="fold the delta chain into a snapshot")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser("purge-tombstones", help="drop tombstone fences once the retry ledger is drained")
     common(sp)

@@ -123,6 +123,32 @@ class Engine:
             if n > self._topic_max_bytes.get(t, 0):
                 self._topic_max_bytes[t] = int(n)
 
+    # ---- incremental views ---------------------------------------------
+    def list_views(self) -> list[str]:
+        """Views with registered specs under this lake (configured views
+        appear after their first replayed epoch)."""
+        import glob
+        import os
+
+        from .stages.sink import VIEWS_DIR
+
+        return sorted(
+            os.path.basename(os.path.dirname(p))
+            for p in glob.glob(os.path.join(self.lake_dir, VIEWS_DIR, "*", "_SPEC.json"))
+        )
+
+    def read_view(self, name: str):
+        """Current state of an incrementally-maintained view (a Dataset)."""
+        from .pipelines.replay import read_view as _rv
+
+        return _rv(self.lake_dir, name)
+
+    def compact_view(self, name: str) -> str | None:
+        """Fold the view's delta chain into a snapshot (maintenance verb)."""
+        from .pipelines.replay import compact_view as _cv
+
+        return _cv(self.lake_dir, name)
+
     # ---- import/export (S8) ------------------------------------------------
     def export_config(self) -> str:
         return self.cfg.to_json()

@@ -982,6 +982,82 @@ def _register_view_specs(lake_dir: str, views) -> None:
         atomic_write_json(p, doc)
 
 
+def _view_fold_inputs(vdir: str, committed: int) -> tuple[list[str], int]:
+    """Files a view fold reads: the LATEST snapshot (if any) plus every
+    committed epoch's delta dir newer than it. Epoch dirs at or below the
+    snapshot epoch are ignored even if still on disk — a crash between
+    snapshot write and delta GC can therefore never double-count."""
+    import glob
+
+    snaps = sorted(glob.glob(os.path.join(vdir, "snapshot-epoch=*.snap")))
+    snap_epoch, files = -1, []
+    if snaps:
+        snap_epoch = int(os.path.basename(snaps[-1]).split("=")[1].split(".")[0])
+        files.extend(sorted(glob.glob(os.path.join(snaps[-1], "*.parquet"))))
+    for d in sorted(glob.glob(os.path.join(vdir, "epoch=*"))):
+        e = int(os.path.basename(d).split("=")[1])
+        if snap_epoch < e <= committed:
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return files, snap_epoch
+
+
+def compact_view(lake_dir: str, name: str) -> str | None:
+    """Fold a view's committed delta files into ONE snapshot so read cost
+    stays bounded on long streams (the view analog of ``compact()``). The
+    fold is a distributed Ray Data groupby (group cardinality can exceed one
+    node) written to a staging dir and atomically renamed to
+    ``snapshot-epoch=<committed>.snap``. Crash-safe without coordination:
+    ``read_view`` keys its delta listing off the latest snapshot's epoch, so
+    folded delta dirs and older snapshots become garbage the moment the new
+    snapshot lands — removed here only as cleanup. Returns the snapshot path
+    (None if nothing to fold). Groups retracted to zero rows are dropped
+    (integer sums are exactly 0 there; float residue is below the advertised
+    float-sum precision)."""
+    import glob
+    import json
+    import shutil as _shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.sink import VIEWS_DIR
+
+    vdir = os.path.join(lake_dir, VIEWS_DIR, name)
+    committed = Manifest.latest(lake_dir).epoch
+    files, _ = _view_fold_inputs(vdir, committed)
+    if not files:
+        return None
+    with open(os.path.join(vdir, "_SPEC.json")) as f:
+        spec = json.load(f)
+    aggs = [Sum("n_rows", alias_name="n_rows")] + [
+        Sum("sum_" + f, alias_name="sum_" + f) for f in spec["sum_fields"]
+    ]
+    ds = rd.read_parquet(files).groupby(spec["group_by"]).aggregate(*aggs)
+
+    def live_groups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch["n_rows"], 0))
+
+    # column order normalized to the delta-file layout so later folds read a
+    # uniform schema
+    ordered = spec["group_by"] + ["sum_" + f for f in spec["sum_fields"]] + ["n_rows"]
+    ds = ds.map_batches(live_groups, batch_format="pyarrow").select_columns(ordered)
+    staging = os.path.join(vdir, "_snap_staging")
+    _shutil.rmtree(staging, ignore_errors=True)
+    ds.write_parquet(staging)
+    path = os.path.join(vdir, f"snapshot-epoch={committed:06d}.snap")
+    _shutil.rmtree(path, ignore_errors=True)
+    os.rename(staging, path)
+    # ---- GC (correctness never depends on this running) ----------------
+    for d in glob.glob(os.path.join(vdir, "epoch=*")):
+        if int(os.path.basename(d).split("=")[1]) <= committed:
+            _shutil.rmtree(d, ignore_errors=True)
+    for s in glob.glob(os.path.join(vdir, "snapshot-epoch=*.snap")):
+        if s != path:
+            _shutil.rmtree(s, ignore_errors=True)
+    return path
+
+
 def read_view(lake_dir: str, name: str) -> rd.Dataset:
     """Current state of an incrementally-maintained view (``n_rows`` +
     ``sum_<f>`` per group): fold every COMMITTED epoch's delta files with one
@@ -1002,10 +1078,7 @@ def read_view(lake_dir: str, name: str) -> rd.Dataset:
     with open(os.path.join(vdir, "_SPEC.json")) as f:
         spec = json.load(f)
     committed = Manifest.latest(lake_dir).epoch
-    files = []
-    for d in sorted(glob.glob(os.path.join(vdir, "epoch=*"))):
-        if int(os.path.basename(d).split("=")[1]) <= committed:
-            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    files, snap_epoch = _view_fold_inputs(vdir, committed)
     if not files:
         return rd.from_items([])
     ds = rd.read_parquet(files)

@@ -29,3 +29,25 @@ def test_health_check_empty_lake(tmp_path):
     assert hc["epoch"] == 0
     assert hc["lake_rows"] == 0
     assert hc["retry_backlog"] == 0
+
+
+def test_engine_view_verbs(ray_session, tmp_path):
+    from movex_cdc_ray.config import ViewSpec
+    from movex_cdc_ray.pipelines.replay import replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=2_000, n_repos=4, paths_per_repo=20, chunk_size=1_000)
+    stream, lake = str(tmp_path / "s"), str(tmp_path / "l")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=2)
+    cfg.views = [ViewSpec("by_repo", ["repo"])]
+    replay(stream, lake, cfg, chunks_per_epoch=1)
+
+    eng = Engine(cfg, lake)
+    assert eng.list_views() == ["by_repo"]
+    before = eng.read_view("by_repo").to_pandas().sort_values("repo").reset_index(drop=True)
+    assert before["n_rows"].sum() > 0
+    snap = eng.compact_view("by_repo")
+    assert snap and snap.endswith(".snap")
+    after = eng.read_view("by_repo").to_pandas().sort_values("repo").reset_index(drop=True)
+    assert before.equals(after)

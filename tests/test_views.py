@@ -103,6 +103,36 @@ def test_view_resume_noop(ray_session, stream_dir, tmp_path):
     pd.testing.assert_frame_equal(before, _view_pdf(lake, "by_repo", ["repo"]))
 
 
+def test_view_compaction(ray_session, stream_dir, tmp_path):
+    import glob as g
+    import shutil as sh
+
+    from movex_cdc_ray.pipelines.replay import compact_view
+
+    lake = str(tmp_path / "lake_c")
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=1, max_epochs=3)
+    vdir = os.path.join(lake, "_views", "by_repo")
+    backup = str(tmp_path / "epoch_backup")
+    sh.copytree(vdir, backup)
+    snap = compact_view(lake, "by_repo")
+    assert snap and snap.endswith(".snap")
+    assert not g.glob(os.path.join(vdir, "epoch=*"))  # folded deltas GC'd
+    # stale folded deltas reappearing (simulated GC crash) must not
+    # double-count: read_view keys off the snapshot epoch
+    before = _view_pdf(lake, "by_repo", ["repo"])
+    for d in g.glob(os.path.join(backup, "epoch=*")):
+        sh.copytree(d, os.path.join(vdir, os.path.basename(d)))
+    pd.testing.assert_frame_equal(before, _view_pdf(lake, "by_repo", ["repo"]))
+    # finish the stream on top of the snapshot, then compact again
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=1)
+    exp_repo, _ = _recompute(lake)
+    got = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
+    pd.testing.assert_frame_equal(got, exp_repo[["repo", "n_rows", "sum_size"]])
+    compact_view(lake, "by_repo")
+    got2 = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
+    pd.testing.assert_frame_equal(got2, exp_repo[["repo", "n_rows", "sum_size"]])
+
+
 def test_views_require_rewrite_mode(ray_session, stream_dir, tmp_path):
     with pytest.raises(ValueError, match="rewrite"):
         replay(stream_dir, str(tmp_path / "lake_d"), _cfg(),
