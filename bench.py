@@ -58,6 +58,9 @@ QUERY_SWEEP = [
     "corpus_quality_cut",
     "embedding_centroids",
     "text_bm25_topk",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "cdc_view_maintenance",
 ]
 
 

@@ -172,3 +172,15 @@ def test_view_config_roundtrip():
     cfg = _cfg()
     back = CaptureConfig.from_json(cfg.to_json())
     assert back.views == cfg.views
+
+
+def test_view_through_tail(ray_session, stream_dir, tmp_path):
+    # streaming ingestion (tail) maintains views identically to batch replay
+    from movex_cdc_ray.pipelines.replay import tail
+
+    lake = str(tmp_path / "lake_tail")
+    tail(stream_dir, lake, _cfg(), chunks_per_epoch=2, poll_interval=0.1,
+         max_idle_cycles=2)
+    exp_repo, _ = _recompute(lake)
+    got = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
+    pd.testing.assert_frame_equal(got, exp_repo[["repo", "n_rows", "sum_size"]])
