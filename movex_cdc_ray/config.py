@@ -223,6 +223,10 @@ class ViewSpec:
     name: str
     group_by: list[str] = field(default_factory=list)
     sum_fields: list[str] = field(default_factory=list)
+    # optional "SCHEMA.TABLE" scope: a multi-table stream keeps several
+    # logical tables in ONE lake (key_string prefix) — an unscoped view
+    # aggregates across all of them, a scoped one filters by key prefix
+    table: str | None = None
 
     def __post_init__(self) -> None:
         import re

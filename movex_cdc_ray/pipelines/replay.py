@@ -468,10 +468,13 @@ def run_epoch(
                 "never loads the previous per-key state the retraction needs"
             )
         payload = set(cfg.latest_version().payload_fields)
+        known_tables = {f"{t.schema_name}.{t.name}" for t in cfg.tables}
         for v in cfg.views:
             missing = (set(v.group_by) | set(v.sum_fields)) - payload
             if missing:
                 raise ValueError(f"view {v.name!r} references non-payload columns {sorted(missing)}")
+            if v.table and v.table not in known_tables:
+                raise ValueError(f"view {v.name!r} scopes unknown table {v.table!r} (known: {sorted(known_tables)})")
         _register_view_specs(lake_dir, cfg.views)
     files = list(chunk_files) + list(extra_event_files or [])
     if not files:

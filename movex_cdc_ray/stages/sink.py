@@ -548,9 +548,14 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
         )
         new_live = drop_tombstones(lake_rows)
         for spec in ctx.views:
+            nl, rl = new_live, removed_live
+            if getattr(spec, "table", None):
+                pref = spec.table + "\x1f"  # KEY_SEP — see capture.py:44
+                nl = nl.filter(pc.starts_with(nl["_key"].combine_chunks() if isinstance(nl["_key"], pa.ChunkedArray) else nl["_key"], pattern=pref))
+                rl = rl.filter(pc.starts_with(rl["_key"].combine_chunks() if isinstance(rl["_key"], pa.ChunkedArray) else rl["_key"], pattern=pref))
             vdelta = pa.concat_tables(
-                [view_contribution(new_live, spec, 1),
-                 view_contribution(removed_live, spec, -1)]
+                [view_contribution(nl, spec, 1),
+                 view_contribution(rl, spec, -1)]
             )
             atomic_write_parquet(
                 vdelta, view_delta_path(lake_dir, spec.name, epoch, part), ctx.compression

@@ -184,3 +184,45 @@ def test_view_through_tail(ray_session, stream_dir, tmp_path):
     exp_repo, _ = _recompute(lake)
     got = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
     pd.testing.assert_frame_equal(got, exp_repo[["repo", "n_rows", "sum_size"]])
+
+
+def test_view_table_scoping(ray_session, tmp_path):
+    # two logical tables share one stream/lake; a scoped view counts only
+    # its table's rows, an unscoped one aggregates across both
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.config import ColumnConfig, TableConfig, default_code_cdc_config
+    from movex_cdc_ray.pipelines.replay import run_epoch
+    from movex_cdc_ray.state.manifest import Manifest, new_writer_token
+    from tests.test_multi_table import _events
+
+    cfg = default_code_cdc_config(num_partitions=2)
+    cfg.tables.append(TableConfig(
+        name="DOCS", schema_name="CODE", table_id=2, key_handling="P",
+        pk_columns=["repo", "path"],
+        columns=[ColumnConfig(c) for c in ("repo", "path", "commit", "lang", "content", "size", "stars")],
+    ))
+    cfg.views = [ViewSpec("all_repo", ["repo"]),
+                 ViewSpec("docs_repo", ["repo"], table="CODE.DOCS")]
+
+    chunk = str(tmp_path / "chunk.parquet")
+    both = pa.concat_tables([
+        _events(1, [10, 11], path="p1"),  # FILES: 2 live rows (distinct ids same key? no:
+        _events(2, [12], path="p2"),      # same key -> LWW keeps 1; DOCS: 1 row
+    ])
+    pq.write_table(both, chunk)
+    lake = str(tmp_path / "lake")
+    run_epoch(cfg, Manifest(lake_dir=lake), 1, [chunk], lake, new_writer_token())
+
+    allv = _view_pdf(lake, "all_repo", ["repo"])
+    docs = _view_pdf(lake, "docs_repo", ["repo"])
+    assert allv["n_rows"].sum() == 2  # FILES key (LWW of 10,11) + DOCS key
+    assert docs["n_rows"].sum() == 1  # only the DOCS row
+
+
+def test_view_unknown_table_scope_refused(ray_session, stream_dir, tmp_path):
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.views = [ViewSpec("v", ["repo"], table="NO.SUCH")]
+    with pytest.raises(ValueError, match="unknown table"):
+        replay(stream_dir, str(tmp_path / "lake_ut"), cfg, chunks_per_epoch=2)
