@@ -1590,6 +1590,120 @@ def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
                 "_last_id", "_last_op"]]
 
 
+_PR_SCALE, _PR_DNUM, _PR_DDEN, _PR_ITERS = 10**9, 85, 100, 10
+
+
+def events_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the event-type transition graph (link-analysis family):
+    nodes = event types, edge (u→v) weight = how often v follows u within a
+    user's stream. Distributed part: per-user transition extraction (one
+    user-hash groupby — the same partitioning key every events operator
+    uses — with a vectorized shift + per-group pre-aggregation, so ≤|types|²
+    rows leave any group) and the (src,dst) weight fold. The power iteration
+    then runs on the AGGREGATED transition matrix, which is
+    |event-type-vocabulary|² by construction — driver-sized at any corpus
+    scale (for a web-scale node set swap in broadcast-rank + edge-partitioned
+    scatter per iteration; the extraction/fold shape is unchanged). All
+    iteration arithmetic is integer (rank scaled by 1e9, floor per term,
+    damping 85/100) so no float summation order exists and the DuckDB oracle
+    is hash-exact — the same determinism trick as text_gopher_rules."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("event_id")
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"src": t[:-1], "dst": t[1:]})
+        agg = pairs.groupby(["src", "dst"], as_index=False).size()
+        return pa.table({"src": pa.array(agg["src"], pa.string()),
+                         "dst": pa.array(agg["dst"], pa.string()),
+                         "n": pa.array(agg["size"], pa.int64())})
+
+    edges = (
+        ds.groupby("user_id").map_groups(transitions, batch_format="pandas")
+        .groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # tiny: ≤ |event-type vocabulary|² rows
+    )
+    nodes = sorted(ds.unique("event_type"))
+    N = len(nodes)
+    deg = edges.groupby("src")["n"].sum().to_dict()
+    w = {(s, d): int(n) for s, d, n in edges.itertuples(index=False)}
+    r = {v: _PR_SCALE // N for v in nodes}
+    teleport = ((_PR_DDEN - _PR_DNUM) * _PR_SCALE) // (_PR_DDEN * N)
+    for _ in range(_PR_ITERS):
+        dangling = sum(
+            (_PR_DNUM * r[u]) // (_PR_DDEN * N) for u in nodes if u not in deg
+        )
+        nxt = {}
+        for v in nodes:
+            inbound = sum(
+                (_PR_DNUM * r[u] * w[(u, v)]) // (_PR_DDEN * int(deg[u]))
+                for u in nodes
+                if (u, v) in w
+            )
+            nxt[v] = teleport + inbound + dangling
+        r = nxt
+    return pd.DataFrame(
+        {"event_type": nodes,
+         "rank_scaled": pd.array([r[v] for v in nodes], dtype="int64")}
+    )
+
+
+def _pagerank_sql() -> str:
+    """Oracle: same transition extraction via lead() and the same ITERS
+    integer-floored power-iteration steps unrolled as CTEs (the unrolled-Lloyd
+    pattern from the k-means oracle)."""
+    S, DN, DD = _PR_SCALE, _PR_DNUM, _PR_DDEN
+    cte = [f"""
+        seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+          FROM events
+        ),
+        edges AS (
+          SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        nodes AS (SELECT DISTINCT event_type AS v FROM events),
+        params AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+        outdeg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS deg FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT v, {S} // nn AS r FROM nodes, params)"""]
+    for k in range(_PR_ITERS):
+        # MATERIALIZED is load-bearing: r{{k}} is referenced twice per step,
+        # and an inlined CTE chain would expand 2^ITERS-fold
+        cte.append(f"""
+        r{k + 1} AS MATERIALIZED (
+          SELECT n.v,
+                 {(DD - DN) * S} // ({DD} * p.nn)
+                 + COALESCE(inc.s, 0)
+                 + dang.s AS r
+          FROM nodes n
+          CROSS JOIN params p
+          CROSS JOIN (
+            SELECT COALESCE(SUM(({DN} * r.r) // ({DD} * p2.nn)), 0) AS s
+            FROM r{k} r CROSS JOIN params p2
+            WHERE r.v NOT IN (SELECT src FROM outdeg)
+          ) dang
+          LEFT JOIN (
+            SELECT e.dst AS v, SUM(({DN} * r.r * e.n) // ({DD} * o.deg)) AS s
+            FROM edges e JOIN r{k} r ON r.v = e.src JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) inc ON inc.v = n.v
+        )""")
+    return (
+        "WITH" + ",".join(cte)
+        + f"""
+        SELECT v AS event_type, CAST(r AS BIGINT) AS rank_scaled
+        FROM r{_PR_ITERS} ORDER BY event_type
+    """
+    )
+
+
 def cdc_view_maintenance(sf_dir: str) -> pd.DataFrame:
     """Incremental view maintenance (IVM): a grouped-aggregate view
     (rows + sum(size) per repo) maintained THROUGH the exactly-once merge at
@@ -3472,6 +3586,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_dlq_routing": cdc_dlq_routing,
     "cdc_flagship_replay": cdc_flagship_replay,
     "cdc_view_maintenance": cdc_view_maintenance,
+    "events_pagerank": events_pagerank,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4831,6 +4946,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_langid": _langid_sql(),
     "cdc_flagship_replay": _flagship_sql(),
     "cdc_view_maintenance": _view_maintenance_sql(),
+    "events_pagerank": _pagerank_sql(),
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),

@@ -32,6 +32,8 @@ SUBSET = [
     "events_funnel",
     "events_retention",
     "events_anomaly",
+    "events_pagerank",
+    "cdc_view_maintenance",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
