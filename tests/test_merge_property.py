@@ -168,3 +168,77 @@ def test_merge_split_across_epochs_equals_single_epoch(tmp_path):
         return prev["0"]["sha"]
 
     assert run(0) == run(3)
+
+
+# ---- incremental-view property: delta fold == brute-force recompute --------
+
+def _fold_view(lake_dir, name, group_cols):
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(lake_dir, "_views", name, "epoch=*", "*.parquet")))
+    if not files:
+        return pd.DataFrame()
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    g = df.groupby(group_cols, as_index=False).sum(numeric_only=True)
+    return g[g["n_rows"] > 0].sort_values(group_cols).reset_index(drop=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["I", "U", "D", "i"]), st.integers(0, len(KEYS) - 1)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(0, 40),
+)
+def test_view_delta_equals_bruteforce(tmp_path_factory, seq, cut):
+    """For ANY event sequence split into two epochs at ANY point, folding the
+    merge-side view deltas equals recomputing the aggregates from the final
+    live state — per-key groups (by_repo) AND one global group (by_path)."""
+    from movex_cdc_ray.config import ViewSpec
+
+    cut = min(cut, len(seq))
+    cfg = default_code_cdc_config()
+    lake_dir = str(tmp_path_factory.mktemp("viewprop"))
+    views = [ViewSpec("by_repo", ["repo"], ["size"]),
+             ViewSpec("by_path", ["path"], ["size"])]
+    fields = list(cfg.latest_version().payload_fields)
+    schema = lake_table_schema(cfg)
+    full = events_table(seq)
+
+    prev = {}
+    for epoch, tbl in enumerate([full.slice(0, cut), full.slice(cut)], start=1):
+        if len(tbl) == 0:
+            continue
+        ctx = MergeContext(
+            lake_dir=lake_dir, epoch=epoch, prev_partitions=prev,
+            payload_fields=fields, lake_schema=schema, error_max_retries=5,
+            views=views,
+        )
+        s = merge_partition(ctx, tbl, part=0)
+        prev = {"0": {"path": s["path"][0].as_py(), "deltas": [],
+                      "watermark": s["watermark"][0].as_py(),
+                      "rows": s["lake_rows"][0].as_py(),
+                      "sha": s["sha"][0].as_py()}}
+
+    state = brute_force(seq)  # key -> last applied id; repo == key, size == id
+    got_repo = _fold_view(lake_dir, "by_repo", ["repo"])
+    exp_repo = {k: (1, i) for k, i in state.items()}
+    got_repo_d = {
+        r["repo"]: (int(r["n_rows"]), int(r["sum_size"]))
+        for _, r in got_repo.iterrows()
+    } if len(got_repo) else {}
+    assert got_repo_d == exp_repo
+
+    got_path = _fold_view(lake_dir, "by_path", ["path"])
+    if state:
+        assert len(got_path) == 1
+        assert int(got_path["n_rows"][0]) == len(state)
+        assert int(got_path["sum_size"][0]) == sum(state.values())
+    else:
+        assert len(got_path) == 0
