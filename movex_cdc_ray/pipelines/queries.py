@@ -1704,6 +1704,88 @@ def _pagerank_sql() -> str:
     )
 
 
+def events_ntile(sf_dir: str) -> pd.DataFrame:
+    """Exact global NTILE(4) bucketing WITHOUT a global sort — the
+    range-partitioned prefix-sum rank pattern (`corpus.py:epoch_shuffle`)
+    applied to a value ordering: (1) deterministic bottom-k sample →
+    value-band boundaries, (2) rows band by ``searchsorted`` (order-aligned
+    ranges, one band-hash shuffle), (3) per-band counts → tiny driver
+    prefix-sum bases, (4) each band sorts only its own rows and adds its
+    base = exact global rank by ``(value, event_id)``; NTILE's
+    first-r-buckets-get-ceil split is applied arithmetically and each band
+    emits ≤k partial rows, so the final groupby is k rows. Sample skew only
+    affects band BALANCE, never correctness."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.corpus import bottom_k_sample
+
+    K, NB = 4, 32  # tiles; value bands (a JOB parameter, like num_partitions)
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    sample = bottom_k_sample(ds, k=512, id_col="event_id").to_pandas()
+    qs = np.linspace(0.0, 1.0, NB + 1)[1:-1]
+    bounds = np.unique(
+        np.percentile(sample["value"].to_numpy(dtype="float64"), qs * 100, method="linear")
+    )
+
+    def band(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype("float64")
+        return pa.table(
+            {"band": pa.array(np.searchsorted(bounds, v, side="left").astype("int64")),
+             "event_id": batch["event_id"].cast(pa.int64()),
+             "value": pa.array(v, pa.float64())}
+        )
+
+    from ray.data.aggregate import Count
+
+    banded = ds.map_batches(band, batch_format="pyarrow").materialize()
+    counts = banded.groupby("band").aggregate(Count(alias_name="n")).take_all()
+    counts.sort(key=lambda r: r["band"])
+    total = sum(int(r["n"]) for r in counts)
+    bases: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        bases[int(r["band"])] = acc
+        acc += int(r["n"])
+    q, rem = divmod(total, K)
+    split = rem * (q + 1)
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["value", "event_id"])
+        rank0 = bases[int(g["band"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        bucket = np.where(
+            rank0 < split, rank0 // max(q + 1, 1), rem + (rank0 - split) // max(q, 1)
+        ).astype("int64") + 1
+        v = g["value"].to_numpy(dtype="float64")
+        pdf = pd.DataFrame(
+            {"bucket": bucket,
+             "cents": np.floor(v * 100 + 0.5).astype("int64"),
+             "v": v}
+        )
+        agg = pdf.groupby("bucket", as_index=False).agg(
+            n_events=("v", "size"), sum_cents=("cents", "sum"),
+            min_value=("v", "min"), max_value=("v", "max"))
+        return pa.table(
+            {"bucket": pa.array(agg["bucket"], pa.int64()),
+             "n_events": pa.array(agg["n_events"], pa.int64()),
+             "sum_cents": pa.array(agg["sum_cents"], pa.int64()),
+             "min_value": pa.array(agg["min_value"], pa.float64()),
+             "max_value": pa.array(agg["max_value"], pa.float64())}
+        )
+
+    out = (
+        banded.groupby("band").map_groups(rank_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"),
+                   Min("min_value", alias_name="min_value"),
+                   Max("max_value", alias_name="max_value"))
+    )
+    pdf = out.to_pandas()
+    for c in ("n_events", "sum_cents"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values("bucket").reset_index(drop=True)
+
+
 def cdc_view_maintenance(sf_dir: str) -> pd.DataFrame:
     """Incremental view maintenance (IVM): a grouped-aggregate view
     (rows + sum(size) per repo) maintained THROUGH the exactly-once merge at
@@ -3587,6 +3669,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_flagship_replay": cdc_flagship_replay,
     "cdc_view_maintenance": cdc_view_maintenance,
     "events_pagerank": events_pagerank,
+    "events_ntile": events_ntile,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4947,6 +5030,18 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_flagship_replay": _flagship_sql(),
     "cdc_view_maintenance": _view_maintenance_sql(),
     "events_pagerank": _pagerank_sql(),
+    "events_ntile": """
+        WITH ranked AS (
+          SELECT value, NTILE(4) OVER (ORDER BY value, event_id) AS bucket
+          FROM events
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
     "dedup_embedding_lsh": _embedding_lsh_sql(),
     "ann_lsh": _ann_lsh_sql(),
     "ann_ivf": _ivf_sql(),
