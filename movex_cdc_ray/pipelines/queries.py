@@ -3473,14 +3473,15 @@ def text_bm25_topk(sf_dir: str) -> pd.DataFrame:
 def ann_recall(sf_dir: str) -> pd.DataFrame:
     """Recall@10 of the approximate indexes against the exact brute-force
     top-10 — the standard ANN quality metric, as a first-class query: for
-    each query id 0-4 and each method (hyperplane-LSH, IVF), the fraction
-    of the exact neighbors the approximate index recovered. All three
-    rankings are distributed pipelines; the recall join runs on
+    each query id 0-4 and each method (hyperplane-LSH, IVF, PQ-ADC), the
+    fraction of the exact neighbors the approximate index recovered. All
+    four rankings are distributed pipelines; the recall join runs on
     (queries × k)-row driver tables."""
     exact = knn_bruteforce(sf_dir)[["query_id", "neighbor_id"]]
     methods = {
         "lsh": ann_lsh(sf_dir)[["query_id", "neighbor_id"]],
         "ivf": ann_ivf(sf_dir)[["query_id", "neighbor_id"]],
+        "pq": ann_pq(sf_dir)[["query_id", "neighbor_id"]],
     }
     rows = []
     for m, approx in sorted(methods.items()):
@@ -5063,6 +5064,8 @@ def _build_oracle_sql() -> dict[str, str]:
           SELECT query_id, neighbor_id FROM ({_ann_lsh_sql()})
         ), ivf AS (
           SELECT query_id, neighbor_id FROM ({_ivf_sql()})
+        ), pq AS (
+          SELECT query_id, neighbor_id FROM ({_pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10)})
         ), qs AS (
           SELECT DISTINCT query_id FROM ex
         ), hits AS (
@@ -5071,11 +5074,14 @@ def _build_oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'ivf' AS method, e.query_id, COUNT(*) AS n
           FROM ex e JOIN ivf a USING (query_id, neighbor_id) GROUP BY e.query_id
+          UNION ALL
+          SELECT 'pq' AS method, e.query_id, COUNT(*) AS n
+          FROM ex e JOIN pq a USING (query_id, neighbor_id) GROUP BY e.query_id
         )
         SELECT m.method, qs.query_id,
                CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
                CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0 AS recall
-        FROM (VALUES ('ivf'), ('lsh')) AS m(method)
+        FROM (VALUES ('ivf'), ('lsh'), ('pq')) AS m(method)
         CROSS JOIN qs
         LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.query_id
         ORDER BY m.method, qs.query_id
