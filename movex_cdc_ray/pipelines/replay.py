@@ -926,14 +926,31 @@ def tail(
     return report
 
 
-def read_lake(lake_dir: str, columns: list[str] | None = None, cfg: CaptureConfig | None = None) -> rd.Dataset:
+def read_lake(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    cfg: CaptureConfig | None = None,
+    at_epoch: int | None = None,
+) -> rd.Dataset:
     """The committed lake as a Dataset.
 
     With outstanding delta chains (merge_mode="delta", not yet compacted) the
     read resolves them merge-on-read: a ``groupby("_key")`` arg-max per key —
-    pass ``cfg`` for the schema, or compact first for a plain scan."""
-    m = Manifest.latest(lake_dir)
+    pass ``cfg`` for the schema, or compact first for a plain scan.
+
+    ``at_epoch`` time-travels: read the state as of that committed epoch
+    (manifests are immutable, staged paths are per-epoch, and
+    ``Manifest.gc(keep_epochs=K)`` retains the last K epochs' manifests AND
+    data files, so the window is a retention knob). Missing files mean the
+    epoch fell out of the retention window."""
+    m = Manifest.at_epoch(lake_dir, at_epoch) if at_epoch is not None else Manifest.latest(lake_dir)
     files = m.data_files()
+    gone = [f for f in files if not os.path.exists(f)]
+    if gone:
+        raise FileNotFoundError(
+            f"epoch {m.epoch} data housekept away ({len(gone)} file(s), e.g. "
+            f"{gone[0]}); raise gc keep_epochs or replay with gc_staging=False"
+        )
     has_deltas = any(p.get("deltas") for p in m.partitions.values())
     if not files:
         return rd.from_items([])
@@ -1098,15 +1115,16 @@ def read_view(lake_dir: str, name: str) -> rd.Dataset:
     return ds.map_batches(live_groups, batch_format="pyarrow")
 
 
-def lake_to_pandas(lake_dir: str):
+def lake_to_pandas(lake_dir: str, at_epoch: int | None = None):
     """Small-scale helper for tests: full lake as a key-sorted DataFrame
-    (delta chains resolved per partition in-process)."""
+    (delta chains resolved per partition in-process); ``at_epoch`` time-travels
+    like :func:`read_lake`."""
     import pandas as pd
     import pyarrow.parquet as pq
 
     from ..stages.sink import resolve_lake_tables
 
-    m = Manifest.latest(lake_dir)
+    m = Manifest.at_epoch(lake_dir, at_epoch) if at_epoch is not None else Manifest.latest(lake_dir)
     parts = []
     for k in sorted(m.partitions, key=int):
         entry = m.partitions[k]

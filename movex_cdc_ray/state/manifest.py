@@ -128,6 +128,37 @@ class Manifest:
             hash_scheme=d.get("hash_scheme", "pd_hash_v1"),
         )
 
+    @classmethod
+    def at_epoch(cls, lake_dir: str, epoch: int) -> "Manifest":
+        """Time-travel load: the lake state as of a specific committed epoch.
+        Raises ``KeyError`` with the retained window if that manifest was
+        housekept away (``gc(keep_epochs=K)`` keeps the last K epochs AND
+        their data files)."""
+        p = os.path.join(lake_dir, MANIFEST_DIR, f"epoch-{epoch:06d}.json")
+        if not os.path.exists(p):
+            have = sorted(
+                int(os.path.basename(x)[len("epoch-"):-len(".json")])
+                for x in glob.glob(os.path.join(lake_dir, MANIFEST_DIR, "epoch-*.json"))
+            )
+            raise KeyError(
+                f"no manifest for epoch {epoch} (retained: {have}); raise the "
+                "gc keep_epochs window or replay with gc_staging=False for "
+                "unbounded time travel"
+            )
+        with open(p) as f:
+            d = json.load(f)
+        return cls(
+            lake_dir=lake_dir,
+            epoch=d["epoch"],
+            partitions=d["partitions"],
+            chunks_consumed=d["chunks_consumed"],
+            chunk_files=d.get("chunk_files", []),
+            writer_token=d.get("writer_token", ""),
+            metrics=d.get("metrics", {}),
+            num_partitions=d.get("num_partitions", 0),
+            hash_scheme=d.get("hash_scheme", "pd_hash_v1"),
+        )
+
     def check_partitioning(self, num_partitions: int, hash_scheme: str = "pd_hash_v1") -> None:
         """Refuse to write with a partitioning incompatible with the lake's.
 
@@ -198,11 +229,25 @@ class Manifest:
 
     # ------------------------------------------------------------------- gc
     def gc(self, keep_epochs: int = 2) -> list[str]:
-        """Drop staged files not referenced by the latest manifest and old
-        manifests beyond ``keep_epochs`` — the Housekeeping partition drop
-        (reference `app/models/housekeeping.rb:45-107`, operator S6)."""
+        """Drop manifests beyond ``keep_epochs`` and staged files no RETAINED
+        manifest references — the Housekeeping partition drop (reference
+        `app/models/housekeeping.rb:45-107`, operator S6). Because every
+        retained manifest keeps its data files alive, ``keep_epochs`` is also
+        the time-travel window for ``read_lake(at_epoch=...)``."""
         removed: list[str] = []
+        manifests = sorted(glob.glob(os.path.join(self.lake_dir, MANIFEST_DIR, "epoch-*.json")))
+        for m in manifests[:-keep_epochs] if keep_epochs else manifests:
+            os.remove(m)
+            removed.append(m)
         live = {os.path.abspath(f) for f in self.data_files()}
+        for m in manifests[-keep_epochs:] if keep_epochs else []:
+            if os.path.exists(m):
+                with open(m) as f:
+                    d = json.load(f)
+                for p in d.get("partitions", {}).values():
+                    if p.get("path"):
+                        live.add(os.path.abspath(p["path"]))
+                    live.update(os.path.abspath(x) for x in p.get("deltas", []))
         for f in glob.glob(os.path.join(self.lake_dir, STAGING_DIR, "epoch=*", "part=*.parquet")):
             if os.path.abspath(f) not in live:
                 os.remove(f)
@@ -210,10 +255,6 @@ class Manifest:
         for d in glob.glob(os.path.join(self.lake_dir, STAGING_DIR, "epoch=*")):
             if not os.listdir(d):
                 os.rmdir(d)
-        manifests = sorted(glob.glob(os.path.join(self.lake_dir, MANIFEST_DIR, "epoch-*.json")))
-        for m in manifests[:-keep_epochs] if keep_epochs else manifests:
-            os.remove(m)
-            removed.append(m)
         return removed
 
     # --------------------------------------------------------------- queries
