@@ -149,6 +149,19 @@ class Engine:
 
         return _cv(self.lake_dir, name)
 
+    # ---- time travel ------------------------------------------------------
+    def read_lake_at(self, epoch: int):
+        """Lake state as of a retained committed epoch (a Dataset)."""
+        from .pipelines.replay import read_lake as _rl
+
+        return _rl(self.lake_dir, cfg=self.cfg, at_epoch=epoch)
+
+    def diff_epochs(self, from_epoch: int, to_epoch: int):
+        """Key-level changelog between two retained epochs (a Dataset)."""
+        from .pipelines.replay import diff_epochs as _de
+
+        return _de(self.lake_dir, from_epoch, to_epoch)
+
     # ---- import/export (S8) ------------------------------------------------
     def export_config(self) -> str:
         return self.cfg.to_json()

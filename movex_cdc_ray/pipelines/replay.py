@@ -977,6 +977,81 @@ def read_lake(
     return ds.select_columns(columns) if columns else ds
 
 
+@ray.remote
+def _diff_part_task(paths_a: list[str], paths_b: list[str], schema_ref) -> pa.Table:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.sink import resolve_lake_tables
+
+    def load(paths):
+        if not paths:
+            return None
+        tables = [pq.read_table(p, columns=None) for p in paths]
+        t = resolve_lake_tables(tables, tables[-1].schema, keep_tombstones=False) \
+            if len(tables) > 1 else tables[0]
+        if len(tables) == 1:
+            mask = pc.not_equal(pc.fill_null(t["_last_op"], ""), "D")
+            t = t.filter(mask)
+        return t.select(["_key", "_last_id"])
+
+    a, b = load(paths_a), load(paths_b)
+    import numpy as np
+    import pandas as pd
+
+    a_df = (a.to_pandas().rename(columns={"_key": "k", "_last_id": "a_id"})
+            if a is not None else pd.DataFrame({"k": [], "a_id": []}))
+    b_df = (b.to_pandas().rename(columns={"_key": "k", "_last_id": "b_id"})
+            if b is not None else pd.DataFrame({"k": [], "b_id": []}))
+    j = a_df.merge(b_df, on="k", how="outer")
+    added = j["a_id"].isna() & j["b_id"].notna()
+    deleted = j["b_id"].isna() & j["a_id"].notna()
+    updated = j["a_id"].notna() & j["b_id"].notna() & (j["a_id"] != j["b_id"])
+    j = j[added | deleted | updated]
+    change = np.where(j["a_id"].isna(), "added",
+                      np.where(j["b_id"].isna(), "deleted", "updated"))
+    return pa.table(
+        {"_key": pa.array(j["k"], pa.string()),
+         "change": pa.array(change, pa.string()),
+         "from_last_id": pa.array(j["a_id"].astype("float64"), pa.float64()),
+         "to_last_id": pa.array(j["b_id"].astype("float64"), pa.float64())}
+    )
+
+
+def diff_epochs(lake_dir: str, from_epoch: int, to_epoch: int) -> rd.Dataset:
+    """Key-level changelog between two retained epochs (added / updated /
+    deleted, by the applied ``_last_id``) — the time-travel companion verb.
+    SHUFFLE-FREE: the partitioning fence (``Manifest.check_partitioning``)
+    guarantees both epochs share the key→partition mapping, so each
+    partition pair diffs independently in one Ray task and the result
+    streams back as Arrow refs. ``from_last_id`` / ``to_last_id`` are
+    float64 (NaN = key absent on that side), the driver-compare-friendly
+    nullable-int representation used across the repo."""
+    ma = Manifest.at_epoch(lake_dir, from_epoch)
+    mb = Manifest.at_epoch(lake_dir, to_epoch)
+    if ma.num_partitions and mb.num_partitions and ma.num_partitions != mb.num_partitions:
+        raise ValueError(
+            f"epochs have incompatible partitioning ({ma.num_partitions} vs "
+            f"{mb.num_partitions}); diff across a repartition is not keyed-aligned"
+        )
+
+    def paths(m: Manifest, part: str) -> list[str]:
+        e = m.partitions.get(part)
+        if not e:
+            return []
+        out = [e["path"]] if e.get("path") else []
+        return out + list(e.get("deltas", []))
+
+    refs = []
+    for part in sorted(set(ma.partitions) | set(mb.partitions), key=int):
+        pa_, pb_ = paths(ma, part), paths(mb, part)
+        if pa_ or pb_:
+            refs.append(_diff_part_task.remote(pa_, pb_, None))
+    if not refs:
+        return rd.from_items([])
+    return rd.from_arrow_refs(refs)
+
+
 def _register_view_specs(lake_dir: str, views) -> None:
     """Persist each ViewSpec next to its delta files (idempotent), so
     ``read_view`` needs no config object. Re-registering a view whose

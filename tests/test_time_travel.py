@@ -67,3 +67,45 @@ def test_missing_data_file_is_loud(ray_session, stream_dir, tmp_path):
     os.remove(victim)
     with pytest.raises(FileNotFoundError, match="housekept"):
         read_lake(lake)
+
+
+def test_diff_epochs(ray_session, stream_dir, tmp_path):
+    from movex_cdc_ray.pipelines.replay import diff_epochs
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    lake = str(tmp_path / "lake_diff")
+    replay(stream_dir, lake, cfg, chunks_per_epoch=1, gc_staging=False)
+    last = Manifest.latest(lake).epoch
+    got = diff_epochs(lake, 1, last).to_pandas()
+
+    a = lake_to_pandas(lake, at_epoch=1).set_index("_key")["_last_id"]
+    b = lake_to_pandas(lake, at_epoch=last).set_index("_key")["_last_id"]
+    exp_added = set(b.index) - set(a.index)
+    exp_deleted = set(a.index) - set(b.index)
+    exp_updated = {k for k in set(a.index) & set(b.index) if a[k] != b[k]}
+    assert set(got[got["change"] == "added"]["_key"]) == exp_added
+    assert set(got[got["change"] == "deleted"]["_key"]) == exp_deleted
+    assert set(got[got["change"] == "updated"]["_key"]) == exp_updated
+    assert len(got) == len(exp_added) + len(exp_deleted) + len(exp_updated)
+    # ids faithful on both sides
+    upd = got[got["change"] == "updated"].set_index("_key")
+    for k in list(exp_updated)[:5]:
+        assert upd.loc[k, "from_last_id"] == float(a[k])
+        assert upd.loc[k, "to_last_id"] == float(b[k])
+
+
+def test_diff_epochs_across_repartition_refused(ray_session, stream_dir, tmp_path):
+    import json
+
+    from movex_cdc_ray.pipelines.replay import diff_epochs
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    lake = str(tmp_path / "lake_rp")
+    replay(stream_dir, lake, cfg, chunks_per_epoch=1, gc_staging=False)
+    # forge an older manifest with a different partition count
+    p = os.path.join(lake, "_manifests", "epoch-000001.json")
+    d = json.load(open(p))
+    d["num_partitions"] = 8
+    json.dump(d, open(p, "w"))
+    with pytest.raises(ValueError, match="incompatible partitioning"):
+        diff_epochs(lake, 1, Manifest.latest(lake).epoch)
