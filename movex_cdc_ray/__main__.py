@@ -162,6 +162,20 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_produce(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.produce import produce
+
+    cfg = _load_config(args)
+    rep = produce(args.stream_dir, args.out_dir, cfg,
+                  chunks_per_epoch=args.chunks_per_epoch)
+    print(json.dumps(rep))
+    ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     _ray_init(args.num_cpus)
     import ray
@@ -328,6 +342,15 @@ def main(argv=None) -> int:
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("produce", help="deliver a change stream to per-topic message files (exactly-once)")
+    sp.add_argument("--stream-dir", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--chunks-per-epoch", type=int, default=8)
+    sp.add_argument("--config", help="CaptureConfig JSON file")
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_produce)
 
     sp = sub.add_parser("view", help="read or compact an incrementally-maintained view")
     common(sp, config=False)

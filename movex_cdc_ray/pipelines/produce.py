@@ -1,0 +1,286 @@
+"""Transactional topic delivery — the reference's PRIMARY output path.
+
+The reference worker loop reads an event batch, produces every message to
+its Kafka topic inside ONE transaction, and only then marks the batch
+shipped (`app/models/transfer_thread.rb:200-320`; exactly-once bracket
+`transfer_thread.rb:361-420`). Re-expressed Ray-Data-first: capture →
+key-hash partition → one produce task per partition writes that epoch's
+messages as per-(topic, partition, epoch) JSONL files at DETERMINISTIC
+staged paths, and visibility is gated by the same atomic manifest protocol
+as the lake sink (epoch fencing + per-partition watermarks). A retried
+epoch overwrites its files byte-identically, so readers that trust only
+committed epochs observe exactly-once delivery.
+
+Ordering: messages are written in ascending event id within their key-hash
+partition — the per-key ascending-id guarantee the reference's KafkaMock
+asserts (`app/models/kafka_mock.rb:49-63`). Unlike the lake sink there is
+NO last-writer-wins combine: every captured event ships (that is the
+difference between delivering a change FEED and maintaining converged
+STATE).
+
+Oversized messages (rendered value > ``max_message_bytes``) are quarantined
+to a per-epoch DLQ parquet instead of delivered — the reference's
+message-too-large final error (`transfer_thread.rb` KafkaBase
+max.message.bytes handling, operator A4).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import CaptureConfig
+from ..sources.stream import epoch_batches, pending_chunks, read_chunks
+from ..state.manifest import Manifest, atomic_write_parquet, new_writer_token
+
+TOPICS_DIR = "topics"
+DLQ_DIR = "_oversized"
+
+PRODUCE_STATS_SCHEMA = pa.schema(
+    [("part", pa.int32()), ("epoch", pa.int64()), ("events_in", pa.int64()),
+     ("events_below_watermark", pa.int64()), ("delivered", pa.int64()),
+     ("oversized", pa.int64()), ("watermark", pa.int64()),
+     ("bytes", pa.int64()), ("sha", pa.string()), ("topics", pa.string())]
+)
+
+
+def _atomic_write_text(data: bytes, path: str) -> int:
+    """Same tmp+rename contract as atomic_write_parquet: a reader never sees
+    a torn file, and an epoch retry replaces the file in one rename."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return len(data)
+
+
+def message_file(out_dir: str, topic: str, part: int, epoch: int) -> str:
+    return os.path.join(
+        out_dir, TOPICS_DIR, topic, f"part={part:05d}", f"epoch={epoch:06d}.jsonl"
+    )
+
+
+@dataclass
+class ProduceContext:
+    out_dir: str
+    epoch: int
+    prev_partitions: dict[str, dict[str, Any]]
+    cfg: CaptureConfig
+
+
+def produce_partition(ctx: ProduceContext, group: pa.Table, part: int) -> pa.Table:
+    """Deliver one partition's epoch slice. Pure given inputs + config;
+    idempotent (deterministic file content at deterministic paths)."""
+    from ..stages.capture import attach_envelope, render_message_json
+    from ..functions.scalar import escape_json_string
+
+    cfg, epoch, out_dir = ctx.cfg, ctx.epoch, ctx.out_dir
+    prev = ctx.prev_partitions.get(str(part))
+    prev_wm = prev["watermark"] if prev else -1
+    events_in = len(group)
+
+    ids = group["id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    new_wm = max(int(pc.max(ids).as_py()), prev_wm) if len(group) else prev_wm
+    rc = group["retry_count"]
+    if isinstance(rc, pa.ChunkedArray):
+        rc = rc.combine_chunks()
+    is_retry = pc.greater(pc.fill_null(rc, 0), 0)
+    fresh = group.filter(pc.or_(pc.greater(ids, prev_wm), is_retry))
+    below = events_in - len(fresh)
+
+    # ascending id within the partition = the per-key ordering guarantee
+    fid = fresh["id"].combine_chunks() if isinstance(fresh["id"], pa.ChunkedArray) else fresh["id"]
+    if len(fresh):
+        fresh = fresh.take(pc.sort_indices(fid))
+
+    env = attach_envelope(fresh, cfg)
+    value = render_message_json(fresh, cfg)
+    key = fresh["msg_key"]
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    n = len(fresh)
+    key_frag = pc.coalesce(
+        pc.binary_join_element_wise('"', escape_json_string(key), '"', ""),
+        pa.array(["null"] * n, pa.string()),
+    )
+    lines = pc.binary_join_element_wise(
+        '{"key": ', key_frag, ', "value": ', value, "}", ""
+    )
+
+    oversized_mask = pc.greater(pc.binary_length(value), cfg.max_message_bytes)
+    n_over = int(pc.sum(oversized_mask.cast(pa.int8())).as_py() or 0) if n else 0
+    if n_over:
+        dlq = pa.table(
+            {"id": fresh["id"].combine_chunks() if isinstance(fresh["id"], pa.ChunkedArray) else fresh["id"],
+             "topic": env["topic"].combine_chunks() if isinstance(env["topic"], pa.ChunkedArray) else env["topic"],
+             "bytes": pc.binary_length(value).cast(pa.int64())}
+        ).filter(oversized_mask)
+        atomic_write_parquet(
+            dlq, os.path.join(out_dir, DLQ_DIR, f"epoch={epoch:06d}", f"part={part:05d}.parquet")
+        )
+        keep = pc.invert(oversized_mask)
+        lines, env = lines.filter(keep), env.filter(keep)
+
+    topics_col = env["topic"]
+    if isinstance(topics_col, pa.ChunkedArray):
+        topics_col = topics_col.combine_chunks()
+    h = hashlib.sha256()
+    total_bytes = 0
+    written_topics = []
+    for topic in sorted(set(pc.fill_null(topics_col, "").to_pylist())):
+        mask = pc.equal(pc.fill_null(topics_col, ""), topic)
+        tl = lines.filter(mask)
+        data = ("\n".join(tl.to_pylist()) + "\n").encode() if len(tl) else b""
+        total_bytes += _atomic_write_text(
+            data, message_file(out_dir, topic or "_untopiced", part, epoch)
+        )
+        h.update(topic.encode() + b"\x00" + data)
+        written_topics.append(topic or "_untopiced")
+
+    return pa.table(
+        {"part": pa.array([part], pa.int32()),
+         "epoch": pa.array([epoch], pa.int64()),
+         "events_in": pa.array([events_in], pa.int64()),
+         "events_below_watermark": pa.array([below], pa.int64()),
+         "delivered": pa.array([len(lines)], pa.int64()),
+         "oversized": pa.array([n_over], pa.int64()),
+         "watermark": pa.array([new_wm], pa.int64()),
+         "bytes": pa.array([total_bytes], pa.int64()),
+         "sha": pa.array([h.hexdigest()], pa.string()),
+         "topics": pa.array([",".join(written_topics)], pa.string())},
+        schema=PRODUCE_STATS_SCHEMA,
+    )
+
+
+def produce_epoch(
+    cfg: CaptureConfig,
+    manifest: Manifest,
+    epoch: int,
+    chunk_files: list[str],
+    out_dir: str,
+    writer_token: str,
+    batch_size: int | None = None,
+) -> tuple[Manifest, dict[str, Any]]:
+    """One delivery transaction: capture → partition → produce → commit.
+    Shares the lake pipeline's exactly-once skeleton (watermarks, fencing,
+    chunk ledger) but ships EVERY captured event — no combine, full message
+    key + envelope rendering."""
+    from .replay import CapturePartitionStage, _epoch_execution_context
+
+    manifest.check_partitioning(cfg.num_partitions)
+    if not chunk_files:
+        manifest = manifest.commit_epoch(epoch, [], {}, writer_token,
+                                         metrics={"epoch": epoch, "empty": True},
+                                         num_partitions=cfg.num_partitions)
+        return manifest, {"epoch": epoch, "events_in": 0, "delivered": 0}
+
+    ctx = ProduceContext(out_dir=out_dir, epoch=epoch,
+                         prev_partitions=manifest.partitions, cfg=cfg)
+
+    def produce_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return PRODUCE_STATS_SCHEMA.empty_table()
+        part = group["part"][0].as_py()
+        return produce_partition(ctx, group, part)
+
+    with _epoch_execution_context():
+        ds = read_chunks(chunk_files, override_num_blocks=cfg.capture_parallelism)
+        stage = CapturePartitionStage(cfg, combine=False, project_for_sink=False)
+        ds = ds.map_batches(stage, batch_format="pyarrow", batch_size=batch_size,
+                            zero_copy_batch=True)
+        stats_rows = (
+            ds.groupby("part", num_partitions=cfg.num_partitions)
+            .map_groups(produce_group, batch_format="pyarrow")
+            .take_all()
+        )
+
+    part_updates = {
+        str(r["part"]): {"path": None, "deltas": [], "rows": r["delivered"],
+                         "watermark": r["watermark"], "sha": r["sha"]}
+        for r in stats_rows
+    }
+    agg = {
+        "epoch": epoch,
+        "events_in": int(sum(r["events_in"] for r in stats_rows)),
+        "events_below_watermark": int(sum(r["events_below_watermark"] for r in stats_rows)),
+        "delivered": int(sum(r["delivered"] for r in stats_rows)),
+        "oversized": int(sum(r["oversized"] for r in stats_rows)),
+        "bytes": int(sum(r["bytes"] for r in stats_rows)),
+    }
+    manifest = manifest.commit_epoch(epoch, chunk_files, part_updates, writer_token,
+                                     metrics=agg, num_partitions=cfg.num_partitions)
+    return manifest, agg
+
+
+def produce(
+    stream_dir: str,
+    out_dir: str,
+    cfg: CaptureConfig,
+    chunks_per_epoch: int = 8,
+    resume: bool = True,
+    max_epochs: int | None = None,
+) -> dict[str, Any]:
+    """Deliver a change stream to topic files, resumably (the chunk ledger
+    and watermarks make a re-run after any crash converge to byte-identical
+    committed output)."""
+    manifest = Manifest.latest(out_dir) if resume else Manifest(lake_dir=out_dir)
+    token = new_writer_token()
+    pending = pending_chunks(stream_dir, manifest.chunks_consumed)
+    total: dict[str, Any] = {"epochs": 0, "events_in": 0, "delivered": 0, "oversized": 0}
+    for batch in epoch_batches(pending, chunks_per_epoch):
+        if max_epochs is not None and total["epochs"] >= max_epochs:
+            break
+        manifest, agg = produce_epoch(
+            cfg, manifest, manifest.epoch + 1, batch, out_dir, token
+        )
+        total["epochs"] += 1
+        for k in ("events_in", "delivered", "oversized"):
+            total[k] += int(agg.get(k, 0))
+    return total
+
+
+def read_topic(out_dir: str, topic: str) -> rd.Dataset:
+    """Messages of one topic as a Dataset (key, value strings) — committed
+    epochs only, the consumer-side half of exactly-once."""
+    committed = Manifest.latest(out_dir).epoch
+    files = []
+    for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
+        for f in sorted(glob.glob(os.path.join(d, "epoch=*.jsonl"))):
+            e = int(os.path.basename(f)[len("epoch="):-len(".jsonl")])
+            if e <= committed and os.path.getsize(f):
+                files.append(f)
+    if not files:
+        return rd.from_items([])
+    return rd.read_json(files, file_extensions=["jsonl"])
+
+
+def topic_messages(out_dir: str, topic: str) -> list[dict]:
+    """Small-scale helper for tests: every committed message of a topic in
+    (partition, id) order as parsed dicts."""
+    import json
+
+    committed = Manifest.latest(out_dir).epoch
+    out = []
+    for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
+        part = int(os.path.basename(d).split("=")[1])
+        for f in sorted(glob.glob(os.path.join(d, "epoch=*.jsonl"))):
+            e = int(os.path.basename(f)[len("epoch="):-len(".jsonl")])
+            if e > committed:
+                continue
+            with open(f) as fh:
+                for line in fh:
+                    if line.strip():
+                        m = json.loads(line)
+                        m["_part"] = part
+                        out.append(m)
+    return out

@@ -1831,6 +1831,78 @@ def _view_maintenance_sql() -> str:
     """
 
 
+def cdc_produce_delivery(sf_dir: str) -> pd.DataFrame:
+    """The reference's PRIMARY output path as a driver query: transactional
+    topic delivery (`pipelines/produce.py`) of the flagship change stream —
+    every captured (non-no-op) event ships as a rendered message to its
+    topic's partition files, exactly-once. Output = one row per delivered
+    message (id, long op name, formatted envelope timestamp, topic, rendered
+    message key); the oracle re-derives all of it from the staged chunks in
+    SQL, including the M4 no-op-update suppression and the old-image key for
+    DELETEs (`transfer_thread.rb:200-320`, `kafka_mock.rb:49-63`)."""
+    import shutil as _shutil
+
+    from ..pipelines.produce import produce as _produce
+    from ..pipelines.produce import topic_messages as _tm
+    from ..synth import config_for_spec as _cfs
+
+    stream = _flagship_stream()
+    out = "/tmp/movex_flagship/topics_out"
+    _shutil.rmtree(out, ignore_errors=True)
+    cfg = _cfs(_flagship_spec(), num_partitions=8)
+    _produce(stream, out, cfg, chunks_per_epoch=2)
+    msgs = _tm(out, "lake.code.files")
+    rows = [
+        {"id": m["value"]["id"], "operation": m["value"]["operation"],
+         "timestamp": m["value"]["timestamp"], "topic": "lake.code.files",
+         "msg_key": m["key"]}
+        for m in msgs
+    ]
+    return (
+        pd.DataFrame(rows)
+        .astype({"id": "int64"})
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+
+def _produce_sql() -> str:
+    """Oracle for cdc_produce_delivery: the flagship chunks' kept events
+    (same no-op suppression the capture applies), projected to the envelope
+    fields and the P-mode JSON key (old image for DELETEs)."""
+    from ..synth import config_for_spec as _cfs
+
+    _flagship_stream()
+    cfg = _cfs(_flagship_spec(), num_partitions=8)
+    t = cfg.tables[0]
+    fields = list(cfg.latest_version().payload_fields)
+    noop_eq = "\n                 AND ".join(
+        f"new_{f} IS NOT DISTINCT FROM old_{f}" for f in fields
+    )
+    key_frags = " || ', ' || ".join(
+        f"""'"{c}": "' || (CASE WHEN op = 'D' THEN old_{c} ELSE new_{c} END) || '"'"""
+        for c in t.pk_columns
+    )
+    return f"""
+        WITH ev AS (
+          SELECT * FROM read_parquet('{_FLAGSHIP_STREAM_DIR}/chunk_*.parquet',
+                                     union_by_name=true)
+        ), kept AS (
+          SELECT * FROM ev
+          WHERE NOT (op = 'U'
+                 AND {noop_eq})
+        )
+        SELECT id,
+               CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
+                       WHEN 'D' THEN 'DELETE' ELSE 'INIT' END AS operation,
+               strftime(created_at, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS timestamp,
+               'lake.code.files' AS topic,
+               '{{' || {key_frags} || '}}' AS msg_key
+        FROM kept
+        ORDER BY id
+    """
+
+
 def join_broadcast(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J1 pattern): tiny dimension shipped once via ray.put,
     looked up per batch — never a shuffle join. Customers per nation."""
@@ -3669,6 +3741,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_dlq_routing": cdc_dlq_routing,
     "cdc_flagship_replay": cdc_flagship_replay,
     "cdc_view_maintenance": cdc_view_maintenance,
+    "cdc_produce_delivery": cdc_produce_delivery,
     "events_pagerank": events_pagerank,
     "events_ntile": events_ntile,
     "q1_pricing_summary": q1_pricing_summary,
@@ -5030,6 +5103,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_langid": _langid_sql(),
     "cdc_flagship_replay": _flagship_sql(),
     "cdc_view_maintenance": _view_maintenance_sql(),
+    "cdc_produce_delivery": _produce_sql(),
     "events_pagerank": _pagerank_sql(),
     "events_ntile": """
         WITH ranked AS (

@@ -1,0 +1,96 @@
+"""Transactional topic delivery (produce.py): exactly-once message files,
+per-key ascending-id ordering (the KafkaMock check), oversized-message DLQ,
+byte-identical crash recovery."""
+
+import glob
+import hashlib
+import json
+import os
+
+import pytest
+
+from movex_cdc_ray.pipelines.produce import produce, topic_messages
+from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+SPEC = StreamSpec(n_events=5_000, n_repos=5, paths_per_repo=25, chunk_size=1_000)
+TOPIC = "lake.code.files"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_prod"))
+    generate_stream(d, SPEC)
+    return d
+
+
+def _tree_digest(out_dir):
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(os.path.join(out_dir, "topics", "**", "*.jsonl"),
+                              recursive=True)):
+        h.update(f.removeprefix(out_dir).encode())
+        h.update(open(f, "rb").read())
+    return h.hexdigest()
+
+
+def test_produce_delivery_and_ordering(ray_session, stream_dir, tmp_path):
+    out = str(tmp_path / "t")
+    rep = produce(stream_dir, out, config_for_spec(SPEC, num_partitions=4),
+                  chunks_per_epoch=2)
+    msgs = topic_messages(out, TOPIC)
+    assert rep["delivered"] == len(msgs) > 0
+    assert rep["oversized"] == 0
+    # the full envelope made it out
+    v = msgs[0]["value"]
+    assert {"id", "schema", "tablename", "operation", "timestamp"} <= set(v)
+    assert v["schema"] == "CODE" and v["tablename"] == "FILES"
+    # per-key ascending ids within each partition (kafka_mock.rb:49-63)
+    last: dict = {}
+    for m in msgs:
+        k = (m["_part"], m["key"])
+        assert k not in last or m["value"]["id"] > last[k]
+        last[k] = m["value"]["id"]
+    # DELETE messages carry the old image and key from it
+    dels = [m for m in msgs if m["value"]["operation"] == "DELETE"]
+    assert dels and all("new" not in m["value"] and "old" in m["value"] for m in dels)
+
+
+def test_produce_resume_is_noop_and_crash_recovers(ray_session, stream_dir, tmp_path):
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    produce(stream_dir, a, cfg, chunks_per_epoch=1)
+    digest = _tree_digest(a)
+    # resume on a converged dir delivers nothing and changes no bytes
+    rep2 = produce(stream_dir, a, cfg, chunks_per_epoch=1)
+    assert rep2["epochs"] == 0 and _tree_digest(a) == digest
+    # crash after staging, before commit: lose the newest manifest, re-run
+    produce(stream_dir, b, cfg, chunks_per_epoch=1)
+    manifests = sorted(glob.glob(os.path.join(b, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])
+    rep3 = produce(stream_dir, b, cfg, chunks_per_epoch=1)
+    assert rep3["epochs"] == 1  # only the lost epoch re-ran
+    assert _tree_digest(b) == digest
+
+
+def test_oversized_messages_quarantined(ray_session, stream_dir, tmp_path):
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.max_message_bytes = 420  # flagship values render ~450-550 bytes
+    out = str(tmp_path / "o")
+    rep = produce(stream_dir, out, cfg, chunks_per_epoch=2)
+    assert rep["oversized"] > 0
+    assert rep["delivered"] + rep["oversized"] == rep["events_in"]
+    for m in topic_messages(out, TOPIC):
+        assert len(json.dumps(m["value"], separators=(", ", ": ")).encode()) <= 4200
+    dlq = glob.glob(os.path.join(out, "_oversized", "epoch=*", "*.parquet"))
+    assert dlq
+
+
+def test_uncommitted_epoch_invisible(ray_session, stream_dir, tmp_path):
+    # stage one epoch, then delete its manifest: readers must see nothing
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    out = str(tmp_path / "u")
+    produce(stream_dir, out, cfg, chunks_per_epoch=1, max_epochs=1)
+    n_committed = len(topic_messages(out, TOPIC))
+    assert n_committed > 0
+    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])
+    assert topic_messages(out, TOPIC) == []  # staged-but-uncommitted hidden
