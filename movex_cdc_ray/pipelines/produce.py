@@ -52,13 +52,21 @@ PRODUCE_STATS_SCHEMA = pa.schema(
 
 
 def _atomic_write_text(data: bytes, path: str) -> int:
-    """Same tmp+rename contract as atomic_write_parquet: a reader never sees
-    a torn file, and an epoch retry replaces the file in one rename."""
+    """Same tmp + fsync + rename + dir-fsync contract as
+    atomic_write_parquet: the manifest commit is durable, so a synced
+    manifest must never reference message bytes still in the page cache."""
+    import uuid
+
+    from ..state.manifest import _fsync_dir
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path)
     return len(data)
 
 
@@ -91,17 +99,34 @@ def produce_partition(ctx: ProduceContext, group: pa.Table, part: int) -> pa.Tab
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
     new_wm = max(int(pc.max(ids).as_py()), prev_wm) if len(group) else prev_wm
-    rc = group["retry_count"]
-    if isinstance(rc, pa.ChunkedArray):
-        rc = rc.combine_chunks()
-    is_retry = pc.greater(pc.fill_null(rc, 0), 0)
-    fresh = group.filter(pc.or_(pc.greater(ids, prev_wm), is_retry))
+    # NO retry bypass here, unlike the lake merge: a re-fed event would be a
+    # DUPLICATE message out of ascending-id order (the lake compensates with
+    # its per-key stale-drop; delivery has no per-key state to drop against).
+    # The retry ledger is a lake-sink mechanism — delivery treats any
+    # replayed id as a below-watermark duplicate.
+    fresh = group.filter(pc.greater(ids, prev_wm))
     below = events_in - len(fresh)
+
+    if len(fresh) == 0:
+        # everything replayed/below-watermark: commit the stats row (the
+        # watermark may still advance) but render and write nothing
+        return pa.table(
+            {"part": pa.array([part], pa.int32()),
+             "epoch": pa.array([epoch], pa.int64()),
+             "events_in": pa.array([events_in], pa.int64()),
+             "events_below_watermark": pa.array([below], pa.int64()),
+             "delivered": pa.array([0], pa.int64()),
+             "oversized": pa.array([0], pa.int64()),
+             "watermark": pa.array([new_wm], pa.int64()),
+             "bytes": pa.array([0], pa.int64()),
+             "sha": pa.array([hashlib.sha256(b"").hexdigest()], pa.string()),
+             "topics": pa.array([""], pa.string())},
+            schema=PRODUCE_STATS_SCHEMA,
+        )
 
     # ascending id within the partition = the per-key ordering guarantee
     fid = fresh["id"].combine_chunks() if isinstance(fresh["id"], pa.ChunkedArray) else fresh["id"]
-    if len(fresh):
-        fresh = fresh.take(pc.sort_indices(fid))
+    fresh = fresh.take(pc.sort_indices(fid))
 
     env = attach_envelope(fresh, cfg)
     value = render_message_json(fresh, cfg)
@@ -183,6 +208,17 @@ def produce_epoch(
                                          metrics={"epoch": epoch, "empty": True},
                                          num_partitions=cfg.num_partitions)
         return manifest, {"epoch": epoch, "events_in": 0, "delivered": 0}
+
+    # pre-clean THIS epoch's output: a crashed earlier attempt may have
+    # covered a different chunk batch and written (topic, part) files this
+    # attempt won't rewrite — once the epoch commits, readers glob by epoch
+    # number and a stale file would deliver phantom duplicates
+    import shutil as _sh
+
+    for f in glob.glob(os.path.join(out_dir, TOPICS_DIR, "*", "part=*",
+                                    f"epoch={epoch:06d}.jsonl")):
+        os.remove(f)
+    _sh.rmtree(os.path.join(out_dir, DLQ_DIR, f"epoch={epoch:06d}"), ignore_errors=True)
 
     ctx = ProduceContext(out_dir=out_dir, epoch=epoch,
                          prev_partitions=manifest.partitions, cfg=cfg)

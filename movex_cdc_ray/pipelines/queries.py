@@ -1117,10 +1117,10 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_items", alias_name="n_items"),
-    )
+    ) or {}  # Dataset.aggregate returns None when the filter matched nothing
     return pd.DataFrame(
-        {"revenue_cents": [int(agg["revenue_cents"] or 0)],
-         "n_items": [int(agg["n_items"] or 0)]}
+        {"revenue_cents": [int(agg.get("revenue_cents") or 0)],
+         "n_items": [int(agg.get("n_items") or 0)]}
     )
 
 

@@ -475,7 +475,19 @@ def run_epoch(
                 raise ValueError(f"view {v.name!r} references non-payload columns {sorted(missing)}")
             if v.table and v.table not in known_tables:
                 raise ValueError(f"view {v.name!r} scopes unknown table {v.table!r} (known: {sorted(known_tables)})")
-        _register_view_specs(lake_dir, cfg.views)
+        _register_view_specs(lake_dir, cfg.views, manifest)
+        # pre-clean THIS epoch's delta dirs: a crashed earlier attempt of the
+        # same epoch may have covered a DIFFERENT chunk batch and touched
+        # partitions this attempt won't rewrite — stale files would
+        # double-count once the epoch commits (the manifest lists base files
+        # exactly, but view deltas are discovered by glob)
+        import shutil as _sh
+
+        from ..stages.sink import VIEWS_DIR as _VD
+
+        for v in cfg.views:
+            _sh.rmtree(os.path.join(lake_dir, _VD, v.name, f"epoch={epoch:06d}"),
+                       ignore_errors=True)
     files = list(chunk_files) + list(extra_event_files or [])
     if not files:
         # empty epoch: a pure time-marker commit (advances the epoch clock for
@@ -978,7 +990,7 @@ def read_lake(
 
 
 @ray.remote
-def _diff_part_task(paths_a: list[str], paths_b: list[str], schema_ref) -> pa.Table:
+def _diff_part_task(paths_a: list[str], paths_b: list[str]) -> pa.Table:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -1046,17 +1058,20 @@ def diff_epochs(lake_dir: str, from_epoch: int, to_epoch: int) -> rd.Dataset:
     for part in sorted(set(ma.partitions) | set(mb.partitions), key=int):
         pa_, pb_ = paths(ma, part), paths(mb, part)
         if pa_ or pb_:
-            refs.append(_diff_part_task.remote(pa_, pb_, None))
+            refs.append(_diff_part_task.remote(pa_, pb_))
     if not refs:
         return rd.from_items([])
     return rd.from_arrow_refs(refs)
 
 
-def _register_view_specs(lake_dir: str, views) -> None:
+def _register_view_specs(lake_dir: str, views, manifest: Manifest | None = None) -> None:
     """Persist each ViewSpec next to its delta files (idempotent), so
     ``read_view`` needs no config object. Re-registering a view whose
     definition CHANGED is refused: folding deltas produced under two
-    different aggregations would silently corrupt the view."""
+    different aggregations would silently corrupt the view. FIRST
+    registration on a lake that already holds rows is refused too — the
+    existing rows never contributed a +1, so a later update/delete of one
+    would retract mass the view never gained (silently wrong aggregates)."""
     import json
     from dataclasses import asdict
 
@@ -1074,6 +1089,15 @@ def _register_view_specs(lake_dir: str, views) -> None:
                         "definition; pick a new name or rebuild the lake"
                     )
             continue
+        if manifest is not None and any(
+            int(e.get("rows") or 0) for e in manifest.partitions.values()
+        ):
+            raise ValueError(
+                f"view {v.name!r} registered on a NON-EMPTY lake (epoch "
+                f"{manifest.epoch}): pre-existing rows would never gain their "
+                "+1 contribution, so later retractions would corrupt the "
+                "view. Register views before the first epoch, or rebuild."
+            )
         atomic_write_json(p, doc)
 
 
@@ -1096,6 +1120,25 @@ def _view_fold_inputs(vdir: str, committed: int) -> tuple[list[str], int]:
     return files, snap_epoch
 
 
+def _fold_view_dataset(files: list[str], spec: dict) -> rd.Dataset:
+    """ONE definition of the view fold (read_view and compact_view must
+    never diverge): sum every maintained aggregate per group, drop groups
+    retracted to zero rows."""
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n_rows", alias_name="n_rows")] + [
+        Sum("sum_" + f, alias_name="sum_" + f) for f in spec["sum_fields"]
+    ]
+    ds = rd.read_parquet(files).groupby(spec["group_by"]).aggregate(*aggs)
+
+    def live_groups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch["n_rows"], 0))
+
+    return ds.map_batches(live_groups, batch_format="pyarrow")
+
+
 def compact_view(lake_dir: str, name: str) -> str | None:
     """Fold a view's committed delta files into ONE snapshot so read cost
     stays bounded on long streams (the view analog of ``compact()``). The
@@ -1112,8 +1155,6 @@ def compact_view(lake_dir: str, name: str) -> str | None:
     import json
     import shutil as _shutil
 
-    from ray.data.aggregate import Sum
-
     from ..stages.sink import VIEWS_DIR
 
     vdir = os.path.join(lake_dir, VIEWS_DIR, name)
@@ -1123,20 +1164,10 @@ def compact_view(lake_dir: str, name: str) -> str | None:
         return None
     with open(os.path.join(vdir, "_SPEC.json")) as f:
         spec = json.load(f)
-    aggs = [Sum("n_rows", alias_name="n_rows")] + [
-        Sum("sum_" + f, alias_name="sum_" + f) for f in spec["sum_fields"]
-    ]
-    ds = rd.read_parquet(files).groupby(spec["group_by"]).aggregate(*aggs)
-
-    def live_groups(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return batch.filter(_pc.greater(batch["n_rows"], 0))
-
     # column order normalized to the delta-file layout so later folds read a
     # uniform schema
     ordered = spec["group_by"] + ["sum_" + f for f in spec["sum_fields"]] + ["n_rows"]
-    ds = ds.map_batches(live_groups, batch_format="pyarrow").select_columns(ordered)
+    ds = _fold_view_dataset(files, spec).select_columns(ordered)
     staging = os.path.join(vdir, "_snap_staging")
     _shutil.rmtree(staging, ignore_errors=True)
     ds.write_parquet(staging)
@@ -1162,10 +1193,7 @@ def read_view(lake_dir: str, name: str) -> rd.Dataset:
     the base read trusts only the manifest. Integer sum fields are exact
     under retraction; float sums are subject to float addition order (use
     integer cents for money, the repo-wide policy)."""
-    import glob
     import json
-
-    from ray.data.aggregate import Sum
 
     from ..stages.sink import VIEWS_DIR
 
@@ -1173,21 +1201,10 @@ def read_view(lake_dir: str, name: str) -> rd.Dataset:
     with open(os.path.join(vdir, "_SPEC.json")) as f:
         spec = json.load(f)
     committed = Manifest.latest(lake_dir).epoch
-    files, snap_epoch = _view_fold_inputs(vdir, committed)
+    files, _ = _view_fold_inputs(vdir, committed)
     if not files:
         return rd.from_items([])
-    ds = rd.read_parquet(files)
-    aggs = [Sum("n_rows", alias_name="n_rows")] + [
-        Sum("sum_" + f, alias_name="sum_" + f) for f in spec["sum_fields"]
-    ]
-    ds = ds.groupby(spec["group_by"]).aggregate(*aggs)
-
-    def live_groups(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return batch.filter(_pc.greater(batch["n_rows"], 0))
-
-    return ds.map_batches(live_groups, batch_format="pyarrow")
+    return _fold_view_dataset(files, spec)
 
 
 def lake_to_pandas(lake_dir: str, at_epoch: int | None = None):

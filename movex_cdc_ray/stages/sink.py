@@ -541,10 +541,10 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     # is removing from the base and the rows it is writing. No lake rescan,
     # ever; an untouched partition writes nothing.
     if ctx.views and len(ok):
+        # keep_mask is the complement of "removed" — reuse it instead of a
+        # second O(|base|) hash probe on the merge hot path
         removed_live = (
-            drop_tombstones(base.filter(pc.is_in(base["_key"], value_set=touched)))
-            if len(base)
-            else base
+            drop_tombstones(base.filter(pc.invert(keep_mask))) if len(base) else base
         )
         new_live = drop_tombstones(lake_rows)
         for spec in ctx.views:

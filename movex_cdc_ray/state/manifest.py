@@ -109,13 +109,10 @@ class Manifest:
 
     # ------------------------------------------------------------------ load
     @classmethod
-    def latest(cls, lake_dir: str) -> "Manifest":
-        """Resume point: highest committed epoch (or an empty epoch-0 state)."""
-        paths = sorted(glob.glob(os.path.join(lake_dir, MANIFEST_DIR, "epoch-*.json")))
-        if not paths:
-            return cls(lake_dir=lake_dir)
-        with open(paths[-1]) as f:
-            d = json.load(f)
+    def _from_doc(cls, lake_dir: str, d: dict) -> "Manifest":
+        """ONE manifest-JSON decoder (latest / at_epoch must never diverge —
+        a field added to only one of them would silently default on the
+        other path)."""
         return cls(
             lake_dir=lake_dir,
             epoch=d["epoch"],
@@ -127,6 +124,16 @@ class Manifest:
             num_partitions=d.get("num_partitions", 0),
             hash_scheme=d.get("hash_scheme", "pd_hash_v1"),
         )
+
+    @classmethod
+    def latest(cls, lake_dir: str) -> "Manifest":
+        """Resume point: highest committed epoch (or an empty epoch-0 state)."""
+        paths = sorted(glob.glob(os.path.join(lake_dir, MANIFEST_DIR, "epoch-*.json")))
+        if not paths:
+            return cls(lake_dir=lake_dir)
+        with open(paths[-1]) as f:
+            d = json.load(f)
+        return cls._from_doc(lake_dir, d)
 
     @classmethod
     def at_epoch(cls, lake_dir: str, epoch: int) -> "Manifest":
@@ -147,17 +154,7 @@ class Manifest:
             )
         with open(p) as f:
             d = json.load(f)
-        return cls(
-            lake_dir=lake_dir,
-            epoch=d["epoch"],
-            partitions=d["partitions"],
-            chunks_consumed=d["chunks_consumed"],
-            chunk_files=d.get("chunk_files", []),
-            writer_token=d.get("writer_token", ""),
-            metrics=d.get("metrics", {}),
-            num_partitions=d.get("num_partitions", 0),
-            hash_scheme=d.get("hash_scheme", "pd_hash_v1"),
-        )
+        return cls._from_doc(lake_dir, d)
 
     def check_partitioning(self, num_partitions: int, hash_scheme: str = "pd_hash_v1") -> None:
         """Refuse to write with a partitioning incompatible with the lake's.

@@ -94,3 +94,44 @@ def test_uncommitted_epoch_invisible(ray_session, stream_dir, tmp_path):
     manifests = sorted(glob.glob(os.path.join(out, "_manifests", "epoch-*.json")))
     os.remove(manifests[-1])
     assert topic_messages(out, TOPIC) == []  # staged-but-uncommitted hidden
+
+
+def test_produce_rebatched_crash_no_phantoms(ray_session, stream_dir, tmp_path):
+    # crash after staging a 2-chunk epoch, resume with chunks_per_epoch=1:
+    # attempt-1's leftover (topic, part) files must not deliver phantoms
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    clean, crashed = str(tmp_path / "c"), str(tmp_path / "x")
+    produce(stream_dir, clean, cfg, chunks_per_epoch=1)
+    exp_ids = sorted(m["value"]["id"] for m in topic_messages(clean, TOPIC))
+    produce(stream_dir, crashed, cfg, chunks_per_epoch=2)
+    manifests = sorted(glob.glob(os.path.join(crashed, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])
+    produce(stream_dir, crashed, cfg, chunks_per_epoch=1)
+    got_ids = sorted(m["value"]["id"] for m in topic_messages(crashed, TOPIC))
+    assert got_ids == exp_ids  # no duplicates, no gaps
+
+
+def test_produce_drops_refed_retries(ray_session, stream_dir, tmp_path):
+    # a re-fed retry event (id below the watermark) must NOT be re-delivered:
+    # delivery has no per-key stale-drop to compensate with
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.produce import produce_epoch
+    from movex_cdc_ray.sources.stream import list_chunks
+    from movex_cdc_ray.state.manifest import Manifest, new_writer_token
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    out = str(tmp_path / "r")
+    chunks = list_chunks(stream_dir)
+    m, agg1 = produce_epoch(cfg, Manifest(lake_dir=out), 1, chunks[:1], out,
+                            new_writer_token())
+    assert agg1["delivered"] > 0
+    t = pq.read_table(chunks[0])
+    t = t.set_column(t.column_names.index("retry_count"), "retry_count",
+                     pa.array([1] * len(t), pa.int32()))
+    retry_chunk = str(tmp_path / "retry.parquet")
+    pq.write_table(t, retry_chunk)
+    m, agg2 = produce_epoch(cfg, m, 2, [retry_chunk], out, new_writer_token())
+    assert agg2["delivered"] == 0
+    assert agg2["events_below_watermark"] == agg2["events_in"]

@@ -226,3 +226,27 @@ def test_view_unknown_table_scope_refused(ray_session, stream_dir, tmp_path):
     cfg.views = [ViewSpec("v", ["repo"], table="NO.SUCH")]
     with pytest.raises(ValueError, match="unknown table"):
         replay(stream_dir, str(tmp_path / "lake_ut"), cfg, chunks_per_epoch=2)
+
+
+def test_view_late_registration_refused(ray_session, stream_dir, tmp_path):
+    # rows exist but the view never saw their +1 — must refuse, not corrupt
+    lake = str(tmp_path / "lake_late")
+    replay(stream_dir, lake, config_for_spec(SPEC, num_partitions=4),
+           chunks_per_epoch=1, max_epochs=2)
+    with pytest.raises(ValueError, match="NON-EMPTY"):
+        replay(stream_dir, lake, _cfg(), chunks_per_epoch=1)
+
+
+def test_view_stale_delta_from_rebatched_crash(ray_session, stream_dir, tmp_path):
+    # crash after staging an epoch that covered TWO chunks, then resume with
+    # chunks_per_epoch=1: the retried epoch covers fewer chunks and may touch
+    # fewer partitions — attempt-1's leftover delta files must not
+    # double-count (run_epoch pre-cleans the epoch's view dirs)
+    lake = str(tmp_path / "lake_rebatch")
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=2, gc_staging=False)
+    manifests = sorted(glob.glob(os.path.join(lake, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=1)
+    exp_repo, _ = _recompute(lake)
+    got = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
+    pd.testing.assert_frame_equal(got, exp_repo[["repo", "n_rows", "sum_size"]])
