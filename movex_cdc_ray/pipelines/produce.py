@@ -138,8 +138,29 @@ def produce_partition(ctx: ProduceContext, group: pa.Table, part: int) -> pa.Tab
         pc.binary_join_element_wise('"', escape_json_string(key), '"', ""),
         pa.array(["null"] * n, pa.string()),
     )
+    # CloudEvents headers ride along per message when the table enables them
+    # (attach_envelope gates the ce_* columns per row; reference
+    # `transfer_thread.rb:663-679` attaches them as Kafka record headers)
+    hdr_frag = pa.array([""] * n, pa.string())
+    ce_cols = [c for c in env.column_names if c.startswith("ce_")]
+    if ce_cols:
+        frags = []
+        for c in ce_cols:
+            col = env[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            frags.append(pc.binary_join_element_wise(
+                f'"{c}": "', escape_json_string(col), '"', ""))
+        body = frags[0]
+        for fr in frags[1:]:
+            body = pc.binary_join_element_wise(body, fr, ", ")
+        # rows with CE disabled have null ce_* values -> null body -> no frag
+        hdr_frag = pc.coalesce(
+            pc.binary_join_element_wise(', "headers": {', body, "}", ""),
+            pa.array([""] * n, pa.string()),
+        )
     lines = pc.binary_join_element_wise(
-        '{"key": ', key_frag, ', "value": ', value, "}", ""
+        '{"key": ', key_frag, ', "value": ', value, hdr_frag, "}", ""
     )
 
     oversized_mask = pc.greater(pc.binary_length(value), cfg.max_message_bytes)

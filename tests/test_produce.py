@@ -135,3 +135,17 @@ def test_produce_drops_refed_retries(ray_session, stream_dir, tmp_path):
     m, agg2 = produce_epoch(cfg, m, 2, [retry_chunk], out, new_writer_token())
     assert agg2["delivered"] == 0
     assert agg2["events_below_watermark"] == agg2["events_in"]
+
+
+def test_produce_cloudevents_headers(ray_session, stream_dir, tmp_path):
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.tables[0].yn_add_cloudevents_header = True
+    out = str(tmp_path / "ce")
+    produce(stream_dir, out, cfg, chunks_per_epoch=4)
+    msgs = topic_messages(out, TOPIC)
+    assert msgs
+    for m in msgs[:50]:
+        h = m["headers"]
+        assert h["ce_specversion"] == "1.0"
+        assert h["ce_id"] == str(m["value"]["id"])
+        assert h["ce_source"] and h["ce_operation"] == m["value"]["operation"]
