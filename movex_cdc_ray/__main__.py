@@ -176,6 +176,20 @@ def cmd_produce(args) -> int:
     return 0
 
 
+def cmd_consume(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.produce import topic_messages
+
+    msgs = topic_messages(args.out_dir, args.topic)
+    for m in msgs[: args.limit]:
+        print(json.dumps(m))
+    print(json.dumps({"topic": args.topic, "total_messages": len(msgs)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     _ray_init(args.num_cpus)
     import ray
@@ -351,6 +365,13 @@ def main(argv=None) -> int:
     sp.add_argument("--partitions", type=int, default=32)
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_produce)
+
+    sp = sub.add_parser("consume", help="read committed messages of a topic")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--topic", required=True)
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_consume)
 
     sp = sub.add_parser("view", help="read or compact an incrementally-maintained view")
     common(sp, config=False)

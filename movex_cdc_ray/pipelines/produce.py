@@ -306,6 +306,47 @@ def produce(
     return total
 
 
+def tail_produce(
+    stream_dir: str,
+    out_dir: str,
+    cfg: CaptureConfig,
+    chunks_per_epoch: int = 8,
+    poll_interval: float = 1.0,
+    max_idle_cycles: int = 3,
+    max_epochs: int | None = None,
+    config_provider=None,
+) -> dict[str, Any]:
+    """Continuous delivery: follow a growing chunk directory, committing one
+    delivery transaction per epoch as chunks appear — the produce-side twin
+    of ``replay.tail`` with the same adaptive idle pacing (W4) and per-epoch
+    config refresh (T1)."""
+    import time
+
+    manifest = Manifest.latest(out_dir)
+    token = new_writer_token()
+    total: dict[str, Any] = {"epochs": 0, "events_in": 0, "delivered": 0, "oversized": 0}
+    idle = 0
+    while idle < max_idle_cycles:
+        if config_provider is not None:
+            cfg = config_provider() or cfg
+        pending = pending_chunks(stream_dir, manifest.chunks_consumed)
+        if not pending:
+            idle += 1
+            time.sleep(min(poll_interval * (2 ** (idle - 1)), poll_interval * 8))
+            continue
+        idle = 0
+        manifest, agg = produce_epoch(
+            cfg, manifest, manifest.epoch + 1, pending[:chunks_per_epoch],
+            out_dir, token
+        )
+        total["epochs"] += 1
+        for k in ("events_in", "delivered", "oversized"):
+            total[k] += int(agg.get(k, 0))
+        if max_epochs is not None and total["epochs"] >= max_epochs:
+            break
+    return total
+
+
 def read_topic(out_dir: str, topic: str) -> rd.Dataset:
     """Messages of one topic as a Dataset (key, value strings) — committed
     epochs only, the consumer-side half of exactly-once."""

@@ -149,3 +149,37 @@ def test_produce_cloudevents_headers(ray_session, stream_dir, tmp_path):
         assert h["ce_specversion"] == "1.0"
         assert h["ce_id"] == str(m["value"]["id"])
         assert h["ce_source"] and h["ce_operation"] == m["value"]["operation"]
+
+
+def test_tail_produce_follows_growing_stream(ray_session, stream_dir, tmp_path):
+    import shutil as sh
+    import threading
+    import time
+
+    from movex_cdc_ray.pipelines.produce import tail_produce
+    from movex_cdc_ray.sources.stream import list_chunks, publish_chunk
+
+    live, out = str(tmp_path / "live"), str(tmp_path / "out")
+    os.makedirs(live)
+    chunks = list_chunks(stream_dir)
+    publish_chunk(chunks[0], live)
+
+    def feeder():
+        for c in chunks[1:]:
+            time.sleep(0.3)
+            publish_chunk(c, live)
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    rep = tail_produce(live, out, cfg, chunks_per_epoch=2, poll_interval=0.2,
+                       max_idle_cycles=4)
+    t.join()
+    rep2 = tail_produce(live, out, cfg, chunks_per_epoch=2, poll_interval=0.1,
+                        max_idle_cycles=2)  # drain stragglers
+    # converged delivery equals a one-shot produce of the full stream
+    ref = str(tmp_path / "ref")
+    produce(stream_dir, ref, cfg, chunks_per_epoch=2)
+    got = sorted(m["value"]["id"] for m in topic_messages(out, TOPIC))
+    exp = sorted(m["value"]["id"] for m in topic_messages(ref, TOPIC))
+    assert got == exp
