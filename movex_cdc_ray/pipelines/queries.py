@@ -1786,6 +1786,52 @@ def events_ntile(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("bucket").reset_index(drop=True)
 
 
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping sets (the ROLLUP family's other member): every batch
+    emits partials for ALL FOUR grouping sets of (event_type, hour) in one
+    pass — sentinel '#all'/-1 marks a rolled-up dimension ('#'-prefix, never
+    NUL: pandas hashes embedded-NUL strings as C strings and silently merges
+    them) — then ONE groupby folds the ≤4×|types|×24-row partial stream.
+    The corpus is read once; no per-grouping-set re-scan."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        pdf["hour"] = pdf["ts"].dt.hour.astype("int64")
+        pdf["cents"] = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+        frames = []
+        for keep_type, keep_hour in ((True, True), (True, False), (False, True), (False, False)):
+            g = pdf[["event_type", "hour", "cents"]].copy()
+            if not keep_type:
+                g["event_type"] = "#all"
+            if not keep_hour:
+                g["hour"] = -1
+            frames.append(
+                g.groupby(["event_type", "hour"], as_index=False)
+                .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {"event_type": pa.array(out["event_type"], pa.string()),
+             "hour": pa.array(out["hour"], pa.int64()),
+             "n_events": pa.array(out["n_events"], pa.int64()),
+             "sum_cents": pa.array(out["sum_cents"], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )
+    pdf = out.to_pandas()
+    for c in ("n_events", "sum_cents"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def cdc_view_maintenance(sf_dir: str) -> pd.DataFrame:
     """Incremental view maintenance (IVM): a grouped-aggregate view
     (rows + sum(size) per repo) maintained THROUGH the exactly-once merge at
@@ -3744,6 +3790,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_produce_delivery": cdc_produce_delivery,
     "events_pagerank": events_pagerank,
     "events_ntile": events_ntile,
+    "events_cube": events_cube,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -5105,6 +5152,20 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_view_maintenance": _view_maintenance_sql(),
     "cdc_produce_delivery": _produce_sql(),
     "events_pagerank": _pagerank_sql(),
+    "events_cube": """
+        SELECT COALESCE(event_type, '#all') AS event_type,
+               CAST(COALESCE(h, -1) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM (
+          SELECT event_type,
+                 CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        )
+        GROUP BY CUBE(event_type, h)
+        ORDER BY event_type, hour
+    """,
     "events_ntile": """
         WITH ranked AS (
           SELECT value, NTILE(4) OVER (ORDER BY value, event_id) AS bucket
