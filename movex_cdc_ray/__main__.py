@@ -177,16 +177,14 @@ def cmd_produce(args) -> int:
 
 
 def cmd_consume(args) -> int:
-    _ray_init(args.num_cpus)
-    import ray
-
+    # pure filesystem read — no Ray session needed (saves the multi-second
+    # ray.init warm-up just to print a few JSON lines)
     from .pipelines.produce import topic_messages
 
     msgs = topic_messages(args.out_dir, args.topic)
     for m in msgs[: args.limit]:
         print(json.dumps(m))
     print(json.dumps({"topic": args.topic, "total_messages": len(msgs)}))
-    ray.shutdown()
     return 0
 
 

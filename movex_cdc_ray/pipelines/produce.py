@@ -129,7 +129,7 @@ def produce_partition(ctx: ProduceContext, group: pa.Table, part: int) -> pa.Tab
     fresh = fresh.take(pc.sort_indices(fid))
 
     env = attach_envelope(fresh, cfg)
-    value = render_message_json(fresh, cfg)
+    value = render_message_json(fresh, cfg, env=env)  # envelope computed ONCE
     key = fresh["msg_key"]
     if isinstance(key, pa.ChunkedArray):
         key = key.combine_chunks()
@@ -230,6 +230,16 @@ def produce_epoch(
                                          num_partitions=cfg.num_partitions)
         return manifest, {"epoch": epoch, "events_in": 0, "delivered": 0}
 
+    # EARLY zombie-writer fence (W5): the pre-clean below and the message
+    # writes are destructive; a stale writer re-attempting an epoch a newer
+    # writer already committed must fail BEFORE deleting committed output
+    # (commit_epoch re-checks at publish time)
+    newest = Manifest.latest(out_dir).epoch
+    if newest >= epoch:
+        raise RuntimeError(
+            f"epoch fencing: epoch {newest} already committed (attempted {epoch}); "
+            "refusing to overwrite committed delivery output"
+        )
     # pre-clean THIS epoch's output: a crashed earlier attempt may have
     # covered a different chunk batch and written (topic, part) files this
     # attempt won't rewrite — once the epoch commits, readers glob by epoch
@@ -318,32 +328,26 @@ def tail_produce(
 ) -> dict[str, Any]:
     """Continuous delivery: follow a growing chunk directory, committing one
     delivery transaction per epoch as chunks appear — the produce-side twin
-    of ``replay.tail`` with the same adaptive idle pacing (W4) and per-epoch
-    config refresh (T1)."""
-    import time
+    of ``replay.tail``, sharing the SAME worker loop
+    (`sources/stream.py:follow_stream` — W4 pacing, T1 config refresh)."""
+    from ..sources.stream import follow_stream
 
     manifest = Manifest.latest(out_dir)
     token = new_writer_token()
     total: dict[str, Any] = {"epochs": 0, "events_in": 0, "delivered": 0, "oversized": 0}
-    idle = 0
-    while idle < max_idle_cycles:
-        if config_provider is not None:
-            cfg = config_provider() or cfg
-        pending = pending_chunks(stream_dir, manifest.chunks_consumed)
-        if not pending:
-            idle += 1
-            time.sleep(min(poll_interval * (2 ** (idle - 1)), poll_interval * 8))
-            continue
-        idle = 0
-        manifest, agg = produce_epoch(
-            cfg, manifest, manifest.epoch + 1, pending[:chunks_per_epoch],
-            out_dir, token
-        )
-        total["epochs"] += 1
+
+    def step(step_cfg: CaptureConfig, m: Manifest, batch: list[str]) -> Manifest:
+        m, agg = produce_epoch(step_cfg, m, m.epoch + 1, batch, out_dir, token)
         for k in ("events_in", "delivered", "oversized"):
             total[k] += int(agg.get(k, 0))
-        if max_epochs is not None and total["epochs"] >= max_epochs:
-            break
+        return m
+
+    _, n = follow_stream(
+        stream_dir, manifest, step, cfg=cfg, chunks_per_epoch=chunks_per_epoch,
+        poll_interval=poll_interval, max_idle_cycles=max_idle_cycles,
+        max_epochs=max_epochs, config_provider=config_provider,
+    )
+    total["epochs"] = n
     return total
 
 

@@ -1801,16 +1801,22 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
         pdf = batch.to_pandas()
         pdf["hour"] = pdf["ts"].dt.hour.astype("int64")
         pdf["cents"] = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
-        frames = []
-        for keep_type, keep_hour in ((True, True), (True, False), (False, True), (False, False)):
-            g = pdf[["event_type", "hour", "cents"]].copy()
+        # ONE full-row groupby (the finest set); the other three grouping
+        # sets are exact re-aggregations of its ≤|types|×24-row result
+        fine = (
+            pdf.groupby(["event_type", "hour"], as_index=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        )
+        frames = [fine]
+        for keep_type, keep_hour in ((True, False), (False, True), (False, False)):
+            g = fine.copy()
             if not keep_type:
                 g["event_type"] = "#all"
             if not keep_hour:
                 g["hour"] = -1
             frames.append(
                 g.groupby(["event_type", "hour"], as_index=False)
-                .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+                .agg(n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"))
             )
         out = pd.concat(frames, ignore_index=True)
         return pa.table(

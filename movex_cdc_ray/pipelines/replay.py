@@ -461,6 +461,16 @@ def run_epoch(
     # partitioning fence (see Manifest.check_partitioning): a resume with a
     # different P would silently split keys across partitions
     manifest.check_partitioning(cfg.num_partitions)
+    # EARLY zombie-writer fence (W5): commit_epoch re-checks at publish time,
+    # but the staged base writes (and the view-delta pre-clean below) are
+    # DESTRUCTIVE overwrites of paths a newer committed epoch may reference —
+    # a stale writer must fail before touching the filesystem, not after
+    newest = Manifest.latest(lake_dir).epoch
+    if newest >= epoch:
+        raise RuntimeError(
+            f"epoch fencing: epoch {newest} already committed (attempted {epoch}); "
+            "refusing to overwrite committed staged output"
+        )
     if cfg.views:
         if merge_mode != "rewrite":
             raise ValueError(
@@ -908,31 +918,29 @@ def tail(
     refresh (T1): edits to conditions/projections/topics take effect on the
     next epoch without restarting the tailer.
     """
+    from ..sources.stream import follow_stream
+
     manifest = Manifest.latest(lake_dir)
     token = new_writer_token()
     report = ReplayReport()
     t0 = time.perf_counter()
-    idle = 0
-    while idle < max_idle_cycles:
-        if config_provider is not None:
-            cfg = config_provider() or cfg
-        pending = pending_chunks(stream_dir, manifest.chunks_consumed)
-        if not pending:
-            idle += 1
-            time.sleep(min(poll_interval * (2 ** (idle - 1)), poll_interval * 8))
-            continue
-        idle = 0
-        batch = pending[:chunks_per_epoch]
-        epoch = manifest.epoch + 1
+
+    def step(step_cfg: CaptureConfig, m: Manifest, batch: list[str]) -> Manifest:
+        epoch = m.epoch + 1
         retry_files = pending_retry_files(lake_dir, epoch)
-        manifest, agg = run_epoch(
-            cfg, manifest, epoch, batch, lake_dir, token,
+        m, agg = run_epoch(
+            step_cfg, m, epoch, batch, lake_dir, token,
             extra_event_files=retry_files, merge_mode=merge_mode,
         )
         consume_retry_files(retry_files)
         report.add_epoch(agg)
-        if max_epochs and report.epochs >= max_epochs:
-            break
+        return m
+
+    manifest, _ = follow_stream(
+        stream_dir, manifest, step, cfg=cfg, chunks_per_epoch=chunks_per_epoch,
+        poll_interval=poll_interval, max_idle_cycles=max_idle_cycles,
+        max_epochs=max_epochs, config_provider=config_provider,
+    )
     report.lake_rows = manifest.total_rows()
     report.elapsed_sec = time.perf_counter() - t0
     return report

@@ -69,6 +69,45 @@ def pending_chunks(stream_dir: str, chunks_consumed: int) -> list[str]:
     return list_chunks(stream_dir)[chunks_consumed - chunks_gc_count(stream_dir):]
 
 
+def follow_stream(
+    stream_dir: str,
+    manifest,
+    step,
+    cfg=None,
+    chunks_per_epoch: int = 8,
+    poll_interval: float = 1.0,
+    max_idle_cycles: int = 3,
+    max_epochs: int | None = None,
+    config_provider=None,
+):
+    """ONE steady-state worker loop shared by the lake tailer and the
+    delivery tailer (the reference's `transfer_thread.rb:53-99`): adaptive
+    idle pacing (W4 — sleep grows toward ``poll_interval × 2^idle`` while
+    the queue is empty, capped at 8×, reset on work) and per-epoch config
+    refresh (T1 — ``config_provider`` may return a fresh config). Calls
+    ``step(cfg, manifest, batch)`` once per epoch and expects the committed
+    manifest back; returns ``(manifest, n_epochs)``. Keeping this loop in
+    one place means a pacing/resume fix can never apply to only one twin."""
+    import time
+
+    idle = 0
+    n_epochs = 0
+    while idle < max_idle_cycles:
+        if config_provider is not None:
+            cfg = config_provider() or cfg
+        pending = pending_chunks(stream_dir, manifest.chunks_consumed)
+        if not pending:
+            idle += 1
+            time.sleep(min(poll_interval * (2 ** (idle - 1)), poll_interval * 8))
+            continue
+        idle = 0
+        manifest = step(cfg, manifest, pending[:chunks_per_epoch])
+        n_epochs += 1
+        if max_epochs and n_epochs >= max_epochs:
+            break
+    return manifest, n_epochs
+
+
 def epoch_batches(pending: list[str], chunks_per_epoch: int) -> list[list[str]]:
     """Group pending chunks into epochs — the analog of the reference's
     ``max_transaction_size`` bounded read cycle (`config/application.rb:289`,

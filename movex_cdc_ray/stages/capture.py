@@ -483,15 +483,23 @@ def _render_object(batch: pa.Table, fields: list[str], prefix: str) -> pa.Array:
     return pc.binary_join_element_wise("{", body, "}", "")
 
 
-def render_message_json(batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None = None) -> pa.Array:
+def render_message_json(
+    batch: pa.Table, cfg: CaptureConfig, legacy_ts: str | None = None,
+    env: pa.Table | None = None,
+) -> pa.Array:
     """Full outgoing JSON message per row (the Kafka value), vectorized.
 
     Layout per `transfer_thread.rb:493-518` / `doc/movex-cdc.adoc:727-741`:
     ``{"id": .., "schema": .., "tablename": .., "operation": .., "dbuser": ..,
     "timestamp": "..", ["transaction_id": "..",] ["new": {..},] ["old": {..}]}``
     — ``new`` present for INSERT/UPDATE/INIT, ``old`` for UPDATE/DELETE.
+
+    ``env`` takes a precomputed :func:`attach_envelope` result so a caller
+    that needs the envelope anyway (the delivery path reads topic + CE
+    headers from it) pays the per-row timestamp/dictionary work once.
     """
-    env = attach_envelope(batch, cfg, legacy_ts)
+    if env is None:
+        env = attach_envelope(batch, cfg, legacy_ts)
     fields = _payload_field_names(batch.schema)
     n = len(batch)
     op = batch["op"]

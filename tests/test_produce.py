@@ -183,3 +183,21 @@ def test_tail_produce_follows_growing_stream(ray_session, stream_dir, tmp_path):
     got = sorted(m["value"]["id"] for m in topic_messages(out, TOPIC))
     exp = sorted(m["value"]["id"] for m in topic_messages(ref, TOPIC))
     assert got == exp
+
+
+def test_zombie_writer_cannot_destroy_committed_output(ray_session, stream_dir, tmp_path):
+    # a stale writer re-attempting an ALREADY-COMMITTED epoch must fail at
+    # the early fence BEFORE its pre-clean deletes committed message files
+    from movex_cdc_ray.pipelines.produce import produce_epoch
+    from movex_cdc_ray.sources.stream import list_chunks
+    from movex_cdc_ray.state.manifest import Manifest, new_writer_token
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    out = str(tmp_path / "z")
+    produce(stream_dir, out, cfg, chunks_per_epoch=2)
+    before = _tree_digest(out)
+    stale = Manifest(lake_dir=out)  # zombie that never saw the commits
+    with pytest.raises(RuntimeError, match="fencing"):
+        produce_epoch(cfg, stale, 1, list_chunks(stream_dir)[:1], out,
+                      new_writer_token())
+    assert _tree_digest(out) == before  # committed bytes untouched

@@ -148,11 +148,11 @@ def test_view_nonpayload_column_refused(ray_session, stream_dir, tmp_path):
 
 def test_view_changed_definition_refused(ray_session, stream_dir, tmp_path):
     lake = str(tmp_path / "lake_re")
-    replay(stream_dir, lake, _cfg(), chunks_per_epoch=4)
+    replay(stream_dir, lake, _cfg(), chunks_per_epoch=1, max_epochs=2)
     cfg2 = config_for_spec(SPEC, num_partitions=4)
     cfg2.views = [ViewSpec("by_repo", ["repo"])]  # sum_fields dropped = new definition
     with pytest.raises(ValueError, match="different"):
-        replay(stream_dir, lake, cfg2, chunks_per_epoch=4, resume=False)
+        replay(stream_dir, lake, cfg2, chunks_per_epoch=1)  # pending chunks remain
 
 
 def test_view_spec_validation():
