@@ -109,3 +109,23 @@ def test_diff_epochs_across_repartition_refused(ray_session, stream_dir, tmp_pat
     json.dump(d, open(p, "w"))
     with pytest.raises(ValueError, match="incompatible partitioning"):
         diff_epochs(lake, 1, Manifest.latest(lake).epoch)
+
+
+def test_diff_epochs_resolves_delta_chains(ray_session, stream_dir, tmp_path):
+    # delta-log mode: partition entries carry base + delta chains; the diff
+    # task must resolve them (arg-max per key) before comparing
+    from movex_cdc_ray.pipelines.replay import diff_epochs
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    lake = str(tmp_path / "lake_dd")
+    replay(stream_dir, lake, cfg, chunks_per_epoch=1, gc_staging=False,
+           merge_mode="delta")
+    last = Manifest.latest(lake).epoch
+    got = diff_epochs(lake, 1, last).to_pandas()
+    a = lake_to_pandas(lake, at_epoch=1).set_index("_key")["_last_id"]
+    b = lake_to_pandas(lake, at_epoch=last).set_index("_key")["_last_id"]
+    assert set(got[got["change"] == "added"]["_key"]) == set(b.index) - set(a.index)
+    assert set(got[got["change"] == "deleted"]["_key"]) == set(a.index) - set(b.index)
+    assert set(got[got["change"] == "updated"]["_key"]) == {
+        k for k in set(a.index) & set(b.index) if a[k] != b[k]
+    }
