@@ -1411,6 +1411,394 @@ def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)[["n_name", "revenue_cents"]]
 
 
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join. Orders in a quarter counted per
+    priority when at least one of their lines was returned. The probe side
+    never ships payload: each lineitem batch reduces to its DISTINCT matching
+    orderkeys before the exchange (`pc.unique` per batch — the semi-join
+    analog of a pre-aggregation combiner), so the shuffle carries key sets,
+    not line rows. The match itself is a reduce-side bucket semi
+    (orderkey % B co-location, `np.isin` inside ``map_groups``) and each
+    bucket emits per-priority PARTIAL counts — only B×|priorities| rows ever
+    reach the final groupby."""
+    B = 16
+    lo, hi = datetime(1996, 4, 1), datetime(1996, 7, 1)
+    import pyarrow.dataset as pads
+
+    # filter columns stay in the projection (the scan schema must cover the
+    # predicate); the tag stages drop them before the exchange
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+               filter=(pads.field("l_returnflag") == "R"))
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].combine_chunks() if isinstance(batch["l_orderkey"], pa.ChunkedArray) else batch["l_orderkey"]
+        ok = pc.unique(ok.cast(pa.int64()))  # per-batch distinct probe keys
+        n = len(ok)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "o_orderpriority": pa.nulls(n, pa.string()),
+             "side": pa.array(["L"] * n, pa.string())}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].combine_chunks() if isinstance(batch["o_orderkey"], pa.ChunkedArray) else batch["o_orderkey"]
+        ok = ok.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "o_orderpriority": batch["o_orderpriority"].cast(pa.string()),
+             "side": pa.array(["O"] * n, pa.string())}
+        )
+
+    def semi_count(g: pd.DataFrame) -> pa.Table:
+        probe = g.loc[g["side"] == "L", "orderkey"].to_numpy()
+        o = g[g["side"] == "O"]
+        o = o[np.isin(o["orderkey"].to_numpy(), probe)]
+        agg = o.groupby("o_orderpriority").size()
+        return pa.table(
+            {"o_orderpriority": pa.array(agg.index.to_numpy(), pa.string()),
+             "n": pa.array(agg.to_numpy(dtype="int64"))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(semi_count, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="order_count"))
+    )
+    pdf = out.to_pandas()
+    pdf["order_count"] = pdf["order_count"].astype("int64")
+    return pdf.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + count distribution. Every customer
+    appears in the histogram — including customers whose filtered order count
+    is ZERO, the rows an inner join would silently drop (the filter lives in
+    the join condition, not a WHERE). Orders pre-aggregate per batch to
+    (custkey, n) partials before the exchange; the bucket ``map_groups``
+    reindexes the summed counts onto the bucket's full customer domain
+    (zeros appear here) and emits a PARTIAL histogram, so the final groupby
+    folds B×|distinct counts| rows."""
+    B = 16
+    import pyarrow.dataset as pads
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   filter=(pads.field("o_totalprice") > 150000.0))
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        gb = (
+            pa.table({"custkey": batch["o_custkey"].cast(pa.int64())})
+            .group_by("custkey").aggregate([([], "count_all")])
+        )
+        ck = gb["custkey"].combine_chunks() if isinstance(gb["custkey"], pa.ChunkedArray) else gb["custkey"]
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "n": gb["count_all"].cast(pa.int64()),
+             "side": pa.array(["O"] * len(gb), pa.string())}
+        )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].combine_chunks() if isinstance(batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"]
+        ck = ck.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "n": pa.array(np.zeros(n, dtype="int64")),
+             "side": pa.array(["C"] * n, pa.string())}
+        )
+
+    def outer_hist(g: pd.DataFrame) -> pa.Table:
+        domain = g.loc[g["side"] == "C", "custkey"]
+        counts = (
+            g[g["side"] == "O"].groupby("custkey")["n"].sum()
+            .reindex(domain, fill_value=0)  # LEFT side keeps zero-customers
+        )
+        hist = counts.groupby(counts).size()
+        return pa.table(
+            {"c_count": pa.array(hist.index.to_numpy(dtype="int64")),
+             "ncust": pa.array(hist.to_numpy(dtype="int64"))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(outer_hist, batch_format="pandas")
+        .groupby("c_count")
+        .aggregate(Sum("ncust", alias_name="custdist"))
+    )
+    pdf = out.to_pandas()
+    pdf["custdist"] = pdf["custdist"].astype("int64")
+    pdf = pdf.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return pdf.reset_index(drop=True)[["c_count", "custdist"]]
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join with a HAVING cut. Stage 1
+    co-locates per-batch (orderkey, qty-sum) lineitem partials with order
+    rows by orderkey bucket; the HAVING (> 300) fires inside the bucket
+    BEFORE any customer data moves, so only qualifying orders (a ~1e-3
+    selectivity cut) enter stage 2's custkey-bucket join against customer.
+    Each stage-2 bucket emits its LOCAL top-100 (the sort key chain ends in
+    the unique orderkey, making the global merge of B×100 rows exact)."""
+    B = 16
+    THRESH = 300.0
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    s1_schema = pa.schema(
+        [("bucket", pa.int64()), ("orderkey", pa.int64()), ("qty", pa.float64()),
+         ("custkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("o_totalprice", pa.float64()), ("side", pa.string())]
+    )
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        gb = (
+            pa.table({"orderkey": batch["l_orderkey"].cast(pa.int64()),
+                      "qty": batch["l_quantity"].cast(pa.float64())})
+            .group_by("orderkey").aggregate([("qty", "sum")])
+        )
+        ok = gb["orderkey"].combine_chunks() if isinstance(gb["orderkey"], pa.ChunkedArray) else gb["orderkey"]
+        n = len(gb)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "qty": gb["qty_sum"], "custkey": pa.nulls(n, pa.int64()),
+             "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+             "o_totalprice": pa.nulls(n, pa.float64()),
+             "side": pa.array(["L"] * n, pa.string())},
+            schema=s1_schema,
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].combine_chunks() if isinstance(batch["o_orderkey"], pa.ChunkedArray) else batch["o_orderkey"]
+        ok = ok.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "qty": pa.nulls(n, pa.float64()),
+             "custkey": batch["o_custkey"].cast(pa.int64()),
+             "o_orderdate": batch["o_orderdate"].cast(pa.timestamp("us")),
+             "o_totalprice": batch["o_totalprice"].cast(pa.float64()),
+             "side": pa.array(["O"] * n, pa.string())},
+            schema=s1_schema,
+        )
+
+    s2_schema = pa.schema(
+        [("cbucket", pa.int64()), ("custkey", pa.int64()),
+         ("orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+         ("o_totalprice", pa.float64()), ("total_qty", pa.float64()),
+         ("c_name", pa.string()), ("side", pa.string())]
+    )
+
+    def having_join(g: pd.DataFrame) -> pa.Table:
+        qty = g[g["side"] == "L"].groupby("orderkey")["qty"].sum()
+        qty = qty[qty > THRESH]  # HAVING fires before any further movement
+        o = g[g["side"] == "O"]
+        o = o[o["orderkey"].isin(qty.index)]
+        ck = o["custkey"].to_numpy(dtype="int64", na_value=0)
+        return pa.table(
+            {"cbucket": pa.array(ck & (B - 1), pa.int64()),
+             "custkey": pa.array(ck, pa.int64()),
+             "orderkey": pa.array(o["orderkey"], pa.int64()),
+             "o_orderdate": pa.array(o["o_orderdate"]).cast(pa.timestamp("us")),
+             "o_totalprice": pa.array(o["o_totalprice"], pa.float64()),
+             "total_qty": pa.array(qty.loc[o["orderkey"]].to_numpy(), pa.float64()),
+             "c_name": pa.nulls(len(o), pa.string()),
+             "side": pa.array(["O"] * len(o), pa.string())},
+            schema=s2_schema,
+        )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].combine_chunks() if isinstance(batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"]
+        ck = ck.cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": pa.nulls(n, pa.int64()),
+             "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+             "o_totalprice": pa.nulls(n, pa.float64()),
+             "total_qty": pa.nulls(n, pa.float64()),
+             "c_name": batch["c_name"].cast(pa.string()),
+             "side": pa.array(["C"] * n, pa.string())},
+            schema=s2_schema,
+        )
+
+    def join_topk(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == "O"][["custkey", "orderkey", "o_orderdate",
+                                 "o_totalprice", "total_qty"]]
+        c = g[g["side"] == "C"][["custkey", "c_name"]]
+        j = o.merge(c, on="custkey", how="inner")
+        # sort by the RAW price double (exactly the SQL's key), unique
+        # orderkey terminates the chain → bucket-local top-100 is exact
+        j = j.sort_values(["o_totalprice", "o_orderdate", "orderkey"],
+                          ascending=[False, True, True]).head(100)
+        return pa.table(
+            {"c_name": pa.array(j["c_name"], pa.string()),
+             "c_custkey": pa.array(j["custkey"], pa.int64()),
+             "o_orderkey": pa.array(j["orderkey"], pa.int64()),
+             "o_orderdate": pa.array(j["o_orderdate"]).cast(pa.timestamp("us")),
+             "o_totalprice": pa.array(j["o_totalprice"], pa.float64()),
+             "total_qty": pa.array(j["total_qty"], pa.float64())}
+        )
+
+    stage1 = (
+        li.map_batches(tag_li, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(having_join, batch_format="pandas")
+    )
+    pdf = (
+        stage1.union(cust.map_batches(tag_cust, batch_format="pyarrow"))
+        .groupby("cbucket")
+        .map_groups(join_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    pdf = pdf.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(100)
+    from ..functions.scalar import round_half_away
+
+    pdf["totalprice_cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype("int64")
+    pdf["total_qty"] = round_half_away(pdf["total_qty"].to_numpy(), 2)
+    return pdf.reset_index(drop=True)[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+         "totalprice_cents", "total_qty"]
+    ]
+
+
+def q22_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS anti-join gated by a scalar subquery.
+    Pass 1 folds customer into two integers (count and cents-sum of positive
+    balances) — the scalar subquery as a kilobyte aggregate, broadcast to
+    pass 2 as plain Python ints. The above-average test compares
+    ``cents × n_pos > sum_cents`` in EXACT integer space, so no float-mean
+    boundary can diverge from the SQL. Pass 2 is a reduce-side bucket
+    ANTI-join: recent-order custkeys arrive as per-batch DISTINCT key sets,
+    and the bucket keeps customers whose key is absent (``~np.isin``),
+    emitting per-nation partials."""
+    B = 16
+    cutoff = datetime(1999, 1, 1)
+    import pyarrow.dataset as pads
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    # ---- pass 1: the scalar subquery (two-int aggregate) ----
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0.0]
+        cents = np.floor(pos * 100 + 0.5).astype("int64")
+        return pa.table({"n_pos": pa.array([len(pos)], pa.int64()),
+                         "sum_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .aggregate(Sum("n_pos", alias_name="n_pos"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    ) or {}
+    n_pos, sum_cents = int(agg.get("n_pos") or 0), int(agg.get("sum_cents") or 0)
+
+    # ---- pass 2: anti-join against recent-order custkeys ----
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   filter=(pads.field("o_orderdate") >= cutoff))
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].combine_chunks() if isinstance(batch["o_custkey"], pa.ChunkedArray) else batch["o_custkey"]
+        ck = pc.unique(ck.cast(pa.int64()))
+        n = len(ck)
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "nationkey": pa.nulls(n, pa.int64()),
+             "cents": pa.nulls(n, pa.int64()),
+             "side": pa.array(["O"] * n, pa.string())}
+        )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100 + 0.5).astype("int64")
+        keep = cents * n_pos > sum_cents  # exact-integer above-average test
+        batch = batch.filter(pa.array(keep))
+        cents = cents[keep]
+        ck = batch["c_custkey"].combine_chunks() if isinstance(batch["c_custkey"], pa.ChunkedArray) else batch["c_custkey"]
+        ck = ck.cast(pa.int64())
+        return pa.table(
+            {"bucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "nationkey": batch["c_nationkey"].cast(pa.int64()),
+             "cents": pa.array(cents), "side": pa.array(["C"] * len(cents), pa.string())}
+        )
+
+    def anti_partial(g: pd.DataFrame) -> pa.Table:
+        probe = g.loc[g["side"] == "O", "custkey"].to_numpy()
+        c = g[g["side"] == "C"]
+        c = c[~np.isin(c["custkey"].to_numpy(), probe)]
+        agg = c.groupby("nationkey").agg(numcust=("custkey", "size"),
+                                         cents=("cents", "sum"))
+        return pa.table(
+            {"c_nationkey": pa.array(agg.index.to_numpy(dtype="int64")),
+             "numcust": pa.array(agg["numcust"].to_numpy(dtype="int64")),
+             "cents": pa.array(agg["cents"].to_numpy(dtype="int64"))}
+        )
+
+    out = (
+        _read(sf_dir, "customer", cust_cols)
+        .map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(anti_partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("cents", alias_name="totacctbal_cents"))
+    )
+    pdf = out.to_pandas()
+    pdf["numcust"] = pdf["numcust"].astype("int64")
+    pdf["totacctbal_cents"] = pdf["totacctbal_cents"].astype("int64")
+    return pdf.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def events_user_deltas(sf_dir: str) -> pd.DataFrame:
+    """LAG/LEAD window shape: per-user consecutive-event deltas (value
+    direction counts + max inter-event gap). The per-key ordered scan runs
+    inside ``groupby(user).map_groups`` as vectorized pandas ``shift``/
+    ``diff`` — one user-hash shuffle, no global sort, group size bounded by
+    per-user activity. Gaps compare in exact integer microseconds (int64 ns
+    diff // 1000), matching the SQL's ``date_diff('microsecond', …)``; a
+    single-event user reports -1 (the SQL's COALESCE sentinel)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["value"].shift()
+        # normalize to ns first — pandas may hold the Arrow timestamp as
+        # datetime64[us], in which case a bare int64 view is µs, not ns
+        gap_us = g["ts"].astype("datetime64[ns]").astype("int64").diff() // 1000
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "n_events": [np.int64(len(g))],
+             "n_up": [np.int64((g["value"] > prev).sum())],
+             "n_down": [np.int64((g["value"] < prev).sum())],
+             "max_gap_us": [np.int64(gap_us.max()) if len(g) > 1 else np.int64(-1)]}
+        )
+
+    out = ds.groupby("user_id").map_groups(deltas, batch_format="pandas")
+    return _sorted_pdf(out, "user_id")
+
+
 def top_events_per_user(sf_dir: str) -> pd.DataFrame:
     """O-series: per-key top-k (sort + limit inside map_groups)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
@@ -3799,8 +4187,13 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_cube": events_cube,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "events_user_deltas": events_user_deltas,
     "top_events_per_user": top_events_per_user,
     "join_broadcast": join_broadcast,
     "join_hash": join_hash,
@@ -4306,6 +4699,73 @@ def _build_oracle_sql() -> dict[str, str]:
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
         ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
         LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-04-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+            GROUP BY c.c_custkey
+        ) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q18_large_orders": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        HAVING SUM(l.l_quantity) > 300.0
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 100
+    """,
+    "q22_idle_customers": """
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        FROM customer c
+        WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+              > (SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                 FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "events_user_deltas": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN prev_value IS NOT NULL AND value > prev_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN prev_value IS NOT NULL AND value < prev_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+               CAST(COALESCE(MAX(date_diff('microsecond', prev_ts, ts)), -1) AS BIGINT) AS max_gap_us
+        FROM (
+            SELECT user_id, ts, value,
+                   LAG(value) OVER w AS prev_value,
+                   LAG(ts) OVER w AS prev_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) t
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "q5_local_supplier_volume": """
         SELECT n.n_name,

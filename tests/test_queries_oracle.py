@@ -14,8 +14,13 @@ SUBSET = [
     "cdc_stats_rollup",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "events_user_deltas",
     "dedup_exact",
     "knn_bruteforce",
     "ann_ivf",
