@@ -61,6 +61,9 @@ QUERY_SWEEP = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "cdc_view_maintenance",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "events_user_deltas",
 ]
 
 

@@ -3953,6 +3953,60 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["label", "i"]).reset_index(drop=True)
 
 
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance matrix (the PCA/whitening input): every batch
+    folds to one upper-triangle Gram partial via a single BLAS matmul
+    (``similarity.CovariancePartialStage`` — d(d+1)/2 + d + 1 rows per batch
+    no matter the batch size), one register-sized (i, j) groupby merges, and
+    the driver finishes E[xy] − E[x]E[y] on kilobytes. The SQL oracle
+    re-derives every entry from an unnest self-join."""
+    from ..functions.similarity import covariance_matrix
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    out = covariance_matrix(ds)
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def events_user_paths(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation (SQL ``string_agg(... ORDER BY ...)``):
+    each user's first-8-event journey path ('signup>view>...'), counted per
+    distinct path. Users co-locate in coarse hash buckets; inside a bucket
+    ONE pandas sort + groupby builds every path and folds it to (path, n)
+    partials, so the final exchange is path-cardinality-sized. The per-user
+    join is a C-level pandas agg, never a Ray group per user."""
+    B = 64
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].combine_chunks() if isinstance(batch["user_id"], pa.ChunkedArray) else batch["user_id"]
+        u = u.cast(pa.int64())
+        return batch.append_column("bucket", pc.bit_wise_and(u, B - 1))
+
+    def paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        head = g.groupby("user_id", sort=False).head(8)
+        p = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        hist = p.groupby(p).size()
+        return pa.table(
+            {"path": pa.array(hist.index.to_numpy(), pa.string()),
+             "n": pa.array(hist.to_numpy(dtype="int64"))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(paths, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    pdf = out.to_pandas()
+    pdf["n_users"] = pdf["n_users"].astype("int64")
+    pdf = pdf.sort_values(["n_users", "path"], ascending=[False, True])
+    return pdf.reset_index(drop=True)[["path", "n_users"]]
+
+
 def embedding_kmeans(sf_dir: str) -> pd.DataFrame:
     """Full-corpus distributed Lloyd's k-means, k=4 / 3 iterations
     (`similarity.kmeans_full`) — the iterative-algorithm family member:
@@ -4259,7 +4313,9 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_normalized": dedup_normalized,
     "corpus_quality_cut": corpus_quality_cut,
     "embedding_centroids": embedding_centroids,
+    "embedding_covariance": embedding_covariance,
     "embedding_kmeans": embedding_kmeans,
+    "events_user_paths": events_user_paths,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
@@ -5736,6 +5792,34 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM f WHERE rank <= 10 ORDER BY query_id, rank
     """,
     "embedding_kmeans": _kmeans_full_sql(),
+    "embedding_covariance": """
+        WITH e AS (
+          SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        )
+        SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(SUM(a.x * b.x) / COUNT(*)
+                     - (SUM(a.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)), 6) AS cov
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+        ORDER BY i, j
+    """,
+    "events_user_paths": """
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM (
+            SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) t
+            WHERE rn <= 8
+            GROUP BY user_id
+        ) p
+        GROUP BY path
+        ORDER BY n_users DESC, path
+    """,
     "embedding_centroids": """
         WITH e AS (
           SELECT label, generate_subscripts(emb, 1) AS i, unnest(emb) AS x

@@ -39,6 +39,8 @@ SUBSET = [
     "events_anomaly",
     "events_pagerank",
     "cdc_view_maintenance",
+    "embedding_covariance",
+    "events_user_paths",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
