@@ -3967,6 +3967,53 @@ def embedding_covariance(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Time-series gap fill: the hourly per-type count series densified over
+    the full (event_type × hour) spine — empty windows materialize as ZERO
+    rows, the step every monitoring/training-curve pipeline needs before a
+    rolling window. The distributed part is the usual per-batch partial
+    count fold (one kilobyte-sized groupby); the spine reindex runs on the
+    driver because its size is bounded by types × hours — independent of
+    corpus size by construction (a year of hourly cells × 1k types is
+    ~9M rows; beyond that you'd spine per partition)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = pc.floor_temporal(batch["ts"], unit="hour")
+        gb = (
+            pa.table({"event_type": batch["event_type"], "hour_start": hr})
+            .group_by(["event_type", "hour_start"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"event_type": gb["event_type"], "hour_start": gb["hour_start"],
+             "n": gb["count_all"].cast(pa.int64())}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_start"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    spine_hours = pd.date_range(
+        cells["hour_start"].min(), cells["hour_start"].max(), freq="h"
+    )
+    idx = pd.MultiIndex.from_product(
+        [sorted(cells["event_type"].unique()), spine_hours],
+        names=["event_type", "hour_start"],
+    )
+    dense = (
+        cells.set_index(["event_type", "hour_start"])["n"]
+        .reindex(idx, fill_value=0)
+        .astype("int64")
+        .reset_index(name="n_events")
+    )
+    return dense.sort_values(["event_type", "hour_start"]).reset_index(drop=True)
+
+
 def events_user_paths(sf_dir: str) -> pd.DataFrame:
     """Ordered string aggregation (SQL ``string_agg(... ORDER BY ...)``):
     each user's first-8-event journey path ('signup>view>...'), counted per
@@ -4316,6 +4363,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "embedding_covariance": embedding_covariance,
     "embedding_kmeans": embedding_kmeans,
     "events_user_paths": events_user_paths,
+    "events_gap_fill": events_gap_fill,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
@@ -5804,6 +5852,25 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
         GROUP BY a.i, b.i
         ORDER BY i, j
+    """,
+    "events_gap_fill": """
+        WITH counts AS (
+            SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM counts),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events)
+        SELECT t.event_type, s.hr AS hour_start,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.hr = s.hr
+        ORDER BY t.event_type, s.hr
     """,
     "events_user_paths": """
         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users

@@ -41,6 +41,7 @@ SUBSET = [
     "cdc_view_maintenance",
     "embedding_covariance",
     "events_user_paths",
+    "events_gap_fill",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
