@@ -3967,6 +3967,41 @@ def embedding_covariance(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (long → wide reshape): one row per user with a count column per
+    event type. The per-batch fold is one vectorized crosstab (pandas
+    ``crosstab`` — a C-level two-key bincount) reindexed onto the DECLARED
+    column set, so every batch emits an already-wide partial and the only
+    exchange is a per-user sum groupby of 5 int columns. A data-driven
+    column set would make the schema nondeterministic across batches —
+    pivot columns must be declared, exactly like SQL's CASE pivot."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    from ray.data.aggregate import Sum
+
+    def widen(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        ct = pd.crosstab(pdf["user_id"], pdf["event_type"]).reindex(
+            columns=_PIVOT_TYPES, fill_value=0
+        )
+        out = {"user_id": pa.array(ct.index.to_numpy(dtype="int64"))}
+        for t in _PIVOT_TYPES:
+            out[f"n_{t}"] = pa.array(ct[t].to_numpy(dtype="int64"))
+        return pa.table(out)
+
+    out = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES])
+    )
+    pdf = out.to_pandas()
+    for t in _PIVOT_TYPES:
+        pdf[f"n_{t}"] = pdf[f"n_{t}"].astype("int64")
+    return pdf.sort_values("user_id").reset_index(drop=True)
+
+
 def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     """Time-series gap fill: the hourly per-type count series densified over
     the full (event_type × hour) spine — empty windows materialize as ZERO
@@ -4364,6 +4399,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "embedding_kmeans": embedding_kmeans,
     "events_user_paths": events_user_paths,
     "events_gap_fill": events_gap_fill,
+    "events_pivot": events_pivot,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
@@ -5852,6 +5888,17 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
         GROUP BY a.i, b.i
         ORDER BY i, j
+    """,
+    "events_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
     "events_gap_fill": """
         WITH counts AS (

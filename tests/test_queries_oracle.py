@@ -42,6 +42,7 @@ SUBSET = [
     "embedding_covariance",
     "events_user_paths",
     "events_gap_fill",
+    "events_pivot",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
