@@ -180,6 +180,27 @@ class Engine:
         self.generate_triggers()
 
     # ---- server control (POST /server_control/...) -------------------------
+    def set_log_level(self, level: str) -> str:
+        """POST /server_control/set_log_level analog (`config/routes.rb:40`):
+        adjusts the engine's Python logger at runtime. Accepts the
+        reference's Rails level names (DEBUG/INFO/WARN/ERROR/FATAL) and
+        returns the previous level name; unknown names raise (the reference
+        422s)."""
+        import logging
+
+        rails_to_py = {"DEBUG": logging.DEBUG, "INFO": logging.INFO,
+                       "WARN": logging.WARNING, "ERROR": logging.ERROR,
+                       "FATAL": logging.CRITICAL}
+        key = str(level).upper()
+        if key not in rails_to_py:
+            raise ValueError(f"unknown log level {level!r}; one of {sorted(rails_to_py)}")
+        logger = logging.getLogger("movex_cdc_ray")
+        prev = logging.getLevelName(logger.getEffectiveLevel())
+        logger.setLevel(rails_to_py[key])
+        if self.auth is not None and self.actor is not None:
+            self.auth.log(self.actor, action="set_log_level")
+        return prev
+
     def set_max_transaction_size(self, n: int) -> None:
         self.cfg.max_transaction_size = int(n)
 

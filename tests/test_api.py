@@ -1,5 +1,7 @@
 """Control-API surface tests (the reference's REST verbs, SURVEY §2.10)."""
 
+import pytest
+
 from movex_cdc_ray.api import Engine
 from movex_cdc_ray.config import default_code_cdc_config
 
@@ -51,3 +53,21 @@ def test_engine_view_verbs(ray_session, tmp_path):
     assert snap and snap.endswith(".snap")
     after = eng.read_view("by_repo").to_pandas().sort_values("repo").reset_index(drop=True)
     assert before.equals(after)
+
+
+def test_set_log_level_roundtrip(tmp_path):
+    import logging
+
+    eng = Engine(default_code_cdc_config(), str(tmp_path))
+    logger = logging.getLogger("movex_cdc_ray")
+    orig = logger.level
+    try:
+        eng.set_log_level("DEBUG")
+        assert logger.level == logging.DEBUG
+        prev = eng.set_log_level("WARN")  # rails alias for WARNING
+        assert prev == "DEBUG"
+        assert logger.level == logging.WARNING
+        with pytest.raises(ValueError):
+            eng.set_log_level("LOUD")
+    finally:
+        logger.setLevel(orig)
