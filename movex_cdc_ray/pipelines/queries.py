@@ -3967,6 +3967,46 @@ def embedding_covariance(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def events_cep_match(sf_dir: str) -> pd.DataFrame:
+    """CEP-style sequence detection with a TIME-RANGE window frame (the
+    pattern family of SIGMOD'19 'Real-Time Multi-Pattern Detection over
+    Event Streams'): purchases preceded by >= 2 clicks of the same user
+    within the trailing 24 hours — a RANGE-frame predicate, not a
+    row-count frame. Per-user ordered scan runs vectorized in map_groups:
+    one click-cumsum plus two ``np.searchsorted`` calls resolve every
+    purchase's half-open [ts-24h, ts) click count in O(n log n) — no
+    per-event Python, no self-join blowup. The SQL oracle IS the self-join
+    (exact same half-open bounds), so the two derivations are independent."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    WINDOW_NS = 24 * 3600 * 10**9
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        cum = np.concatenate([[0], np.cumsum(is_click)])
+        lo = np.searchsorted(t, t - WINDOW_NS, side="left")
+        hi = np.searchsorted(t, t, side="left")  # strictly-before-ts bound
+        n_clicks = cum[hi] - cum[lo]
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        keep = is_p & (n_clicks >= 2)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy()[keep],
+             "user_id": g["user_id"].to_numpy()[keep],
+             "n_clicks_24h": n_clicks[keep].astype("int64")}
+        )
+
+    out = ds.groupby("user_id").map_groups(match, batch_format="pandas")
+    pdf = out.to_pandas()
+    if pdf.empty:  # every group filtered out → typed empty, not column-less
+        pdf = pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"),
+             "user_id": pd.Series(dtype="int64"),
+             "n_clicks_24h": pd.Series(dtype="int64")}
+        )
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4400,6 +4440,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_user_paths": events_user_paths,
     "events_gap_fill": events_gap_fill,
     "events_pivot": events_pivot,
+    "events_cep_match": events_cep_match,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
@@ -5888,6 +5929,18 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
         GROUP BY a.i, b.i
         ORDER BY i, j
+    """,
+    "events_cep_match": """
+        SELECT p.event_id, p.user_id,
+               CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_24h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL '24 hours' AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+        HAVING COUNT(c.event_id) >= 2
+        ORDER BY p.event_id
     """,
     "events_pivot": """
         SELECT user_id,

@@ -43,6 +43,7 @@ SUBSET = [
     "events_user_paths",
     "events_gap_fill",
     "events_pivot",
+    "events_cep_match",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
