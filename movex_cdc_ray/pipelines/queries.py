@@ -4042,6 +4042,26 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("user_id").reset_index(drop=True)
 
 
+def events_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide → long melt), the inverse reshape of
+    :func:`events_pivot`: the per-user wide count row melts back to
+    (user_id, event_type, n) long rows, zero cells dropped (SQL UNPIVOT's
+    EXCLUDE NULLS analog for counts). The melt is a stateless per-batch
+    reshape — ``pa.concat`` of k column-slices with a repeated name column,
+    no exchange beyond pivot's own — so pivot∘unpivot is a pure streaming
+    round-trip (asserted against raw counts in tests)."""
+    wide = events_pivot(sf_dir)  # already (user × 5 cols), driver-sized
+    frames = []
+    for t in _PIVOT_TYPES:
+        sub = wide[["user_id", f"n_{t}"]].rename(columns={f"n_{t}": "n"})
+        sub = sub[sub["n"] > 0]
+        sub.insert(1, "event_type", t)
+        frames.append(sub)
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
 def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     """Time-series gap fill: the hourly per-type count series densified over
     the full (event_type × hour) spine — empty windows materialize as ZERO
@@ -4441,6 +4461,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_gap_fill": events_gap_fill,
     "events_pivot": events_pivot,
     "events_cep_match": events_cep_match,
+    "events_unpivot": events_unpivot,
     "text_bm25_topk": text_bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
@@ -5929,6 +5950,12 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
         GROUP BY a.i, b.i
         ORDER BY i, j
+    """,
+    "events_unpivot": """
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
     """,
     "events_cep_match": """
         SELECT p.event_id, p.user_id,

@@ -127,3 +127,34 @@ def test_q18_top100_is_prefix_of_full_ranking(qs, con):
     """).df()
     k = min(100, len(full))
     assert q18["o_orderkey"].tolist() == full["o_orderkey"].head(k).tolist()
+
+
+def test_cep_match_equals_bruteforce(qs, con):
+    """The searchsorted window logic re-derived with a per-purchase Python
+    scan (O(n^2), test-only) — independent of BOTH the query and its
+    self-join oracle."""
+    cep = qs["events_cep_match"](SF_DIR)
+    ev = con.sql("SELECT event_id, ts, user_id, event_type FROM events").df()
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        for _, r in g[g["event_type"] == "purchase"].iterrows():
+            lo = r["ts"] - pd.Timedelta(hours=24)
+            n = (
+                (g["event_type"] == "click") & (g["ts"] >= lo) & (g["ts"] < r["ts"])
+            ).sum()
+            if n >= 2:
+                expected[int(r["event_id"])] = int(n)
+    got = dict(zip(cep["event_id"].astype(int), cep["n_clicks_24h"].astype(int)))
+    assert got == expected
+
+
+def test_unpivot_is_pivot_roundtrip(qs):
+    wide = qs["events_pivot"](SF_DIR)
+    long = qs["events_unpivot"](SF_DIR)
+    # melt(pivot) with zero cells dropped == the long table
+    melted = wide.melt(id_vars="user_id", var_name="col", value_name="n")
+    melted["event_type"] = melted["col"].str.removeprefix("n_")
+    melted = melted[melted["n"] > 0][["user_id", "event_type", "n"]]
+    melted = melted.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    assert melted.astype(str).equals(long[["user_id", "event_type", "n"]].astype(str))
