@@ -263,6 +263,16 @@ def cmd_health(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup: one key's live state, one partition file touched —
+    no Ray job, no lake scan."""
+    from .pipelines.replay import lookup_key
+
+    df = lookup_key(args.lake_dir, args.key, at_epoch=args.at_epoch)
+    print(df.to_json(orient="records", date_format="iso"))
+    return 0
+
+
 def cmd_reprocess(args) -> int:
     from .stages.errors import reprocess_final_errors
     from .state.manifest import Manifest
@@ -403,6 +413,12 @@ def main(argv=None) -> int:
     sp = sub.add_parser("health", help="health check from manifests (no data scan)")
     common(sp, config=False)
     sp.set_defaults(fn=cmd_health)
+
+    sp = sub.add_parser("lookup", help="point lookup of one key's live state (single-partition read)")
+    sp.add_argument("--key", required=True, help="full key_string (SCHEMA.TABLE\\x1f<pk...>)")
+    sp.add_argument("--at-epoch", type=int, default=None)
+    common(sp, config=False)
+    sp.set_defaults(fn=cmd_lookup)
 
     sp = sub.add_parser("reprocess-final-errors", help="requeue quarantined events")
     common(sp, config=False)

@@ -150,6 +150,13 @@ class Engine:
         return _cv(self.lake_dir, name)
 
     # ---- time travel ------------------------------------------------------
+    def lookup(self, key_string: str, at_epoch: int | None = None):
+        """Point lookup of one key's live state — touches exactly the one
+        partition the key hashes to (see ``pipelines.replay.lookup_key``)."""
+        from .pipelines.replay import lookup_key
+
+        return lookup_key(self.lake_dir, key_string, at_epoch=at_epoch)
+
     def read_lake_at(self, epoch: int):
         """Lake state as of a retained committed epoch (a Dataset)."""
         from .pipelines.replay import read_lake as _rl

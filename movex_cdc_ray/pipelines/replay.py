@@ -723,6 +723,51 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
     )
 
 
+def lookup_key(
+    lake_dir: str, key_string: str, at_epoch: int | None = None
+) -> "pd.DataFrame":
+    """Point lookup: the current (or time-travel) state of ONE key, touching
+    exactly one partition's files — the 'what is row X right now' verb every
+    CDC consumer eventually needs. Because merge routing is a pure function
+    of the key (``hash(key) % P``, with P committed in the manifest), the
+    lookup reads the single base (+ delta chain) that can hold the key and
+    filters with a parquet predicate — row groups whose ``_key`` min/max
+    statistics exclude it never leave storage. No Ray job, no lake scan:
+    driver-side, O(partition file) worst case, O(matching row groups)
+    typical. Returns the live row, or an empty typed frame if the key is
+    absent or deleted (tombstone fences are merge bookkeeping, not state).
+
+    Reference analog: the current-state read a consumer materializes from
+    the compacted Kafka topic (topic compaction keeps the last message per
+    key — `doc/movex-cdc.adoc` delivery semantics); here the lake IS that
+    compacted view, so the lookup is direct."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..functions.scalar import hash_strings
+    from ..stages.sink import resolve_lake_tables
+
+    m = Manifest.at_epoch(lake_dir, at_epoch) if at_epoch is not None else Manifest.latest(lake_dir)
+    if not m.num_partitions:
+        raise RuntimeError("lake has no committed partitioning (empty manifest?)")
+    part = int(hash_strings(np.array([key_string], dtype=object))[0] % np.uint64(m.num_partitions))
+    entry = m.partitions.get(str(part)) or m.partitions.get(part) or {}
+    paths = ([entry["path"]] if entry.get("path") else []) + list(entry.get("deltas") or [])
+    flt = pads.field("_key") == key_string
+    tables = []
+    for p in paths:
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"partition file housekept away: {p}")
+        tables.append(pq.read_table(p, filters=flt))
+    tables = [t for t in tables if len(t)]
+    if not tables:
+        return pd.DataFrame()
+    resolved = resolve_lake_tables(tables, tables[-1].schema, keep_tombstones=False)
+    return resolved.to_pandas()
+
+
 @ray.remote
 def _purge_part_task(part: int, path: str, out_path: str, compression: str = "snappy") -> dict[str, Any]:
     import pyarrow.parquet as pq
