@@ -832,13 +832,15 @@ class CovariancePartialStage:
 
     def __init__(self, vec_col: str = "embedding"):
         self.vec_col = vec_col
-        self._iu = None  # (d-dependent) upper-triangle index cache per actor
+        self._iu_d = None  # dimension the cached triangle indices were built for
+        self._iu = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _to_matrix(batch[self.vec_col])
         n, d = mat.shape
-        if self._iu is None or self._iu[0].max(initial=0) >= d:
+        if self._iu_d != d:  # cache keyed by the batch's dimension
             self._iu = np.triu_indices(d)
+            self._iu_d = d
         iu_r, iu_c = self._iu
         gram = mat.T @ mat
         i = np.concatenate([iu_r + 1, np.arange(1, d + 1), [0]])
