@@ -768,6 +768,75 @@ def lookup_key(
     return resolved.to_pandas()
 
 
+def enrich_with_lake(
+    ds: rd.Dataset,
+    lake_dir: str,
+    key_col: str = "key_string",
+    lake_columns: list[str] | None = None,
+    at_epoch: int | None = None,
+) -> rd.Dataset:
+    """Stream-table join (the Kafka-Streams KTable-join analog over the
+    reference's compacted-topic state): every input row gains the lake's
+    live columns for its key, NULL when the key is absent/deleted.
+
+    The lake side is NEVER shuffled: bases are already hash-partitioned by
+    ``hash(key) % P`` (committed in the manifest), so the input is bucketed
+    with the same function and each ``map_groups`` task reads ONLY its
+    partition's base (+delta chain), pushing a ``_key isin`` predicate into
+    the parquet read. Join cost is one input shuffle + P partition-file
+    reads — the partition-aligned-join pattern (reuse the lake's
+    partitioning key instead of re-exchanging it)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..functions.scalar import hash_strings
+    from ..stages.sink import resolve_lake_tables
+
+    m = Manifest.at_epoch(lake_dir, at_epoch) if at_epoch is not None else Manifest.latest(lake_dir)
+    if not m.num_partitions:
+        raise RuntimeError("lake has no committed partitioning (empty manifest?)")
+    P = m.num_partitions
+    paths_by_part: dict[int, list[str]] = {}
+    for part, entry in m.partitions.items():
+        paths = ([entry["path"]] if entry.get("path") else []) + list(entry.get("deltas") or [])
+        if paths:
+            paths_by_part[int(part)] = paths
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        h = hash_strings(keys.to_numpy(zero_copy_only=False))
+        return batch.append_column("_part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["_part"].iloc[0])
+        g = g.drop(columns=["_part"])
+        paths = paths_by_part.get(part, [])
+        keys = g[key_col].unique()
+        tables = []
+        for p in paths:
+            t = pq.read_table(p, filters=(pads.field("_key").isin(keys)))
+            if len(t):
+                tables.append(t)
+        if not tables:
+            lake_df = pd.DataFrame({"_key": pd.Series(dtype="object")})
+        else:
+            resolved = resolve_lake_tables(tables, tables[-1].schema, keep_tombstones=False)
+            lake_df = resolved.to_pandas()
+        if lake_columns is not None:
+            lake_df = lake_df[["_key", *lake_columns]]
+        return g.merge(lake_df, how="left", left_on=key_col, right_on="_key").drop(
+            columns=["_key"], errors="ignore"
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("_part").map_groups(
+        join_part, batch_format="pandas"
+    )
+
+
 @ray.remote
 def _purge_part_task(part: int, path: str, out_path: str, compression: str = "snappy") -> dict[str, Any]:
     import pyarrow.parquet as pq

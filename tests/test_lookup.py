@@ -83,3 +83,32 @@ def test_engine_lookup_verb(lake):
     full = lake_to_pandas(lake)
     key = full["_key"].iloc[0]
     assert len(eng.lookup(key)) == 1
+
+
+def test_enrich_with_lake_matches_pandas_merge(lake, ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from movex_cdc_ray.pipelines.replay import enrich_with_lake
+
+    full = lake_to_pandas(lake)
+    # probe stream: every 3rd live key + some absent keys
+    probe_keys = list(full["_key"])[::3] + ["absent\x1fkey1", "absent\x1fkey2"]
+    probe = pd.DataFrame(
+        {"req_id": np.arange(len(probe_keys), dtype="int64"), "key_string": probe_keys}
+    )
+    out = (
+        enrich_with_lake(rd.from_pandas(probe), lake, lake_columns=["content", "_last_id"])
+        .to_pandas()
+        .sort_values("req_id")
+        .reset_index(drop=True)
+    )
+    exp = probe.merge(
+        full[["_key", "content", "_last_id"]], how="left",
+        left_on="key_string", right_on="_key",
+    ).drop(columns=["_key"]).sort_values("req_id").reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert out["content"].fillna("∅").tolist() == exp["content"].fillna("∅").tolist()
+    assert out["_last_id"].fillna(-1).tolist() == exp["_last_id"].fillna(-1).tolist()
+    # absent keys survive with NULL lake columns (left join semantics)
+    assert out.loc[out["key_string"].str.startswith("absent"), "content"].isna().all()
