@@ -179,6 +179,16 @@ def cmd_produce(args) -> int:
 def cmd_consume(args) -> int:
     # pure filesystem read — no Ray session needed (saves the multi-second
     # ray.init warm-up just to print a few JSON lines)
+    if args.group:
+        from .pipelines.produce import consume_topic
+
+        msgs = consume_topic(args.out_dir, args.topic, args.group,
+                             max_messages=args.limit)
+        for m in msgs:
+            print(json.dumps(m))
+        print(json.dumps({"topic": args.topic, "group": args.group,
+                          "consumed": len(msgs)}))
+        return 0
     from .pipelines.produce import topic_messages
 
     msgs = topic_messages(args.out_dir, args.topic)
@@ -378,6 +388,8 @@ def main(argv=None) -> int:
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--topic", required=True)
     sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--group", default=None,
+                    help="consumer group: resume after the group's committed offsets and auto-commit")
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_consume)
 

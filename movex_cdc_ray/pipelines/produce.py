@@ -386,3 +386,96 @@ def topic_messages(out_dir: str, topic: str) -> list[dict]:
                         m["_part"] = part
                         out.append(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# consumer groups: resumable consumption with committed offsets
+# ---------------------------------------------------------------------------
+
+CONSUMERS_DIR = "_consumers"
+
+
+def _group_state_path(out_dir: str, topic: str, group: str) -> str:
+    if not group or any(c in group for c in "/\\\x00"):
+        raise ValueError(f"invalid consumer group name {group!r}")
+    return os.path.join(out_dir, CONSUMERS_DIR, f"{topic}__{group}.json")
+
+
+def group_offsets(out_dir: str, topic: str, group: str) -> dict[int, int]:
+    """The group's committed per-partition offsets (messages consumed so
+    far); empty for a new group."""
+    import json
+
+    path = _group_state_path(out_dir, topic, group)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        doc = json.load(fh)
+    return {int(k): int(v) for k, v in doc.get("offsets", {}).items()}
+
+
+def consume_topic(
+    out_dir: str,
+    topic: str,
+    group: str,
+    max_messages: int | None = None,
+    commit: bool = True,
+) -> list[dict]:
+    """Consumer-group read: messages of ``topic`` BEYOND the group's
+    committed offsets, in (partition, id) order — the Kafka consumer-group
+    analog over the committed message files.
+
+    Offsets are per-partition message COUNTS, valid because committed
+    epochs are immutable and files append in epoch order; only
+    manifest-committed epochs are visible (uncommitted staged files never
+    reach a consumer). ``commit=True`` commits the new offsets atomically
+    (tmp + fsync + rename) AFTER the messages have been materialized —
+    at-least-once on a crash between read and commit, which is exactly
+    Kafka's auto-commit contract; pass ``commit=False`` and call
+    :func:`commit_offsets` yourself for consumer-controlled semantics."""
+    committed = Manifest.latest(out_dir).epoch
+    start = group_offsets(out_dir, topic, group)
+    import json
+
+    new_offsets = dict(start)
+    out: list[dict] = []
+    for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
+        part = int(os.path.basename(d).split("=")[1])
+        seen = 0
+        skip = start.get(part, 0)
+        for f in sorted(glob.glob(os.path.join(d, "epoch=*.jsonl"))):
+            e = int(os.path.basename(f)[len("epoch="):-len(".jsonl")])
+            if e > committed:
+                continue
+            with open(f) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    seen += 1
+                    if seen <= skip:
+                        continue
+                    if max_messages is not None and len(out) >= max_messages:
+                        break
+                    m = json.loads(line)
+                    m["_part"] = part
+                    out.append(m)
+                    new_offsets[part] = seen
+            if max_messages is not None and len(out) >= max_messages:
+                break
+        if max_messages is not None and len(out) >= max_messages:
+            break
+    if commit and out:
+        commit_offsets(out_dir, topic, group, new_offsets)
+    return out
+
+
+def commit_offsets(out_dir: str, topic: str, group: str, offsets: dict[int, int]) -> None:
+    """Atomically persist the group's offsets (tmp + fsync + rename, the
+    manifest durability contract)."""
+    import json
+
+    path = _group_state_path(out_dir, topic, group)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    doc = {"topic": topic, "group": group,
+           "offsets": {str(k): int(v) for k, v in sorted(offsets.items())}}
+    _atomic_write_text(json.dumps(doc, indent=1).encode(), path)

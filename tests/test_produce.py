@@ -201,3 +201,42 @@ def test_zombie_writer_cannot_destroy_committed_output(ray_session, stream_dir, 
         produce_epoch(cfg, stale, 1, list_chunks(stream_dir)[:1], out,
                       new_writer_token())
     assert _tree_digest(out) == before  # committed bytes untouched
+
+
+def test_consumer_group_offsets(ray_session, stream_dir, tmp_path):
+    from movex_cdc_ray.pipelines.produce import (
+        commit_offsets, consume_topic, group_offsets, produce,
+    )
+
+    out = str(tmp_path / "cg")
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    produce(stream_dir, out, cfg, chunks_per_epoch=1, max_epochs=3)
+    all_now = topic_messages(out, TOPIC)
+
+    # fresh group sees everything, commits, then sees nothing new
+    got1 = consume_topic(out, TOPIC, "g1")
+    assert [(m["_part"], m["value"]["id"]) for m in got1] == [
+        (m["_part"], m["value"]["id"]) for m in all_now
+    ]
+    assert consume_topic(out, TOPIC, "g1") == []
+
+    # new epochs → only the delta is consumed
+    produce(stream_dir, out, cfg, chunks_per_epoch=1)
+    delta = consume_topic(out, TOPIC, "g1")
+    assert len(delta) == len(topic_messages(out, TOPIC)) - len(all_now) > 0
+    assert consume_topic(out, TOPIC, "g1") == []
+
+    # at-least-once: commit=False leaves offsets untouched (re-read on crash)
+    got_a = consume_topic(out, TOPIC, "g2", max_messages=10, commit=False)
+    got_b = consume_topic(out, TOPIC, "g2", max_messages=10, commit=False)
+    assert got_a == got_b and len(got_a) == 10
+    # manual commit advances the cursor
+    offs = dict(group_offsets(out, TOPIC, "g2"))
+    for m in got_a:
+        offs[m["_part"]] = offs.get(m["_part"], 0) + 1
+    commit_offsets(out, TOPIC, "g2", offs)
+    got_c = consume_topic(out, TOPIC, "g2", max_messages=10, commit=False)
+    assert got_c and got_c[0] != got_a[0]
+
+    # groups are independent
+    assert len(consume_topic(out, TOPIC, "g3")) == len(topic_messages(out, TOPIC))
