@@ -432,7 +432,13 @@ def consume_topic(
     (tmp + fsync + rename) AFTER the messages have been materialized —
     at-least-once on a crash between read and commit, which is exactly
     Kafka's auto-commit contract; pass ``commit=False`` and call
-    :func:`commit_offsets` yourself for consumer-controlled semantics."""
+    :func:`commit_offsets` yourself for consumer-controlled semantics.
+
+    Concurrency contract: ONE active consumer per group (the offset commit
+    is last-rename-wins, not a CAS) — Kafka enforces this with the group
+    coordinator's partition assignment; here it is the caller's deployment
+    invariant, same as the engine's single-writer lease on the produce
+    side."""
     committed = Manifest.latest(out_dir).epoch
     start = group_offsets(out_dir, topic, group)
     import json
