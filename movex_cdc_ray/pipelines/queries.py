@@ -4360,6 +4360,532 @@ def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H join shapes, second batch: Q7 / Q10 / Q14 / Q15 / Q17 / Q19
+# (the shapes the first batch didn't cover: bidirectional nation pairs,
+# top-k over a 4-table join, conditional-fraction aggregate, view + global
+# argmax, correlated per-group average, disjunctive multi-band predicate)
+# ---------------------------------------------------------------------------
+
+
+def _col(batch: pa.Table, name: str) -> pa.Array:
+    c = batch[name]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+class _PartLookup:
+    """Actor-pool stage holding a broadcast part-dimension projection: the
+    constructor receives parallel arrays (partkey + any attribute columns)
+    once per actor; ``lookup`` maps a batch's partkey column to attribute
+    row indices via ``pc.index_in`` (one hash probe per batch, no shuffle).
+    At a scale where part outgrows broadcast, swap the callers' lookup for
+    a reduce-side partkey bucket join — same stage shape as
+    :func:`q3_shipping_priority` stage 1."""
+
+    def __init__(self, keys: pa.Array, **attrs):
+        self.keys = keys
+        self.attrs = attrs
+
+    def indices(self, batch: pa.Table, col: str) -> pa.Array:
+        return pc.index_in(_col(batch, col).cast(pa.int64()), value_set=self.keys)
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: conditional-fraction aggregate over a fact⋈dim join.
+    The part dimension ships once per actor as two parallel arrays
+    (partkey, is-promo bitmask); each batch does ONE ``pc.index_in`` probe
+    and two masked integer sums, so a block reduces to a single partial row
+    and the only exchange is the kilobyte partial stream. The share is
+    computed with :func:`scalar.round_half_away` (DuckDB ROUND parity —
+    small-integer cent ratios do land on rounding boundaries)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.scalar import round_half_away
+
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).take_all()
+    pk = pa.array([int(r["p_partkey"]) for r in part], pa.int64())
+    promo = np.array([r["p_type"] == "PROMO" for r in part], dtype=bool)
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    class Partial(_PartLookup):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = self.indices(batch, "l_partkey").to_numpy(zero_copy_only=False)
+            is_promo = self.attrs["promo"][idx.astype(np.int64)]
+            ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")
+            return pa.table(
+                {"promo_rev_cents": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                 "total_rev_cents": pa.array([int(rev.sum())], pa.int64())}
+            )
+
+    from ray.data.aggregate import Sum
+
+    agg = li.map_batches(
+        Partial, fn_constructor_args=(pk,), fn_constructor_kwargs={"promo": promo},
+        batch_format="pyarrow", concurrency=2,
+    ).aggregate(
+        Sum("promo_rev_cents", alias_name="promo_rev_cents"),
+        Sum("total_rev_cents", alias_name="total_rev_cents"),
+    ) or {}
+    p = int(agg.get("promo_rev_cents") or 0)
+    t = int(agg.get("total_rev_cents") or 0)
+    return pd.DataFrame(
+        {"promo_rev_cents": [p], "total_rev_cents": [t],
+         "promo_share_pct": [round_half_away(100.0 * p / t, 6) if t else 0.0]}
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning fact AND dimension
+    attributes (brand × size band × quantity band). The three conjuncts are
+    evaluated as vectorized numpy masks against a broadcast per-part brand
+    CLASS code (0 = no clause's brand, else the clause ordinal) — a
+    disjunction never forces a row loop or three scans; one pass, three
+    boolean kernels, OR-fold. Per-batch partial sums; kilobyte exchange."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).take_all()
+    clauses = [
+        ("Brand#4", 1, 15, 1, 20),
+        ("Brand#2", 10, 30, 10, 30),
+        ("Brand#19", 20, 50, 20, 40),
+    ]
+    brand_class = {b: i + 1 for i, (b, *_) in enumerate(clauses)}
+    pk = pa.array([int(r["p_partkey"]) for r in part], pa.int64())
+    cls = np.array([brand_class.get(r["p_brand"], 0) for r in part], dtype=np.int8)
+    size = np.array([int(r["p_size"]) for r in part], dtype=np.int64)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    class Partial(_PartLookup):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = self.indices(batch, "l_partkey").to_numpy(zero_copy_only=False)
+            idx = idx.astype(np.int64)
+            pcls, psize = self.attrs["cls"][idx], self.attrs["size"][idx]
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(batch), dtype=bool)
+            for i, (_, s_lo, s_hi, q_lo, q_hi) in enumerate(clauses):
+                keep |= ((pcls == i + 1) & (psize >= s_lo) & (psize <= s_hi)
+                         & (qty >= q_lo) & (qty <= q_hi))
+            ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            rev = np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64").sum()
+            return pa.table(
+                {"revenue_cents": pa.array([int(rev)], pa.int64()),
+                 "n_items": pa.array([int(keep.sum())], pa.int64())}
+            )
+
+    from ray.data.aggregate import Sum
+
+    agg = li.map_batches(
+        Partial, fn_constructor_args=(pk,),
+        fn_constructor_kwargs={"cls": cls, "size": size},
+        batch_format="pyarrow", concurrency=2,
+    ).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    ) or {}
+    return pd.DataFrame(
+        {"revenue_cents": [int(agg.get("revenue_cents") or 0)],
+         "n_items": [int(agg.get("n_items") or 0)]}
+    )
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: revenue "view" + global argmax equality join. The
+    view (per-supplier quarterly revenue) is built as per-batch partial
+    sums — ``np.unique`` + ``np.bincount`` folds each block to ≤|suppliers
+    in block| rows BEFORE the one supplier-keyed groupby — so the exchange
+    is bounded by blocks × suppliers-per-block, not lineitem count. The
+    aggregated view is supplier-DIMENSION-sized by construction (that's
+    what Q15's CREATE VIEW materializes too), so the global max + equality
+    filter run on the driver over a dimension-sized frame; ties all
+    surface, ordered by suppkey."""
+    import pyarrow.dataset as pads
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")
+        keys, inv = np.unique(sk, return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype("float64")).astype("int64")
+        return pa.table(
+            {"s_suppkey": pa.array(keys.astype("int64")),
+             "total_revenue_cents": pa.array(sums)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    view = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+    )
+    pdf = view.to_pandas()  # supplier-dimension-sized (the Q15 view)
+    if pdf.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype="object"),
+             "total_revenue_cents": pd.Series([], dtype="int64")}
+        )
+    pdf["total_revenue_cents"] = pdf["total_revenue_cents"].astype("int64")
+    top = pdf[pdf["total_revenue_cents"] == pdf["total_revenue_cents"].max()]
+    names = {
+        int(r["s_suppkey"]): r["s_name"]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).take_all()
+    }
+    top = top.copy()
+    top["s_name"] = top["s_suppkey"].map(lambda k: names[int(k)])
+    return top.sort_values("s_suppkey").reset_index(drop=True)[
+        ["s_suppkey", "s_name", "total_revenue_cents"]
+    ]
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: correlated per-group average subquery
+    (``l_quantity < 0.2 * avg(l_quantity) per part``). The brand's partkeys
+    broadcast as an ``is_in`` prune BEFORE the shuffle; the correlation is
+    resolved by co-locating each part's lineitems in ONE partkey-bucket
+    ``map_groups`` task that computes the group average and applies the
+    filter in the same pass — no second scan, no join back. Quantities are
+    integers by profile, so the 20% threshold compares exactly as
+    ``5 * qty * count < sum_qty`` in int64 (no float boundary exists).
+    Money output is ``total // 7`` (Q17's yearly average) in floor integer
+    division on both sides."""
+    B = 16
+    brand = "Brand#4"
+    import pyarrow.dataset as pads
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"],
+                 filter=(pads.field("p_brand") == brand)).take_all()
+    brand_keys = pa.array([int(r["p_partkey"]) for r in part], pa.int64())
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pkcol = _col(batch, "l_partkey").cast(pa.int64())
+        keep = pc.is_in(pkcol, value_set=brand_keys)  # prune BEFORE the shuffle
+        batch, pkcol = batch.filter(keep), pkcol.filter(keep)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype("int64")
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"pbucket": pc.bit_wise_and(pkcol, B - 1), "partkey": pkcol,
+             "qty": pa.array(qty),
+             "ep_cents": pa.array(np.floor(ep * 100 + 0.5).astype("int64"))}
+        )
+
+    def small_qty_partial(g: pd.DataFrame) -> pa.Table:
+        stats = g.groupby("partkey")["qty"].agg(["sum", "count"])
+        sum_q = stats["sum"].reindex(g["partkey"]).to_numpy(dtype="int64")
+        cnt = stats["count"].reindex(g["partkey"]).to_numpy(dtype="int64")
+        qty = g["qty"].to_numpy(dtype="int64")
+        keep = 5 * qty * cnt < sum_q
+        return pa.table(
+            {"total_revenue_cents": pa.array(
+                [int(g["ep_cents"].to_numpy()[keep].sum())], pa.int64()),
+             "n_items": pa.array([int(keep.sum())], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(small_qty_partial, batch_format="pandas")
+        .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"),
+                   Sum("n_items", alias_name="n_items"))
+    ) or {}
+    total = int(agg.get("total_revenue_cents") or 0)
+    return pd.DataFrame(
+        {"total_revenue_cents": [total],
+         "n_items": [int(agg.get("n_items") or 0)],
+         "avg_yearly_cents": [total // 7]}
+    )
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue over a
+    4-table join. orders[quarter] ⋈ lineitem[returnflag=R] is a reduce-side
+    orderkey-bucket join (both sides fact-sized at scale, both predicates
+    pushed to the scan); each bucket emits per-custkey PARTIAL sums, one
+    custkey groupby folds them, and a per-block local top-20 bounds the
+    driver merge at blocks × 20 rows. Customer attributes and nation names
+    attach on the driver to the FINAL 20 rows only — the engine never ships
+    the customer dimension anywhere."""
+    B = 16
+    lo, hi = datetime(1996, 10, 1), datetime(1997, 1, 1)
+    import pyarrow.dataset as pads
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+    schema = pa.schema(
+        [("obucket", pa.int64()), ("orderkey", pa.int64()), ("custkey", pa.int64()),
+         ("rev_cents", pa.int64()), ("side", pa.string())]
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "o_orderkey").cast(pa.int64())
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "custkey": _col(batch, "o_custkey").cast(pa.int64()),
+             "rev_cents": pa.array(np.zeros(len(batch), dtype="int64")),
+             "side": pa.array(["O"] * len(batch), pa.string())},
+            schema=schema,
+        )
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "l_orderkey").cast(pa.int64())
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "custkey": pa.nulls(len(batch), pa.int64()),
+             "rev_cents": pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")),
+             "side": pa.array(["L"] * len(batch), pa.string())},
+            schema=schema,
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "rev_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "custkey"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        agg = j.groupby("custkey", as_index=False)["rev_cents"].sum()
+        return pa.table(
+            {"c_custkey": pa.array(agg["custkey"].to_numpy(dtype="int64")),
+             "revenue_cents": pa.array(agg["rev_cents"].to_numpy(dtype="int64"))}
+        )
+
+    def local_top20(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas().sort_values(
+            ["revenue_cents", "c_custkey"], ascending=[False, True]
+        ).head(20)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .map_batches(local_top20, batch_format="pyarrow")
+    )
+    pdf = per_cust.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype="object"),
+             "revenue_cents": pd.Series([], dtype="int64"),
+             "acctbal_cents": pd.Series([], dtype="int64"),
+             "n_name": pd.Series([], dtype="object")}
+        )
+    pdf = pdf.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    ).head(20)
+    pdf["revenue_cents"] = pdf["revenue_cents"].astype("int64")
+
+    # attach customer / nation attributes to the FINAL 20 rows on the driver
+    want = set(pdf["c_custkey"].astype("int64").tolist())
+    import pyarrow.dataset as pads2
+
+    cust_rows = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads2.field("c_custkey").isin(sorted(want)),
+    ).take_all()
+    nat = {int(r["n_nationkey"]): r["n_name"]
+           for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()}
+    attrs = {
+        int(r["c_custkey"]): (
+            r["c_name"],
+            int(np.floor(r["c_acctbal"] * 100 + 0.5)),
+            nat[int(r["c_nationkey"])],
+        )
+        for r in cust_rows
+    }
+    pdf["c_name"] = pdf["c_custkey"].map(lambda k: attrs[int(k)][0])
+    pdf["acctbal_cents"] = pdf["c_custkey"].map(lambda k: attrs[int(k)][1]).astype("int64")
+    pdf["n_name"] = pdf["c_custkey"].map(lambda k: attrs[int(k)][2])
+    return pdf.reset_index(drop=True)[
+        ["c_custkey", "c_name", "revenue_cents", "acctbal_cents", "n_name"]
+    ]
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair volume by year. The
+    supplier→nation map broadcasts once per actor (smallest relation);
+    customers prune to the two nations BEFORE their shuffle; orders ⋈
+    customer and then ⋈ lineitem are reduce-side bucket joins (the q3/q5
+    exchange pattern). The pair filter keeps only (supp, cust) nations that
+    DIFFER — both directions survive and group separately. Ship-year comes
+    from ``pc.year`` on the pushed-down 2-year shipdate band."""
+    B = 16
+    n1, n2 = "NATION_3", "NATION_7"
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    import pyarrow.dataset as pads
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    name_by_key = {int(r["n_nationkey"]): r["n_name"] for r in nation}
+    pair_keys = pa.array(
+        [k for k, v in name_by_key.items() if v in (n1, n2)], pa.int64()
+    )
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    sup_in = [(int(r["s_suppkey"]), int(r["s_nationkey"])) for r in sup
+              if r["s_nationkey"] in set(pair_keys.to_pylist())]
+    sup_keys = pa.array([k for k, _ in sup_in], pa.int64())
+    sup_nat = pa.array([v for _, v in sup_in], pa.int64())
+
+    stage2_schema = pa.schema(
+        [("obucket", pa.int64()), ("orderkey", pa.int64()), ("natkey", pa.int64()),
+         ("l_year", pa.int64()), ("rev_cents", pa.int64()), ("side", pa.string())]
+    )
+
+    # ---- stage 1: orders ⋈ customer[two nations] on custkey --------------
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        nk = _col(batch, "c_nationkey").cast(pa.int64())
+        keep = pc.is_in(nk, value_set=pair_keys)  # prune BEFORE the shuffle
+        batch, nk = batch.filter(keep), nk.filter(keep)
+        ck = _col(batch, "c_custkey").cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": pa.nulls(n, pa.int64()), "natkey": nk,
+             "side": pa.array(["C"] * n, pa.string())}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = _col(batch, "o_custkey").cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": _col(batch, "o_orderkey").cast(pa.int64()),
+             "natkey": pa.nulls(n, pa.int64()),
+             "side": pa.array(["O"] * n, pa.string())}
+        )
+
+    def join_cust(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "O"][["custkey", "orderkey"]]
+        right = g[g["side"] == "C"][["custkey", "natkey"]]
+        j = left.merge(right, on="custkey", how="inner")
+        ok = j["orderkey"].to_numpy(dtype="int64", na_value=0)
+        n = len(j)
+        return pa.table(
+            {"obucket": pa.array(ok & (B - 1), pa.int64()),
+             "orderkey": pa.array(ok, pa.int64()),
+             "natkey": pa.array(j["natkey"].to_numpy(dtype="int64", na_value=0)),
+             "l_year": pa.array(np.zeros(n, dtype="int64")),
+             "rev_cents": pa.array(np.zeros(n, dtype="int64")),
+             "side": pa.array(["O"] * n, pa.string())},
+            schema=stage2_schema,
+        )
+
+    stage1 = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("cbucket")
+        .map_groups(join_cust, batch_format="pandas")
+    )
+
+    # ---- lineitem leg: broadcast supplier→nation, two-nation prune -------
+    class TagLineitem:
+        def __init__(self, keys, nats):
+            self.keys, self.nats = keys, nats
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = _col(batch, "l_suppkey").cast(pa.int64())
+            idx = pc.index_in(sk, value_set=self.keys)
+            keep = pc.is_valid(idx)
+            batch, idx = batch.filter(keep), idx.filter(keep)
+            ok = _col(batch, "l_orderkey").cast(pa.int64())
+            ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            yr = pc.year(_col(batch, "l_shipdate")).cast(pa.int64())
+            n = len(batch)
+            return pa.table(
+                {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+                 "natkey": self.nats.take(idx), "l_year": yr,
+                 "rev_cents": pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")),
+                 "side": pa.array(["L"] * n, pa.string())},
+                schema=stage2_schema,
+            )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    li_tagged = li.map_batches(
+        TagLineitem, fn_constructor_args=(sup_keys, sup_nat),
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    # ---- stage 2: join on orderkey, keep differing nation pairs ----------
+    def join_pair(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "natkey", "l_year", "rev_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "natkey"]].rename(
+            columns={"natkey": "cust_nat"}
+        )
+        j = left.merge(right, on="orderkey", how="inner")
+        j = j[j["natkey"] != j["cust_nat"]]  # both endpoints already in-pair
+        agg = j.groupby(["natkey", "cust_nat", "l_year"], as_index=False)[
+            "rev_cents"
+        ].sum()
+        return pa.table(
+            {"supp_nat": pa.array(agg["natkey"].to_numpy(dtype="int64")),
+             "cust_nat": pa.array(agg["cust_nat"].to_numpy(dtype="int64")),
+             "l_year": pa.array(agg["l_year"].to_numpy(dtype="int64")),
+             "rev_cents": pa.array(agg["rev_cents"].to_numpy(dtype="int64"))}
+        )
+
+    grouped = (
+        stage1.union(li_tagged)
+        .groupby("obucket")
+        .map_groups(join_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    if grouped.empty:
+        return pd.DataFrame(
+            {"supp_nation": pd.Series([], dtype="object"),
+             "cust_nation": pd.Series([], dtype="object"),
+             "l_year": pd.Series([], dtype="int64"),
+             "revenue_cents": pd.Series([], dtype="int64")}
+        )
+    out = grouped.groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)[
+        "rev_cents"
+    ].sum()  # ≤ 2 pairs × 2 years rows — driver-sized by construction
+    out["supp_nation"] = out["supp_nat"].map(lambda k: name_by_key[int(k)])
+    out["cust_nation"] = out["cust_nat"].map(lambda k: name_by_key[int(k)])
+    out = out.rename(columns={"rev_cents": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(
+        drop=True
+    )[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
+
+
+# ---------------------------------------------------------------------------
 # the catalogs
 # ---------------------------------------------------------------------------
 
@@ -4386,6 +4912,12 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_orders": q18_large_orders,
     "q22_idle_customers": q22_idle_customers,
@@ -4993,6 +5525,91 @@ def _build_oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
           AND l_quantity < 24
+    """,
+    "q7_volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+            OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q10_returned_items": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+               n.n_name
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue_cents DESC, c.c_custkey
+        LIMIT 20
+    """,
+    "q14_promo_revenue": """
+        WITH t AS (
+          SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS promo_rev_cents,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_cents
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01')
+        SELECT promo_rev_cents, total_rev_cents,
+               ROUND(100.0 * promo_rev_cents / total_rev_cents, 6) AS promo_share_pct
+        FROM t
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT r.s_suppkey, s.s_name, r.total_revenue_cents
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+        WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+        ORDER BY r.s_suppkey
+    """,
+    "q17_small_quantity_revenue": """
+        WITH li AS (
+          SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+                 CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_cents
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#4'
+        ), s AS (
+          SELECT l_partkey, SUM(qty) AS sum_q, COUNT(*) AS cnt
+          FROM li GROUP BY l_partkey)
+        SELECT CAST(COALESCE(SUM(li.ep_cents), 0) AS BIGINT) AS total_revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COALESCE(SUM(li.ep_cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+        FROM li JOIN s ON s.l_partkey = li.l_partkey
+        WHERE 5 * li.qty * s.cnt < s.sum_q
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 40)
     """,
     "join_broadcast": """
         SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -17,6 +17,9 @@ SUBSET = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
     "q13_customer_distribution",
     "q18_large_orders",
     "q22_idle_customers",
