@@ -4886,6 +4886,810 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H third batch: the derived-partsupp family (Q2/Q11/Q16/Q20) and the
+# remaining join shapes (Q8/Q9/Q12/Q21), adapted to the synth star schema
+# (no partsupp table / shipmode / commitdate — partsupp is DERIVED from
+# lineitem as the distinct (partkey, suppkey) pairs with supplycost :=
+# MIN(line price cents) and availqty := SUM(quantity), both exact int64)
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_B = 16  # partkey bucket count shared by the derived-partsupp family
+
+
+def _partsupp_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch derived-partsupp partial: fold a lineitem block to its
+    distinct (partkey, suppkey) pairs with (min price cents, sum qty, n)
+    BEFORE the exchange — the shuffle carries ≤ distinct-pairs-per-block
+    rows, not lineitems. Partials re-fold associatively in the partkey
+    bucket (min of mins / sum of sums)."""
+    pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype("int64")
+    sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype("int64")
+    qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype("int64")
+    ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+    ep_cents = np.floor(ep * 100 + 0.5).astype("int64")
+    df = pd.DataFrame({"partkey": pk, "suppkey": sk, "qty": qty, "ep": ep_cents})
+    agg = df.groupby(["partkey", "suppkey"], as_index=False).agg(
+        min_ep=("ep", "min"), sum_qty=("qty", "sum"), n=("qty", "size")
+    )
+    pkv = agg["partkey"].to_numpy(dtype="int64")
+    return pa.table(
+        {"pbucket": pa.array(pkv & (_PARTSUPP_B - 1)),
+         "partkey": pa.array(pkv),
+         "suppkey": pa.array(agg["suppkey"].to_numpy(dtype="int64")),
+         "min_ep": pa.array(agg["min_ep"].to_numpy(dtype="int64")),
+         "sum_qty": pa.array(agg["sum_qty"].to_numpy(dtype="int64")),
+         "n": pa.array(agg["n"].to_numpy(dtype="int64"))}
+    )
+
+
+def _fold_partsupp(g: pd.DataFrame) -> pd.DataFrame:
+    """Fold bucket-local partials to the final derived partsupp rows."""
+    return g.groupby(["partkey", "suppkey"], as_index=False).agg(
+        min_ep=("min_ep", "min"), sum_qty=("sum_qty", "sum"), n=("n", "sum")
+    )
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape: per-part argmin over a derived dimension + join back.
+    The derived partsupp pairs are built from per-batch partials (exchange ∝
+    distinct pairs); partkey groups are bucket-complete, so each bucket
+    computes its parts' min supplycost AND filters to the achieving
+    suppliers in one ``map_groups`` pass — no second shuffle, no join back.
+    Part (size/type) and supplier (region) predicates prune via broadcast
+    key sets BEFORE the exchange; names attach on the driver to the final
+    ≤100 rows."""
+    import pyarrow.dataset as pads
+
+    region, ptype, psize_max = "ASIA", "STANDARD", 15
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"],
+                filter=(pads.field("r_name") == region)).take_all()
+    rkeys = {int(r["r_regionkey"]) for r in reg}
+    nat_names = {int(n["n_nationkey"]): n["n_name"] for n in nation
+                 if int(n["n_regionkey"]) in rkeys}
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_name", "s_acctbal"]).take_all()
+    sup_in = {int(r["s_suppkey"]): (r["s_name"],
+                                    int(np.floor(r["s_acctbal"] * 100 + 0.5)),
+                                    nat_names[int(r["s_nationkey"])])
+              for r in sup if int(r["s_nationkey"]) in nat_names}
+    sup_keys = pa.array(sorted(sup_in), pa.int64())
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_size"],
+                 filter=(pads.field("p_type") == ptype)
+                 & (pads.field("p_size") <= psize_max)).take_all()
+    part_in = {int(r["p_partkey"]): r["p_name"] for r in part}
+    part_keys = pa.array(sorted(part_in), pa.int64())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(_col(batch, "l_partkey").cast(pa.int64()), value_set=part_keys),
+            pc.is_in(_col(batch, "l_suppkey").cast(pa.int64()), value_set=sup_keys),
+        )
+        return _partsupp_partial(batch.filter(keep))
+
+    def argmin_bucket(g: pd.DataFrame) -> pa.Table:
+        ps = _fold_partsupp(g)
+        if ps.empty:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "supplycost_cents": pa.array([], pa.int64())})
+        mins = ps.groupby("partkey")["min_ep"].transform("min")
+        w = ps[ps["min_ep"] == mins]  # partkey groups are bucket-complete
+        return pa.table(
+            {"p_partkey": pa.array(w["partkey"].to_numpy(dtype="int64")),
+             "s_suppkey": pa.array(w["suppkey"].to_numpy(dtype="int64")),
+             "supplycost_cents": pa.array(w["min_ep"].to_numpy(dtype="int64"))}
+        )
+
+    pdf = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(argmin_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {"s_acctbal_cents": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype="object"),
+             "n_name": pd.Series([], dtype="object"),
+             "p_partkey": pd.Series([], dtype="int64"),
+             "p_name": pd.Series([], dtype="object"),
+             "s_suppkey": pd.Series([], dtype="int64"),
+             "supplycost_cents": pd.Series([], dtype="int64")}
+        )
+    pdf["s_name"] = pdf["s_suppkey"].map(lambda k: sup_in[int(k)][0])
+    pdf["s_acctbal_cents"] = pdf["s_suppkey"].map(lambda k: sup_in[int(k)][1]).astype("int64")
+    pdf["n_name"] = pdf["s_suppkey"].map(lambda k: sup_in[int(k)][2])
+    pdf["p_name"] = pdf["p_partkey"].map(lambda k: part_in[int(k)])
+    pdf = pdf.sort_values(
+        ["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+    ).head(100)
+    return pdf.reset_index(drop=True)[
+        ["s_acctbal_cents", "s_name", "n_name", "p_partkey", "p_name",
+         "s_suppkey", "supplycost_cents"]
+    ]
+
+
+def q11_important_stock(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: grouped value with a GLOBAL-fraction HAVING. Stock
+    value per part = Σ supplycost × availqty over the nation's derived
+    partsupp pairs; a part survives if its value exceeds fraction of the
+    corpus total. The per-part values stay a DATASET (part-dimension-sized
+    at scale); the global total folds off the same kilobyte partial stream
+    via one ``aggregate`` and broadcasts back as TWO plain ints compared in
+    exact int64 (``value · 10000 > total``) — no float fraction exists."""
+    nation_name = "NATION_3"
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nat_key = next(int(r["n_nationkey"]) for r in nation if r["n_name"] == nation_name)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    sup_keys = pa.array(sorted(int(r["s_suppkey"]) for r in sup
+                               if int(r["s_nationkey"]) == nat_key), pa.int64())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(_col(batch, "l_suppkey").cast(pa.int64()), value_set=sup_keys)
+        return _partsupp_partial(batch.filter(keep))
+
+    def value_bucket(g: pd.DataFrame) -> pa.Table:
+        ps = _fold_partsupp(g)
+        ps["value_cents"] = ps["min_ep"] * ps["sum_qty"]
+        agg = ps.groupby("partkey", as_index=False)["value_cents"].sum()
+        return pa.table(
+            {"ps_partkey": pa.array(agg["partkey"].to_numpy(dtype="int64")),
+             "value_cents": pa.array(agg["value_cents"].to_numpy(dtype="int64"))}
+        )
+
+    per_part = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(value_bucket, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    total = (per_part.aggregate(Sum("value_cents", alias_name="t")) or {}).get("t") or 0
+    total = int(total)
+
+    def keep_important(batch: pa.Table) -> pa.Table:
+        v = batch["value_cents"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v * 10000 > total))
+
+    pdf = per_part.map_batches(keep_important, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"ps_partkey": pd.Series([], dtype="int64"),
+                             "value_cents": pd.Series([], dtype="int64")})
+    pdf["value_cents"] = pdf["value_cents"].astype("int64")
+    return pdf.sort_values(["value_cents", "ps_partkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q16_supplier_count(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: COUNT DISTINCT suppliers per part attribute triple
+    with an exclusion list. Distinct (partkey, suppkey) pairs come from the
+    partsupp derivation (per-batch pair dedup bounds the exchange);
+    excluded suppliers (negative balance — the 'complaints' analog) and the
+    brand exclusion prune BEFORE the shuffle via broadcast sets. The
+    attribute triple attaches from a broadcast part projection and the
+    distinct count folds in the triple-bucket ``map_groups`` (triples are
+    bucket-complete under the partkey hash? no — under the TRIPLE hash, so
+    the pairs re-bucket by triple before counting)."""
+    excl_brand = "Brand#4"
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).take_all()
+    keep_part = {int(r["p_partkey"]): (r["p_brand"], r["p_type"], int(r["p_size"]))
+                 for r in part if r["p_brand"] != excl_brand}
+    part_keys = pa.array(sorted(keep_part), pa.int64())
+    brands = np.array([keep_part[k][0] for k in sorted(keep_part)])
+    types = np.array([keep_part[k][1] for k in sorted(keep_part)])
+    sizes = np.array([keep_part[k][2] for k in sorted(keep_part)], dtype="int64")
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).take_all()
+    bad_sup = pa.array(sorted(int(r["s_suppkey"]) for r in sup
+                              if r["s_acctbal"] < 0.0), pa.int64())
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    B = 32
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        pk = _col(batch, "l_partkey").cast(pa.int64())
+        sk = _col(batch, "l_suppkey").cast(pa.int64())
+        keep = pc.and_(pc.is_in(pk, value_set=part_keys),
+                       pc.invert(pc.is_in(sk, value_set=bad_sup)))
+        pk, sk = pk.filter(keep), sk.filter(keep)
+        idx = pc.index_in(pk, value_set=part_keys).to_numpy(zero_copy_only=False)
+        idx = idx.astype(np.int64)
+        df = pd.DataFrame(
+            {"p_brand": brands[idx], "p_type": types[idx], "p_size": sizes[idx],
+             "suppkey": sk.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()  # per-batch pair dedup bounds the exchange
+        h = pd.util.hash_pandas_object(
+            df[["p_brand", "p_type", "p_size"]], index=False
+        ).to_numpy()
+        return pa.table(
+            {"tbucket": pa.array((h % B).astype("int64")),
+             "p_brand": pa.array(df["p_brand"], pa.string()),
+             "p_type": pa.array(df["p_type"], pa.string()),
+             "p_size": pa.array(df["p_size"].to_numpy(dtype="int64")),
+             "suppkey": pa.array(df["suppkey"].to_numpy(dtype="int64"))}
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["p_brand", "p_type", "p_size"])["suppkey"].nunique()
+        agg = agg.reset_index(name="supplier_cnt")
+        return pa.table(
+            {"p_brand": pa.array(agg["p_brand"], pa.string()),
+             "p_type": pa.array(agg["p_type"], pa.string()),
+             "p_size": pa.array(agg["p_size"].to_numpy(dtype="int64")),
+             "supplier_cnt": pa.array(agg["supplier_cnt"].to_numpy(dtype="int64"))}
+        )
+
+    pdf = (
+        li.map_batches(pairs, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pdf.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+def q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (adapted — no availqty column exists, so 'excess
+    stock' becomes 'dominant supplier'): suppliers of one REGION who shipped
+    MORE THAN HALF of some name-prefixed part's total 1997 quantity. The
+    nested per-part aggregate and the semi-join chain survive: the part
+    prefix prunes via a broadcast set BEFORE the shuffle; each partkey
+    bucket computes part totals AND per-(part, supplier) sums in one pass
+    (bucket-complete), compares ``2·pair > total`` in exact int64, and emits
+    the distinct qualifying suppliers; the region membership filter and
+    names attach on the driver (dominance must compare against ALL
+    suppliers' totals, so the region prune cannot move earlier)."""
+    import pyarrow.dataset as pads
+
+    region_name, prefix = "ASIA", "small"
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"],
+                filter=(pads.field("r_name") == region_name)).take_all()
+    rkeys = {int(r["r_regionkey"]) for r in reg}
+    nat_in = {int(n["n_nationkey"]) for n in nation if int(n["n_regionkey"]) in rkeys}
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_name"]).take_all()
+    sup_in = {int(r["s_suppkey"]): r["s_name"] for r in sup
+              if int(r["s_nationkey"]) in nat_in}
+    sup_keys = pa.array(sorted(sup_in), pa.int64())
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).take_all()
+    part_keys = pa.array(sorted(int(r["p_partkey"]) for r in part
+                                if r["p_name"].startswith(prefix)), pa.int64())
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+               filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pk = _col(batch, "l_partkey").cast(pa.int64())
+        keep = pc.is_in(pk, value_set=part_keys)
+        batch, pk = batch.filter(keep), pk.filter(keep)
+        pkv = pk.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"partkey": pkv,
+             "suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False).astype("int64"),
+             "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype("int64")}
+        )
+        agg = df.groupby(["partkey", "suppkey"], as_index=False)["qty"].sum()
+        pkv = agg["partkey"].to_numpy(dtype="int64")
+        return pa.table(
+            {"pbucket": pa.array(pkv & (_PARTSUPP_B - 1)),
+             "partkey": pa.array(pkv),
+             "suppkey": pa.array(agg["suppkey"].to_numpy(dtype="int64")),
+             "qty": pa.array(agg["qty"].to_numpy(dtype="int64"))}
+        )
+
+    def dominant_bucket(g: pd.DataFrame) -> pa.Table:
+        pair = g.groupby(["partkey", "suppkey"], as_index=False)["qty"].sum()
+        total = pair.groupby("partkey")["qty"].transform("sum")
+        # dominance compares against ALL suppliers' part total, so the
+        # nation prune must NOT touch this stage — it applies on the driver
+        # to the (tiny) distinct winner set below
+        win = pair[2 * pair["qty"] > total]
+        sks = np.unique(win["suppkey"].to_numpy(dtype="int64"))
+        return pa.table({"s_suppkey": pa.array(sks)})
+
+    pdf = (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dominant_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object")})
+    sks = sorted({int(k) for k in pdf["s_suppkey"] if int(k) in sup_in})
+    return pd.DataFrame(
+        {"s_suppkey": pd.Series(sks, dtype="int64"),
+         "s_name": [sup_in[k] for k in sks]}
+    )
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: national market share by year — a conditional
+    fraction AFTER a 6-way join. Part type and supplier nation tag via
+    broadcasts; customers prune to the region before their shuffle; orders
+    carry the year; the orderkey bucket join emits per-(year, is-target)
+    integer partials, so the final frame is years × 2 and the share divides
+    exact cent sums with DuckDB-parity rounding."""
+    B = 16
+    region, ptype, target_nation = "ASIA", "ECONOMY", "NATION_3"
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    import pyarrow.dataset as pads
+
+    from ..functions.scalar import round_half_away
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"],
+                filter=(pads.field("r_name") == region)).take_all()
+    rkeys = {int(r["r_regionkey"]) for r in reg}
+    region_nat = pa.array(sorted(int(n["n_nationkey"]) for n in nation
+                                 if int(n["n_regionkey"]) in rkeys), pa.int64())
+    target_key = next(int(n["n_nationkey"]) for n in nation
+                      if n["n_name"] == target_nation)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"],
+                 filter=(pads.field("p_type") == ptype)).take_all()
+    part_keys = pa.array(sorted(int(r["p_partkey"]) for r in part), pa.int64())
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    sup_keys = pa.array([int(r["s_suppkey"]) for r in sup], pa.int64())
+    sup_target = np.array([int(r["s_nationkey"]) == target_key for r in sup], dtype=bool)
+
+    stage2_schema = pa.schema(
+        [("obucket", pa.int64()), ("orderkey", pa.int64()), ("o_year", pa.int64()),
+         ("target_cents", pa.int64()), ("total_cents", pa.int64()),
+         ("side", pa.string())]
+    )
+
+    # stage 1: orders[year band] ⋈ customer[region] on custkey
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pads.field("o_orderdate") >= lo)
+                   & (pads.field("o_orderdate") < hi))
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        nk = _col(batch, "c_nationkey").cast(pa.int64())
+        keep = pc.is_in(nk, value_set=region_nat)
+        batch = batch.filter(keep)
+        ck = _col(batch, "c_custkey").cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": pa.nulls(n, pa.int64()), "o_year": pa.nulls(n, pa.int64()),
+             "side": pa.array(["C"] * n, pa.string())}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck = _col(batch, "o_custkey").cast(pa.int64())
+        yr = pc.year(_col(batch, "o_orderdate")).cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"cbucket": pc.bit_wise_and(ck, B - 1), "custkey": ck,
+             "orderkey": _col(batch, "o_orderkey").cast(pa.int64()), "o_year": yr,
+             "side": pa.array(["O"] * n, pa.string())}
+        )
+
+    def join_cust(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "O"][["custkey", "orderkey", "o_year"]]
+        right = g[g["side"] == "C"][["custkey"]]
+        j = left.merge(right, on="custkey", how="inner")
+        ok = j["orderkey"].to_numpy(dtype="int64", na_value=0)
+        n = len(j)
+        return pa.table(
+            {"obucket": pa.array(ok & (B - 1), pa.int64()),
+             "orderkey": pa.array(ok, pa.int64()),
+             "o_year": pa.array(j["o_year"].to_numpy(dtype="int64", na_value=0)),
+             "target_cents": pa.array(np.zeros(n, dtype="int64")),
+             "total_cents": pa.array(np.zeros(n, dtype="int64")),
+             "side": pa.array(["O"] * n, pa.string())},
+            schema=stage2_schema,
+        )
+
+    stage1 = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("cbucket")
+        .map_groups(join_cust, batch_format="pandas")
+    )
+
+    class TagLineitem:
+        def __init__(self, pkeys, skeys, starget):
+            self.pkeys, self.skeys, self.starget = pkeys, skeys, starget
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = _col(batch, "l_partkey").cast(pa.int64())
+            keep = pc.is_in(pk, value_set=self.pkeys)
+            batch = batch.filter(keep)
+            sk = _col(batch, "l_suppkey").cast(pa.int64())
+            sidx = pc.index_in(sk, value_set=self.skeys).to_numpy(zero_copy_only=False)
+            is_target = self.starget[sidx.astype(np.int64)]
+            ok = _col(batch, "l_orderkey").cast(pa.int64())
+            ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")
+            n = len(batch)
+            return pa.table(
+                {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+                 "o_year": pa.nulls(n, pa.int64()),
+                 "target_cents": pa.array(np.where(is_target, rev, 0)),
+                 "total_cents": pa.array(rev),
+                 "side": pa.array(["L"] * n, pa.string())},
+                schema=stage2_schema,
+            )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li_tagged = li.map_batches(
+        TagLineitem, fn_constructor_args=(part_keys, sup_keys, sup_target),
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    def join_year(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "target_cents", "total_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "o_year"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        agg = j.groupby("o_year", as_index=False)[["target_cents", "total_cents"]].sum()
+        return pa.table(
+            {"o_year": pa.array(agg["o_year"].to_numpy(dtype="int64")),
+             "target_cents": pa.array(agg["target_cents"].to_numpy(dtype="int64")),
+             "total_cents": pa.array(agg["total_cents"].to_numpy(dtype="int64"))}
+        )
+
+    grouped = (
+        stage1.union(li_tagged)
+        .groupby("obucket")
+        .map_groups(join_year, batch_format="pandas")
+        .to_pandas()
+    )
+    if grouped.empty:
+        return pd.DataFrame(
+            {"o_year": pd.Series([], dtype="int64"),
+             "target_rev_cents": pd.Series([], dtype="int64"),
+             "total_rev_cents": pd.Series([], dtype="int64"),
+             "mkt_share": pd.Series([], dtype="float64")}
+        )
+    out = grouped.groupby("o_year", as_index=False)[["target_cents", "total_cents"]].sum()
+    out = out.rename(columns={"target_cents": "target_rev_cents",
+                              "total_cents": "total_rev_cents"})
+    out["mkt_share"] = [
+        round_half_away(t / d, 6) if d else 0.0
+        for t, d in zip(out["target_rev_cents"], out["total_rev_cents"])
+    ]
+    out["target_rev_cents"] = out["target_rev_cents"].astype("int64")
+    out["total_rev_cents"] = out["total_rev_cents"].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) over parts
+    matching a name substring. No ``ps_supplycost`` exists, so unit cost is
+    DERIVED deterministically as 10% of the part's retail price in cents
+    (``floor(p_retailprice·10 + 0.5)``) — profit stays exact int64:
+    ``floor(ep·(1−disc)·100+0.5) − qty·unit_cost``. Part (substring mask +
+    cost) and supplier (nation) broadcast once per actor; the year arrives
+    via the orderkey reduce-side bucket join."""
+    B = 16
+    needle = "red"
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).take_all()
+    part_in = {int(r["p_partkey"]): int(np.floor(r["p_retailprice"] * 10 + 0.5))
+               for r in part if needle in r["p_name"]}
+    part_keys = pa.array(sorted(part_in), pa.int64())
+    part_cost = pa.array([part_in[k] for k in sorted(part_in)], pa.int64())
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    sup_keys = pa.array([int(r["s_suppkey"]) for r in sup], pa.int64())
+    sup_nat = pa.array([int(r["s_nationkey"]) for r in sup], pa.int64())
+    nat_names = {int(r["n_nationkey"]): r["n_name"]
+                 for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()}
+
+    stage2_schema = pa.schema(
+        [("obucket", pa.int64()), ("orderkey", pa.int64()), ("natkey", pa.int64()),
+         ("o_year", pa.int64()), ("amount_cents", pa.int64()), ("side", pa.string())]
+    )
+
+    class TagLineitem:
+        def __init__(self, pkeys, pcost, skeys, snat):
+            self.pkeys, self.pcost = pkeys, pcost
+            self.skeys, self.snat = skeys, snat
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pk = _col(batch, "l_partkey").cast(pa.int64())
+            pidx = pc.index_in(pk, value_set=self.pkeys)
+            keep = pc.is_valid(pidx)
+            batch, pidx = batch.filter(keep), pidx.filter(keep)
+            sk = _col(batch, "l_suppkey").cast(pa.int64())
+            sidx = pc.index_in(sk, value_set=self.skeys)
+            ok = _col(batch, "l_orderkey").cast(pa.int64())
+            ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype("int64")
+            cost = self.pcost.take(pidx).to_numpy(zero_copy_only=False)
+            amount = (np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64")
+                      - qty * cost)
+            n = len(batch)
+            return pa.table(
+                {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+                 "natkey": self.snat.take(sidx), "o_year": pa.nulls(n, pa.int64()),
+                 "amount_cents": pa.array(amount),
+                 "side": pa.array(["L"] * n, pa.string())},
+                schema=stage2_schema,
+            )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    li_tagged = li.map_batches(
+        TagLineitem, fn_constructor_args=(part_keys, part_cost, sup_keys, sup_nat),
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "o_orderkey").cast(pa.int64())
+        yr = pc.year(_col(batch, "o_orderdate")).cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "natkey": pa.nulls(n, pa.int64()), "o_year": yr,
+             "amount_cents": pa.array(np.zeros(n, dtype="int64")),
+             "side": pa.array(["O"] * n, pa.string())},
+            schema=stage2_schema,
+        )
+
+    def join_profit(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "natkey", "amount_cents"]]
+        right = g[g["side"] == "O"][["orderkey", "o_year"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        agg = j.groupby(["natkey", "o_year"], as_index=False)["amount_cents"].sum()
+        return pa.table(
+            {"natkey": pa.array(agg["natkey"].to_numpy(dtype="int64")),
+             "o_year": pa.array(agg["o_year"].to_numpy(dtype="int64")),
+             "amount_cents": pa.array(agg["amount_cents"].to_numpy(dtype="int64"))}
+        )
+
+    grouped = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li_tagged)
+        .groupby("obucket")
+        .map_groups(join_profit, batch_format="pandas")
+        .to_pandas()
+    )
+    if grouped.empty:
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype="object"),
+             "o_year": pd.Series([], dtype="int64"),
+             "profit_cents": pd.Series([], dtype="int64")}
+        )
+    out = grouped.groupby(["natkey", "o_year"], as_index=False)["amount_cents"].sum()
+    out["n_name"] = out["natkey"].map(lambda k: nat_names[int(k)])
+    out = out.rename(columns={"amount_cents": "profit_cents"})
+    out["profit_cents"] = out["profit_cents"].astype("int64")
+    return out.sort_values(["n_name", "o_year"], ascending=[True, False]).reset_index(
+        drop=True
+    )[["n_name", "o_year", "profit_cents"]]
+
+
+def q12_shipping_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (adapted — no shipmode column, so the group key is
+    ``l_linestatus``): two-way conditional counts of high- vs low-priority
+    orders whose ship lag lands in a band. The lag computes as exact int64
+    microsecond arithmetic (``(shipdate − orderdate) // 86 400 000 000``);
+    the orderkey bucket join carries only (orderkey, priority-bit) against
+    (orderkey, status, in-band-bit) and each bucket emits two-int partials
+    per status."""
+    B = 16
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    lag_lo, lag_hi = 30, 90  # days, [lo, hi)
+    import pyarrow.dataset as pads
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                   filter=(pads.field("o_orderdate") >= lo)
+                   & (pads.field("o_orderdate") < hi))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_linestatus"])
+
+    schema = pa.schema(
+        [("obucket", pa.int64()), ("orderkey", pa.int64()), ("high", pa.int64()),
+         ("ship_us", pa.int64()), ("order_us", pa.int64()),
+         ("l_linestatus", pa.string()), ("side", pa.string())]
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "o_orderkey").cast(pa.int64())
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pri, ["1-URGENT", "2-HIGH"]).astype("int64")
+        od = _col(batch, "o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "high": pa.array(high), "ship_us": pa.nulls(n, pa.int64()),
+             "order_us": od, "l_linestatus": pa.nulls(n, pa.string()),
+             "side": pa.array(["O"] * n, pa.string())},
+            schema=schema,
+        )
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "l_orderkey").cast(pa.int64())
+        sd = _col(batch, "l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "high": pa.nulls(n, pa.int64()), "ship_us": sd,
+             "order_us": pa.nulls(n, pa.int64()),
+             "l_linestatus": _col(batch, "l_linestatus").cast(pa.string()),
+             "side": pa.array(["L"] * n, pa.string())},
+            schema=schema,
+        )
+
+    US_PER_DAY = 86_400_000_000
+
+    def join_counts(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "ship_us", "l_linestatus"]]
+        right = g[g["side"] == "O"][["orderkey", "high", "order_us"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        lag_days = (j["ship_us"].to_numpy(dtype="int64")
+                    - j["order_us"].to_numpy(dtype="int64")) // US_PER_DAY
+        j = j[(lag_days >= lag_lo) & (lag_days < lag_hi)]
+        agg = j.groupby("l_linestatus", as_index=False)["high"].agg(["sum", "count"])
+        return pa.table(
+            {"l_linestatus": pa.array(agg["l_linestatus"], pa.string()),
+             "high_line_count": pa.array(agg["sum"].to_numpy(dtype="int64")),
+             "low_line_count": pa.array(
+                 (agg["count"] - agg["sum"]).to_numpy(dtype="int64"))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(join_counts, batch_format="pandas")
+        .groupby("l_linestatus")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+    )
+    pdf = out.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(
+            {"l_linestatus": pd.Series([], dtype="object"),
+             "high_line_count": pd.Series([], dtype="int64"),
+             "low_line_count": pd.Series([], dtype="int64")}
+        )
+    pdf["high_line_count"] = pdf["high_line_count"].astype("int64")
+    pdf["low_line_count"] = pdf["low_line_count"].astype("int64")
+    return pdf.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape (adapted — no receipt/commit dates, so 'kept waiting'
+    means shipping over a year after the order date): for finished ('F')
+    multi-supplier orders where EXACTLY ONE supplier shipped late, count the
+    orders blamed on each supplier of one REGION. The EXISTS (another
+    supplier on the order) and NOT-EXISTS (another LATE supplier) pair
+    resolves inside the orderkey bucket — per-order distinct-supplier and
+    distinct-late-supplier counts are two vectorized ``groupby.nunique``
+    passes, no self-join blowup. Lateness is exact int64 microsecond math;
+    the region filter applies to the blamed supplier AFTER the counts (the
+    other-supplier tests must see ALL suppliers)."""
+    B = 16
+    region_name = "ASIA"
+    late_days = 365
+    import pyarrow.dataset as pads
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"],
+                filter=(pads.field("r_name") == region_name)).take_all()
+    rkeys = {int(r["r_regionkey"]) for r in reg}
+    nat_in = {int(n["n_nationkey"]) for n in nation if int(n["n_regionkey"]) in rkeys}
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_name"]).take_all()
+    sup_in = {int(r["s_suppkey"]): r["s_name"] for r in sup
+              if int(r["s_nationkey"]) in nat_in}
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"],
+                   filter=(pads.field("o_orderstatus") == "F"))
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    schema = pa.schema(
+        [("obucket", pa.int64()), ("orderkey", pa.int64()), ("suppkey", pa.int64()),
+         ("ship_us", pa.int64()), ("order_us", pa.int64()), ("side", pa.string())]
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "o_orderkey").cast(pa.int64())
+        od = _col(batch, "o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "suppkey": pa.nulls(n, pa.int64()), "ship_us": pa.nulls(n, pa.int64()),
+             "order_us": od, "side": pa.array(["O"] * n, pa.string())},
+            schema=schema,
+        )
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        ok = _col(batch, "l_orderkey").cast(pa.int64())
+        sd = _col(batch, "l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {"obucket": pc.bit_wise_and(ok, B - 1), "orderkey": ok,
+             "suppkey": _col(batch, "l_suppkey").cast(pa.int64()), "ship_us": sd,
+             "order_us": pa.nulls(n, pa.int64()),
+             "side": pa.array(["L"] * n, pa.string())},
+            schema=schema,
+        )
+
+    US_PER_DAY = 86_400_000_000
+
+    def blame_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "L"][["orderkey", "suppkey", "ship_us"]]
+        right = g[g["side"] == "O"][["orderkey", "order_us"]]
+        j = left.merge(right, on="orderkey", how="inner")
+        if j.empty:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        lag = (j["ship_us"].to_numpy(dtype="int64")
+               - j["order_us"].to_numpy(dtype="int64")) // US_PER_DAY
+        j = j.assign(late=lag >= late_days)
+        nsupp = j.groupby("orderkey")["suppkey"].nunique()
+        late = j[j["late"]]
+        nlate = late.groupby("orderkey")["suppkey"].nunique()
+        blamed_orders = nlate[(nlate == 1)].index.intersection(
+            nsupp[nsupp > 1].index
+        )
+        blamed = late[late["orderkey"].isin(blamed_orders)][
+            ["orderkey", "suppkey"]
+        ].drop_duplicates()
+        agg = blamed.groupby("suppkey").size().reset_index(name="numwait")
+        return pa.table(
+            {"s_suppkey": pa.array(agg["suppkey"].to_numpy(dtype="int64")),
+             "numwait": pa.array(agg["numwait"].to_numpy(dtype="int64"))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("obucket")
+        .map_groups(blame_bucket, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    pdf = out.to_pandas()
+    pdf = pdf[pdf["s_suppkey"].map(lambda k: int(k) in sup_in)]
+    if pdf.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype="object"),
+             "numwait": pd.Series([], dtype="int64")}
+        )
+    pdf = pdf.copy()
+    pdf["s_name"] = pdf["s_suppkey"].map(lambda k: sup_in[int(k)])
+    pdf["numwait"] = pdf["numwait"].astype("int64")
+    return pdf.sort_values(["numwait", "s_name"], ascending=[False, True]).head(
+        100
+    ).reset_index(drop=True)[["s_suppkey", "s_name", "numwait"]]
+
+
+# ---------------------------------------------------------------------------
 # the catalogs
 # ---------------------------------------------------------------------------
 
@@ -4911,8 +5715,16 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_priority_counts": q12_shipping_priority_counts,
+    "q16_supplier_count": q16_supplier_count,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "q21_blamed_suppliers": q21_blamed_suppliers,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -5525,6 +6337,151 @@ def _build_oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
           AND l_quantity < 24
+    """,
+    "q2_min_cost_supplier": """
+        WITH eligible AS (
+          SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+                 MIN(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS min_ep
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+               AND p.p_type = 'STANDARD' AND p.p_size <= 15
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+          GROUP BY 1, 2)
+        SELECT CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_cents,
+               s.s_name, n.n_name, e.partkey AS p_partkey, p.p_name,
+               e.suppkey AS s_suppkey, e.min_ep AS supplycost_cents
+        FROM eligible e
+        JOIN part p ON p.p_partkey = e.partkey
+        JOIN supplier s ON s.s_suppkey = e.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE e.min_ep = (SELECT MIN(e2.min_ep) FROM eligible e2
+                          WHERE e2.partkey = e.partkey)
+        ORDER BY s_acctbal_cents DESC, n.n_name, s.s_name, p_partkey
+        LIMIT 100
+    """,
+    "q8_market_share": """
+        WITH l AS (
+          SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(FLOOR(li.l_extendedprice * (1 - li.l_discount) * 100 + 0.5) AS BIGINT) AS rev,
+                 CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_t
+          FROM lineitem li
+          JOIN part p ON p.p_partkey = li.l_partkey AND p.p_type = 'ECONOMY'
+          JOIN supplier s ON s.s_suppkey = li.l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          JOIN orders o ON o.o_orderkey = li.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+          WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN is_t = 1 THEN rev ELSE 0 END) AS BIGINT) AS target_rev_cents,
+               CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+               ROUND(CAST(SUM(CASE WHEN is_t = 1 THEN rev ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        FROM l GROUP BY o_year ORDER BY o_year
+    """,
+    "q9_product_profit": """
+        SELECT n.n_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                        - CAST(l.l_quantity AS BIGINT)
+                          * CAST(FLOOR(p.p_retailprice * 10 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY n.n_name, o_year
+        ORDER BY n.n_name, o_year DESC
+    """,
+    "q11_important_stock": """
+        WITH ps AS (
+          SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+                 MIN(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS min_ep,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+          GROUP BY 1, 2
+        ), pv AS (
+          SELECT partkey AS ps_partkey,
+                 CAST(SUM(min_ep * sum_qty) AS BIGINT) AS value_cents
+          FROM ps GROUP BY 1)
+        SELECT ps_partkey, value_cents FROM pv
+        WHERE value_cents * 10000 > (SELECT SUM(value_cents) FROM pv)
+        ORDER BY value_cents DESC, ps_partkey
+    """,
+    "q12_shipping_priority_counts": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """,
+    "q16_supplier_count": """
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#4'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+    "q20_dominant_suppliers": """
+        WITH pair AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT partkey, SUM(qty) AS total FROM pair GROUP BY 1)
+        SELECT DISTINCT pr.suppkey AS s_suppkey, s.s_name
+        FROM pair pr
+        JOIN tot t ON t.partkey = pr.partkey
+        JOIN supplier s ON s.s_suppkey = pr.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+        WHERE 2 * pr.qty > t.total
+        ORDER BY s_suppkey
+    """,
+    "q21_blamed_suppliers": """
+        WITH j AS (
+          SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+                 CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 365 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ), stats AS (
+          SELECT orderkey, COUNT(DISTINCT suppkey) AS nsupp,
+                 COUNT(DISTINCT CASE WHEN late = 1 THEN suppkey END) AS nlate
+          FROM j GROUP BY orderkey
+        ), blamed AS (
+          SELECT DISTINCT j.orderkey, j.suppkey
+          FROM j JOIN stats st ON st.orderkey = j.orderkey
+          WHERE j.late = 1 AND st.nlate = 1 AND st.nsupp > 1)
+        SELECT b.suppkey AS s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM blamed b
+        JOIN supplier s ON s.s_suppkey = b.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+        GROUP BY b.suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
     """,
     "q7_volume_shipping": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -16,8 +16,11 @@ SUBSET = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q16_supplier_count",
+    "q21_blamed_suppliers",
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "q13_customer_distribution",
