@@ -64,6 +64,9 @@ QUERY_SWEEP = [
     "q18_large_orders",
     "q22_idle_customers",
     "events_user_deltas",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "corpus_dsir_weights",
 ]
 
 

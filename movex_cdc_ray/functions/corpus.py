@@ -675,3 +675,122 @@ def quality_cut_per_group(
         return b[b[score_col].to_numpy() >= t.to_numpy()]
 
     return scored.map_batches(cut, batch_format="pandas")
+
+
+def dsir_importance(
+    ds: rd.Dataset,
+    target_lang: str = "en",
+    m: int = 256,
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-n-gram bag is under the TARGET
+    distribution than under the raw-corpus distribution —
+    ``log w(x) = Σ_b c_b(x)·(ln p̂_b − ln q̂_b)`` over ``m`` hash buckets of
+    word uni+bigrams with add-α smoothing. Downstream selection composes
+    with ``weighted_sample_es`` / top-k, exactly as the paper resamples.
+
+    Distributed shape (two passes, no corpus shuffle):
+      * Count pass — each batch folds its grams to ≤ m (bucket, n_target,
+        n_all) partial rows before ONE m-sized groupby; the target is the
+        ``lang == target_lang`` slice (a SAMPLE of the target domain at
+        scale), counted in the same pass as the raw totals.
+      * λ broadcast — the per-bucket log-ratio compresses to an m-vector of
+        int64 MICRO-UNITS (``round_half_away(λ·10⁶)``): the only float
+        arithmetic is the per-bucket ``ln`` evaluated identically by numpy
+        and the SQL oracle; every per-document fold is then exact integer
+        summation, so NO float summation order exists anywhere.
+      * Score pass — stateless map; gram→bucket md5 hashes memoized per
+        actor (vocabulary-sized, same convention as DuckDB
+        ``md5_number_upper``: little-endian first 8 digest bytes).
+
+    Output columns: ``doc_id``, ``n_grams`` (uni+bigram occurrences),
+    ``log_weight_micro`` (Σ c_b·λ_b in 1e-6 log units, int64)."""
+    import re
+
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    def _grams(batch: pd.DataFrame) -> pd.DataFrame:
+        """(doc ordinal, gram) long frame: unigrams + space-joined bigrams."""
+        toks = batch[text_col].reset_index(drop=True).fillna("").str.lower().str.findall(word_re)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype=object)})
+        uni = pd.DataFrame({"doc": ex.index.to_numpy(dtype="int64"), "g": ex.values})
+        f = uni.copy()
+        w2 = f.groupby("doc")["g"].shift(-1)
+        bi = f[w2.notna()]
+        bi = pd.DataFrame({"doc": bi["doc"].to_numpy(),
+                           "g": bi["g"].to_numpy() + " " + w2.dropna().to_numpy()})
+        return pd.concat([uni, bi], ignore_index=True)
+
+    class GramHasher:
+        """Per-actor gram→bucket memo; md5 little-endian first-8 == DuckDB
+        ``md5_number_upper``, modulo m."""
+
+        def __init__(self, m: int):
+            self.m = m
+            self.memo: dict[str, int] = {}
+
+        def buckets(self, grams: pd.Series) -> np.ndarray:
+            memo, md5, mm = self.memo, hashlib.md5, self.m
+            uniq = grams.unique()
+            for g in uniq:
+                if g not in memo:
+                    memo[g] = int.from_bytes(md5(g.encode()).digest()[:8], "little") % mm
+            return grams.map(memo).to_numpy(dtype="int64")
+
+    class CountStage(GramHasher):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            f = _grams(batch)
+            if f.empty:
+                return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                     "n_all": pd.Series([], dtype="int64"),
+                                     "n_target": pd.Series([], dtype="int64")})
+            is_t = (batch[lang_col].reset_index(drop=True) == target_lang).to_numpy()
+            f["bucket"] = self.buckets(f["g"])
+            f["t"] = is_t[f["doc"].to_numpy()].astype("int64")
+            agg = f.groupby("bucket").agg(n_all=("t", "size"), n_target=("t", "sum"))
+            return agg.reset_index()
+
+    counts = (
+        ds.map_batches(CountStage, fn_constructor_args=(m,), batch_format="pandas",
+                       concurrency=_pool.pool_size(4))
+        .groupby("bucket")
+        .aggregate(Sum("n_all", alias_name="n_all"), Sum("n_target", alias_name="n_target"))
+        .to_pandas()
+    )
+    n_all = np.zeros(m, dtype="int64")
+    n_tgt = np.zeros(m, dtype="int64")
+    if not counts.empty:
+        b = counts["bucket"].to_numpy(dtype="int64")
+        n_all[b] = counts["n_all"].to_numpy(dtype="int64")
+        n_tgt[b] = counts["n_target"].to_numpy(dtype="int64")
+    p_tot, q_tot = int(n_tgt.sum()), int(n_all.sum())
+    lam = (np.log((n_tgt + alpha) / (p_tot + alpha * m))
+           - np.log((n_all + alpha) / (q_tot + alpha * m)))
+    lam_int = round_half_away(lam * scale, 0).astype("int64")  # micro-units
+
+    class ScoreStage(GramHasher):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            f = _grams(batch)
+            out = pd.DataFrame({id_col: batch[id_col].to_numpy()})
+            if f.empty:
+                out["n_grams"] = np.int64(0)
+                out["log_weight_micro"] = np.int64(0)
+                return out
+            lam_g = lam_int[self.buckets(f["g"])]
+            g = pd.DataFrame({"doc": f["doc"].to_numpy(), "l": lam_g}).groupby("doc")["l"]
+            docs = pd.RangeIndex(len(batch))
+            out["n_grams"] = g.size().reindex(docs, fill_value=0).astype("int64").values
+            out["log_weight_micro"] = g.sum().reindex(docs, fill_value=0).astype("int64").values
+            return out
+
+    return ds.map_batches(ScoreStage, fn_constructor_args=(m,), batch_format="pandas",
+                          concurrency=_pool.pool_size(4))

@@ -885,3 +885,66 @@ def covariance_matrix(ds: rd.Dataset, vec_col: str = "embedding") -> pd.DataFram
          "n_vecs": np.int64(n),
          "cov": round_half_away(cov, 6)}
     )
+
+
+def pca_power_projection(
+    ds: rd.Dataset,
+    iters: int = 3,
+    coord_scale: int = 1000,
+    v_scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Top-principal-direction projection via INTEGER power iteration — the
+    eigenvector-extraction step a PCA/whitening pipeline runs on top of the
+    :func:`covariance_matrix` fold.
+
+    Every arithmetic step is exact int64, so no float summation order
+    exists anywhere (the PageRank trick): coordinates quantize once as
+    ``round_half_away(x·coord_scale)``; the Gram matrix folds per batch as
+    one integer ``Xᵀ X`` matmul (d² partial rows per block, a kilobyte
+    exchange); the driver runs ``iters`` power steps ``w = G·v`` with a
+    truncating rescale ``v ← trunc(w / max(1, max|w| // v_scale))``
+    (truncation toward zero — DuckDB's BIGINT ``//`` — NOT Python floor);
+    the projection pass is one integer matvec per batch. Sign and ties are
+    pinned by the all-ones start vector. The d×d Gram and the d-vector live
+    on the driver — dimension-sized, never corpus-sized."""
+    first = ds.take(1)
+    if not first:
+        raise ValueError("pca_power_projection: empty embedding dataset")
+    d = len(first[0][vec_col])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch[vec_col])
+        xi = round_half_away(x * coord_scale, 0).astype("int64")
+        g = xi.T @ xi  # exact: numpy integer matmul
+        ij = np.arange(d * d, dtype="int64")
+        return pa.table({"ij": pa.array(ij), "g": pa.array(g.reshape(-1))})
+
+    from ray.data.aggregate import Sum
+
+    gp = (
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("ij")
+        .aggregate(Sum("g", alias_name="g"))
+        .to_pandas()
+    )
+    G = np.zeros(d * d, dtype="int64")
+    G[gp["ij"].to_numpy(dtype="int64")] = gp["g"].to_numpy(dtype="int64")
+    G = G.reshape(d, d)
+
+    v = np.ones(d, dtype="int64")
+    for _ in range(iters):
+        w = G @ v
+        div = max(1, int(np.abs(w).max()) // v_scale)
+        v = np.sign(w) * (np.abs(w) // div)  # trunc-toward-zero == DuckDB //
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch[vec_col])
+        xi = round_half_away(x * coord_scale, 0).astype("int64")
+        return pa.table(
+            {id_col: batch[id_col],
+             "proj_units": pa.array(xi @ v)}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -595,6 +595,51 @@ def _pq_sql(
     return head + "".join(its) + asgn + tail
 
 
+def _pca_power_sql(iters: int = 3, coord_scale: int = 1000,
+                   v_scale: int = 1_000_000) -> str:
+    """DuckDB value oracle for embedding_pca_power: the identical integer
+    power iteration unrolled as chained CTEs. Every step is exact BIGINT
+    arithmetic — coordinates quantize via ROUND(x·scale) (the only float
+    op, computed identically by numpy's round_half_away), the Gram matrix
+    is an integer self-join sum, and the rescale uses DuckDB's BIGINT
+    ``//`` (truncation toward zero), which the engine emulates as
+    ``sign(w)·(|w| // div)`` — NOT Python floor division. Hash-exact."""
+    head = f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), ex AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(emb, 1) AS i,
+                 CAST(ROUND(unnest(emb) * {coord_scale}, 0) AS BIGINT) AS x
+          FROM e
+        ), g AS MATERIALIZED (
+          SELECT a.i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+          FROM ex a JOIN ex b ON b.vec_id = a.vec_id
+          GROUP BY a.i, b.i
+        ), v0 AS MATERIALIZED (
+          SELECT DISTINCT i, CAST(1 AS BIGINT) AS val FROM ex
+        )"""
+    its = []
+    for t in range(1, iters + 1):
+        its.append(f"""
+        , w{t} AS MATERIALIZED (
+          SELECT g.i, CAST(SUM(g.g * v.val) AS BIGINT) AS w
+          FROM g JOIN v{t - 1} v ON v.i = g.j
+          GROUP BY g.i
+        ), m{t} AS MATERIALIZED (
+          SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(w)) // {v_scale}) AS dv
+          FROM w{t}
+        ), v{t} AS MATERIALIZED (
+          SELECT i, w // dv AS val FROM w{t} CROSS JOIN m{t}
+        )""")
+    tail = f"""
+        SELECT ex.vec_id, CAST(SUM(ex.x * v.val) AS BIGINT) AS proj_units
+        FROM ex JOIN v{iters} v ON v.i = ex.i
+        GROUP BY ex.vec_id
+        ORDER BY ex.vec_id
+    """
+    return head + "".join(its) + tail
+
+
 def _corpus_split_sql(seed: int = 7, n_buckets: int = 10_000) -> str:
     """DuckDB value oracle for corpus_split: the same md5 id-bucket
     (md5_number_upper == the engine's little-endian first-8-bytes integer)
@@ -4885,6 +4930,34 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
     )[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
 
 
+def embedding_pca_power(sf_dir: str) -> pd.DataFrame:
+    """Top-principal-direction projection of every embedding via integer
+    power iteration (see :func:`functions.similarity.pca_power_projection`
+    — exact int64 Gram fold + truncating power steps, hash-exact oracle)."""
+    from ..functions.similarity import pca_power_projection
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = pca_power_projection(ds).to_pandas()
+    pdf["proj_units"] = pdf["proj_units"].astype("int64")
+    return pdf.sort_values("vec_id").reset_index(drop=True)[["vec_id", "proj_units"]]
+
+
+def corpus_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023) over the
+    documents table: target = the ``lang == 'en'`` slice, features = hashed
+    word uni+bigrams in 256 buckets, weight = Σ c_b·λ_b with λ in exact
+    int64 micro-units (see :func:`functions.corpus.dsir_importance`)."""
+    from ..functions.corpus import dsir_importance
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pdf = dsir_importance(ds).to_pandas()
+    pdf["n_grams"] = pdf["n_grams"].astype("int64")
+    pdf["log_weight_micro"] = pdf["log_weight_micro"].astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_grams", "log_weight_micro"]
+    ]
+
+
 # ---------------------------------------------------------------------------
 # TPC-H third batch: the derived-partsupp family (Q2/Q11/Q16/Q20) and the
 # remaining join shapes (Q8/Q9/Q12/Q21), adapted to the synth star schema
@@ -5715,6 +5788,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "corpus_dsir_weights": corpus_dsir_weights,
+    "embedding_pca_power": embedding_pca_power,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -6337,6 +6412,53 @@ def _build_oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
           AND l_quantity < 24
+    """,
+    # DSIR (Xie et al. 2023): the full pipeline re-derived — hashed
+    # uni+bigram buckets (md5_number_upper % 256), add-α bucket models for
+    # the lang='en' target vs the raw corpus, λ in int64 micro-units
+    # (ROUND(λ·1e6) — the ONLY float step, evaluated identically by numpy),
+    # per-doc weights as exact integer sums
+    "corpus_dsir_weights": r"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM (SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents)
+        ), big AS (
+          SELECT doc_id, lang,
+                 w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM tok
+        ), grams AS (
+          SELECT doc_id, lang, w AS g FROM tok
+          UNION ALL
+          SELECT doc_id, lang, g FROM big WHERE g IS NOT NULL
+        ), b AS (
+          SELECT doc_id, lang,
+                 CAST(md5_number_upper(g) % 256 AS BIGINT) AS bucket
+          FROM grams
+        ), agg AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+          FROM b GROUP BY bucket
+        ), tot AS (
+          SELECT CAST(SUM(n_all) AS BIGINT) AS q, CAST(SUM(n_target) AS BIGINT) AS p
+          FROM agg
+        ), lam AS (
+          SELECT a.bucket,
+                 CAST(ROUND((ln((a.n_target + 0.5) / (t.p + 0.5 * 256))
+                           - ln((a.n_all + 0.5) / (t.q + 0.5 * 256))) * 1000000,
+                            0) AS BIGINT) AS l
+          FROM agg a CROSS JOIN tot t
+        ), scored AS (
+          SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(l.l) AS BIGINT) AS log_weight_micro
+          FROM b JOIN lam l ON l.bucket = b.bucket
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.log_weight_micro, 0) AS BIGINT) AS log_weight_micro
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "q2_min_cost_supplier": """
         WITH eligible AS (
@@ -7675,6 +7797,7 @@ def _build_oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS dup_count
         FROM n GROUP BY norm_md5 ORDER BY keep_id
     """,
+    "embedding_pca_power": _pca_power_sql(),
     "multimodal_decode_real": _decode_real_sql(),
     "multimodal_frames": _frames_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

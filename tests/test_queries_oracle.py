@@ -50,6 +50,8 @@ SUBSET = [
     "events_gap_fill",
     "events_pivot",
     "events_cep_match",
+    "corpus_dsir_weights",
+    "embedding_pca_power",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
