@@ -948,3 +948,96 @@ def pca_power_projection(
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+class HardNegativeScorer(BruteForceScorer):
+    """BruteForceScorer variant for contrastive-pair mining: per query,
+    candidates sharing the anchor's LABEL are masked out before the partial
+    top-k, so only cross-label ("hard negative") neighbors survive. Same
+    broadcast-once / one-matmul-per-batch shape and declared block schema."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding", label_col: str = "label"):
+        super().__init__(queries_ref, k, id_col, vec_col)
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qlabels = np.asarray(q["labels"], dtype=np.int64)
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return PARTIAL_TOPK_SCHEMA.empty_table()
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        labels = batch[self.label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        sims = self.qmat @ mat.T
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            neg = labels != self.qlabels[qi]
+            if not neg.any():
+                continue
+            cand_ids, cand_sims = ids_np[neg], sims[qi, neg]
+            k = min(self.k, len(cand_ids))
+            sel = np.lexsort((cand_ids, -cand_sims))[:k]
+            rows_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            rows_id.append(cand_ids[sel])
+            rows_s.append(cand_sims[sel])
+        if not rows_q:
+            return PARTIAL_TOPK_SCHEMA.empty_table()
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(rows_q)),
+             "neighbor_id": pa.array(np.concatenate(rows_id).astype(np.int64)),
+             "cosine": pa.array(np.concatenate(rows_s), pa.float64())},
+            schema=PARTIAL_TOPK_SCHEMA,
+        )
+
+
+def hard_negative_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k most
+    cosine-similar vectors whose LABEL DIFFERS from the anchor's — the
+    highest-loss negatives an InfoNCE/triplet objective wants. Same scale
+    shape as :func:`brute_force_topk` (anchors broadcast once via
+    ``ray.put``, one matmul + label mask per batch, (batches × k) driver
+    merge); at corpus scale swap the scan for the LSH/IVF candidate
+    generation and keep the same label-mask scoring stage."""
+    qset = sorted(set(query_ids))
+    qrows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(qset))),
+        batch_format="pyarrow",
+    ).take_all()
+    if not qrows:
+        raise ValueError(f"no anchor vectors found for ids {qset}")
+    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
+    queries_ref = ray.put(
+        {"ids": [r[id_col] for r in qrows],
+         "mat": np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]),
+         "labels": [r[label_col] for r in qrows]}
+    )
+    partials = ds.map_batches(
+        HardNegativeScorer,
+        fn_constructor_args=(queries_ref, k, id_col, vec_col, label_col),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+        batch_size=4096,
+    )
+    pdf = partials.to_pandas()
+    out = []
+    for qid, g in pdf.groupby("query_id"):
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["cosine"] = round_half_away(res["cosine"].to_numpy(), 6)
+    return res[["query_id", "neighbor_id", "rank", "cosine"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)

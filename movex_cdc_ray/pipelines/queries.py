@@ -4930,6 +4930,16 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
     )[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
 
 
+def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Contrastive hard-negative mining: per anchor (vec_ids 0-4), the 10
+    most cosine-similar embeddings with a DIFFERENT label (see
+    :func:`functions.similarity.hard_negative_topk`)."""
+    from ..functions.similarity import hard_negative_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return hard_negative_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def embedding_pca_power(sf_dir: str) -> pd.DataFrame:
     """Top-principal-direction projection of every embedding via integer
     power iteration (see :func:`functions.similarity.pca_power_projection`
@@ -5789,6 +5799,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "corpus_dsir_weights": corpus_dsir_weights,
+    "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_pca_power": embedding_pca_power,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -7796,6 +7807,24 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT norm_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS dup_count
         FROM n GROUP BY norm_md5 ORDER BY keep_id
+    """,
+    "embedding_hard_negatives": """
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (
+            SELECT q.vec_id AS query_id,
+                   v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                                v.vec_id ASC
+                   ) AS rank,
+                   ROUND(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings q
+            JOIN embeddings v ON v.label <> q.label
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        ) t
+        WHERE rank <= 10
+        ORDER BY query_id, rank
     """,
     "embedding_pca_power": _pca_power_sql(),
     "multimodal_decode_real": _decode_real_sql(),
