@@ -55,8 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
-    The only key absent here (multimodal_decode) is non-SQL-expressible —
-    its fake features are PCG64-seeded normals — and gets a rows-only check.
+    The keys absent here are non-SQL-expressible and get rows-only checks:
+    multimodal_decode (fake features are PCG64-seeded normals) and
+    text_bpe_merges (BPE training is iterative string rewriting; pytest
+    value-locks it against an independent brute-force implementation).
     The seeded hash families (minhash perms, simhash, hyperplane LSH), the
     IVF k-means quantizer (unrolled Lloyd iterations as materialized CTEs),
     the flagship replay's staged binlog AND the real multimodal decodes

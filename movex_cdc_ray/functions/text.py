@@ -954,3 +954,167 @@ class GopherRulesFilter:
         out["r_stop"] = n_stop >= 2
         out["keep"] = np.logical_and.reduce([out[r].to_numpy() for r in self.RULES])
         return out
+
+
+def _bpe_merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Apply one BPE merge (a, b) → a+b to a symbol sequence, leftmost
+    non-overlapping — the canonical algorithm (Sennrich et al. 2016)."""
+    out, i, n = [], 0, len(syms)
+    ab = a + b
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch adjacent-pair counts over (syms list, n) rows — explode +
+    within-word shift, weighted by word frequency; folds the batch to
+    ≤ |distinct pairs in batch| rows before the pair groupby."""
+    ex = batch["syms"].reset_index(drop=True).explode()
+    if ex.empty:
+        return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    f = pd.DataFrame({"word": ex.index.to_numpy(), "s": ex.to_numpy()})
+    nxt = f.groupby("word")["s"].shift(-1)
+    keep = nxt.notna().to_numpy()
+    wfreq = batch["n"].reset_index(drop=True).to_numpy(dtype="int64")
+    g = pd.DataFrame(
+        {"pair": f["s"].to_numpy()[keep] + "\x1f" + nxt.to_numpy()[keep],
+         "n": wfreq[f["word"].to_numpy()[keep]]}
+    )
+    return g.groupby("pair", as_index=False)["n"].sum()
+
+
+def _bpe_argmax(pairs: pd.DataFrame) -> tuple[str, str, int] | None:
+    """Deterministic best pair: max count, ties to the lexicographically
+    SMALLEST '\\x1f'-packed pair key."""
+    if pairs.empty:
+        return None
+    best_n = int(pairs["n"].max())
+    key = pairs.loc[pairs["n"] == best_n, "pair"].min()
+    a, b = key.split("\x1f")
+    return a, b, best_n
+
+
+def bpe_train(
+    ds,
+    n_merges: int = 30,
+    text_col: str = "text",
+    vocab_driver_limit: int = 2_000_000,
+) -> pd.DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016).
+
+    Scale shape — the corpus is read EXACTLY ONCE: pass 1 folds each batch
+    to (word, n) partials before one word-vocabulary groupby (the
+    ``top_tokens`` combiner shape). Every merge iteration then runs over
+    the VOCABULARY, not the corpus. Two equivalent iteration engines share
+    the same per-batch kernels (``_bpe_pair_partial`` / ``_bpe_argmax`` /
+    ``_bpe_merge_word``), value-locked against each other in pytest:
+
+      * vocab ≤ ``vocab_driver_limit``: the vocab table collects once and
+        iterates on the driver — 30 merges cost 30 pandas passes over a
+        bounded table, no Ray round-trips.
+      * vocab above the limit (10⁸+ distinct words at corpus scale): the
+        vocab stays a Ray DATASET; each iteration is map_batches(pair
+        partials) → one pair-keyed groupby → per-block top-1 fold (the
+        driver sees blocks×1 rows, never the pair table) → broadcast merge
+        → map_batches(apply). State between iterations is a materialized
+        vocab-sized dataset; the corpus is never re-read.
+
+    The per-word merge application is a Python scan BY DESIGN: it touches
+    vocab rows (bounded, shrinking), never corpus rows. Counts are exact
+    integers; 'aaa' contributes 2 to ('a','a'), matching the reference
+    implementation; ties break to the lexicographically smallest pair, so
+    the table is deterministic under any sharding.
+
+    Returns the merge table (rank, left, right, pair_count) — the artifact
+    a tokenizer ships. Not SQL-expressible (iterative rewriting): the
+    driver records a rows-only check; pytest value-locks both engines
+    against an independent brute-force implementation."""
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    def word_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        return ex.value_counts().rename_axis("w").reset_index(name="n")
+
+    vocab_ds = (
+        ds.map_batches(word_partials, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    empty = pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                          "left": pd.Series([], dtype=object),
+                          "right": pd.Series([], dtype=object),
+                          "pair_count": pd.Series([], dtype="int64")})
+    n_vocab = vocab_ds.count()
+    if n_vocab == 0:
+        return empty
+
+    def to_syms(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"syms": [list(w[:-1]) + [w[-1] + "</w>"] for w in batch["w"]],
+             "n": batch["n"].to_numpy(dtype="int64")}
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+
+    if n_vocab <= vocab_driver_limit:
+        vocab = to_syms(vocab_ds.to_pandas())
+        for rank in range(n_merges):
+            best = _bpe_argmax(_bpe_pair_partial(vocab))
+            if best is None:
+                break
+            a, b, n = best
+            merges.append((rank + 1, a, b, n))
+            vocab["syms"] = [
+                _bpe_merge_word(s, a, b) if a in s else s for s in vocab["syms"]
+            ]
+    else:
+        state = vocab_ds.map_batches(to_syms, batch_format="pandas").materialize()
+        for rank in range(n_merges):
+
+            def local_top1(batch: pd.DataFrame) -> pd.DataFrame:
+                t = _bpe_argmax(batch)
+                if t is None:
+                    return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                         "n": pd.Series([], dtype="int64")})
+                return pd.DataFrame({"pair": [t[0] + "\x1f" + t[1]], "n": [t[2]]})
+
+            tops = (
+                state.map_batches(_bpe_pair_partial, batch_format="pandas")
+                .groupby("pair")
+                .aggregate(Sum("n", alias_name="n"))
+                .map_batches(local_top1, batch_format="pandas")
+                .to_pandas()  # blocks × 1 rows
+            )
+            best = _bpe_argmax(tops)
+            if best is None:
+                break
+            a, b, n = best
+            merges.append((rank + 1, a, b, n))
+
+            def apply_merge(batch: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["syms"] = [
+                    _bpe_merge_word(list(s), a, b) if a in list(s) else list(s)
+                    for s in batch["syms"]
+                ]
+                return batch
+
+            state = state.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
+        {"rank": "int64", "pair_count": "int64"}
+    ) if merges else empty

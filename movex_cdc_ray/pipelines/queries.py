@@ -4930,6 +4930,18 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
     )[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
 
 
+def text_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the learned merge
+    table for 30 merges over the documents corpus. Rows-only for the driver
+    (iterative string rewriting is not SQL-expressible); pytest value-locks
+    both iteration engines against an independent brute-force BPE
+    (tests/test_round3_fixes.py)."""
+    from ..functions.text import bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(ds, n_merges=30)
+
+
 def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
     """Contrastive hard-negative mining: per anchor (vec_ids 0-4), the 10
     most cosine-similar embeddings with a DIFFERENT label (see
@@ -5800,6 +5812,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "corpus_dsir_weights": corpus_dsir_weights,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "text_bpe_merges": text_bpe_merges,
     "embedding_pca_power": embedding_pca_power,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
