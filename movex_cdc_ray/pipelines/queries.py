@@ -4930,6 +4930,48 @@ def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
     )[["supp_nation", "cust_nation", "l_year", "revenue_cents"]]
 
 
+def events_moving_window(sf_dir: str) -> pd.DataFrame:
+    """ROWS-frame moving aggregate (the window shape the RANGE/hopping
+    family doesn't cover): per user, the trailing-3-row window sum of value
+    in cents plus the in-window row count, ordered by (ts, event_id). One
+    user-hash shuffle (the merge path's key); inside each bucket a single
+    sort + grouped rolling sum in pandas C loops. Output stays EXACT int64
+    (window sums of cents), so no float summation order exists."""
+    B = 16
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = _col(batch, "user_id").cast(pa.int64())
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ubucket": pc.bit_wise_and(uid, B - 1),
+             "event_id": _col(batch, "event_id").cast(pa.int64()),
+             "ts": _col(batch, "ts").cast(pa.timestamp("us")),
+             "user_id": uid,
+             "cents": pa.array(np.floor(v * 100 + 0.5).astype("int64"))}
+        )
+
+    def window_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id")["cents"]
+        w_sum = grp.rolling(3, min_periods=1).sum().to_numpy()
+        w_n = grp.rolling(3, min_periods=1).count().to_numpy()
+        return pa.table(
+            {"event_id": pa.array(g["event_id"].to_numpy(dtype="int64")),
+             "user_id": pa.array(g["user_id"].to_numpy(dtype="int64")),
+             "w_sum_cents": pa.array(w_sum.astype("int64")),
+             "w_n": pa.array(w_n.astype("int64"))}
+        )
+
+    pdf = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(window_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
 def text_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): the learned merge
     table for 30 merges over the documents corpus. Rows-only for the driver
@@ -5813,6 +5855,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "embedding_hard_negatives": embedding_hard_negatives,
     "text_bpe_merges": text_bpe_merges,
+    "events_moving_window": events_moving_window,
     "embedding_pca_power": embedding_pca_power,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -7820,6 +7863,17 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT norm_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS dup_count
         FROM n GROUP BY norm_md5 ORDER BY keep_id
+    """,
+    "events_moving_window": """
+        SELECT event_id, user_id,
+               CAST(SUM(cents) OVER w AS BIGINT) AS w_sum_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS w_n
+        FROM (SELECT event_id, ts, user_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "embedding_hard_negatives": """
         SELECT query_id, neighbor_id, rank, cosine
