@@ -67,6 +67,8 @@ QUERY_SWEEP = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "corpus_dsir_weights",
+    "embedding_pca_power",
+    "text_bpe_merges",
 ]
 
 
