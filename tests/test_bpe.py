@@ -79,3 +79,20 @@ def test_bpe_sharding_invariance(ray_session):
     one = bpe_train(rd.from_arrow(t), n_merges=10)
     many = bpe_train(rd.from_arrow(t).repartition(7), n_merges=10)
     pd.testing.assert_frame_equal(one, many)
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcz", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_bpe_property_matches_brute_force(ray_session, texts):
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = bpe_train(rd.from_arrow(t), n_merges=6)
+    exp = brute_force_bpe(texts, 6)
+    pd.testing.assert_frame_equal(got, exp)
