@@ -289,6 +289,11 @@ class CaptureConfig:
     # lz4 | none): zstd roughly halves lake bytes at 100 TB for some write
     # CPU; digests hash VALUES, so the codec never affects determinism
     lake_compression: str = "snappy"
+    # message-delivery codec (the reference producer's compression.type=gzip,
+    # `app/models/kafka_java.rb:186-199`): "gzip" writes epoch=N.jsonl.gz
+    # with a pinned mtime=0 header so crashed-epoch re-attempts stay
+    # byte-identical; readers are extension-agnostic
+    producer_compression: str = "none"
     # incrementally-maintained grouped-aggregate views (rewrite merge mode
     # only: delta mode never loads the previous per-key state the retraction
     # needs — run_epoch validates)
@@ -310,6 +315,11 @@ class CaptureConfig:
         names = [v.name for v in self.views]
         if len(names) != len(set(names)):
             raise ValueError(f"duplicate view names: {sorted(n for n in set(names) if names.count(n) > 1)}")
+        if self.producer_compression not in ("none", "gzip"):
+            raise ValueError(
+                f"producer_compression must be 'none' or 'gzip', got "
+                f"{self.producer_compression!r}"
+            )
 
     # ---- lookups -----------------------------------------------------------
     def table_by_id(self, table_id: int) -> TableConfig:
@@ -388,6 +398,7 @@ class CaptureConfig:
                     "cloudevents_source",
                     "build_version",
                     "lake_compression",
+                    "producer_compression",
                 )
                 if k in d
             },

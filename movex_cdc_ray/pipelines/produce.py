@@ -70,10 +70,37 @@ def _atomic_write_text(data: bytes, path: str) -> int:
     return len(data)
 
 
-def message_file(out_dir: str, topic: str, part: int, epoch: int) -> str:
+def message_file(out_dir: str, topic: str, part: int, epoch: int,
+                 compression: str = "none") -> str:
+    ext = ".jsonl.gz" if compression == "gzip" else ".jsonl"
     return os.path.join(
-        out_dir, TOPICS_DIR, topic, f"part={part:05d}", f"epoch={epoch:06d}.jsonl"
+        out_dir, TOPICS_DIR, topic, f"part={part:05d}", f"epoch={epoch:06d}{ext}"
     )
+
+
+def _epoch_files(part_dir: str) -> list[tuple[int, str]]:
+    """(epoch, path) of every message file in a partition dir, either
+    extension — readers are compression-agnostic, so a stream can switch
+    ``producer_compression`` between epochs without breaking consumers."""
+    out = []
+    for f in glob.glob(os.path.join(part_dir, "epoch=*.jsonl")) + glob.glob(
+        os.path.join(part_dir, "epoch=*.jsonl.gz")
+    ):
+        b = os.path.basename(f)
+        out.append((int(b[len("epoch="):].split(".")[0]), f))
+    return sorted(out)
+
+
+def _message_lines(path: str):
+    """Text lines of a message file, gzip-aware; zero-byte files (a topic
+    slice with no messages) yield nothing regardless of extension."""
+    import gzip
+
+    if os.path.getsize(path) == 0:
+        return
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
+        yield from fh
 
 
 @dataclass
@@ -187,9 +214,21 @@ def produce_partition(ctx: ProduceContext, group: pa.Table, part: int) -> pa.Tab
         mask = pc.equal(pc.fill_null(topics_col, ""), topic)
         tl = lines.filter(mask)
         data = ("\n".join(tl.to_pylist()) + "\n").encode() if len(tl) else b""
+        comp = getattr(cfg, "producer_compression", "none")
+        if comp == "gzip" and data:
+            import gzip
+
+            # mtime=0 pins the gzip header: a crashed epoch's re-attempt
+            # must reproduce the committed bytes EXACTLY (the produce
+            # crash-recovery byte-identity contract)
+            payload = gzip.compress(data, 6, mtime=0)
+        else:
+            payload = data
         total_bytes += _atomic_write_text(
-            data, message_file(out_dir, topic or "_untopiced", part, epoch)
+            payload, message_file(out_dir, topic or "_untopiced", part, epoch, comp)
         )
+        # the epoch sha hashes UNCOMPRESSED message bytes, so rewrite/gzip
+        # runs of the same stream stay digest-comparable
         h.update(topic.encode() + b"\x00" + data)
         written_topics.append(topic or "_untopiced")
 
@@ -246,9 +285,10 @@ def produce_epoch(
     # number and a stale file would deliver phantom duplicates
     import shutil as _sh
 
-    for f in glob.glob(os.path.join(out_dir, TOPICS_DIR, "*", "part=*",
-                                    f"epoch={epoch:06d}.jsonl")):
-        os.remove(f)
+    for ext in (".jsonl", ".jsonl.gz"):
+        for f in glob.glob(os.path.join(out_dir, TOPICS_DIR, "*", "part=*",
+                                        f"epoch={epoch:06d}{ext}")):
+            os.remove(f)
     _sh.rmtree(os.path.join(out_dir, DLQ_DIR, f"epoch={epoch:06d}"), ignore_errors=True)
 
     ctx = ProduceContext(out_dir=out_dir, epoch=epoch,
@@ -355,15 +395,20 @@ def read_topic(out_dir: str, topic: str) -> rd.Dataset:
     """Messages of one topic as a Dataset (key, value strings) — committed
     epochs only, the consumer-side half of exactly-once."""
     committed = Manifest.latest(out_dir).epoch
-    files = []
+    plain, gz = [], []
     for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
-        for f in sorted(glob.glob(os.path.join(d, "epoch=*.jsonl"))):
-            e = int(os.path.basename(f)[len("epoch="):-len(".jsonl")])
+        for e, f in _epoch_files(d):
             if e <= committed and os.path.getsize(f):
-                files.append(f)
-    if not files:
+                (gz if f.endswith(".gz") else plain).append(f)
+    parts = []
+    if plain:
+        parts.append(rd.read_json(plain, file_extensions=["jsonl"]))
+    if gz:
+        parts.append(rd.read_json(gz, file_extensions=["gz"],
+                                  arrow_open_stream_args={"compression": "gzip"}))
+    if not parts:
         return rd.from_items([])
-    return rd.read_json(files, file_extensions=["jsonl"])
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
 def topic_messages(out_dir: str, topic: str) -> list[dict]:
@@ -375,16 +420,14 @@ def topic_messages(out_dir: str, topic: str) -> list[dict]:
     out = []
     for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
         part = int(os.path.basename(d).split("=")[1])
-        for f in sorted(glob.glob(os.path.join(d, "epoch=*.jsonl"))):
-            e = int(os.path.basename(f)[len("epoch="):-len(".jsonl")])
+        for e, f in _epoch_files(d):
             if e > committed:
                 continue
-            with open(f) as fh:
-                for line in fh:
-                    if line.strip():
-                        m = json.loads(line)
-                        m["_part"] = part
-                        out.append(m)
+            for line in _message_lines(f):
+                if line.strip():
+                    m = json.loads(line)
+                    m["_part"] = part
+                    out.append(m)
     return out
 
 
@@ -449,23 +492,21 @@ def consume_topic(
         part = int(os.path.basename(d).split("=")[1])
         seen = 0
         skip = start.get(part, 0)
-        for f in sorted(glob.glob(os.path.join(d, "epoch=*.jsonl"))):
-            e = int(os.path.basename(f)[len("epoch="):-len(".jsonl")])
+        for e, f in _epoch_files(d):
             if e > committed:
                 continue
-            with open(f) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    seen += 1
-                    if seen <= skip:
-                        continue
-                    if max_messages is not None and len(out) >= max_messages:
-                        break
-                    m = json.loads(line)
-                    m["_part"] = part
-                    out.append(m)
-                    new_offsets[part] = seen
+            for line in _message_lines(f):
+                if not line.strip():
+                    continue
+                seen += 1
+                if seen <= skip:
+                    continue
+                if max_messages is not None and len(out) >= max_messages:
+                    break
+                m = json.loads(line)
+                m["_part"] = part
+                out.append(m)
+                new_offsets[part] = seen
             if max_messages is not None and len(out) >= max_messages:
                 break
         if max_messages is not None and len(out) >= max_messages:

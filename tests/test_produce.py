@@ -240,3 +240,69 @@ def test_consumer_group_offsets(ray_session, stream_dir, tmp_path):
 
     # groups are independent
     assert len(consume_topic(out, TOPIC, "g3")) == len(topic_messages(out, TOPIC))
+
+
+def test_gzip_delivery_matches_plain(ray_session, stream_dir, tmp_path):
+    # the reference producer's compression.type=gzip (kafka_java.rb:186-199):
+    # identical messages, identical epoch shas (they hash UNCOMPRESSED
+    # bytes), smaller files, and extension-agnostic readers
+    cfg_plain = config_for_spec(SPEC, num_partitions=4)
+    cfg_gz = config_for_spec(SPEC, num_partitions=4)
+    cfg_gz.producer_compression = "gzip"
+    out_p, out_g = str(tmp_path / "p"), str(tmp_path / "g")
+    rep_p = produce(stream_dir, out_p, cfg_plain, chunks_per_epoch=2)
+    rep_g = produce(stream_dir, out_g, cfg_gz, chunks_per_epoch=2)
+    assert rep_g["delivered"] == rep_p["delivered"] > 0
+    mp, mg = topic_messages(out_p, TOPIC), topic_messages(out_g, TOPIC)
+    assert mp == mg
+    gz_files = glob.glob(os.path.join(out_g, "topics", "**", "*.jsonl.gz"),
+                         recursive=True)
+    assert gz_files and not glob.glob(
+        os.path.join(out_g, "topics", "**", "*.jsonl"), recursive=True)
+    # compression actually compresses
+    assert sum(os.path.getsize(f) for f in gz_files) < sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(out_p, "topics", "**", "*.jsonl"),
+                           recursive=True))
+    # read_topic (the Dataset reader) sees the same message count
+    from movex_cdc_ray.pipelines.produce import read_topic
+
+    assert read_topic(out_g, TOPIC).count() == len(mp)
+
+
+def test_gzip_crash_reattempt_byte_identical(ray_session, stream_dir, tmp_path):
+    # mtime=0 in the gzip header pins the bytes: deleting the newest
+    # manifest (crash after staging, before commit) and re-producing must
+    # reproduce every committed .gz file EXACTLY
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.producer_compression = "gzip"
+    out = str(tmp_path / "t")
+    produce(stream_dir, out, cfg, chunks_per_epoch=2)
+
+    def digest():
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(out, "topics", "**", "*.jsonl.gz"),
+                                  recursive=True)):
+            h.update(f.removeprefix(out).encode())
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    d1 = digest()
+    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])
+    produce(stream_dir, out, cfg, chunks_per_epoch=2)
+    assert digest() == d1
+
+
+def test_consumer_group_over_gzip(ray_session, stream_dir, tmp_path):
+    from movex_cdc_ray.pipelines.produce import consume_topic
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.producer_compression = "gzip"
+    out = str(tmp_path / "t")
+    produce(stream_dir, out, cfg, chunks_per_epoch=2)
+    first = consume_topic(out, TOPIC, "g1", max_messages=50)
+    rest = consume_topic(out, TOPIC, "g1")
+    assert len(first) == 50 and len(rest) > 0
+    assert len(first) + len(rest) == len(topic_messages(out, TOPIC))
+    assert consume_topic(out, TOPIC, "g1") == []  # offsets committed
