@@ -85,3 +85,81 @@ def test_gc_consumed_chunks_preserves_resume_ordinals(tmp_path):
     assert len(gc_consumed_chunks(d, 8, unlink=True)) == 3
     got = [os.path.basename(p) for p in pending_chunks(d, 8)]
     assert got == [f"chunk_{i:06d}.parquet" for i in range(8, 10)]
+
+
+def test_double_sigkill_then_resume_converges(tmp_path):
+    """TWO successive drivers killed at different landing points (the second
+    kill lands in resume territory — skipping committed epochs, then dying
+    mid-flight again); the third driver must still converge exactly."""
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "lake")
+    generate_stream(stream, SPEC)
+    child_src = CHILD.format(repo="/root/repo", stream=stream, lake=lake)
+
+    for delay in (7.0, 9.0):
+        p = subprocess.Popen(
+            [sys.executable, "-c", child_src],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        time.sleep(delay)
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+
+    out = subprocess.run(
+        [sys.executable, "-c", child_src], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = lake_to_pandas(lake)
+    exp = expected_lake_state(SPEC)
+    cols = ["repo", "path", "commit", "content", "_last_id", "_last_op"]
+    assert got[cols].reset_index(drop=True).equals(exp[cols].reset_index(drop=True))
+
+
+PRODUCE_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from movex_cdc_ray.pipelines.produce import produce
+from movex_cdc_ray.synth import StreamSpec, config_for_spec
+spec = StreamSpec(n_events=40_000, n_repos=10, paths_per_repo=50, chunk_size=2_000, evolve_at_event=30_000)
+produce({stream!r}, {out!r}, config_for_spec(spec, num_partitions=8), chunks_per_epoch=2)
+print("PRODUCE_DONE")
+"""
+
+
+def test_sigkill_mid_produce_resumes_byte_identical(tmp_path):
+    """The delivery path under a hard kill: the resumed run's committed
+    message tree must equal an uninterrupted run's — same messages, same
+    per-key ascending order — with no phantom or duplicate lines from the
+    half-written attempt."""
+    from movex_cdc_ray.pipelines.produce import topic_messages
+
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, SPEC)
+    crashed, clean = str(tmp_path / "crashed"), str(tmp_path / "clean")
+
+    child_src = PRODUCE_CHILD.format(repo="/root/repo", stream=stream, out=crashed)
+    p = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(8.0)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    out = subprocess.run(
+        [sys.executable, "-c", child_src], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    clean_src = PRODUCE_CHILD.format(repo="/root/repo", stream=stream, out=clean)
+    out = subprocess.run(
+        [sys.executable, "-c", clean_src], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    assert topic_messages(crashed, "lake.code.files") == topic_messages(
+        clean, "lake.code.files"
+    )
