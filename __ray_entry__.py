@@ -57,8 +57,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
     The keys absent here are non-SQL-expressible and get rows-only checks:
     multimodal_decode (fake features are PCG64-seeded normals) and
-    text_bpe_merges (BPE training is iterative string rewriting; pytest
-    value-locks it against an independent brute-force implementation).
+    text_bpe_merges / text_bpe_encode (BPE training and encoding are
+    iterative string rewriting; pytest value-locks both against
+    independent brute-force implementations, tests/test_bpe.py).
     The seeded hash families (minhash perms, simhash, hyperplane LSH), the
     IVF k-means quantizer (unrolled Lloyd iterations as materialized CTEs),
     the flagship replay's staged binlog AND the real multimodal decodes

@@ -1118,3 +1118,56 @@ def bpe_train(
     return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"}
     ) if merges else empty
+
+
+def bpe_encode(
+    ds,
+    merges: pd.DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply a learned BPE merge table (from :func:`bpe_train`) to the
+    corpus: per document, the token count and an md5 of the full token
+    stream (the verification artifact — hashes instead of shipping the
+    token list). The merge table broadcasts as a plain rank-ordered list;
+    each actor memoizes word→segmentation, so a word's merge loop runs
+    once per DISTINCT word per actor regardless of corpus size. Rows-only
+    for the driver (same iterative-rewriting reason as bpe_train); pytest
+    value-locks it against a brute-force encoder."""
+    from ._pool import pool_size
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    merge_list = list(zip(merges["left"], merges["right"]))
+
+    class EncodeStage:
+        def __init__(self):
+            self.memo: dict[str, list[str]] = {}
+
+        def _segment(self, w: str) -> list[str]:
+            s = self.memo.get(w)
+            if s is None:
+                s = list(w[:-1]) + [w[-1] + "</w>"]
+                for a, b in merge_list:
+                    if a in s:
+                        s = _bpe_merge_word(s, a, b)
+                self.memo[w] = s
+            return s
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].reset_index(drop=True).fillna("").str.lower().str.findall(word_re)
+            n_tokens = np.zeros(len(batch), dtype="int64")
+            hashes = []
+            for i, words in enumerate(toks):
+                pieces: list[str] = []
+                for w in words:
+                    pieces.extend(self._segment(w))
+                n_tokens[i] = len(pieces)
+                hashes.append(hashlib.md5("\x1f".join(pieces).encode()).hexdigest())
+            return pd.DataFrame(
+                {id_col: batch[id_col].to_numpy(),
+                 "n_bpe_tokens": n_tokens,
+                 "token_stream_md5": hashes}
+            )
+
+    return ds.map_batches(EncodeStage, batch_format="pandas",
+                          concurrency=pool_size(4))

@@ -4984,6 +4984,19 @@ def text_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return bpe_train(ds, n_merges=30)
 
 
+def text_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """Tokenize the corpus with its own learned BPE merges: per doc the
+    token count + an md5 of the token stream (see
+    :func:`functions.text.bpe_encode`). Rows-only like text_bpe_merges;
+    pytest value-locks the encoder against a brute force."""
+    from ..functions.text import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=30)
+    pdf = bpe_encode(ds, merges).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
     """Contrastive hard-negative mining: per anchor (vec_ids 0-4), the 10
     most cosine-similar embeddings with a DIFFERENT label (see
@@ -5855,6 +5868,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "embedding_hard_negatives": embedding_hard_negatives,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
     "events_moving_window": events_moving_window,
     "embedding_pca_power": embedding_pca_power,
     "q2_min_cost_supplier": q2_min_cost_supplier,

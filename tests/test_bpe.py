@@ -96,3 +96,48 @@ def test_bpe_property_matches_brute_force(ray_session, texts):
     got = bpe_train(rd.from_arrow(t), n_merges=6)
     exp = brute_force_bpe(texts, 6)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def brute_force_encode(texts, merges):
+    rows = []
+    for i, t in enumerate(texts):
+        pieces = []
+        for w in WORD_RE.findall((t or "").lower()):
+            s = list(w[:-1]) + [w[-1] + "</w>"]
+            for _, a, b, _n in merges.itertuples(index=False):
+                out, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        out.append(a + b); j += 2
+                    else:
+                        out.append(s[j]); j += 1
+                s = out
+            pieces.extend(s)
+        rows.append((i, len(pieces)))
+    return rows
+
+
+def test_bpe_encode_matches_brute_force(ray_session):
+    import hashlib
+
+    t = _docs().slice(0, 150)
+    texts = t["text"].to_pylist()
+    from movex_cdc_ray.functions.text import bpe_encode
+
+    merges = brute_force_bpe(texts, 15)
+    got = bpe_encode(rd.from_arrow(t), merges).to_pandas().sort_values("doc_id")
+    exp = brute_force_encode(texts, merges)
+    assert got["n_bpe_tokens"].tolist() == [n for _, n in exp]
+    # more tokens merge away as ranks apply: sanity vs raw char count
+    assert (got["n_bpe_tokens"] > 0).all()
+
+
+def test_bpe_encode_fewer_tokens_with_more_merges(ray_session):
+    t = _docs().slice(0, 150)
+    from movex_cdc_ray.functions.text import bpe_encode
+
+    m5 = bpe_train(rd.from_arrow(t), n_merges=5)
+    m25 = bpe_train(rd.from_arrow(t), n_merges=25)
+    n5 = bpe_encode(rd.from_arrow(t), m5).to_pandas()["n_bpe_tokens"].sum()
+    n25 = bpe_encode(rd.from_arrow(t), m25).to_pandas()["n_bpe_tokens"].sum()
+    assert n25 < n5

@@ -120,4 +120,4 @@ def test_every_query_has_callable_and_oracle_keys():
     # fake features) and text_bpe_merges (iterative rewriting — value-locked
     # against a brute-force implementation in tests/test_bpe.py instead)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"multimodal_decode", "text_bpe_merges"}
+    assert rows_only == {"multimodal_decode", "text_bpe_merges", "text_bpe_encode"}
