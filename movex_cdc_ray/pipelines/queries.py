@@ -4972,6 +4972,50 @@ def events_moving_window(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("event_id").reset_index(drop=True)
 
 
+def events_rank_portfolio(sf_dir: str) -> pd.DataFrame:
+    """Ranking-window portfolio over bounded (event_type, hour) groups:
+    RANK (min method, real ties on equal cents), DENSE_RANK, and the
+    CUME_DIST fraction as EXACT integers (n_le / n_grp — no float division
+    crosses the compare). Groups are bounded by types × hours, so per-group
+    vectorized pandas ranks scale; for an UNBOUNDED single-group global
+    rank use the sample-banded range-partition prefix-sum pattern
+    (events_ntile)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        hr = pc.floor_temporal(_col(batch, "ts"), unit="hour")
+        return pa.table(
+            {"event_id": _col(batch, "event_id").cast(pa.int64()),
+             "event_type": _col(batch, "event_type").cast(pa.string()),
+             "hr": hr.cast(pa.timestamp("us")),
+             "cents": pa.array(np.floor(v * 100 + 0.5).astype("int64"))}
+        )
+
+    def rank_group(g: pd.DataFrame) -> pa.Table:
+        c = g["cents"]
+        rnk = c.rank(method="min", ascending=False).astype("int64")
+        drnk = c.rank(method="dense", ascending=False).astype("int64")
+        n_le = c.rank(method="max", ascending=True).astype("int64")
+        return pa.table(
+            {"event_id": pa.array(g["event_id"].to_numpy(dtype="int64")),
+             "event_type": pa.array(g["event_type"], pa.string()),
+             "hr": pa.array(g["hr"]).cast(pa.timestamp("us")),
+             "rnk": pa.array(rnk.to_numpy()),
+             "drnk": pa.array(drnk.to_numpy()),
+             "n_le": pa.array(n_le.to_numpy()),
+             "n_grp": pa.array(np.full(len(g), len(g), dtype="int64"))}
+        )
+
+    pdf = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .map_groups(rank_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
 def text_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): the learned merge
     table for 30 merges over the documents corpus. Rows-only for the driver
@@ -5870,6 +5914,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "events_moving_window": events_moving_window,
+    "events_rank_portfolio": events_rank_portfolio,
     "embedding_pca_power": embedding_pca_power,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -7877,6 +7922,21 @@ def _build_oracle_sql() -> dict[str, str]:
         SELECT norm_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS dup_count
         FROM n GROUP BY norm_md5 ORDER BY keep_id
+    """,
+    "events_rank_portfolio": """
+        SELECT event_id, event_type, hr,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               CAST(COUNT(*) FILTER (WHERE TRUE) OVER
+                    (PARTITION BY event_type, hr ORDER BY cents ASC
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_le,
+               CAST(COUNT(*) OVER (PARTITION BY event_type, hr) AS BIGINT) AS n_grp
+        FROM (SELECT event_id, event_type, date_trunc('hour', ts) AS hr,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY event_type, hr ORDER BY cents DESC)
+        ORDER BY event_id
     """,
     "events_moving_window": """
         SELECT event_id, user_id,
