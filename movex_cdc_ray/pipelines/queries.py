@@ -595,6 +595,76 @@ def _pq_sql(
     return head + "".join(its) + asgn + tail
 
 
+def _dsir_sql(final: str = "weights", m: int = 256, alpha: float = 0.5) -> str:
+    """DuckDB value oracle for the DSIR family: hashed uni+bigram buckets
+    (md5_number_upper % m), add-α bucket models for the lang='en' target vs
+    the raw corpus, λ in int64 micro-units (ROUND(λ·1e6) — the ONLY float
+    step, evaluated identically by numpy), per-doc weights as exact integer
+    sums. ``final='sample'`` appends the Efraimidis-Spirakis resampling leg
+    (the paper's selection step): w = exp(log_weight/1e6), key = ln(u)/w
+    with the same md5-dyadic u as corpus_sample_weighted, top-100."""
+    head = f"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM (SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents)
+        ), big AS (
+          SELECT doc_id, lang,
+                 w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM tok
+        ), grams AS (
+          SELECT doc_id, lang, w AS g FROM tok
+          UNION ALL
+          SELECT doc_id, lang, g FROM big WHERE g IS NOT NULL
+        ), b AS (
+          SELECT doc_id, lang,
+                 CAST(md5_number_upper(g) % {m} AS BIGINT) AS bucket
+          FROM grams
+        ), agg AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+          FROM b GROUP BY bucket
+        ), tot AS (
+          SELECT CAST(SUM(n_all) AS BIGINT) AS q, CAST(SUM(n_target) AS BIGINT) AS p
+          FROM agg
+        ), lam AS (
+          SELECT a.bucket,
+                 CAST(ROUND((ln((a.n_target + {alpha}) / (t.p + {alpha} * {m}))
+                           - ln((a.n_all + {alpha}) / (t.q + {alpha} * {m}))) * 1000000,
+                            0) AS BIGINT) AS l
+          FROM agg a CROSS JOIN tot t
+        ), scored AS (
+          SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(l.l) AS BIGINT) AS log_weight_micro
+          FROM b JOIN lam l ON l.bucket = b.bucket
+          GROUP BY b.doc_id
+        ), dw AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+                 CAST(COALESCE(s.log_weight_micro, 0) AS BIGINT) AS log_weight_micro
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        )"""
+    if final == "weights":
+        return head + """
+        SELECT doc_id, n_grams, log_weight_micro FROM dw ORDER BY doc_id
+    """
+    return head + f"""
+        , keyed AS (
+          SELECT doc_id, log_weight_micro,
+                 ln(({_md5_byte_sql(0)} * 16777216 + {_md5_byte_sql(1)} * 65536
+                     + {_md5_byte_sql(2)} * 256 + {_md5_byte_sql(3)} + 1)
+                    / 4294967296.0) / exp(log_weight_micro / 1000000.0) AS es_key
+          FROM (SELECT doc_id, log_weight_micro,
+                       md5(CAST(doc_id AS VARCHAR)) AS hx
+                FROM dw)
+        )
+        SELECT doc_id, log_weight_micro, ROUND(es_key, 6) AS es_key
+        FROM (SELECT * FROM keyed ORDER BY es_key DESC LIMIT 100)
+        ORDER BY doc_id
+    """
+
+
 def _pca_power_sql(iters: int = 3, coord_scale: int = 1000,
                    v_scale: int = 1_000_000) -> str:
     """DuckDB value oracle for embedding_pca_power: the identical integer
@@ -5051,6 +5121,31 @@ def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
     return hard_negative_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def corpus_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """The full DSIR pipeline end-to-end: importance weights →
+    Efraimidis-Spirakis weighted resample (the paper's selection step) —
+    w = exp(log_weight_micro/10⁶), key = ln(u)/w, top-100. Composes two
+    value-checked distributed ops; the whole chain is ONE SQL oracle."""
+    from ..functions.corpus import dsir_importance, weighted_sample_es
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    weights = dsir_importance(ds)
+
+    def add_w(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["w"] = np.exp(b["log_weight_micro"].to_numpy(dtype="float64") / 1_000_000.0)
+        return b
+
+    out = weighted_sample_es(
+        weights.map_batches(add_w, batch_format="pandas"), k=100, weight_col="w"
+    ).to_pandas()
+    out["es_key"] = np.round(out["es_key"], 6)
+    out["log_weight_micro"] = out["log_weight_micro"].astype("int64")
+    return out[["doc_id", "log_weight_micro", "es_key"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def embedding_pca_power(sf_dir: str) -> pd.DataFrame:
     """Top-principal-direction projection of every embedding via integer
     power iteration (see :func:`functions.similarity.pca_power_projection`
@@ -5910,6 +6005,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "corpus_dsir_weights": corpus_dsir_weights,
+    "corpus_dsir_sample": corpus_dsir_sample,
     "embedding_hard_negatives": embedding_hard_negatives,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
@@ -6539,53 +6635,8 @@ def _build_oracle_sql() -> dict[str, str]:
           AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 2 AND 4
           AND l_quantity < 24
     """,
-    # DSIR (Xie et al. 2023): the full pipeline re-derived — hashed
-    # uni+bigram buckets (md5_number_upper % 256), add-α bucket models for
-    # the lang='en' target vs the raw corpus, λ in int64 micro-units
-    # (ROUND(λ·1e6) — the ONLY float step, evaluated identically by numpy),
-    # per-doc weights as exact integer sums
-    "corpus_dsir_weights": r"""
-        WITH tok AS (
-          SELECT doc_id, lang, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
-          FROM (SELECT doc_id, lang,
-                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
-                FROM documents)
-        ), big AS (
-          SELECT doc_id, lang,
-                 w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
-          FROM tok
-        ), grams AS (
-          SELECT doc_id, lang, w AS g FROM tok
-          UNION ALL
-          SELECT doc_id, lang, g FROM big WHERE g IS NOT NULL
-        ), b AS (
-          SELECT doc_id, lang,
-                 CAST(md5_number_upper(g) % 256 AS BIGINT) AS bucket
-          FROM grams
-        ), agg AS (
-          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_all,
-                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
-          FROM b GROUP BY bucket
-        ), tot AS (
-          SELECT CAST(SUM(n_all) AS BIGINT) AS q, CAST(SUM(n_target) AS BIGINT) AS p
-          FROM agg
-        ), lam AS (
-          SELECT a.bucket,
-                 CAST(ROUND((ln((a.n_target + 0.5) / (t.p + 0.5 * 256))
-                           - ln((a.n_all + 0.5) / (t.q + 0.5 * 256))) * 1000000,
-                            0) AS BIGINT) AS l
-          FROM agg a CROSS JOIN tot t
-        ), scored AS (
-          SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-                 CAST(SUM(l.l) AS BIGINT) AS log_weight_micro
-          FROM b JOIN lam l ON l.bucket = b.bucket
-          GROUP BY b.doc_id)
-        SELECT d.doc_id,
-               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
-               CAST(COALESCE(s.log_weight_micro, 0) AS BIGINT) AS log_weight_micro
-        FROM documents d LEFT JOIN scored s USING (doc_id)
-        ORDER BY d.doc_id
-    """,
+    "corpus_dsir_weights": _dsir_sql("weights"),
+    "corpus_dsir_sample": _dsir_sql("sample"),
     "q2_min_cost_supplier": """
         WITH eligible AS (
           SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
