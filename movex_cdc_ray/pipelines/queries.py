@@ -4792,7 +4792,12 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
         pdf = batch.to_pandas().sort_values(
             ["revenue_cents", "c_custkey"], ascending=[False, True]
         ).head(20)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        # explicit schema (no pandas metadata): keeps block schemas hashable
+        # for Ray's schema deduplication
+        return pa.table(
+            {"c_custkey": pa.array(pdf["c_custkey"].to_numpy(dtype="int64")),
+             "revenue_cents": pa.array(pdf["revenue_cents"].to_numpy(dtype="int64"))}
+        )
 
     from ray.data.aggregate import Sum
 
