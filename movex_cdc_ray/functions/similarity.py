@@ -1041,3 +1041,67 @@ def hard_negative_topk(
     return res[["query_id", "neighbor_id", "rank", "cosine"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
+
+
+def sq8_encode(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """INT8 scalar quantization (the vector-DB storage codec beside PQ):
+    per-dimension min/max train over the corpus, then
+    ``code = round((x − mn) / (mx − mn) · 255)`` clipped to [0, 255].
+
+    Scale shape: the train pass folds each batch to d (dim, min, max)
+    partial rows (min/max are associative) before one d-sized groupby;
+    the ranges broadcast as two d-vectors; encode is one vectorized pass.
+    Output per vector: an md5 of the comma-joined code stream (the exact
+    verification artifact — no float recon-error sum whose addition order
+    could diverge), the exact int64 code sum, and clip-saturation counts.
+    Constant dimensions (mx == mn) encode as 0 on both sides."""
+    from ray.data.aggregate import Max, Min
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch[vec_col])
+        d = x.shape[1]
+        return pa.table(
+            {"i": pa.array(np.arange(d, dtype="int64")),
+             "mn": pa.array(x.min(axis=0)),
+             "mx": pa.array(x.max(axis=0))}
+        )
+
+    rng = (
+        ds.map_batches(minmax_partial, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("i")
+    )
+    mn = rng["mn"].to_numpy(dtype="float64")
+    mx = rng["mx"].to_numpy(dtype="float64")
+    span = mx - mn
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        x = _to_matrix(batch[vec_col])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = (x - mn[None, :]) / span[None, :] * 255.0
+        scaled = np.where(span[None, :] == 0.0, 0.0, scaled)
+        codes = round_half_away(scaled, 0)
+        n_lo = (codes < 0).sum(axis=1).astype("int64")
+        n_hi = (codes > 255).sum(axis=1).astype("int64")
+        codes = np.clip(codes, 0, 255).astype("int64")
+        md5s = [
+            hashlib.md5(",".join(str(c) for c in row).encode()).hexdigest()
+            for row in codes
+        ]
+        return pa.table(
+            {id_col: batch[id_col],
+             "codes_md5": pa.array(md5s, pa.string()),
+             "code_sum": pa.array(codes.sum(axis=1)),
+             "n_clip_lo": pa.array(n_lo),
+             "n_clip_hi": pa.array(n_hi)}
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -5126,6 +5126,20 @@ def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
     return hard_negative_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def embedding_sq8(sf_dir: str) -> pd.DataFrame:
+    """INT8 scalar quantization of the embedding corpus (see
+    :func:`functions.similarity.sq8_encode`): per-dim min/max train fold,
+    exact-integer verification artifacts (code-stream md5, code sum,
+    clip counts)."""
+    from ..functions.similarity import sq8_encode
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pdf = sq8_encode(ds).to_pandas()
+    for c in ("code_sum", "n_clip_lo", "n_clip_hi"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
 def corpus_dsir_sample(sf_dir: str) -> pd.DataFrame:
     """The full DSIR pipeline end-to-end: importance weights →
     Efraimidis-Spirakis weighted resample (the paper's selection step) —
@@ -6011,6 +6025,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_sample": corpus_dsir_sample,
+    "embedding_sq8": embedding_sq8,
     "embedding_hard_negatives": embedding_hard_negatives,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
@@ -8024,6 +8039,31 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """,
     "embedding_pca_power": _pca_power_sql(),
+    "embedding_sq8": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        ex AS (
+          SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+          FROM e
+        ), rng AS (
+          SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i
+        ), raw AS (
+          SELECT ex.vec_id, ex.i,
+                 CASE WHEN r.mx = r.mn THEN 0.0
+                      ELSE ROUND((ex.x - r.mn) / (r.mx - r.mn) * 255, 0) END AS rc
+          FROM ex JOIN rng r ON r.i = ex.i
+        ), codes AS (
+          SELECT vec_id, i,
+                 CAST(LEAST(GREATEST(rc, 0.0), 255.0) AS BIGINT) AS code,
+                 rc
+          FROM raw)
+        SELECT vec_id,
+               md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS codes_md5,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               CAST(SUM(CASE WHEN rc < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN rc > 255.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+        FROM codes GROUP BY vec_id
+        ORDER BY vec_id
+    """,
     "multimodal_decode_real": _decode_real_sql(),
     "multimodal_frames": _frames_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
