@@ -51,7 +51,20 @@ SUBSET = [
     "events_pivot",
     "events_cep_match",
     "corpus_dsir_weights",
+    "corpus_dsir_sample",
     "embedding_pca_power",
+    "embedding_sq8",
+    "embedding_hard_negatives",
+    "events_moving_window",
+    "events_rank_portfolio",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipping_priority_counts",
+    "q20_dominant_suppliers",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
