@@ -794,3 +794,79 @@ def dsir_importance(
 
     return ds.map_batches(ScoreStage, fn_constructor_args=(m,), batch_format="pandas",
                           concurrency=_pool.pool_size(4))
+
+
+def domain_divergence(
+    ds: rd.Dataset,
+    target_lang: str = "en",
+    m: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> pd.DataFrame:
+    """Per-bucket Jensen-Shannon divergence contributions between the
+    ``lang == target_lang`` slice and the REST of the corpus — the
+    domain-shift / mixture diagnostic a data pipeline runs before reweighting
+    (the distributions are the same hashed uni+bigram bucket models DSIR
+    trains). The count pass is the dsir_importance fold (≤ m partial rows
+    per batch, one m-sized groupby); the JS terms are computed per bucket
+    from exact integer counts and shipped as int64 MICRO-NATS — returning
+    per-bucket rows instead of one total means NO cross-bucket float sum
+    exists, so the oracle compare is exact. Σ contrib_micro / 10⁶ is the
+    JS divergence in nats (driver-side display only)."""
+    import re
+
+    word_re = re.compile(r"[a-z0-9_]+")
+
+    class CountStage:
+        def __init__(self):
+            self.memo: dict[str, int] = {}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].reset_index(drop=True).fillna("").str.lower().str.findall(word_re)
+            ex = toks.explode().dropna()
+            if ex.empty:
+                return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                     "n_a": pd.Series([], dtype="int64"),
+                                     "n_b": pd.Series([], dtype="int64")})
+            uni = pd.DataFrame({"doc": ex.index.to_numpy(dtype="int64"), "g": ex.values})
+            w2 = uni.groupby("doc")["g"].shift(-1)
+            bi = uni[w2.notna()]
+            f = pd.concat(
+                [uni, pd.DataFrame({"doc": bi["doc"].to_numpy(),
+                                    "g": bi["g"].to_numpy() + " " + w2.dropna().to_numpy()})],
+                ignore_index=True,
+            )
+            memo, md5 = self.memo, hashlib.md5
+            for g in f["g"].unique():
+                if g not in memo:
+                    memo[g] = int.from_bytes(md5(g.encode()).digest()[:8], "little") % m
+            f["bucket"] = f["g"].map(memo).astype("int64")
+            is_a = (batch[lang_col].reset_index(drop=True) == target_lang).to_numpy()
+            f["a"] = is_a[f["doc"].to_numpy()].astype("int64")
+            agg = f.groupby("bucket").agg(n=("a", "size"), n_a=("a", "sum"))
+            agg["n_b"] = agg["n"] - agg["n_a"]
+            return agg.reset_index()[["bucket", "n_a", "n_b"]]
+
+    counts = (
+        ds.map_batches(CountStage, batch_format="pandas", concurrency=_pool.pool_size(4))
+        .groupby("bucket")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .to_pandas()
+    )
+    n_a = np.zeros(m, dtype="int64")
+    n_b = np.zeros(m, dtype="int64")
+    if not counts.empty:
+        idx = counts["bucket"].to_numpy(dtype="int64")
+        n_a[idx] = counts["n_a"].to_numpy(dtype="int64")
+        n_b[idx] = counts["n_b"].to_numpy(dtype="int64")
+    ta, tb = int(n_a.sum()), int(n_b.sum())
+    p = (n_a + alpha) / (ta + alpha * m)
+    q = (n_b + alpha) / (tb + alpha * m)
+    mid = (p + q) / 2.0
+    contrib = 0.5 * p * np.log(p / mid) + 0.5 * q * np.log(q / mid)
+    return pd.DataFrame(
+        {"bucket": np.arange(m, dtype="int64"),
+         "n_a": n_a, "n_b": n_b,
+         "js_contrib_micro": round_half_away(contrib * 1_000_000, 0).astype("int64")}
+    )

@@ -665,6 +665,56 @@ def _dsir_sql(final: str = "weights", m: int = 256, alpha: float = 0.5) -> str:
     """
 
 
+def _divergence_sql(m: int = 256, alpha: float = 0.5) -> str:
+    """DuckDB value oracle for corpus_divergence: the DSIR gram/bucket
+    derivation, counts split target/rest over a dense bucket spine, add-α
+    smoothing, per-bucket JS contributions in int64 micro-nats (same
+    left-associative float expression as numpy — the ONLY float step)."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+          FROM (SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+                FROM documents)
+        ), big AS (
+          SELECT doc_id, lang,
+                 w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM tok
+        ), grams AS (
+          SELECT doc_id, lang, w AS g FROM tok
+          UNION ALL
+          SELECT doc_id, lang, g FROM big WHERE g IS NOT NULL
+        ), b AS (
+          SELECT lang, CAST(md5_number_upper(g) % {m} AS BIGINT) AS bucket
+          FROM grams
+        ), agg AS (
+          SELECT bucket,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+          FROM b GROUP BY bucket
+        ), spine AS (
+          SELECT unnest(generate_series(0, {m - 1})) AS bucket
+        ), d AS (
+          SELECT s.bucket,
+                 CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_a,
+                 CAST(COALESCE(a.n_b, 0) AS BIGINT) AS n_b
+          FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+        ), tot AS (
+          SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM d
+        ), pq AS (
+          SELECT d.bucket, d.n_a, d.n_b,
+                 (d.n_a + {alpha}) / (t.ta + {alpha} * {m}) AS p,
+                 (d.n_b + {alpha}) / (t.tb + {alpha} * {m}) AS q
+          FROM d CROSS JOIN tot t)
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_a, n_b,
+               CAST(ROUND((0.5 * p * ln(p / ((p + q) / 2.0))
+                         + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1000000,
+                          0) AS BIGINT) AS js_contrib_micro
+        FROM pq
+        ORDER BY bucket
+    """
+
+
 def _pca_power_sql(iters: int = 3, coord_scale: int = 1000,
                    v_scale: int = 1_000_000) -> str:
     """DuckDB value oracle for embedding_pca_power: the identical integer
@@ -5126,6 +5176,16 @@ def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
     return hard_negative_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def corpus_divergence(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the lang='en' slice and the rest
+    of the corpus, per hashed n-gram bucket in exact int64 micro-nats (see
+    :func:`functions.corpus.domain_divergence`)."""
+    from ..functions.corpus import domain_divergence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return domain_divergence(ds)
+
+
 def embedding_sq8(sf_dir: str) -> pd.DataFrame:
     """INT8 scalar quantization of the embedding corpus (see
     :func:`functions.similarity.sq8_encode`): per-dim min/max train fold,
@@ -6026,6 +6086,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_sample": corpus_dsir_sample,
     "embedding_sq8": embedding_sq8,
+    "corpus_divergence": corpus_divergence,
     "embedding_hard_negatives": embedding_hard_negatives,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
@@ -6657,6 +6718,7 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "corpus_dsir_weights": _dsir_sql("weights"),
     "corpus_dsir_sample": _dsir_sql("sample"),
+    "corpus_divergence": _divergence_sql(),
     "q2_min_cost_supplier": """
         WITH eligible AS (
           SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
