@@ -5210,13 +5210,18 @@ def corpus_dsir_sample(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     weights = dsir_importance(ds)
 
-    def add_w(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["w"] = np.exp(b["log_weight_micro"].to_numpy(dtype="float64") / 1_000_000.0)
-        return b
+    def add_w(t: pa.Table) -> pa.Table:
+        lw = t["log_weight_micro"].to_numpy(zero_copy_only=False).astype("float64")
+        # explicit schema (drops pandas block metadata): keeps downstream
+        # block schemas hashable for Ray's schema deduplication
+        return pa.table(
+            {"doc_id": _col(t, "doc_id").cast(pa.int64()),
+             "log_weight_micro": _col(t, "log_weight_micro").cast(pa.int64()),
+             "w": pa.array(np.exp(lw / 1_000_000.0), pa.float64())}
+        )
 
     out = weighted_sample_es(
-        weights.map_batches(add_w, batch_format="pandas"), k=100, weight_col="w"
+        weights.map_batches(add_w, batch_format="pyarrow"), k=100, weight_col="w"
     ).to_pandas()
     out["es_key"] = np.round(out["es_key"], 6)
     out["log_weight_micro"] = out["log_weight_micro"].astype("int64")

@@ -52,6 +52,7 @@ SUBSET = [
     "events_cep_match",
     "corpus_dsir_weights",
     "corpus_dsir_sample",
+    "corpus_divergence",
     "embedding_pca_power",
     "embedding_sq8",
     "embedding_hard_negatives",
