@@ -306,3 +306,36 @@ def test_consumer_group_over_gzip(ray_session, stream_dir, tmp_path):
     assert len(first) == 50 and len(rest) > 0
     assert len(first) + len(rest) == len(topic_messages(out, TOPIC))
     assert consume_topic(out, TOPIC, "g1") == []  # offsets committed
+
+
+def test_multi_table_produce_routes_per_topic(ray_session, tmp_path):
+    """Two configured tables sharing one stream deliver to their OWN topic
+    directories (M11 routing on the delivery path), with per-topic message
+    counts matching the per-table event counts and no cross-contamination."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.config import ColumnConfig, TableConfig, default_code_cdc_config
+    from movex_cdc_ray.pipelines.produce import produce_epoch
+    from movex_cdc_ray.state.manifest import Manifest, new_writer_token
+    from tests.test_multi_table import _events
+
+    cfg = default_code_cdc_config(num_partitions=2)
+    cfg.tables.append(TableConfig(
+        name="DOCS", schema_name="CODE", table_id=2, topic="lake.code.docs",
+        key_handling="P", pk_columns=["repo", "path"],
+        columns=[ColumnConfig(c) for c in
+                 ("repo", "path", "commit", "lang", "content", "size", "stars")],
+    ))
+    chunk = str(tmp_path / "chunk.parquet")
+    both = pa.concat_tables([_events(1, [10, 11, 12]), _events(2, [13, 14])])
+    pq.write_table(both, chunk)
+
+    out = str(tmp_path / "topics")
+    produce_epoch(cfg, Manifest(lake_dir=out), 1, [chunk], out, new_writer_token())
+
+    files = topic_messages(out, "lake.code.files")
+    docs = topic_messages(out, "lake.code.docs")
+    assert len(files) == 3 and len(docs) == 2
+    assert all(m["value"]["tablename"] == "FILES" for m in files)
+    assert all(m["value"]["tablename"] == "DOCS" for m in docs)
