@@ -69,6 +69,7 @@ QUERY_SWEEP = [
     "corpus_dsir_weights",
     "embedding_pca_power",
     "text_bpe_merges",
+    "cdc_consumer_state",
 ]
 
 

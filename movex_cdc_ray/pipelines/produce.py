@@ -391,21 +391,36 @@ def tail_produce(
     return total
 
 
-def read_topic(out_dir: str, topic: str) -> rd.Dataset:
+def read_topic(out_dir: str, topic: str, schema: pa.Schema | None = None) -> rd.Dataset:
     """Messages of one topic as a Dataset (key, value strings) — committed
-    epochs only, the consumer-side half of exactly-once."""
+    epochs only, the consumer-side half of exactly-once.
+
+    ``schema`` (optional) pins the JSON parse to an explicit Arrow schema.
+    Without it pyarrow infers per parse block, and a block where an
+    evolution-added column is all-null infers ``null`` where the next block
+    infers ``int64`` — the reader then fails to unify. Schema-aware callers
+    (``materialize_topic``) always pass one; unknown message fields (e.g.
+    CloudEvents headers) are ignored under an explicit schema."""
+    import pyarrow.json as pa_json
+
     committed = Manifest.latest(out_dir).epoch
     plain, gz = [], []
     for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
         for e, f in _epoch_files(d):
             if e <= committed and os.path.getsize(f):
                 (gz if f.endswith(".gz") else plain).append(f)
+    kwargs: dict[str, Any] = {}
+    if schema is not None:
+        kwargs["parse_options"] = pa_json.ParseOptions(
+            explicit_schema=schema, unexpected_field_behavior="ignore"
+        )
     parts = []
     if plain:
-        parts.append(rd.read_json(plain, file_extensions=["jsonl"]))
+        parts.append(rd.read_json(plain, file_extensions=["jsonl"], **kwargs))
     if gz:
         parts.append(rd.read_json(gz, file_extensions=["gz"],
-                                  arrow_open_stream_args={"compression": "gzip"}))
+                                  arrow_open_stream_args={"compression": "gzip"},
+                                  **kwargs))
     if not parts:
         return rd.from_items([])
     return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
@@ -526,3 +541,172 @@ def commit_offsets(out_dir: str, topic: str, group: str, offsets: dict[int, int]
     doc = {"topic": topic, "group": group,
            "offsets": {str(k): int(v) for k, v in sorted(offsets.items())}}
     _atomic_write_text(json.dumps(doc, indent=1).encode(), path)
+
+
+# ---------------------------------------------------------------------------
+# consumer-side state rebuild: the downstream half of the reference contract
+# ---------------------------------------------------------------------------
+
+
+def message_parse_schema(cfg: CaptureConfig) -> pa.Schema:
+    """Explicit Arrow schema for parsing delivered message JSONL: the
+    envelope layout of ``render_message_json`` with ``new``/``old`` as the
+    latest-version payload struct. Pinning it makes the parse deterministic
+    (inference would type an all-null evolution column per block)."""
+    from ..events import arrow_type
+
+    payload = pa.struct(
+        [(f, arrow_type(t)) for f, t in cfg.latest_version().payload_fields.items()]
+    )
+    value = pa.struct(
+        [("id", pa.int64()), ("schema", pa.string()), ("tablename", pa.string()),
+         ("operation", pa.string()), ("dbuser", pa.string()),
+         ("timestamp", pa.string()), ("transaction_id", pa.string()),
+         ("new", payload), ("old", payload)]
+    )
+    return pa.schema([("key", pa.string()), ("value", value)])
+
+
+class _MessageFlattenStage:
+    """Per-batch flatten of parsed topic messages into flat event columns.
+
+    ``read_topic`` hands back the JSONL messages already decoded into Arrow
+    structs (Ray's ``read_json`` → pyarrow's C++ JSON parser), so the whole
+    stage is ``pc.struct_field`` gathers + one ``if_else`` per PK column —
+    no per-row parse anywhere. Emits a FIXED schema regardless of which
+    envelope fields a given file happened to contain (a file holding only
+    DELETEs has no ``new`` struct at all), which also normalizes the
+    heterogeneous per-file schemas JSON inference produces.
+
+    Stateful-stage shape: the config-derived constants (payload field →
+    type map, per-table PK lists, the op-name dictionary) are built once in
+    ``__init__`` per actor, not per batch.
+    """
+
+    def __init__(self, cfg: CaptureConfig):
+        from ..events import arrow_type
+
+        self.payload_fields = {
+            f: arrow_type(t) for f, t in cfg.latest_version().payload_fields.items()
+        }
+        # one PK list per qualified table name — a topic may legally carry
+        # several captured tables (schema-level topic fallback, M11)
+        self.pk_by_table = {
+            f"{t.schema_name}.{t.name}": list(t.pk_columns) for t in cfg.tables
+        }
+        self.ops_long = pa.array(["INSERT", "UPDATE", "DELETE", "INIT"], pa.string())
+        self.ops_short = pa.array(["I", "U", "D", "i"], pa.string())
+        self.out_schema = pa.schema(
+            [("key_string", pa.string()), ("id", pa.int64()), ("op", pa.string())]
+            + [(f, typ) for f, typ in self.payload_fields.items()]
+        )
+
+    @staticmethod
+    def _child(struct: pa.Array | None, name: str, n: int) -> pa.Array | None:
+        if struct is None or struct.type.get_field_index(name) == -1:
+            return None
+        return pc.struct_field(struct, name)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.capture import KEY_SEP
+
+        n = len(batch)
+        if n == 0 or "value" not in batch.column_names:
+            return self.out_schema.empty_table()
+        value = batch["value"]
+        if isinstance(value, pa.ChunkedArray):
+            value = value.combine_chunks()
+        new = self._child(value, "new", n)
+        old = self._child(value, "old", n)
+
+        op_long = pc.struct_field(value, "operation")
+        op = self.ops_short.take(pc.index_in(op_long, value_set=self.ops_long))
+        is_del = pc.equal(op, "D")
+
+        def image(img: pa.Array | None, name: str, typ: pa.DataType) -> pa.Array:
+            child = self._child(img, name, n)
+            if child is None:
+                return pa.nulls(n, typ)
+            return child.cast(typ)
+
+        prefix = pc.binary_join_element_wise(
+            pc.struct_field(value, "schema"), pc.struct_field(value, "tablename"), "."
+        )
+        # PK columns resolve old-vs-new per op exactly like derive_keys; the
+        # PK list can differ per table, so resolve it per distinct prefix
+        pk_lists = {KEY_SEP.join(pks) for pks in self.pk_by_table.values()}
+        if len(pk_lists) != 1:
+            key = pa.nulls(n, pa.string())
+            for qual, pks in self.pk_by_table.items():
+                mask = pc.equal(prefix, qual)
+                parts = [prefix] + [
+                    pc.if_else(is_del, image(old, c, pa.string()), image(new, c, pa.string()))
+                    for c in pks
+                ]
+                key = pc.if_else(mask, pc.binary_join_element_wise(*parts, KEY_SEP), key)
+        else:
+            pks = next(iter(self.pk_by_table.values()))
+            parts = [prefix] + [
+                pc.if_else(is_del, image(old, c, pa.string()), image(new, c, pa.string()))
+                for c in pks
+            ]
+            key = pc.binary_join_element_wise(*parts, KEY_SEP)
+
+        cols: dict[str, pa.Array] = {
+            "key_string": key,
+            "id": pc.struct_field(value, "id").cast(pa.int64()),
+            "op": op,
+        }
+        for f, typ in self.payload_fields.items():
+            cols[f] = image(new, f, typ)
+        return pa.table(cols, schema=self.out_schema)
+
+
+def materialize_topic(
+    out_dir: str, topic: str, cfg: CaptureConfig, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Rebuild converged table state from a topic's DELIVERED messages — the
+    downstream-consumer half of the reference's contract (its consumers fold
+    the Kafka feed into their own stores, `doc/movex-cdc.adoc:727-741`): the
+    message stream alone must be a complete, sufficient changelog.
+
+    Distributed shape (identical invariants to the lake merge): read the
+    committed message files (`read_topic` — uncommitted epochs invisible,
+    so the fold inherits exactly-once), ONE vectorized flatten per batch
+    (:class:`_MessageFlattenStage`), the within-batch last-per-key combiner,
+    ONE key-hash shuffle, and a per-partition arg-max-by-id winner fold with
+    DELETE winners dropping as tombstones. Per-key ascending-id delivery
+    order is NOT assumed — the fold is order-free (associative arg-max), so
+    it tolerates any interleaving of partition files.
+
+    Returns live rows: every latest-schema payload column plus ``_key`` /
+    ``_last_id`` / ``_last_op`` — the same surface :func:`read_lake` gives,
+    which makes "consumer state == lake state" a direct frame equality
+    (asserted in tests/test_produce.py and the ``cdc_consumer_state``
+    driver query, whose DuckDB oracle re-derives the state from the raw
+    binlog chunks instead — end-to-end independence).
+    """
+    from ..stages.partitioning import assign_partitions, combine_last_per_key
+
+    P = int(num_partitions or getattr(cfg, "num_partitions", 8) or 8)
+    ds = read_topic(out_dir, topic, schema=message_parse_schema(cfg))
+    if ds.count() == 0:
+        stage = _MessageFlattenStage(cfg)
+        return rd.from_arrow(stage.out_schema.empty_table())
+
+    flat = (
+        ds.map_batches(_MessageFlattenStage, fn_constructor_args=(cfg,),
+                       batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(combine_last_per_key, batch_format="pyarrow")
+        .map_batches(lambda b: assign_partitions(b, P), batch_format="pyarrow")
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        group = combine_last_per_key(group)
+        live = group.filter(pc.not_equal(group["op"], "D"))
+        live = live.rename_columns(
+            ["_key", "_last_id", "_last_op"] + live.column_names[3:]
+        )
+        return live.drop_columns(["part"])
+
+    return flat.groupby("part").map_groups(fold, batch_format="pyarrow")

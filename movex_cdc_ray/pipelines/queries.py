@@ -2508,6 +2508,39 @@ def _produce_sql() -> str:
     """
 
 
+def cdc_consumer_state(sf_dir: str) -> pd.DataFrame:
+    """End-to-end closure of the delivery contract: the flagship stream is
+    DELIVERED as rendered topic messages (``pipelines/produce.py``), then a
+    downstream consumer rebuilds converged table state from the delivered
+    messages ALONE (``produce.materialize_topic`` — Arrow-struct flatten of
+    the parsed JSON, within-batch combiner, one key-hash shuffle, arg-max-
+    by-id fold with DELETE tombstones). The DuckDB oracle re-derives the
+    same state from the RAW binlog chunks (``_flagship_sql``), never reading
+    the messages — so equality proves capture → render → deliver → consume
+    → fold loses nothing: the message feed is a complete changelog, the
+    reference's consumer promise (`doc/movex-cdc.adoc:727-741`,
+    `transfer_thread.rb:493-518`)."""
+    import shutil as _shutil
+
+    from ..pipelines.produce import materialize_topic as _mt
+    from ..pipelines.produce import produce as _produce
+    from ..synth import config_for_spec as _cfs
+
+    stream = _flagship_stream()
+    out = "/tmp/movex_flagship/topics_consumer"
+    _shutil.rmtree(out, ignore_errors=True)
+    cfg = _cfs(_flagship_spec(), num_partitions=8)
+    _produce(stream, out, cfg, chunks_per_epoch=2)
+    pdf = _mt(out, "lake.code.files", cfg).to_pandas()
+    pdf["size"] = pdf["size"].astype("int64")
+    return (
+        pdf[["repo", "path", "commit", "lang", "content", "size",
+             "_key", "_last_id", "_last_op"]]
+        .sort_values("_key")
+        .reset_index(drop=True)
+    )
+
+
 def join_broadcast(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J1 pattern): tiny dimension shipped once via ray.put,
     looked up per batch — never a shuffle join. Customers per nation."""
@@ -6081,6 +6114,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_flagship_replay": cdc_flagship_replay,
     "cdc_view_maintenance": cdc_view_maintenance,
     "cdc_produce_delivery": cdc_produce_delivery,
+    "cdc_consumer_state": cdc_consumer_state,
     "events_pagerank": events_pagerank,
     "events_ntile": events_ntile,
     "events_cube": events_cube,
@@ -7779,6 +7813,9 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_flagship_replay": _flagship_sql(),
     "cdc_view_maintenance": _view_maintenance_sql(),
     "cdc_produce_delivery": _produce_sql(),
+    # consumer-rebuilt state must equal the state SQL derives from the RAW
+    # chunks — the oracle is exactly the flagship-replay oracle on purpose
+    "cdc_consumer_state": _flagship_sql(),
     "events_pagerank": _pagerank_sql(),
     "events_cube": """
         SELECT COALESCE(event_type, '#all') AS event_type,

@@ -339,3 +339,76 @@ def test_multi_table_produce_routes_per_topic(ray_session, tmp_path):
     assert len(files) == 3 and len(docs) == 2
     assert all(m["value"]["tablename"] == "FILES" for m in files)
     assert all(m["value"]["tablename"] == "DOCS" for m in docs)
+
+
+def _frames_equal(got, want, cols):
+    import pandas as pd
+
+    g = got[cols].sort_values("_key").reset_index(drop=True)
+    w = want[cols].sort_values("_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()), check_exact=True)
+
+
+def test_consumer_state_rebuild_equals_lake(ray_session, tmp_path):
+    """The delivered message feed is a COMPLETE changelog: a downstream
+    consumer folding only the topic messages (materialize_topic) converges
+    to the same state as the direct lake merge — inserts, updates, deletes
+    AND the mid-stream schema evolution all survive the render → JSON →
+    parse round trip."""
+    from movex_cdc_ray.pipelines.produce import materialize_topic
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+
+    spec = StreamSpec(n_events=4_000, n_repos=5, paths_per_repo=20,
+                      chunk_size=1_000, evolve_at_event=3_000)
+    stream, lake, out = str(tmp_path / "s"), str(tmp_path / "l"), str(tmp_path / "t")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+    produce(stream, out, cfg, chunks_per_epoch=2)
+
+    got = materialize_topic(out, TOPIC, cfg).to_pandas()
+    want = lake_to_pandas(lake)
+    assert len(got) == len(want) > 0
+    # tombstoned keys really are absent on the consumer side too
+    assert (want["_last_op"] != "D").all() and (got["_last_op"] != "D").all()
+    _frames_equal(got, want,
+                  ["_key", "_last_id", "_last_op", "repo", "path", "commit",
+                   "lang", "content", "size", "stars"])
+
+
+def test_consumer_state_rebuild_over_gzip(ray_session, stream_dir, tmp_path):
+    """Same rebuild through gzip-compressed delivery files."""
+    from movex_cdc_ray.pipelines.produce import materialize_topic
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    cfg.producer_compression = "gzip"
+    lake, out = str(tmp_path / "l"), str(tmp_path / "t")
+    replay(stream_dir, lake, config_for_spec(SPEC, num_partitions=4),
+           chunks_per_epoch=3)
+    produce(stream_dir, out, cfg, chunks_per_epoch=3)
+
+    got = materialize_topic(out, TOPIC, cfg).to_pandas()
+    want = lake_to_pandas(lake)
+    assert len(got) == len(want) > 0
+    _frames_equal(got, want,
+                  ["_key", "_last_id", "_last_op", "repo", "path", "commit",
+                   "lang", "content", "size"])
+
+
+def test_consumer_state_ignores_uncommitted_epochs(ray_session, stream_dir, tmp_path):
+    """Exactly-once on the read side: staged-but-uncommitted message files
+    (crash after staging, before manifest commit) are invisible to the
+    rebuild, so consumer state equals the last COMMITTED epoch's state."""
+    from movex_cdc_ray.pipelines.produce import materialize_topic
+
+    cfg = config_for_spec(SPEC, num_partitions=4)
+    out = str(tmp_path / "t")
+    produce(stream_dir, out, cfg, chunks_per_epoch=2, max_epochs=1)
+    committed = materialize_topic(out, TOPIC, cfg).to_pandas()
+
+    produce(stream_dir, out, cfg, chunks_per_epoch=2, max_epochs=1)
+    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "epoch-*.json")))
+    os.remove(manifests[-1])  # second epoch staged its files but lost its commit
+    again = materialize_topic(out, TOPIC, cfg).to_pandas()
+    _frames_equal(again, committed, list(committed.columns))

@@ -66,6 +66,7 @@ SUBSET = [
     "q11_important_stock",
     "q12_shipping_priority_counts",
     "q20_dominant_suppliers",
+    "cdc_consumer_state",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
