@@ -198,6 +198,24 @@ def cmd_consume(args) -> int:
     return 0
 
 
+def cmd_materialize(args) -> int:
+    """Rebuild converged state from a topic's delivered messages (the
+    downstream-consumer fold) and write it as partitioned parquet."""
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.produce import materialize_topic
+
+    cfg = _load_config(args)
+    ds = materialize_topic(args.out_dir, args.topic, cfg,
+                           num_partitions=args.partitions)
+    ds.write_parquet(args.state_dir)
+    n = ray.data.read_parquet(args.state_dir).count()
+    print(json.dumps({"topic": args.topic, "state_dir": args.state_dir, "rows": n}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     _ray_init(args.num_cpus)
     import ray
@@ -392,6 +410,15 @@ def main(argv=None) -> int:
                     help="consumer group: resume after the group's committed offsets and auto-commit")
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.set_defaults(fn=cmd_consume)
+
+    sp = sub.add_parser("materialize", help="rebuild converged state from a topic's delivered messages")
+    sp.add_argument("--out-dir", required=True, help="produce output dir (topics root)")
+    sp.add_argument("--topic", required=True)
+    sp.add_argument("--state-dir", required=True, help="parquet output directory")
+    sp.add_argument("--config", help="CaptureConfig JSON file")
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_materialize)
 
     sp = sub.add_parser("view", help="read or compact an incrementally-maintained view")
     common(sp, config=False)

@@ -70,6 +70,38 @@ def test_cli_corpus_stats(tmp_path):
     assert set(doc["doc_chars_quantiles_sampled"]) == {"0.25", "0.5", "0.9", "0.99"}
 
 
+def test_cli_materialize_wiring_and_subprocess(tmp_path):
+    from movex_cdc_ray.__main__ import main
+
+    # argparse wiring: the subcommand exists and enforces its required args
+    with pytest.raises(SystemExit) as ei:
+        main(["materialize"])
+    assert ei.value.code == 2
+
+    # end-to-end through real subprocesses: synth -> produce -> materialize
+    stream, topics, state = (str(tmp_path / d) for d in ("s", "t", "st"))
+    subprocess.run(
+        [sys.executable, "-m", "movex_cdc_ray", "synth", "--stream-dir", stream,
+         "--events", "2000", "--repos", "3", "--paths-per-repo", "10", "--chunk-size", "1000"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    subprocess.run(
+        [sys.executable, "-m", "movex_cdc_ray", "produce", "--stream-dir", stream,
+         "--out-dir", topics, "--partitions", "4", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "movex_cdc_ray", "materialize", "--out-dir", topics,
+         "--topic", "lake.code.files", "--state-dir", state,
+         "--partitions", "4", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["topic"] == "lake.code.files"
+    # converged state: <= live keys touched by 2000 events, and non-trivial
+    assert 0 < doc["rows"] <= 2000
+
+
 def test_ray_init_kwargs_job_submit_mode():
     from movex_cdc_ray.__main__ import _ray_init_kwargs
 
