@@ -974,3 +974,190 @@ def substring_dup_pairs(
     )
     pairs = fps.groupby("fp").map_groups(bucket_pairs, batch_format="pandas")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (FastSS deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+_FNV64 = np.uint64(1099511628211)
+
+
+def _poly_hash_rows(mat: np.ndarray) -> np.ndarray:
+    """uint64 polynomial hash of each row of an (n, w) uint8 matrix —
+    vectorized (one multiply + sum), wrapping mod 2^64. Collisions only MERGE
+    candidate buckets (extra pairs); the DP verify removes them, so the join
+    stays exact."""
+    w = mat.shape[1]
+    powers = np.empty(w, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    if w > 1:
+        np.multiply.accumulate(np.full(w - 1, _FNV64, dtype=np.uint64), out=powers[1:])
+    return (mat.astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def slug_matrix(slugs: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """ASCII slug strings → ((n, width) uint8 NUL-padded byte matrix,
+    true lengths). NUL is the pad byte: it cannot appear in the slug domain
+    (the callers' ASCII guard admits parquet strings only, and an embedded
+    NUL would merely merge two candidate buckets — never split one — so
+    exactness survives even a hostile input)."""
+    lens = np.fromiter((len(s) for s in slugs), dtype=np.int64, count=len(slugs))
+    joined = "".join(s.ljust(width, "\0") for s in slugs)
+    mat = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(len(slugs), width)
+    return mat.copy(), lens
+
+
+def deletion_keys(mat: np.ndarray, k: int = 2) -> list[np.ndarray]:
+    """FastSS candidate keys: the hash of every ≤k-column-deletion variant
+    of each row (ed(s,t) ≤ k ⟹ the deletion neighborhoods intersect —
+    Bocek et al.'s FastSS filter). Deleting a PAD column yields the
+    lower-order variant at that width, so the full ≤k neighborhood of every
+    (shorter) string emerges from fixed column subsets — each variant is one
+    vectorized numpy take over ALL rows, no per-string Python."""
+    w = mat.shape[1]
+    keys = [_poly_hash_rows(mat)]
+    for d1 in range(w):
+        cols1 = [j for j in range(w) if j != d1]
+        sub1 = mat[:, cols1]
+        keys.append(_poly_hash_rows(sub1))
+        if k >= 2:
+            for d2x in range(len(cols1)):
+                if cols1[d2x] <= d1:
+                    continue
+                keys.append(_poly_hash_rows(np.delete(sub1, d2x, axis=1)))
+    return keys
+
+
+def levenshtein_pairs(
+    a_mat: np.ndarray, a_len: np.ndarray, b_mat: np.ndarray, b_len: np.ndarray
+) -> np.ndarray:
+    """Byte-exact Levenshtein distance for m string pairs, vectorized across
+    the PAIR axis: the (w+1)² DP grid is a scalar loop, but every cell does
+    O(m) numpy work — no per-pair Python (the repo's no-row-loops rule).
+    Matches DuckDB's byte-based ``levenshtein`` on ASCII inputs."""
+    m, w = a_mat.shape
+    ans = np.where(a_len == 0, b_len, 0).astype(np.int64)
+    prev = np.broadcast_to(np.arange(w + 1, dtype=np.int64), (m, w + 1)).copy()
+    for i in range(1, w + 1):
+        cur = np.empty((m, w + 1), dtype=np.int64)
+        cur[:, 0] = i
+        ai = a_mat[:, i - 1]
+        for j in range(1, w + 1):
+            sub = prev[:, j - 1] + (ai != b_mat[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        hit = a_len == i
+        if hit.any():
+            ans[hit] = cur[hit, b_len[hit]]
+        prev = cur
+    return ans
+
+
+def editdistance_join(
+    slug_pdf: pd.DataFrame, k: int = 2, width: int = 20,
+    id_col: str = "id", slug_col: str = "s",
+) -> pd.DataFrame:
+    """EXACT edit-distance self-join: all pairs with levenshtein ≤ k.
+
+    Three distributed stages: (1) ``map_batches`` keygen — each string emits
+    its FastSS deletion-neighborhood hashes (1 + w + C(w,2) keys for k=2,
+    every variant one vectorized take); (2) ``groupby(key).map_groups`` —
+    within-bucket candidate pairs; (3) ``map_batches`` verify — vectorized
+    banded DP against the broadcast slug matrix (``ray.put`` once, loaded
+    per actor in ``__init__``). A pair sharing several variant keys is
+    verified redundantly (identical ed) and deduped in the final driver-side
+    result, which holds only matching pairs.
+
+    The broadcast matrix bounds the input: callers cap the joined set (the
+    slug table IS the broadcast small side). For corpora beyond broadcast
+    size, partition stage 3 by id range and ship per-partition matrices —
+    same stage shape, noted here as the documented scale path."""
+    ids_all = slug_pdf[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids_all)
+    ids_sorted = ids_all[order]
+    mat_sorted, lens_sorted = slug_matrix(slug_pdf[slug_col].to_numpy()[order], width)
+    ref = ray.put((ids_sorted, mat_sorted, lens_sorted))
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "ed": pd.Series(dtype="int64")}
+    )
+
+    def gen_keys(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema(
+                [("bucket", pa.int64()), ("key", pa.int64()), ("id", pa.int64())]
+            ).empty_table()
+        mat, _lens = slug_matrix(b[slug_col].to_numpy(), width)
+        key_list = deletion_keys(mat, k)
+        keys = np.concatenate(key_list).view(np.int64)
+        idr = np.tile(b[id_col].to_numpy(dtype=np.int64), len(key_list))
+        # coarse bucket: groupby on the raw key would invoke map_groups once
+        # per (mostly singleton) variant key — the measured ~10× per-group
+        # overhead trap (CLAUDE.md); 1024 coarse buckets keep groups chunky
+        # and the real key grouping happens vectorized inside bucket_pairs
+        return pa.table(
+            {"bucket": pa.array(keys & np.int64(1023)), "key": pa.array(keys),
+             "id": pa.array(idr)}
+        )
+
+    pair_empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        kv = g[["key", "id"]].drop_duplicates()
+        counts = kv["key"].value_counts()
+        kv = kv[kv["key"].isin(counts[counts >= 2].index)]
+        if kv.empty:
+            return pair_empty
+        kv = kv.sort_values(["key", "id"])
+        keys = kv["key"].to_numpy()
+        idsv = kv["id"].to_numpy(dtype=np.int64)
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):  # multi-member keys only
+            ii, jj = np.triu_indices(e - s, k=1)
+            out_a.append(idsv[s:e][ii])
+            out_b.append(idsv[s:e][jj])
+        pairs_arr = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1), axis=0
+        )
+        return pd.DataFrame({"id_a": pairs_arr[:, 0], "id_b": pairs_arr[:, 1]})
+
+    class _Verify:
+        def __init__(self, slug_ref, max_ed: int):
+            self.ids, self.mat, self.lens = ray.get(slug_ref)
+            self.max_ed = max_ed
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.schema(
+                    [("id_a", pa.int64()), ("id_b", pa.int64()), ("ed", pa.int64())]
+                ).empty_table()
+            ia = t["id_a"].to_numpy()
+            ib = t["id_b"].to_numpy()
+            ra = np.searchsorted(self.ids, ia)
+            rb = np.searchsorted(self.ids, ib)
+            ed = levenshtein_pairs(self.mat[ra], self.lens[ra], self.mat[rb], self.lens[rb])
+            keep = ed <= self.max_ed
+            return pa.table(
+                {"id_a": pa.array(ia[keep]), "id_b": pa.array(ib[keep]),
+                 "ed": pa.array(ed[keep])}
+            )
+
+    ds = rd.from_pandas(slug_pdf)
+    pairs = (
+        ds.map_batches(gen_keys, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            _Verify, fn_constructor_kwargs={"slug_ref": ref, "max_ed": k},
+            batch_format="pyarrow", concurrency=2,
+        )
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return empty
+    pdf = pdf.drop_duplicates(["id_a", "id_b"])
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -512,3 +512,115 @@ def _ppm_dims(frame: bytes) -> tuple[int, int]:
             p += 1
         parts.append(int(tok))
     return parts[0], parts[1]
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash) for image near-dup detection
+# ---------------------------------------------------------------------------
+
+# BT.601 luminance weights ×1000 — integer arithmetic end to end so the
+# DuckDB oracle can reproduce every bit exactly (no float rounding to drift).
+_LUM_W = np.array([299, 587, 114], dtype=np.int64)
+
+# 16-bit popcount lookup (numpy 1.26 has no bitwise_count); 64 KiB, built once
+# at import.
+_POP16 = np.unpackbits(
+    np.arange(65536, dtype=np.uint16).view(np.uint8).reshape(-1, 2), axis=1
+).sum(axis=1, dtype=np.int64)
+
+
+def ahash_bands(pixels: np.ndarray) -> tuple[int, int, int, int]:
+    """64-bit average hash (aHash) of an RGB image as four 16-bit bands.
+
+    Integer-exact by construction: luminance = 299r+587g+114b (BT.601 ×1000
+    over uint8 channels), the 8×8 grid is :func:`resize_nearest`'s
+    floor-index downsample ((i*H)//8, (j*W)//8 — spatial, so the BMP
+    bottom-up row order matters and is handled by the decoder), and bit
+    k = row*8+col is set iff 64*lum_k > sum(all 64 lums) (strict >).
+    Band k//16 holds bit k at position k%16 — the banded-hamming LSH unit:
+    two hashes within hamming ≤ 3 are GUARANTEED to share a band
+    (pigeonhole over 4 bands); beyond that, sharing is content-dependent,
+    which is the standard banded-LSH candidate semantic."""
+    if pixels.shape[0] < 8 or pixels.shape[1] < 8:
+        raise ValueError("aHash needs at least an 8x8 image")
+    lum = pixels.astype(np.int64) @ _LUM_W
+    grid = resize_nearest(lum, 8, 8)
+    bits = (64 * grid.ravel() > grid.sum())
+    vals = np.where(bits, np.int64(1) << (np.arange(64) % 16), np.int64(0))
+    return tuple(int(v) for v in vals.reshape(4, 16).sum(axis=1))
+
+
+class PHashStage:
+    """Actor-pool perceptual-hash stage: decodes BMP/PPM image payloads and
+    emits the aHash as four 16-bit band columns ``b0..b3`` (see
+    :func:`ahash_bands`). Cross-container by design — the same pixels hash
+    identically whether stored as BMP or PPM, so re-encoded copies of an
+    image are found. Non-image payloads raise into divide & conquer like
+    every other codec here (reference error-isolation convention,
+    app/models/transfer_thread.rb:361)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("media_id", pa.int64())] + [(f"b{i}", pa.int64()) for i in range(4)]
+            ).empty_table()
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        bands = np.empty((len(batch), 4), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            raw = p.as_py()
+            px = decode_bmp(raw) if raw[:2] == b"BM" else decode_ppm(raw)
+            bands[i] = ahash_bands(px)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                **{f"b{i}": pa.array(bands[:, i]) for i in range(4)},
+            }
+        )
+
+
+def hamming_from_bands(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between (m, 4) int64 band matrices."""
+    return _POP16[np.bitwise_xor(a, b)].sum(axis=1)
+
+
+def synth_phash_media_table(n_base: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic image fixture for perceptual-hash dedup: base images
+    plus two variant classes — a near-identical copy RE-ENCODED IN THE OTHER
+    CONTAINER (id+1000, a 2×3 pixel block brightened by 6: hamming usually
+    0-3, so the banded LSH must find it across codecs) and a moderately
+    edited copy (id+2000, left half brightened by 45: hamming spreads above
+    and below the threshold, exercising both the cut and the candidate
+    semantics). All dims ≥ 8 so the 8×8 grid is a true downsample."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, payloads, metas = [], [], []
+
+    def add(mid: int, px: np.ndarray, fmt: str) -> None:
+        ids.append(mid)
+        payloads.append(encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
+        metas.append({"width": px.shape[1], "height": px.shape[0],
+                      "duration_ms": 0, "format": fmt})
+
+    for i in range(n_base):
+        w, h = 16 + (i % 8), 12
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt = "bmp" if i % 2 == 0 else "ppm"
+        add(i, px, fmt)
+        if i % 3 == 0:  # near-dup, other container
+            near = px.copy()
+            near[0:6, 0:8] = np.minimum(near[0:6, 0:8].astype(np.int64) + 14, 255).astype(np.uint8)
+            add(1000 + i, near, "ppm" if fmt == "bmp" else "bmp")
+        if i % 5 == 0:  # moderate edit, same container
+            mod = px.copy()
+            mod[:, : w // 2] = np.minimum(mod[:, : w // 2].astype(np.int64) + 45, 255).astype(np.uint8)
+            add(2000 + i, mod, fmt)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * len(ids)),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        },
+        schema=MEDIA_SCHEMA,
+    )

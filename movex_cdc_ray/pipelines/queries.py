@@ -4077,6 +4077,7 @@ def _stage_media() -> str:
 
 _REAL_MEDIA_STAGE = "/tmp/movex_oracle/real_media_120_42.parquet"
 _VIDEO_STAGE = "/tmp/movex_oracle/videos_60x12_42.parquet"
+_PHASH_STAGE = "/tmp/movex_oracle/phash_media_64_42.parquet"
 
 
 def _stage_real_media() -> str:
@@ -4108,6 +4109,23 @@ def _stage_videos() -> str:
         pq.write_table(synth_video_table(60, n_frames=12, seed=42), tmp)
         os.replace(tmp, _VIDEO_STAGE)
     return _VIDEO_STAGE
+
+
+def _stage_phash_media() -> str:
+    """Stage the deterministic perceptual-hash image table (base images +
+    cross-container near-dups + moderate edits; see
+    ``multimodal.synth_phash_media_table``) where both the Ray query and the
+    DuckDB oracle read it (same pattern as ``_stage_real_media``)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import synth_phash_media_table
+
+    if not os.path.exists(_PHASH_STAGE):
+        os.makedirs(os.path.dirname(_PHASH_STAGE), exist_ok=True)
+        tmp = f"{_PHASH_STAGE}.tmp.{os.getpid()}"
+        pq.write_table(synth_phash_media_table(64, seed=42), tmp)
+        os.replace(tmp, _PHASH_STAGE)
+    return _PHASH_STAGE
 
 
 def corpus_quality_cut(sf_dir: str) -> pd.DataFrame:
@@ -4550,6 +4568,178 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     ]
     pdf["feature_norm"] = pdf["feature_norm"].round(4)
     return pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+def dedup_editdistance(sf_dir: str) -> pd.DataFrame:
+    """EXACT edit-distance similarity join (levenshtein ≤ 2) over document
+    slugs (first 20 chars) — the typo/near-identifier dedup primitive.
+
+    Engine: FastSS deletion-neighborhood keys (1+20+C(20,2)=211 vectorized
+    hashes per string) → one groupby on the key → candidate pairs →
+    vectorized pair-axis DP verify against the broadcast slug matrix
+    (``functions.dedup.editdistance_join``). The DuckDB oracle is a fully
+    INDEPENDENT brute force: all-pairs ``levenshtein()`` — so this checks
+    the filter's completeness, not just agreement on shared candidates.
+
+    Input domain (mirrored literally in SQL): docs with doc_id < 1200 (the
+    brute-force oracle is O(n²); the capped slug table doubles as the
+    join's broadcast side — the engine path scales by partitioning the
+    verify matrix, see editdistance_join's docstring), ASCII slugs only
+    (octet_length = length — DuckDB levenshtein is byte-based while substr
+    is char-based), plus injected variants: a substitution at position
+    (id*7) % len for id%4==1 (id+1000000) and a deletion at (id*3) % len
+    for id%8==2 (id+2000000), so near-miss pairs exist at every scale."""
+    import pyarrow.dataset as pads
+
+    from ..functions.dedup import editdistance_join
+
+    docs = _read(
+        sf_dir, "documents", ["doc_id", "text"], filter=(pads.field("doc_id") < 1200)
+    ).to_pandas()
+    ids = docs["doc_id"].to_numpy(dtype=np.int64)
+    slug_s = docs["text"].fillna("").str.slice(0, 20)
+    ascii_ok = (
+        slug_s.str.encode("utf-8").str.len().to_numpy()
+        == slug_s.str.len().to_numpy()
+    )
+    ids = ids[ascii_ok]
+    slugs = slug_s.to_numpy()[ascii_ok]
+    lens = np.fromiter((len(s) for s in slugs), dtype=np.int64, count=len(slugs))
+
+    # injected variants — bounded driver-side fixture derivation over the
+    # capped broadcast table (the distributed stages live in editdistance_join)
+    m1 = (ids % 4 == 1) & (lens >= 2)
+    p = (ids[m1] * 7) % lens[m1]
+    subs = [s[:pi] + "q" + s[pi + 1 :] for s, pi in zip(slugs[m1], p)]
+    m2 = (ids % 8 == 2) & (lens >= 2)
+    d = (ids[m2] * 3) % lens[m2]
+    dels = [s[:di] + s[di + 1 :] for s, di in zip(slugs[m2], d)]
+
+    pdf = pd.DataFrame(
+        {
+            "id": np.concatenate([ids, ids[m1] + 1_000_000, ids[m2] + 2_000_000]),
+            "s": np.concatenate([slugs, np.array(subs, object), np.array(dels, object)]),
+        }
+    )
+    return editdistance_join(pdf, k=2, width=20)
+
+
+def _editdistance_sql() -> str:
+    """Independent brute-force oracle for ``dedup_editdistance``: the same
+    slug domain + injected variants, then ALL-pAIRS ``levenshtein`` (no
+    candidate filter — completeness of the engine's FastSS filter is part
+    of what this checks)."""
+    slug = "substr(COALESCE(text,''), 1, 20)"
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id, {slug} AS s
+      FROM documents
+      WHERE doc_id < 1200 AND strlen({slug}) = length({slug})
+    ), subs AS (
+      SELECT id + 1000000 AS id, substr(s, 1, p) || 'q' || substr(s, p + 2) AS s
+      FROM (SELECT id, s, (id*7) % length(s) AS p FROM base
+            WHERE id % 4 = 1 AND length(s) >= 2)
+    ), dels AS (
+      SELECT id + 2000000 AS id, substr(s, 1, d) || substr(s, d + 2) AS s
+      FROM (SELECT id, s, (id*3) % length(s) AS d FROM base
+            WHERE id % 8 = 2 AND length(s) >= 2)
+    ), uni AS (
+      SELECT * FROM base UNION ALL SELECT * FROM subs UNION ALL SELECT * FROM dels
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS ed
+      FROM uni a JOIN uni b ON a.id < b.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(ed AS BIGINT) AS ed
+    FROM pairs WHERE ed <= 2
+    ORDER BY id_a, id_b
+    """
+
+
+def multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash image near-dup: real BMP/PPM pixel decode → integer
+    aHash (8×8 average hash) → banded-hamming LSH (4 × 16-bit bands, one
+    groupby on the band bucket) → within-bucket vectorized hamming verify,
+    keep pairs ≤ 12 bits apart. Cross-container by construction — a BMP and
+    its PPM re-encode hash identically.
+
+    Candidate semantics are the standard banded-LSH contract (same as
+    ``dedup_minhash``): pairs within hamming ≤ 3 are guaranteed candidates
+    by pigeonhole; 4-12 only when a band happens to match. The DuckDB
+    oracle re-decodes the staged payloads byte-by-byte in SQL (only the 64
+    grid-sampled pixels per image — the floor-index downsample means the
+    oracle never unnests full pixel rows) and applies the identical
+    candidate + verify definition.
+
+    Scale: one shuffle of 4 band rows per image; bucket groups are
+    near-dup-cluster-sized; the only driver materialization is the final
+    verified pair set."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        PHashStage,
+        hamming_from_bands,
+    )
+
+    hashed = rd.read_parquet(_stage_phash_media()).map_batches(
+        PHashStage,
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+
+    def to_band_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("bucket", pa.int64()), ("media_id", pa.int64())]
+                + [(f"b{i}", pa.int64()) for i in range(4)]
+            ).empty_table()
+        ids = _col(t, "media_id").to_numpy()
+        b = np.stack([_col(t, f"b{i}").to_numpy() for i in range(4)], axis=1)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        bucket = band * 65536 + b.ravel()
+        rep = np.repeat(np.arange(n), 4)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "media_id": pa.array(ids[rep]),
+                **{f"b{i}": pa.array(b[rep, i]) for i in range(4)},
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("media_id")
+        if len(g) < 2:
+            return empty
+        ids = g["media_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        bmat = g[["b0", "b1", "b2", "b3"]].to_numpy(dtype=np.int64)[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = hamming_from_bands(bmat[ii], bmat[jj])
+        keep = ham <= 12
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep],
+             "hamming": ham[keep].astype(np.int64)}
+        )
+
+    pairs = (
+        hashed.map_batches(to_band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return empty
+    # a pair sharing several bands is generated once per shared band with an
+    # identical hamming — dedupe the (small, verified) driver-side result
+    pdf = pdf.drop_duplicates(["id_a", "id_b"])
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
@@ -6230,6 +6420,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_real": multimodal_decode_real,
     "multimodal_frames": multimodal_frames,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
+    "dedup_editdistance": dedup_editdistance,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -6444,6 +6636,88 @@ def _frames_sql() -> str:
            ROUND(n.fn, 4) AS feature_norm
     FROM frames f JOIN norm_px n USING (media_id, frame_idx)
     ORDER BY media_id, frame_idx
+    """
+
+
+def _phash_sql() -> str:
+    """SQL re-derivation of the full perceptual-hash dedup: decode ONLY the
+    64 grid-sampled pixels of each staged BMP/PPM payload (floor-index
+    nearest-neighbor — sy=(ci*ht)//8, sx=(cj*w)//8; BMP rows are stored
+    bottom-up in BGR, so stored row = ht-1-sy and R sits at byte +2),
+    integer BT.601 luminance ×1000, strict-mean aHash bits, 4 × 16-bit
+    bands, band-equality candidates, bit_count(xor) hamming ≤ 12 — the
+    byte-identical definition of ``multimodal_phash_dedup``."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, hex(payload) AS h FROM read_parquet('{_stage_phash_media()}')
+    ),
+    geo AS (
+      SELECT media_id, h,
+             CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    cells AS (
+      SELECT i.media_id, i.h AS h, t.k AS k,
+             ((t.k // 8) * i.ht) // 8 AS sy, ((t.k % 8) * i.w) // 8 AS sx,
+             i.fmt, i.w, i.ht, i.datoff, i.rowb
+      FROM img2 i, range(64) t(k)
+    ),
+    loc AS (
+      SELECT media_id, k, h,
+        CASE WHEN fmt = 'bmp' THEN datoff + (ht - 1 - sy)*rowb + sx*3
+             ELSE datoff + (sy*w + sx)*3 END AS o,
+        CASE WHEN fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+      FROM cells
+    ),
+    lums AS (
+      SELECT media_id, k,
+             299*{_hx("o + rsh")} + 587*{_hx("o + 1")} + 114*{_hx("o + 2 - rsh")} AS lum
+      FROM loc
+    ),
+    tot AS (SELECT media_id, SUM(lum) AS total FROM lums GROUP BY media_id),
+    bits AS (
+      SELECT l.media_id, l.k,
+             CASE WHEN 64*l.lum > t.total THEN 1 ELSE 0 END AS bit
+      FROM lums l JOIN tot t USING (media_id)
+    ),
+    bands AS (
+      SELECT media_id, k // 16 AS band,
+             CAST(SUM(bit * (1::BIGINT << (k % 16))) AS BIGINT) AS bv
+      FROM bits GROUP BY media_id, band
+    ),
+    hs AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN band = 0 THEN bv ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN band = 1 THEN bv ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN band = 2 THEN bv ELSE 0 END) AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN band = 3 THEN bv ELSE 0 END) AS BIGINT) AS b3
+      FROM bands GROUP BY media_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+           CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+             AS hamming
+    FROM cand c
+    JOIN hs x ON x.media_id = c.id_a
+    JOIN hs y ON y.media_id = c.id_b
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 12
+    ORDER BY id_a, id_b
     """
 
 
@@ -8170,6 +8444,8 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "multimodal_decode_real": _decode_real_sql(),
     "multimodal_frames": _frames_sql(),
+    "multimodal_phash_dedup": _phash_sql(),
+    "dedup_editdistance": _editdistance_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

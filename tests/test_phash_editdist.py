@@ -1,0 +1,131 @@
+"""Perceptual-hash image dedup + edit-distance similarity join.
+
+Unit-level value locks for the two kernels (aHash bit derivation, the
+pair-axis Levenshtein DP, FastSS completeness) plus end-to-end checks of the
+fixture's planted near-dups. Oracle parity runs in test_queries_oracle.py.
+"""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from movex_cdc_ray.functions.dedup import (
+    deletion_keys,
+    editdistance_join,
+    levenshtein_pairs,
+    slug_matrix,
+)
+from movex_cdc_ray.functions.multimodal import (
+    PHashStage,
+    ahash_bands,
+    decode_bmp,
+    encode_bmp,
+    encode_ppm,
+    hamming_from_bands,
+    synth_phash_media_table,
+)
+
+
+def _brute_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i]
+        for j, cb in enumerate(b, 1):
+            nd.append(min(dp[j] + 1, nd[-1] + 1, dp[j - 1] + (ca != cb)))
+        dp = nd
+    return dp[-1]
+
+
+# ---------------------------------------------------------------------------
+# aHash
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_cross_container_invariance():
+    rng = np.random.Generator(np.random.PCG64(5))
+    px = rng.integers(0, 256, size=(12, 18, 3), dtype=np.uint8)
+    t = synth_phash_media_table(4)
+    stage = PHashStage()
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([encode_bmp(px), encode_ppm(px)], pa.binary()),
+        }
+    )
+    out = stage(batch)
+    b = np.stack([out[f"b{i}"].to_numpy() for i in range(4)], axis=1)
+    # the same pixels hash identically through either codec (BMP's bottom-up
+    # BGR storage is normalized by the decoder before hashing)
+    assert (b[0] == b[1]).all()
+    assert tuple(b[0]) == ahash_bands(decode_bmp(encode_bmp(px)))
+    assert len(stage(batch.slice(0, 0))) == 0  # empty-batch schema stability
+
+
+def test_ahash_mean_rule_integer_exact():
+    # constant image: no lum is strictly above the mean -> all bits 0
+    px = np.full((12, 16, 3), 77, dtype=np.uint8)
+    assert ahash_bands(px) == (0, 0, 0, 0)
+    # one bright grid cell -> exactly one bit set
+    px2 = px.copy()
+    px2[0, 0] = 255
+    bands = ahash_bands(px2)
+    assert sum(int(b).bit_count() for b in bands) == 1
+    with pytest.raises(ValueError):
+        ahash_bands(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_phash_fixture_plants_neardups():
+    t = synth_phash_media_table(12, seed=42)
+    out = PHashStage()(t)
+    ids = out["media_id"].to_numpy()
+    b = np.stack([out[f"b{i}"].to_numpy() for i in range(4)], axis=1)
+    idx = {int(m): i for i, m in enumerate(ids)}
+    for base in range(0, 12, 3):  # near-dup copies stay within a few bits
+        ham = hamming_from_bands(b[idx[base]][None, :], b[idx[1000 + base]][None, :])[0]
+        assert ham <= 6
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein DP + FastSS filter
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_pairs_matches_bruteforce():
+    random.seed(11)
+    strs = ["".join(random.choice("abcde") for _ in range(random.randint(0, 12))) for _ in range(40)]
+    pairs = [(a, b) for a in strs for b in strs]
+    A, la = slug_matrix(np.array([p[0] for p in pairs], object), 20)
+    B, lb = slug_matrix(np.array([p[1] for p in pairs], object), 20)
+    got = levenshtein_pairs(A, la, B, lb)
+    want = np.array([_brute_lev(a, b) for a, b in pairs])
+    assert (got == want).all()
+
+
+def test_fastss_deletion_keys_complete_for_k2():
+    random.seed(3)
+    strs = ["".join(random.choice("ab") for _ in range(random.randint(0, 7))) for _ in range(50)]
+    mat, _ = slug_matrix(np.array(strs, object), 20)
+    kl = deletion_keys(mat, 2)
+    keysets = [set(int(k[i]) for k in kl) for i in range(len(strs))]
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            if _brute_lev(strs[i], strs[j]) <= 2:
+                assert keysets[i] & keysets[j], (strs[i], strs[j])
+
+
+def test_editdistance_join_end_to_end(ray_session):
+    slugs = ["alpha beta", "alpha bxta", "alpha bxt", "gamma delta",
+             "gamma delta", "unrelated thing", ""]
+    pdf = pd.DataFrame({"id": np.arange(len(slugs), dtype=np.int64), "s": slugs})
+    got = editdistance_join(pdf, k=2, width=20)
+    want = sorted(
+        (i, j, _brute_lev(slugs[i], slugs[j]))
+        for i in range(len(slugs))
+        for j in range(i + 1, len(slugs))
+        if _brute_lev(slugs[i], slugs[j]) <= 2
+    )
+    assert list(map(tuple, got[["id_a", "id_b", "ed"]].to_numpy())) == want

@@ -67,6 +67,8 @@ SUBSET = [
     "q12_shipping_priority_counts",
     "q20_dominant_suppliers",
     "cdc_consumer_state",
+    "multimodal_phash_dedup",
+    "dedup_editdistance",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
