@@ -1171,3 +1171,87 @@ def bpe_encode(
 
     return ds.map_batches(EncodeStage, batch_format="pandas",
                           concurrency=pool_size(4))
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction (PMI lift over adjacent-token bigrams)
+# ---------------------------------------------------------------------------
+
+
+def pmi_bigram_partials(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-batch partial counts for collocation scoring: one row per distinct
+    gram seen in the batch — unigrams (no space) and adjacent-token bigrams
+    ("x y") share one partial stream, so ONE vocabulary-sized groupby folds
+    both. Tokens are the corpus-wide ``[a-z0-9_]+`` convention; bigram
+    counting is factorize + integer-code ``np.unique`` (no per-pair string
+    building until the distinct grams are known)."""
+    word_re = re.compile(r"[a-z0-9_]+")
+    toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+    lists = toks.tolist()
+    lens = np.fromiter((len(t) for t in lists), dtype=np.int64, count=len(lists))
+    total = int(lens.sum())
+    empty = pd.DataFrame({"gram": pd.Series(dtype=object), "c": pd.Series(dtype="int64")})
+    if total == 0:
+        return empty
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in lists if t])
+    uniq, inv, ucounts = np.unique(flat, return_inverse=True, return_counts=True)
+    out = [pd.DataFrame({"gram": uniq, "c": ucounts.astype(np.int64)})]
+    if total >= 2:
+        # adjacency mask: a bigram may not cross a document boundary
+        starts = np.zeros(total, dtype=bool)
+        starts[np.cumsum(lens)[:-1][lens[:-1].cumsum() < total]] = True  # doc starts (except 0)
+        ok = ~starts[1:]
+        if ok.any():
+            codes = inv[:-1][ok].astype(np.int64) * len(uniq) + inv[1:][ok]
+            cu, cc = np.unique(codes, return_counts=True)
+            x, y = cu // len(uniq), cu % len(uniq)
+            grams = np.array([f"{a} {b}" for a, b in zip(uniq[x], uniq[y])], dtype=object)
+            out.append(pd.DataFrame({"gram": grams, "c": cc.astype(np.int64)}))
+    return pd.concat(out, ignore_index=True)
+
+
+def pmi_bigrams(
+    ds: "rd.Dataset", text_col: str = "text", min_count: int = 5, k: int = 100
+) -> pd.DataFrame:
+    """Top-k collocations by exact PMI lift: adjacent-token bigrams scored
+    with ratio = (c_xy·N²)/(B·c_x·c_y) — the argument of PMI's log, kept as
+    a single IEEE division of exact integers (both products < 2^53 at any
+    plausible corpus token count ≤ ~10^5·√c; beyond that, pre-filter by
+    min_count before scoring) so the DuckDB oracle is bit-identical: ln()
+    implementations differ between libm builds, exact-integer division does
+    not.
+
+    Distributed shape: per-batch partial fold (vocabulary-sized rows) → ONE
+    groupby on the gram string → driver finish over the tiny distinct-gram
+    table. No text leaves the batch stage; the shuffle carries only (gram,
+    count) partials."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: pmi_bigram_partials(b, text_col), batch_format="pandas"
+    )
+    folded = partial.groupby("gram").aggregate(Sum("c", alias_name="c")).to_pandas()
+    is_bigram = folded["gram"].str.contains(" ")
+    uni = folded[~is_bigram]
+    big = folded[is_bigram]
+    n_tokens = int(uni["c"].sum())
+    n_bigrams = int(big["c"].sum())
+    if n_bigrams == 0:
+        return pd.DataFrame(
+            {"bigram": pd.Series(dtype=object), "c_xy": pd.Series(dtype="int64"),
+             "ratio": pd.Series(dtype="float64")}
+        )
+    ucmap = uni.set_index("gram")["c"]
+    big = big[big["c"] >= min_count].copy()
+    xy = big["gram"].str.split(" ", n=1, expand=True)
+    cx = ucmap.loc[xy[0]].to_numpy(dtype=np.int64)
+    cy = ucmap.loc[xy[1]].to_numpy(dtype=np.int64)
+    cxy = big["c"].to_numpy(dtype=np.int64)
+    num = cxy * np.int64(n_tokens) * np.int64(n_tokens)
+    den = np.int64(n_bigrams) * cx * cy
+    out = pd.DataFrame(
+        {"bigram": big["gram"].to_numpy(), "c_xy": cxy,
+         "ratio": num.astype(np.float64) / den.astype(np.float64)}
+    )
+    out = out.sort_values(["ratio", "bigram"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

@@ -4570,6 +4570,113 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+# taxonomy/blocklist patterns for text_keyword_tags — a literal list so the
+# oracle can mirror it as a VALUES table; includes multi-word phrases and a
+# never-matching probe (absence must not fabricate zero rows)
+_KEYWORD_TAGS = ["error", "fast merge", "hash join", "slow", "window", "zzz_absent"]
+
+
+def text_keyword_tags(sf_dir: str) -> pd.DataFrame:
+    """Multi-pattern keyword tagging (blocklist / taxonomy labeling): count
+    non-overlapping case-insensitive occurrences of each pattern per doc,
+    emit (doc_id, keyword, n) for n > 0.
+
+    Engine: the pattern list broadcasts with the stage closure; each batch
+    runs one C-loop ``Series.str.count`` per pattern — embarrassingly
+    parallel, NO shuffle at all. At a real blocklist's scale (10⁴⁺ patterns)
+    swap the per-pattern loop for one Aho-Corasick automaton built once per
+    actor in ``__init__``; the stage shape (broadcast patterns, per-batch
+    vectorized scan, no exchange) is the same. Oracle: CROSS JOIN against a
+    VALUES table with the replace-length occurrence count — identical
+    non-overlapping left-to-right semantics as regex ``findall``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kws = list(_KEYWORD_TAGS)
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
+        lt = b["text"].fillna("").str.lower()
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        frames = []
+        for kw in kws:
+            n = lt.str.count(_re.escape(kw)).to_numpy(dtype=np.int64)
+            m = n > 0
+            if m.any():
+                frames.append(
+                    pd.DataFrame({"doc_id": ids[m], "keyword": kw, "n": n[m]})
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "keyword": pd.Series(dtype=object), "n": pd.Series(dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(count, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "keyword"]).reset_index(drop=True)
+
+
+def _keyword_tags_sql() -> str:
+    values = ",".join(f"('{k}')" for k in _KEYWORD_TAGS)
+    return f"""
+    WITH kw(keyword) AS (VALUES {values}),
+    t AS (SELECT doc_id, lower(COALESCE(text, '')) AS lt FROM documents)
+    SELECT t.doc_id, kw.keyword,
+           CAST((length(lt) - length(replace(lt, keyword, ''))) // length(keyword)
+                AS BIGINT) AS n
+    FROM t CROSS JOIN kw
+    WHERE length(lt) - length(replace(lt, keyword, '')) > 0
+    ORDER BY doc_id, keyword
+    """
+
+
+def text_pmi_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Collocation extraction (`functions/text.py:pmi_bigrams`): top-100
+    adjacent-token bigrams by exact PMI lift (c_xy·N²)/(B·c_x·c_y) with
+    c_xy ≥ 5 — the log's argument kept as one IEEE division of exact
+    integers so the oracle is bit-identical (libm ln() is not portable
+    across engines). Per-batch partial fold → one vocabulary-sized groupby
+    → driver finish on the distinct-gram table."""
+    from ..functions.text import pmi_bigrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return pmi_bigrams(ds, min_count=5, k=100)
+
+
+_PMI_SQL = r"""
+    WITH d AS (
+      SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9_]+') AS ws
+      FROM documents
+    ),
+    uni AS (SELECT unnest(ws) AS w FROM d),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM uni),
+    bl AS (
+      SELECT CASE WHEN len(ws) < 2 THEN []
+                  ELSE [ws[i] || ' ' || ws[i+1]
+                        FOR i IN generate_series(1, len(ws) - 1)] END AS bs
+      FROM d
+    ),
+    bg AS (SELECT unnest(bs) AS bigram FROM bl),
+    bc AS (SELECT bigram, COUNT(*) AS c_xy FROM bg GROUP BY bigram),
+    btot AS (SELECT COUNT(*) AS b FROM bg),
+    scored AS (
+      SELECT bc.bigram, bc.c_xy,
+             CAST(bc.c_xy * tot.n * tot.n AS DOUBLE)
+               / CAST(btot.b * ux.c * uy.c AS DOUBLE) AS ratio
+      FROM bc
+      CROSS JOIN tot CROSS JOIN btot
+      JOIN uc ux ON ux.w = split_part(bc.bigram, ' ', 1)
+      JOIN uc uy ON uy.w = split_part(bc.bigram, ' ', 2)
+      WHERE bc.c_xy >= 5
+    )
+    SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, ratio
+    FROM scored
+    ORDER BY ratio DESC, bigram
+    LIMIT 100
+    """
+
+
 def dedup_editdistance(sf_dir: str) -> pd.DataFrame:
     """EXACT edit-distance similarity join (levenshtein ≤ 2) over document
     slugs (first 20 chars) — the typo/near-identifier dedup primitive.
@@ -6422,6 +6529,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_frames": multimodal_frames,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "dedup_editdistance": dedup_editdistance,
+    "text_keyword_tags": text_keyword_tags,
+    "text_pmi_bigrams": text_pmi_bigrams,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8446,6 +8555,8 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_frames": _frames_sql(),
     "multimodal_phash_dedup": _phash_sql(),
     "dedup_editdistance": _editdistance_sql(),
+    "text_keyword_tags": _keyword_tags_sql(),
+    "text_pmi_bigrams": _PMI_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

@@ -129,3 +129,35 @@ def test_editdistance_join_end_to_end(ray_session):
         if _brute_lev(slugs[i], slugs[j]) <= 2
     )
     assert list(map(tuple, got[["id_a", "id_b", "ed"]].to_numpy())) == want
+
+
+# ---------------------------------------------------------------------------
+# keyword tagging + PMI collocations (unit level; oracle parity in
+# test_queries_oracle.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_partials_respect_doc_boundaries():
+    from movex_cdc_ray.functions.text import pmi_bigram_partials
+
+    b = pd.DataFrame({"text": ["the cat sat", "the cat ran", None, ""]})
+    out = pmi_bigram_partials(b)
+    grams = set(out["gram"])
+    assert "the cat" in grams and "cat sat" in grams
+    assert "sat the" not in grams  # would cross the doc boundary
+    assert int(out.set_index("gram").loc["the cat", "c"]) == 2
+    assert pmi_bigram_partials(pd.DataFrame({"text": [None, ""]})).empty
+
+
+def test_pmi_ratio_is_exact_integer_division(ray_session):
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.text import pmi_bigrams
+
+    pdf = pd.DataFrame({"text": ["a b a b a b c", "a b d", "x y"] * 5})
+    out = pmi_bigrams(rd.from_pandas(pdf), min_count=5, k=10)
+    row = out[out["bigram"] == "a b"].iloc[0]
+    # N=60 tokens, B=45 bigrams, c_ab=20, c_a=20, c_b=20:
+    # ratio = 20*60*60 / (45*20*20) = 4.0 exactly
+    assert row["c_xy"] == 20
+    assert row["ratio"] == 4.0

@@ -69,6 +69,8 @@ SUBSET = [
     "cdc_consumer_state",
     "multimodal_phash_dedup",
     "dedup_editdistance",
+    "text_keyword_tags",
+    "text_pmi_bigrams",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
