@@ -1161,3 +1161,124 @@ def editdistance_join(
         return empty
     pdf = pdf.drop_duplicates(["id_a", "id_b"])
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# containment-coefficient similarity join (partial-copy detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    ds: rd.Dataset, threshold_num: int = 4, threshold_den: int = 5,
+    text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    max_df: int | None = None,
+) -> pd.DataFrame:
+    """EXACT containment-coefficient join: directed rows (src, dst) whenever
+    den·|A∩B| ≥ num·|A| over word-``k``-shingle sets — the partial-copy
+    detector Jaccard misses (a doc pasted into a much larger one scores low
+    Jaccard but containment 1.0; Broder's resemblance-vs-containment split).
+
+    Same distributed inverted-index shape as :func:`ngram_jaccard_exact`
+    (shingle-hash explode → coarse-bucket vectorized self-merge → exact
+    intersection counts via partial sums), but the filter CROSS-MULTIPLIES
+    the rational threshold — entirely integer arithmetic end to end, so the
+    SQL oracle has zero float-boundary risk. Asymmetric by design: each
+    unordered pair is counted once and emitted in whichever direction(s)
+    clear the threshold. ``max_df`` is the same stop-shingle scale valve."""
+    n_buckets = 64
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, hashes, sizes = [], [], []
+        for did, txt in zip(batch[id_col].to_numpy(), batch[text_col].fillna("")):
+            words = _WORD_RE.findall(txt.lower())
+            if not words:
+                continue  # empty doc: containment undefined (oracle: len(w) > 0)
+            if len(words) < k:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+            sh = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False))
+            doc_ids.append(np.full(len(sh), did, dtype=np.int64))
+            hashes.append(sh.astype(np.uint64))
+            sizes.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not doc_ids:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), "sh": pd.Series(dtype="uint64"),
+                 "sz": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {id_col: np.concatenate(doc_ids), "sh": np.concatenate(hashes),
+             "sz": np.concatenate(sizes)}
+        )
+
+    empty_partial = pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+         "npart": pd.Series(dtype="int64"),
+         "sa": pd.Series(dtype="int64"), "sb": pd.Series(dtype="int64"),
+         "pkt": pd.Series(dtype="int32")}
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_sh = g.groupby("sh")["sh"].transform("size")
+        keep = df_per_sh >= 2
+        if max_df is not None:
+            keep &= df_per_sh <= max_df
+        g = g[keep]
+        if len(g) < 2:
+            return empty_partial
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if len(m) == 0:
+            return empty_partial
+        part = (
+            m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)
+            .agg(npart=("sh", "size"), sa=("sz_a", "first"), sb=("sz_b", "first"))
+            .reset_index()
+            .rename(columns={f"{id_col}_a": "a_id", f"{id_col}_b": "b_id"})
+        )
+        part["pkt"] = ((part["a_id"] * 1_000_003 + part["b_id"]) % n_buckets).astype(np.int32)
+        return part.astype({"a_id": "int64", "b_id": "int64", "npart": "int64"})
+
+    out_empty = pd.DataFrame(
+        {"src_id": pd.Series(dtype="int64"), "dst_id": pd.Series(dtype="int64"),
+         "n_inter": pd.Series(dtype="int64"),
+         "n_src": pd.Series(dtype="int64"), "n_dst": pd.Series(dtype="int64")}
+    )
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["a_id", "b_id"], sort=False)
+            .agg(ninter=("npart", "sum"), sa=("sa", "first"), sb=("sb", "first"))
+            .reset_index()
+        )
+        num, den = threshold_num, threshold_den
+        fwd = agg[den * agg["ninter"] >= num * agg["sa"]]
+        rev = agg[den * agg["ninter"] >= num * agg["sb"]]
+        return pd.concat(
+            [
+                pd.DataFrame({"src_id": fwd["a_id"], "dst_id": fwd["b_id"],
+                              "n_inter": fwd["ninter"], "n_src": fwd["sa"],
+                              "n_dst": fwd["sb"]}),
+                pd.DataFrame({"src_id": rev["b_id"], "dst_id": rev["a_id"],
+                              "n_inter": rev["ninter"], "n_src": rev["sb"],
+                              "n_dst": rev["sa"]}),
+            ],
+            ignore_index=True,
+        ) if len(fwd) + len(rev) else out_empty
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bkt"] = (batch["sh"] % np.uint64(n_buckets)).astype(np.int32)
+        return batch
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pkt")
+        .map_groups(reduce_pairs, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return out_empty
+    return pdf.sort_values(["src_id", "dst_id"]).reset_index(drop=True)

@@ -4570,6 +4570,137 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def cdc_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-diff CDC capture: synthesize the I/U/D event stream from two
+    versions of a keyed table — the trigger-free capture mode for sources
+    that can't host triggers (the reference is trigger-based,
+    db_trigger_generator_base.rb; snapshot-diff is the standard complement
+    for initial sync / trigger-less sources).
+
+    OLD = customers with c_custkey % 7 != 3; NEW drops % 5 == 2 and adds
+    10.00 to c_acctbal where % 3 == 0 (deterministic version derivation so
+    the oracle can re-derive membership by rule). The ENGINE does the real
+    distributed diff: both sides tagged and union'd, ONE coarse-bucket
+    groupby co-locates each key's ≤2 rows, a vectorized per-bucket pivot
+    compares sides (never a per-key group call). Money compares as
+    floor(×100+0.5) cents — BIGINT end to end."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(dtype=np.int64)
+        cents = np.floor(b["c_acctbal"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        old_m = k % 7 != 3
+        new_m = k % 5 != 2
+        new_cents = np.where(k % 3 == 0, cents + 1000, cents)
+        out = pd.concat(
+            [
+                pd.DataFrame({"key": k[old_m], "side": np.int32(0), "cents": cents[old_m]}),
+                pd.DataFrame({"key": k[new_m], "side": np.int32(1), "cents": new_cents[new_m]}),
+            ],
+            ignore_index=True,
+        )
+        out["bkt"] = (out["key"] % 256).astype(np.int32)
+        return out
+
+    empty = pd.DataFrame(
+        {"c_custkey": pd.Series(dtype="int64"), "op": pd.Series(dtype=object),
+         "acctbal_cents": pd.Series(dtype="int64")}
+    )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index="key", columns="side", values="cents", aggfunc="first")
+        old = p[0] if 0 in p.columns else pd.Series(np.nan, index=p.index)
+        new = p[1] if 1 in p.columns else pd.Series(np.nan, index=p.index)
+        ins = new.notna() & old.isna()
+        dele = old.notna() & new.isna()
+        upd = old.notna() & new.notna() & (old != new)
+        frames = []
+        for mask, op, vals in ((ins, "I", new), (dele, "D", old), (upd, "U", new)):
+            if mask.any():
+                frames.append(
+                    pd.DataFrame(
+                        {"c_custkey": p.index[mask].to_numpy(dtype=np.int64),
+                         "op": op,
+                         "acctbal_cents": vals[mask].to_numpy(dtype=np.int64)}
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    out = (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(diff, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH c AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), ev AS (
+      SELECT k, 'I' AS op,
+             CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END AS cents
+      FROM c WHERE k % 7 = 3 AND k % 5 <> 2
+      UNION ALL
+      SELECT k, 'D', cents FROM c WHERE k % 7 <> 3 AND k % 5 = 2
+      UNION ALL
+      SELECT k, 'U', cents + 1000
+      FROM c WHERE k % 7 <> 3 AND k % 5 <> 2 AND k % 3 = 0
+    )
+    SELECT CAST(k AS BIGINT) AS c_custkey, op,
+           CAST(cents AS BIGINT) AS acctbal_cents
+    FROM ev ORDER BY c_custkey
+    """
+
+
+def dedup_containment(sf_dir: str) -> pd.DataFrame:
+    """Containment-coefficient similarity join
+    (`functions/dedup.py:containment_pairs`): directed (src, dst) rows where
+    ≥ 4/5 of src's word-3-shingle set appears in dst — the partial-copy
+    detector Jaccard misses (Broder's resemblance vs containment). Same
+    inverted-index shape as dedup_jaccard; the threshold cross-multiplies as
+    integers, so engine and oracle compare BIGINTs, never floats."""
+    from ..functions.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(ds, threshold_num=4, threshold_den=5, k=3)
+
+
+_CONTAINMENT_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+        END)) AS g
+      FROM docs WHERE len(w) > 0
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ninter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dir AS (
+      SELECT a_id AS src_id, b_id AS dst_id, ninter, sa.sz AS n_src, sb.sz AS n_dst
+      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      WHERE 5*ninter >= 4*sa.sz
+      UNION ALL
+      SELECT b_id, a_id, ninter, sb.sz, sa.sz
+      FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      WHERE 5*ninter >= 4*sb.sz
+    )
+    SELECT CAST(src_id AS BIGINT) AS src_id, CAST(dst_id AS BIGINT) AS dst_id,
+           CAST(ninter AS BIGINT) AS n_inter, CAST(n_src AS BIGINT) AS n_src,
+           CAST(n_dst AS BIGINT) AS n_dst
+    FROM dir ORDER BY src_id, dst_id
+    """
+
+
 # taxonomy/blocklist patterns for text_keyword_tags — a literal list so the
 # oracle can mirror it as a VALUES table; includes multi-word phrases and a
 # never-matching probe (absence must not fabricate zero rows)
@@ -6531,6 +6662,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_editdistance": dedup_editdistance,
     "text_keyword_tags": text_keyword_tags,
     "text_pmi_bigrams": text_pmi_bigrams,
+    "dedup_containment": dedup_containment,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8557,6 +8690,8 @@ def _build_oracle_sql() -> dict[str, str]:
     "dedup_editdistance": _editdistance_sql(),
     "text_keyword_tags": _keyword_tags_sql(),
     "text_pmi_bigrams": _PMI_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
+    "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

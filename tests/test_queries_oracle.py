@@ -71,6 +71,8 @@ SUBSET = [
     "dedup_editdistance",
     "text_keyword_tags",
     "text_pmi_bigrams",
+    "dedup_containment",
+    "cdc_snapshot_diff",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
