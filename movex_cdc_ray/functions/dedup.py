@@ -1168,6 +1168,97 @@ def editdistance_join(
 # ---------------------------------------------------------------------------
 
 
+def shingle_explode(
+    batch: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> pd.DataFrame:
+    """Distinct word-``k``-shingle hash rows (id, sh, sz) per document —
+    the shared explode stage of the inverted-index similarity family
+    (jaccard / containment / novelty). Empty docs are excluded (set ops
+    undefined; oracles filter len(w) > 0). Shingles travel as 64-bit
+    ``pd.util.hash_array`` values (collision odds ~n²/2⁶⁴, negligible below
+    ~10⁹ distinct shingles)."""
+    doc_ids, hashes, sizes = [], [], []
+    for did, txt in zip(batch[id_col].to_numpy(), batch[text_col].fillna("")):
+        words = _WORD_RE.findall(txt.lower())
+        if not words:
+            continue
+        if len(words) < k:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        sh = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False))
+        doc_ids.append(np.full(len(sh), did, dtype=np.int64))
+        hashes.append(sh.astype(np.uint64))
+        sizes.append(np.full(len(sh), len(sh), dtype=np.int64))
+    if not doc_ids:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"), "sh": pd.Series(dtype="uint64"),
+             "sz": pd.Series(dtype="int64")}
+        )
+    return pd.DataFrame(
+        {id_col: np.concatenate(doc_ids), "sh": np.concatenate(hashes),
+         "sz": np.concatenate(sizes)}
+    )
+
+
+def ngram_novelty(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> pd.DataFrame:
+    """Per-document n-gram novelty (memorization screen): how much of each
+    doc's distinct word-``k``-shingle set appears ANYWHERE else in the
+    corpus. Returns (doc_id, n_shingles, n_dup_shingles) — the high-dup tail
+    is the boilerplate/memorized-content cut in corpus curation.
+
+    One shuffle: (doc, shingle-hash) rows groupby a coarse shingle bucket
+    (hash co-location makes each shingle's full df computable per bucket
+    with one vectorized ``transform``), per-bucket per-doc partial counts,
+    then a doc-keyed Sum fold. No text enters either exchange."""
+    n_buckets = 64
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        e = shingle_explode(b, id_col, text_col, k)
+        e["bkt"] = (e["sh"] % np.uint64(n_buckets)).astype(np.int32)
+        return e[[id_col, "sh", "bkt"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_sh = g.groupby("sh")["sh"].transform("size")
+        part = (
+            g.assign(dup=(df_per_sh >= 2).astype(np.int64))
+            .groupby(id_col, sort=False)
+            .agg(n=("sh", "size"), ndup=("dup", "sum"))
+            .reset_index()
+        )
+        # route partials to a coarse doc bucket: Ray's generic two-Sum
+        # aggregate measured ~16x slower than this map_groups fold at sf0.1
+        # (27.6 s -> 1.7 s end to end)
+        part["dbkt"] = (part[id_col] % 64).astype(np.int32)
+        return part.astype({id_col: "int64", "n": "int64", "ndup": "int64"})
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(id_col, sort=False)
+            .agg(n_shingles=("n", "sum"), n_dup_shingles=("ndup", "sum"))
+            .reset_index()
+        )
+        return out.astype({id_col: "int64", "n_shingles": "int64", "n_dup_shingles": "int64"})
+
+    folded = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("dbkt")
+        .map_groups(fold_doc, batch_format="pandas")
+    )
+    pdf = folded.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "n_shingles": pd.Series(dtype="int64"),
+             "n_dup_shingles": pd.Series(dtype="int64")}
+        )
+    return pdf.sort_values(id_col).reset_index(drop=True)
+
+
 def containment_pairs(
     ds: rd.Dataset, threshold_num: int = 4, threshold_den: int = 5,
     text_col: str = "text", id_col: str = "doc_id", k: int = 3,
@@ -1188,28 +1279,7 @@ def containment_pairs(
     n_buckets = 64
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, hashes, sizes = [], [], []
-        for did, txt in zip(batch[id_col].to_numpy(), batch[text_col].fillna("")):
-            words = _WORD_RE.findall(txt.lower())
-            if not words:
-                continue  # empty doc: containment undefined (oracle: len(w) > 0)
-            if len(words) < k:
-                grams = [" ".join(words)]
-            else:
-                grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-            sh = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False))
-            doc_ids.append(np.full(len(sh), did, dtype=np.int64))
-            hashes.append(sh.astype(np.uint64))
-            sizes.append(np.full(len(sh), len(sh), dtype=np.int64))
-        if not doc_ids:
-            return pd.DataFrame(
-                {id_col: pd.Series(dtype="int64"), "sh": pd.Series(dtype="uint64"),
-                 "sz": pd.Series(dtype="int64")}
-            )
-        return pd.DataFrame(
-            {id_col: np.concatenate(doc_ids), "sh": np.concatenate(hashes),
-             "sz": np.concatenate(sizes)}
-        )
+        return shingle_explode(batch, id_col, text_col, k)
 
     empty_partial = pd.DataFrame(
         {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),

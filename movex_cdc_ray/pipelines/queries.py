@@ -4701,6 +4701,37 @@ _CONTAINMENT_SQL = r"""
     """
 
 
+def text_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-doc n-gram novelty / memorization screen
+    (`functions/dedup.py:ngram_novelty`): for each document, how many of its
+    distinct word-3-shingles occur anywhere else in the corpus. Pure integer
+    counts; one (doc, hash) shuffle + a doc-keyed Sum fold."""
+    from ..functions.dedup import ngram_novelty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_novelty(ds, k=3)
+
+
+_NOVELTY_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+        END)) AS g
+      FROM docs WHERE len(w) > 0
+    ), df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles
+    FROM sh JOIN df USING (g)
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """
+
+
 # taxonomy/blocklist patterns for text_keyword_tags — a literal list so the
 # oracle can mirror it as a VALUES table; includes multi-word phrases and a
 # never-matching probe (absence must not fabricate zero rows)
@@ -6664,6 +6695,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_pmi_bigrams": text_pmi_bigrams,
     "dedup_containment": dedup_containment,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "text_ngram_novelty": text_ngram_novelty,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8692,6 +8724,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_pmi_bigrams": _PMI_SQL,
     "dedup_containment": _CONTAINMENT_SQL,
     "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+    "text_ngram_novelty": _NOVELTY_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

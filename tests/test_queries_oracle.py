@@ -73,6 +73,7 @@ SUBSET = [
     "text_pmi_bigrams",
     "dedup_containment",
     "cdc_snapshot_diff",
+    "text_ngram_novelty",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
