@@ -70,6 +70,11 @@ QUERY_SWEEP = [
     "embedding_pca_power",
     "text_bpe_merges",
     "cdc_consumer_state",
+    "dedup_editdistance",
+    "multimodal_phash_dedup",
+    "text_ngram_novelty",
+    "text_pmi_bigrams",
+    "cdc_snapshot_diff",
 ]
 
 

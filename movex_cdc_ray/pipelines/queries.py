@@ -4658,6 +4658,78 @@ _SNAPSHOT_DIFF_SQL = """
     """
 
 
+def cdc_gap_audit(sf_dir: str) -> pd.DataFrame:
+    """Sequence-gap integrity audit: find every missing id in a delivered
+    event stream — the operational W2 (watermark no-gap) check run as a
+    query over delivered data (the reference's no-gap guarantee audited
+    from the outside). Delivered = events with event_id % 997 != 13, a
+    deterministic drop rule both sides re-derive.
+
+    Distributed shape: ids bucket by ``id // 8192``; a synthetic SPINE row
+    per expected bucket (driver-built from the delivered min/max — two
+    scalar aggregates) unions into the stream so even a FULLY missing
+    bucket surfaces; one groupby, per-bucket vectorized ``np.setdiff1d``
+    against the clipped expected range. No driver-side id loops; the only
+    driver data is min/max and the (tiny) missing-id result."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def delivered(b: pa.Table) -> pa.Table:
+        ids = _col(b, "event_id").to_numpy()
+        keep = ids % 997 != 13
+        ids = ids[keep]
+        return pa.table(
+            {"bucket": pa.array(ids // 8192), "event_id": pa.array(ids)}
+        )
+
+    dl = ds.map_batches(delivered, batch_format="pyarrow")
+    # two scalar aggregates (metadata-small) fix the audit span
+    gmin = dl.min("event_id")
+    gmax = dl.max("event_id")
+    nb = gmax // 8192 - gmin // 8192 + 1
+    spine = rd.from_arrow(  # arrow block — union with pandas blocks breaks the sort
+        pa.table(
+            {"bucket": pa.array(np.arange(gmin // 8192, gmax // 8192 + 1, dtype=np.int64)),
+             "event_id": pa.array(np.full(nb, -1, dtype=np.int64))}
+        )
+    )
+
+    empty = pd.DataFrame({"missing_id": pd.Series(dtype="int64")})
+
+    def find_missing(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["bucket"].iloc[0])
+        lo = max(bkt * 8192, gmin)
+        hi = min(bkt * 8192 + 8191, gmax)
+        present = g["event_id"].to_numpy(dtype=np.int64)
+        missing = np.setdiff1d(np.arange(lo, hi + 1, dtype=np.int64),
+                               present[present >= 0], assume_unique=False)
+        return pd.DataFrame({"missing_id": missing}) if len(missing) else empty
+
+    out = (
+        dl.union(spine)
+        .groupby("bucket")
+        .map_groups(find_missing, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values("missing_id").reset_index(drop=True)
+
+
+_GAP_AUDIT_SQL = """
+    WITH delivered AS (
+      SELECT event_id FROM events WHERE event_id % 997 <> 13
+    ), span AS (
+      SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM delivered
+    ), expected AS (
+      SELECT unnest(generate_series(lo, hi)) AS i FROM span
+    )
+    SELECT CAST(i AS BIGINT) AS missing_id
+    FROM expected
+    WHERE i NOT IN (SELECT event_id FROM delivered)
+    ORDER BY missing_id
+    """
+
+
 def dedup_containment(sf_dir: str) -> pd.DataFrame:
     """Containment-coefficient similarity join
     (`functions/dedup.py:containment_pairs`): directed (src, dst) rows where
@@ -6696,6 +6768,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_containment": dedup_containment,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "text_ngram_novelty": text_ngram_novelty,
+    "cdc_gap_audit": cdc_gap_audit,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8725,6 +8798,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "dedup_containment": _CONTAINMENT_SQL,
     "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "text_ngram_novelty": _NOVELTY_SQL,
+    "cdc_gap_audit": _GAP_AUDIT_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

@@ -74,6 +74,7 @@ SUBSET = [
     "dedup_containment",
     "cdc_snapshot_diff",
     "text_ngram_novelty",
+    "cdc_gap_audit",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
