@@ -244,11 +244,18 @@ class DecodeStage:
     via divide&conquer like any other bad event. ``real=False`` keeps the
     hash-seeded deterministic fake (plumbing tests without media bytes).
     Output schema is identical in both modes except the real mode appends
-    ``decoded_width``/``decoded_height``/``decoded_samples``."""
+    ``decoded_width``/``decoded_height``/``decoded_samples``.
 
-    def __init__(self, feature_dim: int = 64, real: bool = False):
+    ``audio_decimate=k`` keeps every k-th decoded sample before feature
+    extraction (sample-rate normalization's integer-exact core; a
+    production resampler adds a polyphase anti-alias filter in front —
+    float-heavy, so the testable contract here is pure decimation).
+    Images are unaffected."""
+
+    def __init__(self, feature_dim: int = 64, real: bool = False, audio_decimate: int = 1):
         self.feature_dim = feature_dim
         self.real = real
+        self.audio_decimate = audio_decimate
 
     def _decode_one(self, payload: bytes) -> tuple[np.ndarray, int, int, int]:
         fmt = sniff_format(payload)
@@ -259,6 +266,8 @@ class DecodeStage:
             px = decode_ppm(payload)
             return _image_features(px, self.feature_dim), px.shape[1], px.shape[0], 0
         samples, _rate = decode_wav(payload)
+        if self.audio_decimate > 1:
+            samples = samples[:: self.audio_decimate]
         return _audio_features(samples, self.feature_dim), 0, 0, len(samples)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -5083,6 +5083,79 @@ def multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def multimodal_audio_resample(sf_dir: str) -> pd.DataFrame:
+    """Audio sample-rate normalization (integer-exact core): real WAV decode
+    → decimate ×2 (every other sample) → features from the decimated signal.
+    The DuckDB oracle re-decodes the same staged payloads byte-by-byte with
+    the decimated sample indexing and recomputes the float32-faithful
+    feature norm — full value check of the resample path (the anti-alias
+    filter a production resampler adds in front is float-heavy and stays
+    out of the exact contract; see DecodeStage.audio_decimate)."""
+    from ..functions.multimodal import RECOMMENDED_MEDIA_BATCH_SIZE, DecodeStage
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"real": True, "audio_decimate": 2},
+        batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE,
+        concurrency=2,
+    )
+    pdf = out.to_pandas()[["media_id", "decoded_samples", "feature_norm"]]
+    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def _audio_resample_sql() -> str:
+    """SQL re-decode of the ×2-decimated WAV path: sample j reads PCM16 at
+    byte 44 + 2·(2j); rms/zcr/histogram recomputed over the decimated
+    sequence with the same float32 feature quantization as
+    ``_decode_real_sql``'s wnorm chain."""
+    return f"""
+    WITH wav AS (
+      SELECT media_id, hex(payload) AS h, ({_le32(40)}) // 2 AS ns
+      FROM read_parquet('{_stage_real_media()}')
+      WHERE kind = 'audio' AND substr(hex(payload), 25, 8) = '666D7420'
+                           AND substr(hex(payload), 73, 8) = '64617461'
+    ),
+    smp AS (
+      SELECT media_id, i, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM (SELECT w.media_id, t.i,
+                   {_hx("44 + 4*t.i")} + 256*{_hx("45 + 4*t.i")} AS raw,
+                   w.h AS h
+            FROM wav w, range(1000) t(i) WHERE 2*t.i < w.ns)
+    ),
+    wagg AS (
+      SELECT media_id, sqrt(avg((s/32768.0)*(s/32768.0))) AS rms, count(*) AS n
+      FROM smp GROUP BY media_id
+    ),
+    wz AS (
+      SELECT media_id,
+             SUM(CASE WHEN flip THEN 1 ELSE 0 END)::DOUBLE / (count(*) - 1) AS zcr
+      FROM (SELECT media_id,
+                   (s < 0) <> lag(s < 0) OVER (PARTITION BY media_id ORDER BY i) AS flip
+            FROM smp)
+      GROUP BY media_id
+    ),
+    whist AS (
+      SELECT media_id, SUM({_sq(_f32("cnt::DOUBLE / n"))}) AS hss
+      FROM (SELECT media_id,
+                   LEAST(CAST(floor(((s/32768.0) + 1.0) * (62.0/2.0)) AS INT), 61) AS bin,
+                   COUNT(*) AS cnt
+            FROM smp GROUP BY media_id, bin)
+      JOIN (SELECT media_id, n FROM wagg) USING (media_id)
+      GROUP BY media_id
+    )
+    SELECT a.media_id, CAST(a.n AS BIGINT) AS decoded_samples,
+           ROUND(sqrt({_sq(_f32("a.rms"))} + {_sq(_f32("z.zcr"))} + hh.hss), 4)
+             AS feature_norm
+    FROM wagg a JOIN wz z USING (media_id) JOIN whist hh USING (media_id)
+    ORDER BY a.media_id
+    """
+
+
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
     pdf = ds.to_pandas()
     return pdf.sort_values(list(sort_cols)).reset_index(drop=True)
@@ -6769,6 +6842,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "text_ngram_novelty": text_ngram_novelty,
     "cdc_gap_audit": cdc_gap_audit,
+    "multimodal_audio_resample": multimodal_audio_resample,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8799,6 +8873,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "text_ngram_novelty": _NOVELTY_SQL,
     "cdc_gap_audit": _GAP_AUDIT_SQL,
+    "multimodal_audio_resample": _audio_resample_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

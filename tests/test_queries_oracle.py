@@ -75,6 +75,7 @@ SUBSET = [
     "cdc_snapshot_diff",
     "text_ngram_novelty",
     "cdc_gap_audit",
+    "multimodal_audio_resample",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
