@@ -161,3 +161,61 @@ def test_pmi_ratio_is_exact_integer_division(ray_session):
     # ratio = 20*60*60 / (45*20*20) = 4.0 exactly
     assert row["c_xy"] == 20
     assert row["ratio"] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis, derandomized like test_property_based.py)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DET = settings(derandomize=True, max_examples=60, deadline=None)
+
+_ASCII = st.text(alphabet="abcde _", max_size=20)
+
+
+@_DET
+@given(st.lists(_ASCII, min_size=2, max_size=12))
+def test_property_levenshtein_pairs(strs):
+    pairs = [(a, b) for a in strs for b in strs]
+    A, la = slug_matrix(np.array([p[0] for p in pairs], object), 20)
+    B, lb = slug_matrix(np.array([p[1] for p in pairs], object), 20)
+    got = levenshtein_pairs(A, la, B, lb)
+    want = np.array([_brute_lev(a, b) for a, b in pairs])
+    assert (got == want).all()
+
+
+@_DET
+@given(st.lists(_ASCII, min_size=2, max_size=10))
+def test_property_fastss_complete(strs):
+    mat, _ = slug_matrix(np.array(strs, object), 20)
+    kl = deletion_keys(mat, 2)
+    keysets = [set(int(k[i]) for k in kl) for i in range(len(strs))]
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            if _brute_lev(strs[i], strs[j]) <= 2:
+                assert keysets[i] & keysets[j]
+
+
+@_DET
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_property_ahash_codec_invariance(seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h, w = int(rng.integers(8, 20)), int(rng.integers(8, 28))
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    from movex_cdc_ray.functions.multimodal import decode_ppm, encode_ppm
+
+    assert ahash_bands(decode_bmp(encode_bmp(px))) == ahash_bands(px)
+    assert ahash_bands(decode_ppm(encode_ppm(px))) == ahash_bands(px)
+    # exactly the strict-mean rule, bit for bit
+    lum = px.astype(np.int64) @ np.array([299, 587, 114])
+    from movex_cdc_ray.functions.multimodal import resize_nearest
+
+    grid = resize_nearest(lum, 8, 8)
+    bits = (64 * grid.ravel() > grid.sum())
+    want = tuple(
+        int((np.where(bits, np.int64(1) << (np.arange(64) % 16), 0)).reshape(4, 16)[i].sum())
+        for i in range(4)
+    )
+    assert ahash_bands(px) == want
