@@ -281,3 +281,30 @@ def eval_mask(expr: str | Any, batch: pa.Table) -> pa.Array:
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return pc.fill_null(out.cast(pa.bool_()), False)
+
+
+def segment_triu_indices(seg_lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i < j), fully vectorized: for segments
+    of lengths m₀..mₖ laid out consecutively, returns (gi, gj, seg_of_pair)
+    global index arrays covering every segment's C(m,2) pairs — the grouped
+    pairwise-comparison primitive (inversion counts, within-group O(m²)
+    verifies) with no per-segment Python.
+
+    The pair ordinal → (i, j) decode is the triangular-number inverse via
+    float sqrt plus an exact ±1 integer correction (sqrt is within 1 ulp for
+    p < 2⁵⁰, so one correction pass suffices)."""
+    m = np.asarray(seg_lengths, dtype=np.int64)
+    ppseg = m * (m - 1) // 2
+    total = int(ppseg.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    seg_of_pair = np.repeat(np.arange(len(m), dtype=np.int64), ppseg)
+    p = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(ppseg) - ppseg, ppseg)
+    j = ((1.0 + np.sqrt(1.0 + 8.0 * p.astype(np.float64))) / 2.0).astype(np.int64)
+    # exact correction of the float decode
+    j = np.where(j * (j - 1) // 2 > p, j - 1, j)
+    j = np.where((j + 1) * j // 2 <= p, j + 1, j)
+    i = p - j * (j - 1) // 2
+    seg_start = np.repeat(np.cumsum(m) - m, ppseg)
+    return seg_start + i, seg_start + j, seg_of_pair

@@ -4730,6 +4730,83 @@ _GAP_AUDIT_SQL = """
     """
 
 
+def cdc_ordering_inversions(sf_dir: str) -> pd.DataFrame:
+    """Per-key delivery-order QA: quantify the W1 (per-key ordering)
+    guarantee over a deliberately skewed delivery clock. delivered_at =
+    ts + (event_id % 7) hours — a deterministic jitter both sides
+    re-derive — and the audit counts, per user, the INVERTED pairs
+    (id order vs delivered order), the exact Kendall-tau numerator the
+    reference's ascending-id check (kafka_mock.rb:49-63) tests one message
+    at a time.
+
+    Engine: users co-locate in coarse hash buckets; within a bucket every
+    per-user pair comes from ONE vectorized
+    `scalar.segment_triu_indices` construction (no per-user Python), and
+    inversion counts fold with one bincount. Timestamps compare as int64
+    microseconds — no float time math."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy(dtype=np.int64)
+        us = b["ts"].astype("datetime64[us]").to_numpy().view(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(dtype=np.int64),
+                "event_id": ids,
+                "dts": us + (ids % 7) * 3_600_000_000,
+                "bkt": (b["user_id"].to_numpy(dtype=np.int64) % 64).astype(np.int32),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series(dtype="int64"), "n_events": pd.Series(dtype="int64"),
+         "n_inversions": pd.Series(dtype="int64")}
+    )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.scalar import segment_triu_indices
+
+        order = np.lexsort((g["event_id"].to_numpy(), g["user_id"].to_numpy()))
+        users = g["user_id"].to_numpy(dtype=np.int64)[order]
+        dts = g["dts"].to_numpy(dtype=np.int64)[order]
+        uniq, counts = np.unique(users, return_counts=True)
+        gi, gj, seg = segment_triu_indices(counts)
+        inv = np.bincount(seg, weights=(dts[gi] > dts[gj]), minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": uniq, "n_events": counts.astype(np.int64), "n_inversions": inv}
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(audit, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_ORDERING_INV_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id,
+             ts + (event_id % 7) * INTERVAL 1 HOUR AS dts
+      FROM events
+    ), base AS (
+      SELECT user_id, COUNT(*) AS n_events FROM e GROUP BY user_id
+    ), inv AS (
+      SELECT a.user_id, COUNT(*) AS n_inversions
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id AND a.dts > b.dts
+      GROUP BY a.user_id
+    )
+    SELECT base.user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(COALESCE(inv.n_inversions, 0) AS BIGINT) AS n_inversions
+    FROM base LEFT JOIN inv USING (user_id)
+    ORDER BY user_id
+    """
+
+
 def dedup_containment(sf_dir: str) -> pd.DataFrame:
     """Containment-coefficient similarity join
     (`functions/dedup.py:containment_pairs`): directed (src, dst) rows where
@@ -6843,6 +6920,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_ngram_novelty": text_ngram_novelty,
     "cdc_gap_audit": cdc_gap_audit,
     "multimodal_audio_resample": multimodal_audio_resample,
+    "cdc_ordering_inversions": cdc_ordering_inversions,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8874,6 +8952,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_ngram_novelty": _NOVELTY_SQL,
     "cdc_gap_audit": _GAP_AUDIT_SQL,
     "multimodal_audio_resample": _audio_resample_sql(),
+    "cdc_ordering_inversions": _ORDERING_INV_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

@@ -219,3 +219,19 @@ def test_property_ahash_codec_invariance(seed):
         for i in range(4)
     )
     assert ahash_bands(px) == want
+
+
+@_DET
+@given(st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=6))
+def test_property_segment_triu_indices(m):
+    import itertools
+
+    from movex_cdc_ray.functions.scalar import segment_triu_indices
+
+    gi, gj, sp = segment_triu_indices(np.array(m, dtype=np.int64))
+    want, off = set(), 0
+    for s, length in enumerate(m):
+        want |= {(off + i, off + j, s) for i, j in itertools.combinations(range(length), 2)}
+        off += length
+    assert set(zip(gi.tolist(), gj.tolist(), sp.tolist())) == want
+    assert len(gi) == len(want)

@@ -76,6 +76,7 @@ SUBSET = [
     "text_ngram_novelty",
     "cdc_gap_audit",
     "multimodal_audio_resample",
+    "cdc_ordering_inversions",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
