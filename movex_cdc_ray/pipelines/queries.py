@@ -4730,6 +4730,110 @@ _GAP_AUDIT_SQL = """
     """
 
 
+def events_nearest_join(sf_dir: str) -> pd.DataFrame:
+    """Nearest-event temporal join (both directions — the one-sided as-of's
+    sibling): each 'error' matches the SAME USER's 'click' with minimal
+    |Δts|; among equal gaps the smallest click event_id wins.
+
+    Engine: per-user coarse buckets; within a bucket clicks collapse to
+    (distinct ts, min id) arrays and every error resolves with TWO
+    ``np.searchsorted`` probes (floor/ceil neighbor) — no pair
+    materialization, O((errors+clicks)·log clicks) per bucket, int64-µs
+    arithmetic throughout. The per-USER iteration inside a bucket is
+    bounded by users/bucket with all per-user work vectorized; a very wide
+    bucket would swap it for one composite-key (user≪52 | ts) searchsorted
+    over the whole bucket — same contract, needs the key to pack in 64
+    bits."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(["error", "click"]).to_numpy()
+        b = b[m]
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": b["event_id"].to_numpy(dtype=np.int64),
+                "is_err": (b["event_type"] == "error").to_numpy(),
+                "us": b["ts"].astype("datetime64[us]").to_numpy().view(np.int64),
+                "bkt": (uid % 64).astype(np.int32),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"error_event_id": pd.Series(dtype="int64"),
+         "matched_event_id": pd.Series(dtype="int64"),
+         "gap_us": pd.Series(dtype="int64")}
+    )
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [empty]
+        g = g.sort_values(["user_id", "us", "event_id"])
+        for _uid, gu in g.groupby("user_id", sort=False):
+            err = gu[gu["is_err"]]
+            clk = gu[~gu["is_err"]]
+            if err.empty or clk.empty:
+                continue
+            # distinct click ts, each carrying its min event_id (tie contract)
+            cts = clk["us"].to_numpy(dtype=np.int64)
+            cid = clk["event_id"].to_numpy(dtype=np.int64)
+            uniq_ts, first_idx = np.unique(cts, return_index=True)
+            min_id = np.minimum.reduceat(cid, first_idx)  # cid sorted by (ts, id)
+            ets = err["us"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(uniq_ts, ets)
+            lo = np.clip(pos - 1, 0, len(uniq_ts) - 1)
+            hi = np.clip(pos, 0, len(uniq_ts) - 1)
+            gap_lo = np.abs(ets - uniq_ts[lo])
+            gap_hi = np.abs(ets - uniq_ts[hi])
+            # pick the nearer neighbor; equal gaps pick the smaller id
+            use_lo = (gap_lo < gap_hi) | (
+                (gap_lo == gap_hi) & (min_id[lo] <= min_id[hi])
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "error_event_id": err["event_id"].to_numpy(dtype=np.int64),
+                        "matched_event_id": np.where(use_lo, min_id[lo], min_id[hi]),
+                        "gap_us": np.where(use_lo, gap_lo, gap_hi),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(nearest, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values("error_event_id").reset_index(drop=True)
+
+
+_NEAREST_JOIN_SQL = """
+    WITH err AS (
+      SELECT user_id, event_id AS error_event_id, epoch_us(ts) AS eus
+      FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT user_id, event_id AS click_event_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT e.error_event_id, c.click_event_id, ABS(e.eus - c.cus) AS gap_us
+      FROM err e JOIN clk c USING (user_id)
+    ), pick AS (
+      SELECT error_event_id, click_event_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY error_event_id
+                                ORDER BY gap_us, click_event_id) AS rn
+      FROM cand
+    )
+    SELECT error_event_id, click_event_id AS matched_event_id,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM pick WHERE rn = 1
+    ORDER BY error_event_id
+    """
+
+
 def cdc_ordering_inversions(sf_dir: str) -> pd.DataFrame:
     """Per-key delivery-order QA: quantify the W1 (per-key ordering)
     guarantee over a deliberately skewed delivery clock. delivered_at =
@@ -6921,6 +7025,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_gap_audit": cdc_gap_audit,
     "multimodal_audio_resample": multimodal_audio_resample,
     "cdc_ordering_inversions": cdc_ordering_inversions,
+    "events_nearest_join": events_nearest_join,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -8953,6 +9058,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_gap_audit": _GAP_AUDIT_SQL,
     "multimodal_audio_resample": _audio_resample_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
+    "events_nearest_join": _NEAREST_JOIN_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

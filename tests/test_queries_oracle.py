@@ -77,6 +77,7 @@ SUBSET = [
     "cdc_gap_audit",
     "multimodal_audio_resample",
     "cdc_ordering_inversions",
+    "events_nearest_join",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
