@@ -1199,7 +1199,8 @@ def pmi_bigram_partials(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
     if total >= 2:
         # adjacency mask: a bigram may not cross a document boundary
         starts = np.zeros(total, dtype=bool)
-        starts[np.cumsum(lens)[:-1][lens[:-1].cumsum() < total]] = True  # doc starts (except 0)
+        offsets = np.cumsum(lens)[:-1]  # doc start offsets (empty docs collapse)
+        starts[offsets[offsets < total]] = True
         ok = ~starts[1:]
         if ok.any():
             codes = inv[:-1][ok].astype(np.int64) * len(uniq) + inv[1:][ok]

@@ -259,3 +259,31 @@ def test_deletion_keys_composed_equals_naive_rehash():
     assert len(got) == len(want)
     for a, b in zip(got, want):
         assert (a == b).all()
+
+
+def test_editdistance_join_scale_stress(ray_session):
+    """5k strings with planted typos — a size where the all-pairs brute
+    force (12.5M DPs) is no longer the test harness: completeness is
+    asserted on the planted pairs, soundness by re-verifying every emitted
+    pair with the DP directly."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    base = ["".join(chr(97 + c) for c in rng.integers(0, 26, size=18)) for _ in range(4000)]
+    rows = [(i, s) for i, s in enumerate(base)]
+    planted = []
+    for i in range(0, 4000, 8):  # one planted typo per 8 strings
+        s = base[i]
+        p = int(rng.integers(0, len(s)))
+        typo = s[:p] + "q" + s[p + 1 :]
+        rows.append((100_000 + i, typo))
+        planted.append((i, 100_000 + i))
+    pdf = pd.DataFrame({"id": [r[0] for r in rows], "s": [r[1] for r in rows]})
+    got = editdistance_join(pdf, k=2, width=20)
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    for a, b in planted:  # completeness on planted typos (ed == 1 unless s[p]=='q')
+        assert (a, b) in pairs
+    # soundness: every emitted pair really is within ed <= 2
+    lut = dict(zip(pdf["id"], pdf["s"]))
+    for a, b, ed in got.itertuples(index=False):
+        assert _brute_lev(lut[a], lut[b]) == ed <= 2
