@@ -5264,6 +5264,112 @@ def multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def multimodal_image_crop(sf_dir: str) -> pd.DataFrame:
+    """Central-crop augmentation with real pixels: decode BMP/PPM → slice
+    the middle half ([h/4, h-h/4) × [w/4, w-w/4), integer bounds) →
+    features from the cropped pixels. The oracle re-decodes ONLY the crop
+    window's bytes (per-pixel offsets honor BMP's bottom-up BGR layout) and
+    recomputes the f32-faithful feature norm via the shared
+    ``_img_norm_ctes`` chain."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        _image_features,
+        decode_bmp,
+        decode_ppm,
+    )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+
+    def crop_stage(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("media_id", pa.int64()), ("crop_width", pa.int32()),
+                 ("crop_height", pa.int32()), ("feature_norm", pa.float64())]
+            ).empty_table()
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ids, cws, chs, norms = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), payloads):
+            raw = p.as_py()
+            px = decode_bmp(raw) if raw[:2] == b"BM" else decode_ppm(raw)
+            h, w = px.shape[0], px.shape[1]
+            crop = px[h // 4 : h - h // 4, w // 4 : w - w // 4]
+            feats = _image_features(crop, 64)
+            ids.append(mid)
+            cws.append(crop.shape[1])
+            chs.append(crop.shape[0])
+            norms.append(float(np.linalg.norm(feats.astype(np.float64))))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "crop_width": pa.array(cws, pa.int32()),
+             "crop_height": pa.array(chs, pa.int32()),
+             "feature_norm": pa.array(norms, pa.float64())}
+        )
+
+    pdf = ds.map_batches(
+        crop_stage, batch_format="pyarrow",
+        batch_size=RECOMMENDED_MEDIA_BATCH_SIZE, concurrency=2,
+    ).to_pandas()
+    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def _image_crop_sql() -> str:
+    """SQL re-decode of the central-crop path: crop pixel pi maps to source
+    (y0 + pi // cw, x0 + pi % cw); BMP reads stored row ht-1-y in BGR."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, hex(payload) AS h
+      FROM read_parquet('{_stage_real_media()}') WHERE kind = 'image'
+    ),
+    geo AS (
+      SELECT media_id, h,
+             CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (
+      SELECT *, ((w*3 + 3) // 4) * 4 AS rowb,
+             w - 2*(w // 4) AS cw, ht - 2*(ht // 4) AS ch
+      FROM img
+    ),
+    pxo AS (
+      SELECT i.media_id, i.h AS h,
+             (i.ht // 4) + t.pi // i.cw AS sy, (i.w // 4) + t.pi % i.cw AS sx,
+             i.fmt, i.w, i.ht, i.datoff, i.rowb
+      FROM img2 i, range(400) t(pi) WHERE t.pi < i.cw * i.ch
+    ),
+    loc AS (
+      SELECT media_id, h,
+        CASE WHEN fmt = 'bmp' THEN datoff + (ht - 1 - sy)*rowb + sx*3
+             ELSE datoff + (sy*w + sx)*3 END AS o,
+        CASE WHEN fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+      FROM pxo
+    ),
+    px AS (
+      SELECT media_id, {_hx("o + rsh")} AS r, {_hx("o + 1")} AS g,
+             {_hx("o + 2 - rsh")} AS b
+      FROM loc
+    ),
+    {_img_norm_ctes("px", "media_id")}
+    SELECT i.media_id, CAST(i.cw AS INT) AS crop_width,
+           CAST(i.ch AS INT) AS crop_height, ROUND(n.fn, 4) AS feature_norm
+    FROM img2 i JOIN norm_px n USING (media_id)
+    ORDER BY i.media_id
+    """
+
+
 def multimodal_audio_resample(sf_dir: str) -> pd.DataFrame:
     """Audio sample-rate normalization (integer-exact core): real WAV decode
     → decimate ×2 (every other sample) → features from the decimated signal.
@@ -7026,6 +7132,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_audio_resample": multimodal_audio_resample,
     "cdc_ordering_inversions": cdc_ordering_inversions,
     "events_nearest_join": events_nearest_join,
+    "multimodal_image_crop": multimodal_image_crop,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -9059,6 +9166,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_audio_resample": _audio_resample_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
     "events_nearest_join": _NEAREST_JOIN_SQL,
+    "multimodal_image_crop": _image_crop_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

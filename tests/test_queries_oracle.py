@@ -78,6 +78,7 @@ SUBSET = [
     "multimodal_audio_resample",
     "cdc_ordering_inversions",
     "events_nearest_join",
+    "multimodal_image_crop",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
