@@ -4730,6 +4730,85 @@ _GAP_AUDIT_SQL = """
     """
 
 
+def events_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order behavior transition matrix: per user, order events by
+    (ts, event_id) and count adjacent event_type transitions corpus-wide —
+    the sequence-statistics sibling of ``events_user_paths``.
+
+    Engine: per-user coarse buckets; inside a bucket ONE lexsort + shifted
+    compare builds every adjacent pair (the user boundary mask kills
+    cross-user pairs), a vectorized factorize+bincount folds to (from, to)
+    partials, and the register-sized transition table reduces driver-side."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": b["event_id"].to_numpy(dtype=np.int64),
+                "event_type": b["event_type"].to_numpy(),
+                "us": b["ts"].astype("datetime64[us]").to_numpy().view(np.int64),
+                "bkt": (uid % 64).astype(np.int32),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"from_type": pd.Series(dtype=object), "to_type": pd.Series(dtype=object),
+         "n": pd.Series(dtype="int64")}
+    )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["us"].to_numpy(), g["user_id"].to_numpy())
+        )
+        users = g["user_id"].to_numpy(dtype=np.int64)[order]
+        types = g["event_type"].to_numpy()[order]
+        if len(types) < 2:
+            return empty
+        same_user = users[1:] == users[:-1]
+        if not same_user.any():
+            return empty
+        codes, uniq = pd.factorize(pd.Series(types), sort=True)
+        pair_code = codes[:-1][same_user] * len(uniq) + codes[1:][same_user]
+        counts = np.bincount(pair_code, minlength=len(uniq) ** 2)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {"from_type": uniq.take(nz // len(uniq)),
+             "to_type": uniq.take(nz % len(uniq)),
+             "n": counts[nz].astype(np.int64)}
+        )
+
+    pdf = (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(transitions, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pdf) == 0:
+        return empty
+    out = (
+        pdf.groupby(["from_type", "to_type"], sort=True)["n"].sum().reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """
+
+
 def events_nearest_join(sf_dir: str) -> pd.DataFrame:
     """Nearest-event temporal join (both directions — the one-sided as-of's
     sibling): each 'error' matches the SAME USER's 'click' with minimal
@@ -7133,6 +7212,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_ordering_inversions": cdc_ordering_inversions,
     "events_nearest_join": events_nearest_join,
     "multimodal_image_crop": multimodal_image_crop,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -9167,6 +9247,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
     "events_nearest_join": _NEAREST_JOIN_SQL,
     "multimodal_image_crop": _image_crop_sql(),
+    "events_markov_transitions": _MARKOV_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

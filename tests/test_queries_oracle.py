@@ -79,6 +79,7 @@ SUBSET = [
     "cdc_ordering_inversions",
     "events_nearest_join",
     "multimodal_image_crop",
+    "events_markov_transitions",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
