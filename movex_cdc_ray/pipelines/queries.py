@@ -4730,6 +4730,69 @@ _GAP_AUDIT_SQL = """
     """
 
 
+def events_burst_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window burst rate: for every event, how many of the SAME
+    USER's events fall in the trailing 60 s (RANGE frame, inclusive both
+    ends — equal timestamps all count, unlike a ROWS frame). The
+    rate-limiting / burst-anomaly primitive.
+
+    Engine: per-user buckets; within a user the whole column resolves with
+    TWO ``np.searchsorted`` calls (left bound at t−60 s, right bound at t)
+    — O(n log n) per user, int64-µs arithmetic, no window materialized."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": b["event_id"].to_numpy(dtype=np.int64),
+                "us": b["ts"].astype("datetime64[us]").to_numpy().view(np.int64),
+                "bkt": (uid % 64).astype(np.int32),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"event_id": pd.Series(dtype="int64"), "n_in_window": pd.Series(dtype="int64")}
+    )
+
+    def burst(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us"])
+        outs = [empty]
+        for _uid, gu in g.groupby("user_id", sort=False):
+            us = gu["us"].to_numpy(dtype=np.int64)
+            hi = np.searchsorted(us, us, side="right")
+            lo = np.searchsorted(us, us - 60_000_000, side="left")
+            outs.append(
+                pd.DataFrame(
+                    {"event_id": gu["event_id"].to_numpy(dtype=np.int64),
+                     "n_in_window": (hi - lo).astype(np.int64)}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(burst, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_BURST_SQL = """
+    SELECT event_id,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 60 SECOND PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_in_window
+    FROM events
+    ORDER BY event_id
+    """
+
+
 def events_markov_transitions(sf_dir: str) -> pd.DataFrame:
     """First-order behavior transition matrix: per user, order events by
     (ts, event_id) and count adjacent event_type transitions corpus-wide —
@@ -7213,6 +7276,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_nearest_join": events_nearest_join,
     "multimodal_image_crop": multimodal_image_crop,
     "events_markov_transitions": events_markov_transitions,
+    "events_burst_window": events_burst_window,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -9248,6 +9312,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_nearest_join": _NEAREST_JOIN_SQL,
     "multimodal_image_crop": _image_crop_sql(),
     "events_markov_transitions": _MARKOV_SQL,
+    "events_burst_window": _BURST_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }
