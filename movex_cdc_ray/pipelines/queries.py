@@ -4695,14 +4695,16 @@ def cdc_gap_audit(sf_dir: str) -> pd.DataFrame:
 
     empty = pd.DataFrame({"missing_id": pd.Series(dtype="int64")})
 
-    def find_missing(g: pd.DataFrame) -> pd.DataFrame:
+    def find_missing(g: pd.DataFrame) -> pa.Table:
         bkt = int(g["bucket"].iloc[0])
         lo = max(bkt * 8192, gmin)
         hi = min(bkt * 8192 + 8191, gmax)
         present = g["event_id"].to_numpy(dtype=np.int64)
         missing = np.setdiff1d(np.arange(lo, hi + 1, dtype=np.int64),
                                present[present >= 0], assume_unique=False)
-        return pd.DataFrame({"missing_id": missing}) if len(missing) else empty
+        # arrow table with explicit schema even when empty — keeps every
+        # block bundle schema-typed (block-schema hygiene)
+        return pa.table({"missing_id": pa.array(missing, pa.int64())})
 
     out = (
         dl.union(spine)

@@ -80,6 +80,7 @@ SUBSET = [
     "events_nearest_join",
     "multimodal_image_crop",
     "events_markov_transitions",
+    "events_burst_window",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
