@@ -4732,6 +4732,85 @@ _GAP_AUDIT_SQL = """
     """
 
 
+def corpus_interleave(sf_dir: str) -> pd.DataFrame:
+    """Deterministic round-robin training order across sources: docs sort by
+    (rank-within-source, source) — one pass of every source before any
+    source repeats, the standard mixture-interleave schedule (vs
+    ``corpus_shuffle``'s hash permutation and ``corpus_mixture``'s sampled
+    weights).
+
+    Engine: per-source rank comes from the same range-partitioned prefix
+    sum as ``epoch_shuffle`` (per-(source, id-range) counts → tiny driver
+    base table → per-bucket sort + arange); the GLOBAL position then needs
+    NO second shuffle — with the per-source totals m_s broadcast, the
+    round-robin position has the closed form
+    pos(r, s) = Σ_{s'} min(r, m_{s'}) + |{s' < s : m_{s'} > r}|,
+    one vectorized (rows × sources) minimum per batch."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    span = 8192  # id-range bucket width (order-aligned, dense testdata ids)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = _col(b, "doc_id")
+        return pa.table(
+            {"doc_id": ids, "source": b["source"],
+             "ib": pc.divide(ids, span)}
+        )
+
+    import ray
+    from ray.data.aggregate import Count
+
+    hashed = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    counts = (
+        hashed.groupby(["source", "ib"]).aggregate(Count(alias_name="n")).take_all()
+    )
+    # tiny driver table: sources × id-buckets rows
+    counts.sort(key=lambda r: (r["source"], int(r["ib"])))
+    base: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for r in counts:
+        s = r["source"]
+        base[(s, int(r["ib"]))] = totals.get(s, 0)
+        totals[s] = totals.get(s, 0) + int(r["n"])
+    sources = sorted(totals)
+    m = np.array([totals[s] for s in sources], dtype=np.int64)
+    sidx_map = {s: i for i, s in enumerate(sources)}
+    ref = ray.put((base, sidx_map, m))
+
+    def rank_and_pos(g: pd.DataFrame) -> pd.DataFrame:
+        base_map, smap, mvec = ray.get(ref)
+        g = g.sort_values(["source", "doc_id"])
+        src = g["source"].to_numpy()
+        ib = int(g["ib"].iloc[0])
+        seg_first = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        seg_len = np.diff(np.r_[seg_first, len(src)])
+        rn = np.concatenate(
+            [base_map[(src[f], ib)] + np.arange(n0, dtype=np.int64)
+             for f, n0 in zip(seg_first, seg_len)]
+        )
+        sidx = np.fromiter((smap[s] for s in src), dtype=np.int64, count=len(src))
+        pos = np.minimum(rn[:, None], mvec[None, :]).sum(axis=1)
+        pos += ((mvec[None, :] > rn[:, None])
+                & (np.arange(len(mvec))[None, :] < sidx[:, None])).sum(axis=1)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(dtype=np.int64), "pos": pos}
+        )
+
+    out = hashed.groupby("ib").map_groups(rank_and_pos, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_INTERLEAVE_SQL = """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) - 1 AS BIGINT) AS pos
+    FROM r ORDER BY doc_id
+    """
+
+
 def events_burst_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window burst rate: for every event, how many of the SAME
     USER's events fall in the trailing 60 s (RANGE frame, inclusive both
@@ -7279,6 +7358,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_image_crop": multimodal_image_crop,
     "events_markov_transitions": events_markov_transitions,
     "events_burst_window": events_burst_window,
+    "corpus_interleave": corpus_interleave,
 }
 
 # --- byte-level SQL decode of the multimodal payloads -----------------------
@@ -9315,6 +9395,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_image_crop": _image_crop_sql(),
     "events_markov_transitions": _MARKOV_SQL,
     "events_burst_window": _BURST_SQL,
+    "corpus_interleave": _INTERLEAVE_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

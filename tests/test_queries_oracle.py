@@ -81,6 +81,7 @@ SUBSET = [
     "multimodal_image_crop",
     "events_markov_transitions",
     "events_burst_window",
+    "corpus_interleave",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
