@@ -257,3 +257,41 @@ def test_pair_key_guard_rejects_31bit_overflow(ray_session):
                    "text": _pa.array(["same words here now", "same words here now"])})
     with pytest.raises((ValueError, Exception), match="31-bit|31"):
         ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.4, ship="pairs")
+
+
+# ---- sink_mode lake byte-identity (ADVICE capture.py:199) -------------------
+
+
+def test_sink_mode_lake_byte_identity(ray_session, tmp_path, monkeypatch):
+    """project_for_sink=True (sink_fast capture) and the full capture mode
+    must produce byte-identical partition base files — including tombstone
+    rows, whose payload is re-nulled at lake-row construction
+    (sink.events_to_lake_rows) precisely so sink_fast's skipped D-row
+    nulling cannot leak deleted payload bytes into the lake."""
+    from movex_cdc_ray.pipelines import replay as replay_mod
+    from movex_cdc_ray.pipelines.replay import CapturePartitionStage, replay
+    from movex_cdc_ray.state.manifest import Manifest
+
+    spec = StreamSpec(
+        n_events=4_000, n_repos=6, paths_per_repo=25, chunk_size=2_000, delete_frac=0.2
+    )
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    lake_a = str(tmp_path / "lake_a")
+    lake_b = str(tmp_path / "lake_b")
+    replay(stream, lake_a, cfg, chunks_per_epoch=2)  # default: sink_mode capture
+
+    class FullModeStage(CapturePartitionStage):
+        def __init__(self, cfg, **kw):
+            kw["project_for_sink"] = False
+            super().__init__(cfg, **kw)
+
+    monkeypatch.setattr(replay_mod, "CapturePartitionStage", FullModeStage)
+    replay(stream, lake_b, cfg, chunks_per_epoch=2)
+
+    ma, mb = Manifest.latest(lake_a), Manifest.latest(lake_b)
+    assert set(ma.partitions) == set(mb.partitions) and ma.partitions
+    for p, meta in ma.partitions.items():
+        with open(meta["path"], "rb") as fa, open(mb.partitions[p]["path"], "rb") as fb:
+            assert fa.read() == fb.read(), f"partition {p} diverged between capture modes"
