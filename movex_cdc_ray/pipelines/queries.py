@@ -7210,6 +7210,104 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pareto skyline (multi-criteria frontier)
+# ---------------------------------------------------------------------------
+
+
+_SKYLINE_SCHEMA = pa.schema(
+    [("event_type", pa.string()), ("event_id", pa.int64()),
+     ("value", pa.float64()), ("ts_us", pa.int64())]
+)
+
+
+def _skyline_pass(df: pd.DataFrame) -> pa.Table:
+    """Vectorized 2-D skyline per event_type: keep rows not dominated on
+    (value↑, ts↑). Dominance: d beats r iff d.value>=r.value AND d.ts>=r.ts
+    with strict > in at least one coordinate — so exact (value, ts_us) ties
+    never dominate each other and ALL survive.
+
+    Shape: sort by (value desc, ts desc); a row survives iff its ts is (a)
+    strictly above the max ts of every strictly-greater value (prefix max
+    over value segments) and (b) the max ts within its own value segment.
+    One sort + reduceat/accumulate per type — no Python row loops. Output is
+    an explicitly-schema'd Arrow table (block-schema hygiene; empty sentinel
+    frames return the same schema)."""
+    if isinstance(df, pa.Table):
+        df = df.to_pandas()
+    keeps: list[pd.DataFrame] = []
+    if len(df) and "event_type" in df.columns:
+        if "ts_us" not in df.columns:  # first (per-batch) pass: raw ts column
+            df = df.assign(ts_us=df["ts"].astype("datetime64[us]").astype(np.int64))
+        for _, g in df.groupby("event_type", sort=False):
+            g = g.sort_values(["value", "ts_us"], ascending=[False, False], kind="mergesort")
+            val = g["value"].to_numpy()
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            new_val = np.r_[True, val[1:] != val[:-1]]
+            seg_id = np.cumsum(new_val) - 1
+            seg_max = np.maximum.reduceat(ts, np.flatnonzero(new_val))
+            prefix = np.maximum.accumulate(seg_max)
+            m1 = np.where(seg_id > 0, prefix[np.maximum(seg_id - 1, 0)], np.iinfo(np.int64).min)
+            keep = (ts > m1) & (ts == seg_max[seg_id])
+            keeps.append(g.loc[keep])
+    if keeps:
+        out = pd.concat(keeps, ignore_index=True)
+        return pa.table(
+            {"event_type": pa.array(out["event_type"].astype(str).to_numpy(dtype=object)),
+             "event_id": pa.array(out["event_id"].to_numpy(dtype="int64")),
+             "value": pa.array(out["value"].to_numpy(dtype="float64")),
+             "ts_us": pa.array(out["ts_us"].to_numpy(dtype="int64"))}
+        )
+    return _SKYLINE_SCHEMA.empty_table()
+
+
+def events_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto skyline per event_type: events no other event of the same type
+    beats on BOTH value and recency (maximize value, maximize ts).
+
+    Distributed shape: dominance is transitive, so the global skyline is a
+    subset of the union of per-batch local skylines — each batch ships only
+    its own frontier into the per-type exchange (the classic two-phase
+    distributed-skyline reduction; a uniform batch contributes O(log n)
+    expected frontier rows, so the shuffle is metadata-sized), then one
+    map_groups pass computes the exact frontier per type."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    out = (
+        ds.map_batches(_skyline_pass, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_skyline_pass, batch_format="pyarrow")
+    )
+    pdf = out.to_pandas()
+    pdf["value_cents"] = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    return (
+        pdf[["event_type", "event_id", "value_cents", "ts_us"]]
+        .sort_values(["event_type", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+_SKYLINE_SQL = """
+    WITH e AS (
+      SELECT event_type, event_id, value, ts FROM events
+    ), seg AS (
+      SELECT event_type, value, MAX(ts) AS meq
+      FROM e GROUP BY event_type, value
+    ), segx AS (
+      SELECT event_type, value, meq,
+             MAX(meq) OVER (PARTITION BY event_type ORDER BY value DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+      FROM seg
+    )
+    SELECT e.event_type,
+           CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS value_cents,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us
+    FROM e JOIN segx USING (event_type, value)
+    WHERE (segx.m1 IS NULL OR e.ts > segx.m1) AND e.ts = segx.meq
+    ORDER BY event_type, event_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # the catalogs
 # ---------------------------------------------------------------------------
 
@@ -7232,6 +7330,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_pagerank": events_pagerank,
     "events_ntile": events_ntile,
     "events_cube": events_cube,
+    "events_skyline": events_skyline,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -9396,6 +9495,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_markov_transitions": _MARKOV_SQL,
     "events_burst_window": _BURST_SQL,
     "corpus_interleave": _INTERLEAVE_SQL,
+    "events_skyline": _SKYLINE_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

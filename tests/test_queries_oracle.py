@@ -82,6 +82,7 @@ SUBSET = [
     "events_markov_transitions",
     "events_burst_window",
     "corpus_interleave",
+    "events_skyline",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]

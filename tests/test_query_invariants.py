@@ -158,3 +158,33 @@ def test_unpivot_is_pivot_roundtrip(qs):
     melted = melted[melted["n"] > 0][["user_id", "event_type", "n"]]
     melted = melted.sort_values(["user_id", "event_type"]).reset_index(drop=True)
     assert melted.astype(str).equals(long[["user_id", "event_type", "n"]].astype(str))
+
+
+def test_skyline_equals_bruteforce_dominance(qs):
+    """events_skyline == the O(n^2) dominance definition, checked per type
+    on the full sf0.001 events table (1000 rows)."""
+    import pyarrow.parquet as pq
+
+    got = qs["events_skyline"](SF_DIR)
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    ).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    expect = []
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        # dominated iff exists (v', t') with v'>=v, t'>=t and strict in one
+        dom = ((v[None, :] >= v[:, None]) & (t[None, :] >= t[:, None])
+               & ((v[None, :] > v[:, None]) | (t[None, :] > t[:, None]))).any(axis=1)
+        expect.extend(g.loc[~dom, "event_id"].tolist())
+    assert sorted(got["event_id"].tolist()) == sorted(expect)
+    # local-prune soundness: a second skyline pass over the result is a no-op
+    from movex_cdc_ray.pipelines.queries import _skyline_pass
+
+    again = _skyline_pass(
+        got.assign(value=got["value_cents"] / 100.0)[
+            ["event_type", "event_id", "value", "ts_us"]
+        ]
+    )
+    assert again.num_rows == len(got)
