@@ -7308,6 +7308,134 @@ _SKYLINE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# data-quality validation suite (Deequ-style rule report)
+# ---------------------------------------------------------------------------
+
+_DQ_DOMAIN = ("click", "view", "signup", "purchase", "error")
+
+
+def events_data_quality(sf_dir: str) -> pd.DataFrame:
+    """Validation-rule report over the events stream: per rule, how many rows
+    violate it (the Deequ/Great-Expectations shape a training-data pipeline
+    runs before ingest). Three distributed patterns in one query:
+
+    * columnar rules (range / domain / format / time-window) — per-batch
+      vectorized predicate sums folded through a register-sized groupby;
+    * exact uniqueness — only the pruned (event_id) column enters the
+      distinct exchange, pre-deduped per batch so the shuffle carries at
+      most one row per key per batch;
+    * referential integrity — the small side (customer keys) broadcast via
+      ``ray.put`` once, NumPy ``isin`` per batch, never a shuffle join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    keys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy(dtype=np.int64)))
+    lo = np.datetime64("2024-01-01", "us").astype(np.int64)
+    hi = np.datetime64("2025-01-01", "us").astype(np.int64)
+
+    def rule_partials(batch: pd.DataFrame) -> pa.Table:
+        n = len(batch)
+        val = batch["value"].to_numpy()
+        et = batch["event_type"]
+        props = batch["props"]
+        ts = batch["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        uid = batch["user_id"].to_numpy(dtype=np.int64)
+        ckeys = ray.get(keys_ref)
+        pos = np.searchsorted(ckeys, uid)
+        in_cust = (pos < len(ckeys)) & (ckeys[np.clip(pos, 0, len(ckeys) - 1)] == uid)
+        viols = {
+            "value_nonnegative": int((val < 0).sum()),
+            "value_le_200": int((val > 200.0).sum()),
+            "event_type_in_domain": int((~et.isin(_DQ_DOMAIN)).sum()),
+            "props_json_object": int(
+                (props.isna() | ~(props.str.startswith("{") & props.str.endswith("}"))).sum()
+            ),
+            "ts_in_window": int(((ts < lo) | (ts >= hi)).sum()),
+            "user_id_in_customer": int((~in_cust).sum()),
+        }
+        return pa.table(
+            {"rule": pa.array(list(viols), pa.string()),
+             "n_violations": pa.array(list(viols.values()), pa.int64()),
+             "n_checked": pa.array([n] * len(viols), pa.int64())}
+        )
+
+    folded = (
+        ds.map_batches(rule_partials, batch_format="pandas")
+        .groupby("rule")
+        .aggregate(Sum("n_violations", alias_name="n_violations"),
+                   Sum("n_checked", alias_name="n_checked"))
+        .to_pandas()
+    )
+    # exact uniqueness: per-batch pre-dedup, then a keys-only coarse-bucket
+    # exchange (one vectorized nunique per bucket — the documented ~10x win
+    # over a per-key groupby)
+    ids = ds.map_batches(
+        lambda t: (lambda u: pa.table(
+            {"event_id": u, "bucket": pc.bit_wise_and(u, 255)}
+        ))(pc.unique(t["event_id"].combine_chunks())),
+        batch_format="pyarrow",
+    )
+    n_total = int(folded["n_checked"].iloc[0])
+    n_distinct = int(
+        ids.groupby("bucket")
+        .map_groups(
+            lambda g: pa.table(
+                {"n": pa.array([pc.count_distinct(g["event_id"]).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
+    folded = pd.concat(
+        [folded,
+         pd.DataFrame({"rule": ["event_id_unique"],
+                       "n_violations": [n_total - n_distinct],
+                       "n_checked": [n_total]})],
+        ignore_index=True,
+    )
+    folded["n_violations"] = folded["n_violations"].astype("int64")
+    folded["n_checked"] = folded["n_checked"].astype("int64")
+    return folded.sort_values("rule").reset_index(drop=True)[
+        ["rule", "n_violations", "n_checked"]
+    ]
+
+
+_DATA_QUALITY_SQL = """
+    WITH rules AS (
+      SELECT 'value_nonnegative' AS rule,
+             count(*) FILTER (WHERE value < 0) AS n_violations,
+             count(*) AS n_checked FROM events
+      UNION ALL
+      SELECT 'value_le_200', count(*) FILTER (WHERE value > 200.0), count(*) FROM events
+      UNION ALL
+      SELECT 'event_type_in_domain',
+             count(*) FILTER (WHERE event_type NOT IN
+               ('click','view','signup','purchase','error')), count(*) FROM events
+      UNION ALL
+      SELECT 'props_json_object',
+             count(*) FILTER (WHERE props IS NULL
+               OR NOT (props LIKE '{%' AND props LIKE '%}')), count(*) FROM events
+      UNION ALL
+      SELECT 'ts_in_window',
+             count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2025-01-01'), count(*) FROM events
+      UNION ALL
+      SELECT 'user_id_in_customer',
+             count(*) FILTER (WHERE user_id NOT IN (SELECT c_custkey FROM customer)),
+             count(*) FROM events
+      UNION ALL
+      SELECT 'event_id_unique',
+             count(*) - count(DISTINCT event_id), count(*) FROM events
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT) AS n_checked
+    FROM rules ORDER BY rule
+    """
+
+
+# ---------------------------------------------------------------------------
 # the catalogs
 # ---------------------------------------------------------------------------
 
@@ -7331,6 +7459,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_ntile": events_ntile,
     "events_cube": events_cube,
     "events_skyline": events_skyline,
+    "events_data_quality": events_data_quality,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -9496,6 +9625,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_burst_window": _BURST_SQL,
     "corpus_interleave": _INTERLEAVE_SQL,
     "events_skyline": _SKYLINE_SQL,
+    "events_data_quality": _DATA_QUALITY_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

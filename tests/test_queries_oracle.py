@@ -83,6 +83,7 @@ SUBSET = [
     "events_burst_window",
     "corpus_interleave",
     "events_skyline",
+    "events_data_quality",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
