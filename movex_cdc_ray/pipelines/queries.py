@@ -7308,6 +7308,97 @@ _SKYLINE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# CDC column-churn report (which columns actually change between versions)
+# ---------------------------------------------------------------------------
+
+
+def cdc_column_churn(sf_dir: str) -> pd.DataFrame:
+    """Per-column change frequency between consecutive versions of a key —
+    the operational report behind update-suppression tuning (M4): a column
+    that never changes is a candidate for projection out of the captured
+    image; one that always changes defeats suppression entirely.
+
+    The events binlog is the version history (user_id = key, event_id =
+    version order); for each payload column (event_type, value, props),
+    count consecutive-version transitions where it changed. Coarse-bucket
+    shape: ONE vectorized sort + groupby-shift compare per user-hash bucket
+    (the cdc_update_suppression layout), per-bucket partial counts, then a
+    register-sized per-column fold."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "props"])
+    B = 32
+    churn_cols = ("event_type", "value", "props")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        return batch.append_column("part", pc.bit_wise_and(uid.cast(pa.int64()), B - 1))
+
+    def churn_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_id"])
+        same_user = g["user_id"].eq(g["user_id"].shift(1)).to_numpy()
+        n_trans = int(same_user.sum())
+        rules, changed = [], []
+        for c in churn_cols:
+            prev = g[c].shift(1)
+            diff = (g[c] != prev).to_numpy() & same_user
+            rules.append(c)
+            changed.append(int(diff.sum()))
+        return pa.table(
+            {"column_name": pa.array(rules, pa.string()),
+             "n_changed": pa.array(changed, pa.int64()),
+             "n_transitions": pa.array([n_trans] * len(rules), pa.int64())}
+        )
+
+    folded = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(churn_bucket, batch_format="pandas")
+        .groupby("column_name")
+        .aggregate(Sum("n_changed", alias_name="n_changed"),
+                   Sum("n_transitions", alias_name="n_transitions"))
+        .to_pandas()
+    )
+    folded["n_changed"] = folded["n_changed"].astype("int64")
+    folded["n_transitions"] = folded["n_transitions"].astype("int64")
+    folded["churn_rate"] = _rha(
+        folded["n_changed"].to_numpy() / folded["n_transitions"].to_numpy(), 6
+    )
+    return folded.sort_values("column_name").reset_index(drop=True)[
+        ["column_name", "n_changed", "n_transitions", "churn_rate"]
+    ]
+
+
+_COLUMN_CHURN_SQL = """
+    WITH v AS (
+      SELECT user_id, event_id, event_type, value, props,
+             LAG(event_type) OVER w AS p_et,
+             LAG(value)      OVER w AS p_v,
+             LAG(props)      OVER w AS p_p,
+             LAG(user_id)    OVER w AS p_u
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), t AS (
+      SELECT * FROM v WHERE p_u IS NOT NULL
+    ), rules AS (
+      SELECT 'event_type' AS column_name,
+             count(*) FILTER (WHERE event_type IS DISTINCT FROM p_et) AS n_changed,
+             count(*) AS n_transitions FROM t
+      UNION ALL
+      SELECT 'value', count(*) FILTER (WHERE value IS DISTINCT FROM p_v), count(*) FROM t
+      UNION ALL
+      SELECT 'props', count(*) FILTER (WHERE props IS DISTINCT FROM p_p), count(*) FROM t
+    )
+    SELECT column_name, CAST(n_changed AS BIGINT) AS n_changed,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           ROUND(CAST(n_changed AS DOUBLE) / n_transitions, 6) AS churn_rate
+    FROM rules ORDER BY column_name
+    """
+
+
+# ---------------------------------------------------------------------------
 # data-quality validation suite (Deequ-style rule report)
 # ---------------------------------------------------------------------------
 
@@ -7460,6 +7551,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_cube": events_cube,
     "events_skyline": events_skyline,
     "events_data_quality": events_data_quality,
+    "cdc_column_churn": cdc_column_churn,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -9626,6 +9718,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "corpus_interleave": _INTERLEAVE_SQL,
     "events_skyline": _SKYLINE_SQL,
     "events_data_quality": _DATA_QUALITY_SQL,
+    "cdc_column_churn": _COLUMN_CHURN_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

@@ -84,6 +84,7 @@ SUBSET = [
     "corpus_interleave",
     "events_skyline",
     "events_data_quality",
+    "cdc_column_churn",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
