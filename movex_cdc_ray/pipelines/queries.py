@@ -7308,6 +7308,93 @@ _SKYLINE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law over the ingest order)
+# ---------------------------------------------------------------------------
+
+
+def text_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """Heaps-law vocabulary growth over word-3-gram TYPES: per bucket of
+    W=100 docs (in doc_id order), how many distinct 3-grams appear for the
+    FIRST time, plus the running type count — the corpus-curation
+    diagnostic for "is more data still adding new content?". (Unigram
+    vocabulary saturates in the first docs of the synth corpus; 3-gram
+    types keep growing to the last doc, which is the regime the curve is
+    for.)
+
+    Exchange-pruned: each batch ships (shingle-hash, min-doc) partials via
+    the shared ``shingle_explode`` stage (type-vocabulary-sized, not
+    token-stream-sized); the global per-type min folds inside hash coarse
+    buckets with ONE vectorized pandas groupby-min each; the per-bucket
+    report is register-sized and the cumsum runs on the driver. Types
+    travel as 64-bit hashes — same collision bound the inverted-index
+    family documents (negligible below ~1e9 types)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import shingle_explode
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W, NB = 100, 64
+
+    def firsts(batch: pd.DataFrame) -> pa.Table:
+        ex = shingle_explode(batch, k=3)
+        if ex.empty:
+            return pa.table({"sh": pa.array([], pa.uint64()),
+                             "first_doc": pa.array([], pa.int64()),
+                             "tb": pa.array([], pa.int64())})
+        g = ex.groupby("sh", sort=False)["doc_id"].min()
+        sh = g.index.to_numpy(dtype="uint64")
+        return pa.table({"sh": pa.array(sh),
+                         "first_doc": pa.array(g.to_numpy(dtype="int64")),
+                         "tb": pa.array((sh % NB).astype("int64"))})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "sh" not in g.columns:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "new_types": pa.array([], pa.int64())})
+        m = g.groupby("sh", sort=False)["first_doc"].min()
+        vc = pd.Series(m.to_numpy(dtype="int64") // W).value_counts()
+        return pa.table({"bucket": pa.array(vc.index.to_numpy(dtype="int64")),
+                         "new_types": pa.array(vc.to_numpy(dtype="int64"))})
+
+    pdf = (
+        ds.map_batches(firsts, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("new_types", alias_name="new_types"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pdf["bucket"] = pdf["bucket"].astype("int64")
+    pdf["new_types"] = pdf["new_types"].astype("int64")
+    pdf["cum_types"] = pdf["new_types"].cumsum().astype("int64")
+    return pdf[["bucket", "new_types", "cum_types"]]
+
+
+_VOCAB_GROWTH_SQL = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          for i in range(1, len(ws) - 1)] END) AS gr
+      FROM w WHERE len(ws) > 0
+    ), first AS (
+      SELECT gr, MIN(doc_id) AS fd FROM g GROUP BY gr
+    ), b AS (
+      SELECT fd // 100 AS bucket, count(*) AS new_types FROM first GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+    FROM b ORDER BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
 # CDC column-churn report (which columns actually change between versions)
 # ---------------------------------------------------------------------------
 
@@ -7552,6 +7639,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_skyline": events_skyline,
     "events_data_quality": events_data_quality,
     "cdc_column_churn": cdc_column_churn,
+    "text_vocab_growth": text_vocab_growth,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -9719,6 +9807,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_skyline": _SKYLINE_SQL,
     "events_data_quality": _DATA_QUALITY_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
+    "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

@@ -85,6 +85,7 @@ SUBSET = [
     "events_skyline",
     "events_data_quality",
     "cdc_column_churn",
+    "text_vocab_growth",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
