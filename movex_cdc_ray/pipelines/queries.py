@@ -5666,6 +5666,47 @@ def _audio_resample_sql() -> str:
     """
 
 
+def multimodal_audio_vad(sf_dir: str) -> pd.DataFrame:
+    """Energy-based voice-activity segmentation (integer-exact): real WAV
+    decode → non-overlapping 256-sample frames → per-frame energy
+    Σ s² (int64, exact: 256·(2¹⁵)² < 2⁴⁵) → frame active iff energy above a
+    fixed integer threshold → per clip: frame count, active count and the
+    number of contiguous active SEGMENTS (the VAD run-length output a
+    speech pipeline cuts clips on). Every compared value is an integer, so
+    the byte-level SQL re-decode agrees exactly — threshold knife-edges
+    included."""
+    from ..functions.multimodal import RECOMMENDED_MEDIA_BATCH_SIZE, decode_wav
+
+    frame, thresh = 256, 16_400_000_000  # ~E[energy] for the sigma=8000 synth noise
+
+    def vad(t: pa.Table) -> pa.Table:
+        mids, nw_l, na_l, ns_l = [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            s, _rate = decode_wav(payload)
+            nw = len(s) // frame
+            e = (s[: nw * frame].astype(np.int64) ** 2).reshape(nw, frame).sum(axis=1)
+            act = e > thresh
+            nseg = int(act[0]) + int((act[1:] & ~act[:-1]).sum()) if nw else 0
+            mids.append(mid)
+            nw_l.append(nw)
+            na_l.append(int(act.sum()))
+            ns_l.append(nseg)
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "n_frames": pa.array(nw_l, pa.int64()),
+             "n_active": pa.array(na_l, pa.int64()),
+             "n_segments": pa.array(ns_l, pa.int64())}
+        )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        vad, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
     pdf = ds.to_pandas()
     return pdf.sort_values(list(sort_cols)).reset_index(drop=True)
@@ -7640,6 +7681,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_data_quality": events_data_quality,
     "cdc_column_churn": cdc_column_churn,
     "text_vocab_growth": text_vocab_growth,
+    "multimodal_audio_vad": multimodal_audio_vad,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -7798,6 +7840,48 @@ def _le32(off: int) -> str:
         f"({_hx(str(off))} + 256*{_hx(str(off + 1))}"
         f" + 65536*{_hx(str(off + 2))} + 16777216*{_hx(str(off + 3))})"
     )
+
+
+def _audio_vad_sql() -> str:
+    """Byte-level SQL re-decode of the VAD path: sample i at byte 44+2i,
+    energy Σ s² per 256-sample frame (integer-exact), active iff
+    energy > threshold, segments via a LAG over the frame order."""
+    return f"""
+    WITH wav AS (
+      SELECT media_id, hex(payload) AS h, ({_le32(40)}) // 2 AS ns
+      FROM read_parquet('{_stage_real_media()}')
+      WHERE kind = 'audio' AND substr(hex(payload), 25, 8) = '666D7420'
+                           AND substr(hex(payload), 73, 8) = '64617461'
+    ),
+    smp AS (
+      SELECT media_id, i,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM (SELECT w.media_id, t.i,
+                   {_hx("44 + 2*t.i")} + 256*{_hx("45 + 2*t.i")} AS raw,
+                   w.h AS h
+            FROM wav w, range(4096) t(i) WHERE t.i < (w.ns // 256) * 256)
+    ),
+    fr AS (
+      SELECT media_id, i // 256 AS f,
+             SUM(CAST(s AS BIGINT) * s) > 16400000000 AS active
+      FROM smp GROUP BY media_id, i // 256
+    ),
+    seg AS (
+      SELECT media_id,
+             count(*) AS n_frames,
+             count(*) FILTER (WHERE active) AS n_active,
+             count(*) FILTER (
+               WHERE active AND (prev IS NULL OR NOT prev)) AS n_segments
+      FROM (SELECT media_id, active,
+                   LAG(active) OVER (PARTITION BY media_id ORDER BY f) AS prev
+            FROM fr)
+      GROUP BY media_id
+    )
+    SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_segments AS BIGINT) AS n_segments
+    FROM seg ORDER BY media_id
+    """
 
 
 def _ppm_dim_sql(group: int) -> str:
@@ -9798,6 +9882,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_ngram_novelty": _NOVELTY_SQL,
     "cdc_gap_audit": _GAP_AUDIT_SQL,
     "multimodal_audio_resample": _audio_resample_sql(),
+    "multimodal_audio_vad": _audio_vad_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
     "events_nearest_join": _NEAREST_JOIN_SQL,
     "multimodal_image_crop": _image_crop_sql(),

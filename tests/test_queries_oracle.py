@@ -86,6 +86,7 @@ SUBSET = [
     "events_data_quality",
     "cdc_column_churn",
     "text_vocab_growth",
+    "multimodal_audio_vad",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
