@@ -425,6 +425,40 @@ def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
     return [decode_ppm(data[o : o + ln]) for o, ln in _ppm_frame_offsets(data)]
 
 
+def synth_scene_video_table(
+    n: int, n_scenes: int = 3, frames_per_scene: int = 4, seed: int = 42
+) -> pa.Table:
+    """Scene-STRUCTURED video rows (the cut-detection fixture): each payload
+    is a concatenated-PPM stream of ``n_scenes`` scenes × ``frames_per_scene``
+    frames. Within a scene frame j is the scene's base image brightened by j
+    (near-identical; SAD ≤ w·h·3), scene boundaries switch to fresh random
+    content (SAD ≈ 85·w·h·3) — so sum-of-absolute-differences spikes exactly
+    at scene starts."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, payloads, metas = [], [], []
+    nf = n_scenes * frames_per_scene
+    for i in range(n):
+        w, h = 16 + int(i % 4), 12
+        frames = []
+        for _s in range(n_scenes):
+            base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int64)
+            for j in range(frames_per_scene):
+                frames.append(np.minimum(base + j, 255).astype(np.uint8))
+        ids.append(i)
+        payloads.append(encode_ppm_stream(np.stack(frames)))
+        metas.append({"width": w, "height": h, "duration_ms": nf * 40,
+                      "format": "ppm-stream"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def synth_video_table(n: int, n_frames: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL video rows: each payload is a concatenated-PPM
     stream of ``n_frames`` distinct frames (per-frame content varies so a

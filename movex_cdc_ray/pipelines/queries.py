@@ -4077,6 +4077,7 @@ def _stage_media() -> str:
 
 _REAL_MEDIA_STAGE = "/tmp/movex_oracle/real_media_120_42.parquet"
 _VIDEO_STAGE = "/tmp/movex_oracle/videos_60x12_42.parquet"
+_SCENE_VIDEO_STAGE = "/tmp/movex_oracle/scene_videos_40x3x4_42.parquet"
 _PHASH_STAGE = "/tmp/movex_oracle/phash_media_64_42.parquet"
 
 
@@ -4109,6 +4110,21 @@ def _stage_videos() -> str:
         pq.write_table(synth_video_table(60, n_frames=12, seed=42), tmp)
         os.replace(tmp, _VIDEO_STAGE)
     return _VIDEO_STAGE
+
+
+def _stage_scene_videos() -> str:
+    """Stage the deterministic scene-structured video table (see
+    ``_stage_real_media``)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import synth_scene_video_table
+
+    if not os.path.exists(_SCENE_VIDEO_STAGE):
+        os.makedirs(os.path.dirname(_SCENE_VIDEO_STAGE), exist_ok=True)
+        tmp = f"{_SCENE_VIDEO_STAGE}.tmp.{os.getpid()}"
+        pq.write_table(synth_scene_video_table(40, n_scenes=3, frames_per_scene=4, seed=42), tmp)
+        os.replace(tmp, _SCENE_VIDEO_STAGE)
+    return _SCENE_VIDEO_STAGE
 
 
 def _stage_phash_media() -> str:
@@ -5705,6 +5721,40 @@ def multimodal_audio_vad(sf_dir: str) -> pd.DataFrame:
         vad, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
     )
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def multimodal_scene_cuts(sf_dir: str) -> pd.DataFrame:
+    """Shot-boundary (scene-cut) detection over concatenated-PPM video
+    streams: decode every frame, compute the sum of absolute pixel
+    differences (SAD, exact int64) per consecutive-frame transition, and
+    flag cuts where SAD exceeds 5·w·h·3 (≥5 gray levels of mean change —
+    intra-scene transitions in the fixture sit at ≤1 level, scene switches
+    at ~85). One row per transition with the exact SAD, so the byte-level
+    SQL re-decode agrees on every value, not just the flags."""
+    from ..functions.multimodal import RECOMMENDED_MEDIA_BATCH_SIZE, decode_ppm_stream
+
+    def cuts(t: pa.Table) -> pa.Table:
+        mids, fis, sads, flags = [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            frames = np.stack(decode_ppm_stream(payload)).astype(np.int64)
+            sad = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2, 3))
+            thr = 5 * frames.shape[1] * frames.shape[2] * 3
+            for k, s in enumerate(sad, start=1):
+                mids.append(mid)
+                fis.append(k)
+                sads.append(int(s))
+                flags.append(bool(s > thr))
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "frame_idx": pa.array(fis, pa.int64()),
+             "sad": pa.array(sads, pa.int64()),
+             "is_cut": pa.array(flags, pa.bool_())}
+        )
+
+    out = rd.read_parquet(_stage_scene_videos()).map_batches(
+        cuts, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
@@ -7682,6 +7732,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_column_churn": cdc_column_churn,
     "text_vocab_growth": text_vocab_growth,
     "multimodal_audio_vad": multimodal_audio_vad,
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -8065,6 +8116,40 @@ def _frames_sql() -> str:
            ROUND(n.fn, 4) AS feature_norm
     FROM frames f JOIN norm_px n USING (media_id, frame_idx)
     ORDER BY media_id, frame_idx
+    """
+
+
+def _scene_cuts_sql() -> str:
+    """Byte-level SQL re-decode of the scene-cut path: SAD per consecutive
+    frame pair as Σ|byte(f,i) − byte(f−1,i)| over the frame's pixel bytes
+    (frame stride from the first header, all frames share dims), cut iff
+    SAD > 5·w·h·3 — integer-exact end to end."""
+    return f"""
+    WITH vids AS (
+      SELECT media_id, hex(payload) AS h, octet_length(payload) AS nb
+      FROM read_parquet('{_stage_scene_videos()}')
+    ),
+    vgeo AS (
+      SELECT media_id, h, nb, {_ppm_dim_sql(1)} AS w, {_ppm_dim_sql(2)} AS ht,
+             9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+               + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 AS hdr
+      FROM vids
+    ),
+    vgeo2 AS (SELECT *, hdr + w*ht*3 AS fsz FROM vgeo),
+    pairs AS (
+      SELECT media_id, h, w, ht, hdr, fsz, f.f AS fi
+      FROM vgeo2, range(12) f(f) WHERE f.f >= 1 AND f.f < nb // fsz
+    ),
+    sad AS (
+      SELECT media_id, fi,
+             SUM(ABS({_hx("fi*fsz + hdr + t.i")} - {_hx("(fi-1)*fsz + hdr + t.i")})) AS sad,
+             MAX(w*ht*3) AS fb
+      FROM pairs, range(684) t(i) WHERE t.i < w * ht * 3
+      GROUP BY media_id, fi
+    )
+    SELECT media_id, CAST(fi AS BIGINT) AS frame_idx, CAST(sad AS BIGINT) AS sad,
+           sad > 5 * fb AS is_cut
+    FROM sad ORDER BY media_id, frame_idx
     """
 
 
@@ -9883,6 +9968,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_gap_audit": _GAP_AUDIT_SQL,
     "multimodal_audio_resample": _audio_resample_sql(),
     "multimodal_audio_vad": _audio_vad_sql(),
+    "multimodal_scene_cuts": _scene_cuts_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
     "events_nearest_join": _NEAREST_JOIN_SQL,
     "multimodal_image_crop": _image_crop_sql(),

@@ -87,6 +87,7 @@ SUBSET = [
     "cdc_column_churn",
     "text_vocab_growth",
     "multimodal_audio_vad",
+    "multimodal_scene_cuts",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]

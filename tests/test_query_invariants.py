@@ -188,3 +188,12 @@ def test_skyline_equals_bruteforce_dominance(qs):
         ]
     )
     assert again.num_rows == len(got)
+
+
+def test_scene_cuts_fire_exactly_at_scene_starts(qs):
+    """The scene fixture has 3 scenes x 4 frames: cuts must be flagged at
+    transitions 4 and 8 (scene starts) and nowhere else, for every video."""
+    got = qs["multimodal_scene_cuts"](SF_DIR)
+    for mid, g in got.groupby("media_id"):
+        assert sorted(g.loc[g["is_cut"], "frame_idx"].tolist()) == [4, 8], mid
+        assert len(g) == 11  # 12 frames -> 11 transitions
