@@ -7301,6 +7301,87 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact quantiles via mergeable histograms (the unbounded-group-size path)
+# ---------------------------------------------------------------------------
+
+
+def events_quantile_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type order-statistic quantiles via MERGEABLE HISTOGRAMS —
+    the scale path ``events_value_quantiles`` documents for groups too big
+    to ship to one task: values are cent-quantized, so a per-batch
+    (type, cents, n) bincount partial bounds the exchange by the DISTINCT
+    VALUE DOMAIN (≈10⁴ cents × types), not the event count; partials fold
+    in cents-hash coarse buckets, and the driver finishes with one cumsum +
+    searchsorted over the bounded histogram. p50/p90/p99 are the exact
+    lower order statistics at rank floor((n−1)·q) — integer outputs, so
+    the SQL agreement is exact."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pa.Table:
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"event_type": b["event_type"], "c": cents}).groupby(
+            ["event_type", "c"], sort=False
+        ).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table(
+            {"event_type": pa.array(idx["event_type"].astype(str)),
+             "c": pa.array(idx["c"].to_numpy(dtype="int64")),
+             "n": pa.array(g.to_numpy(dtype="int64")),
+             "cb": pa.array((idx["c"].to_numpy(dtype="int64") & 63))}
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "c" not in g.columns:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        m = g.groupby(["event_type", "c"], sort=False)["n"].sum()
+        idx = m.index.to_frame(index=False)
+        return pa.table(
+            {"event_type": pa.array(idx["event_type"].astype(str)),
+             "c": pa.array(idx["c"].to_numpy(dtype="int64")),
+             "n": pa.array(m.to_numpy(dtype="int64"))}
+        )
+
+    hist = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # bounded by the value domain, not the event count
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("c")
+        cum = g["n"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        c = g["c"].to_numpy()
+        qs = [int(c[np.searchsorted(cum, 1 + int(np.floor((tot - 1) * q)))])
+              for q in (0.50, 0.90, 0.99)]
+        rows.append((et, tot, *qs))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "p50_cents", "p90_cents", "p99_cents"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_QUANTILE_HIST_SQL = """
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+    ), h AS (
+      SELECT event_type, c, count(*) AS n FROM cents GROUP BY event_type, c
+    ), cum AS (
+      SELECT event_type, c,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM h
+    )
+    SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= 1 + floor((tot - 1) * 0.50) THEN c END) AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= 1 + floor((tot - 1) * 0.90) THEN c END) AS BIGINT) AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= 1 + floor((tot - 1) * 0.99) THEN c END) AS BIGINT) AS p99_cents
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
 # Pareto skyline (multi-criteria frontier)
 # ---------------------------------------------------------------------------
 
@@ -7733,6 +7814,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_vocab_growth": text_vocab_growth,
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_scene_cuts": multimodal_scene_cuts,
+    "events_quantile_histogram": events_quantile_histogram,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -9977,6 +10059,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "corpus_interleave": _INTERLEAVE_SQL,
     "events_skyline": _SKYLINE_SQL,
     "events_data_quality": _DATA_QUALITY_SQL,
+    "events_quantile_histogram": _QUANTILE_HIST_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

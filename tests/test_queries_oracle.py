@@ -88,6 +88,7 @@ SUBSET = [
     "text_vocab_growth",
     "multimodal_audio_vad",
     "multimodal_scene_cuts",
+    "events_quantile_histogram",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]

@@ -197,3 +197,16 @@ def test_scene_cuts_fire_exactly_at_scene_starts(qs):
     for mid, g in got.groupby("media_id"):
         assert sorted(g.loc[g["is_cut"], "frame_idx"].tolist()) == [4, 8], mid
         assert len(g) == 11  # 12 frames -> 11 transitions
+
+
+def test_quantile_histogram_equals_bruteforce_order_stats(qs):
+    import pyarrow.parquet as pq
+
+    got = qs["events_quantile_histogram"](SF_DIR)
+    ev = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    ev["c"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for _, row in got.iterrows():
+        c = np.sort(ev.loc[ev["event_type"] == row["event_type"], "c"].to_numpy())
+        assert row["n"] == len(c)
+        for q, col in ((0.50, "p50_cents"), (0.90, "p90_cents"), (0.99, "p99_cents")):
+            assert row[col] == c[int(np.floor((len(c) - 1) * q))], (row["event_type"], q)
