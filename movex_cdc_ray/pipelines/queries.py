@@ -7301,6 +7301,66 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+
+def join_skew_salted(sf_dir: str) -> pd.DataFrame:
+    """Skew-aware reduce-side join (`functions/joins.py:salted_hash_join`):
+    lineitem ⨝ orders on orderkey with the fact side's heavy keys detected
+    by a mergeable local-top-k pass and fanned out over salt sub-partitions
+    (dim rows of hot keys replicated per salt). At testdata scale the skew
+    is mild — the point is the MECHANISM: the hot set only changes routing,
+    never the result (pinned by tests/test_salted_join.py, including a
+    pathological 50%-hot-key stream), so the same call survives a
+    celebrity-key fact table that would otherwise serialize one reducer."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import heavy_keys, salted_hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def with_rev(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": _col(t, "l_orderkey"),
+             "l_linenumber": _col(t, "l_linenumber").cast(pa.int64()),
+             "rev_cents": pa.array(np.floor(ep * (1 - disc) * 100 + 0.5).astype("int64"))}
+        )
+
+    fact = li.map_batches(with_rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    hot = heavy_keys(fact, "l_orderkey", top=8)
+    joined = salted_hash_join(
+        fact, orders, "l_orderkey", "o_orderkey",
+        left_cols=["rev_cents"], right_cols=["o_orderpriority"],
+        salt_source="l_linenumber", hot_keys=hot, n_salt=4, n_buckets=32,
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)[
+        ["o_orderpriority", "n_items", "revenue_cents"]
+    ]
+
+
+_SKEW_JOIN_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+# ---------------------------------------------------------------------------
 # exact quantiles via mergeable histograms (the unbounded-group-size path)
 # ---------------------------------------------------------------------------
 
@@ -7815,6 +7875,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
+    "join_skew_salted": join_skew_salted,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10060,6 +10121,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_skyline": _SKYLINE_SQL,
     "events_data_quality": _DATA_QUALITY_SQL,
     "events_quantile_histogram": _QUANTILE_HIST_SQL,
+    "join_skew_salted": _SKEW_JOIN_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

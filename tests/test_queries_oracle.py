@@ -89,6 +89,7 @@ SUBSET = [
     "multimodal_audio_vad",
     "multimodal_scene_cuts",
     "events_quantile_histogram",
+    "join_skew_salted",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
