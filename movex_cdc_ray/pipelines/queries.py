@@ -7301,6 +7301,112 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC checksum reconciliation (pt-table-checksum analog)
+# ---------------------------------------------------------------------------
+
+
+def cdc_checksum_reconcile(sf_dir: str) -> pd.DataFrame:
+    """Source↔replica reconciliation by bucket checksums — the operational
+    audit run after a CDC backfill (the pt-table-checksum /
+    pg_comparator shape): both sides fold every key-range bucket to
+    (row count, order-independent content checksum); only buckets whose
+    fingerprints differ are reported, so the exchange is bucket-sized
+    regardless of table size.
+
+    Source = the converged per-user state (arg-max-by-event_id fold);
+    replica = the same state deterministically corrupted (keys %101==5
+    dropped, value overwritten for keys %103==7). Checksum = Σ over rows of
+    (user_id·10⁶ + cents + 7·last_event_id) in int64 — order-independent,
+    overflow-free at any realistic bucket size, and identically computable
+    in SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def partial_last(batch: pa.Table) -> pa.Table:
+        gb = (
+            pa.table({"user_id": batch["user_id"], "event_id": batch["event_id"]})
+            .group_by("user_id")
+            .aggregate([("event_id", "max")])
+        )
+        mask = pc.is_in(batch["event_id"], value_set=gb["event_id_max"].combine_chunks())
+        return batch.filter(mask)
+
+    def bucket_sums(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_id"])
+        last = g.groupby("user_id", sort=False).tail(1)
+        uid = last["user_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(last["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        eid = last["event_id"].to_numpy(dtype=np.int64)
+        fp = uid * 1_000_000 + cents + 7 * eid
+        # source side
+        b = uid // 64
+        src = pd.DataFrame({"bucket": b, "n": 1, "fp": fp}).groupby("bucket").sum()
+        # replica side: deterministic corruption
+        keep = uid % 101 != 5
+        cents_r = np.where(uid % 103 == 7, cents + 4242, cents)
+        fp_r = (uid * 1_000_000 + cents_r + 7 * eid)[keep]
+        rep = pd.DataFrame({"bucket": b[keep], "n": 1, "fp": fp_r}).groupby("bucket").sum()
+        j = src.join(rep, how="outer", lsuffix="_src", rsuffix="_rep").fillna(0).reset_index()
+        return pa.table(
+            {"bucket": pa.array(j["bucket"].to_numpy(dtype="int64")),
+             "n_src": pa.array(j["n_src"].to_numpy(dtype="int64")),
+             "fp_src": pa.array(j["fp_src"].to_numpy(dtype="int64")),
+             "n_rep": pa.array(j["n_rep"].to_numpy(dtype="int64")),
+             "fp_rep": pa.array(j["fp_rep"].to_numpy(dtype="int64"))}
+        )
+
+    def part_col(batch: pa.Table) -> pa.Table:
+        uid = _col(batch, "user_id")
+        return batch.append_column("part", pc.bit_wise_and(uid.cast(pa.int64()), 31))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial_last, batch_format="pyarrow")
+        .map_batches(part_col, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_sums, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_src", alias_name="n_src"), Sum("fp_src", alias_name="fp_src"),
+                   Sum("n_rep", alias_name="n_rep"), Sum("fp_rep", alias_name="fp_rep"))
+        .to_pandas()
+    )
+    bad = out[(out["n_src"] != out["n_rep"]) | (out["fp_src"] != out["fp_rep"])].copy()
+    for c in ("bucket", "n_src", "n_rep", "fp_src", "fp_rep"):
+        bad[c] = bad[c].astype("int64")
+    return bad.sort_values("bucket").reset_index(drop=True)[
+        ["bucket", "n_src", "n_rep", "fp_src", "fp_rep"]
+    ]
+
+
+_CHECKSUM_RECONCILE_SQL = """
+    WITH state AS (
+      SELECT user_id,
+             CAST(floor(MAX_BY(value, event_id) * 100 + 0.5) AS BIGINT) AS cents,
+             MAX(event_id) AS eid
+      FROM events GROUP BY user_id
+    ), src AS (
+      SELECT user_id // 64 AS bucket, count(*) AS n,
+             SUM(user_id * 1000000 + cents + 7 * eid) AS fp
+      FROM state GROUP BY 1
+    ), rep AS (
+      SELECT user_id // 64 AS bucket, count(*) AS n,
+             SUM(user_id * 1000000
+                 + CASE WHEN user_id % 103 = 7 THEN cents + 4242 ELSE cents END
+                 + 7 * eid) AS fp
+      FROM state WHERE user_id % 101 <> 5 GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_src,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_rep,
+           CAST(COALESCE(s.fp, 0) AS BIGINT) AS fp_src,
+           CAST(COALESCE(r.fp, 0) AS BIGINT) AS fp_rep
+    FROM src s FULL JOIN rep r USING (bucket)
+    WHERE COALESCE(s.n, 0) <> COALESCE(r.n, 0) OR COALESCE(s.fp, 0) <> COALESCE(r.fp, 0)
+    ORDER BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
 # salted skew join
 # ---------------------------------------------------------------------------
 
@@ -7876,6 +7982,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
     "join_skew_salted": join_skew_salted,
+    "cdc_checksum_reconcile": cdc_checksum_reconcile,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10122,6 +10229,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_data_quality": _DATA_QUALITY_SQL,
     "events_quantile_histogram": _QUANTILE_HIST_SQL,
     "join_skew_salted": _SKEW_JOIN_SQL,
+    "cdc_checksum_reconcile": _CHECKSUM_RECONCILE_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

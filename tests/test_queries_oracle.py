@@ -90,6 +90,7 @@ SUBSET = [
     "multimodal_scene_cuts",
     "events_quantile_histogram",
     "join_skew_salted",
+    "cdc_checksum_reconcile",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
