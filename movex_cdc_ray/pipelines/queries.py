@@ -7301,6 +7301,87 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def events_attribution(sf_dir: str) -> pd.DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's most
+    recent PRIOR click/view (by event_id order), or to 'direct' when no
+    touch precedes it — the marketing-analytics sibling of the as-of join.
+
+    Coarse user-hash buckets; within a bucket ONE vectorized pass: sort by
+    (user, event_id), forward-fill the last touch position per user
+    (masked-index ffill — no per-user loop), gather the touch's type for
+    purchase rows, fold to per-channel partials; the final groupby is
+    register-sized (channels)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    B = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = _col(batch, "user_id")
+        return batch.append_column("part", pc.bit_wise_and(uid.cast(pa.int64()), B - 1))
+
+    def attribute(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        et = g["event_type"].to_numpy()
+        touch = (et == "click") | (et == "view")
+        idx = np.where(touch, np.arange(len(g), dtype=np.float64), np.nan)
+        # per-user forward fill: at a purchase row (never itself a touch)
+        # this is the position of the last touch strictly before it
+        last = pd.Series(idx).groupby(g["user_id"].to_numpy(), sort=False).ffill()
+        purch = et == "purchase"
+        pos = last.to_numpy()[purch]
+        chan = np.where(np.isnan(pos), "direct", et[np.nan_to_num(pos, nan=0).astype(int)])
+        cents = np.floor(g["value"].to_numpy()[purch] * 100 + 0.5).astype(np.int64)
+        agg = pd.DataFrame({"channel": chan, "n": 1, "cents": cents}).groupby(
+            "channel", sort=False
+        ).sum().reset_index()
+        return pa.table(
+            {"channel": pa.array(agg["channel"].astype(str)),
+             "n_purchases": pa.array(agg["n"].to_numpy(dtype="int64")),
+             "revenue_cents": pa.array(agg["cents"].to_numpy(dtype="int64"))}
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attribute, batch_format="pandas")
+        .groupby("channel")
+        .aggregate(Sum("n_purchases", alias_name="n_purchases"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("channel").reset_index(drop=True)[
+        ["channel", "n_purchases", "revenue_cents"]
+    ]
+
+
+_ATTRIBUTION_SQL = """
+    WITH t AS (
+      SELECT user_id, event_id, event_type, value,
+             MAX(CASE WHEN event_type IN ('click','view') THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id
+      FROM events
+    ), p AS (
+      SELECT user_id, event_id, value, touch_id FROM t WHERE event_type = 'purchase'
+    ), ch AS (
+      SELECT p.value, COALESCE(e2.event_type, 'direct') AS channel
+      FROM p LEFT JOIN events e2
+        ON e2.user_id = p.user_id AND e2.event_id = p.touch_id
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM ch GROUP BY channel ORDER BY channel
+    """
+
+
+# ---------------------------------------------------------------------------
 # CDC checksum reconciliation (pt-table-checksum analog)
 # ---------------------------------------------------------------------------
 
@@ -7983,6 +8064,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_quantile_histogram": events_quantile_histogram,
     "join_skew_salted": join_skew_salted,
     "cdc_checksum_reconcile": cdc_checksum_reconcile,
+    "events_attribution": events_attribution,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10230,6 +10312,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_quantile_histogram": _QUANTILE_HIST_SQL,
     "join_skew_salted": _SKEW_JOIN_SQL,
     "cdc_checksum_reconcile": _CHECKSUM_RECONCILE_SQL,
+    "events_attribution": _ATTRIBUTION_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

@@ -91,6 +91,7 @@ SUBSET = [
     "events_quantile_histogram",
     "join_skew_salted",
     "cdc_checksum_reconcile",
+    "events_attribution",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
