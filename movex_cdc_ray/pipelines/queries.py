@@ -7301,6 +7301,86 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-source duplication-rate report
+# ---------------------------------------------------------------------------
+
+
+def corpus_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Duplication rate per source — the curation dashboard row deciding
+    which feeds are worth ingesting. Exchange-pruned exact distinct: each
+    batch ships per-(source, content-md5) DEDUPED pairs only (the text
+    stays behind), pairs fold per md5-prefix coarse bucket with one
+    vectorized nunique per source (bucket-disjoint hashes make the
+    per-bucket distinct counts additive), and the per-source report is
+    register-sized. Distinct-by-md5 equals distinct-by-text up to md5
+    collisions (the established corpus-family contract)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import add_content_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        h = add_content_hash(b)
+        df = pd.DataFrame({"source": h["source"].to_pandas(),
+                           "md5": h["content_md5"].to_pandas()})
+        n_docs = df.groupby("source", sort=False).size()
+        pairs = df.drop_duplicates()
+        hb = pd.Series(
+            pd.util.hash_array(pairs["md5"].to_numpy(dtype=object), categorize=False) & 31
+        ).astype("int64")
+        return pa.table(
+            {"source": pa.array(pd.concat([pd.Series(n_docs.index), pairs["source"]],
+                                           ignore_index=True).astype(str)),
+             "md5": pa.array(pd.concat([pd.Series([""] * len(n_docs)), pairs["md5"]],
+                                        ignore_index=True).astype(str)),
+             "n_docs": pa.array(np.r_[n_docs.to_numpy(dtype="int64"),
+                                      np.zeros(len(pairs), dtype=np.int64)]),
+             "hb": pa.array(np.r_[np.full(len(n_docs), -1, dtype=np.int64),
+                                  hb.to_numpy(dtype="int64")])}
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "md5" not in g.columns:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_unique": pa.array([], pa.int64())})
+        if int(g["hb"].iloc[0]) == -1:  # the doc-count partial rows
+            s = g.groupby("source", sort=False)["n_docs"].sum()
+            return pa.table({"source": pa.array(s.index.astype(str)),
+                             "n_docs": pa.array(s.to_numpy(dtype="int64")),
+                             "n_unique": pa.array(np.zeros(len(s), dtype=np.int64))})
+        u = g.groupby("source", sort=False)["md5"].nunique()
+        return pa.table({"source": pa.array(u.index.astype(str)),
+                         "n_docs": pa.array(np.zeros(len(u), dtype=np.int64)),
+                         "n_unique": pa.array(u.to_numpy(dtype="int64"))})
+
+    out = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_unique", alias_name="n_unique"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_unique"] = out["n_unique"].astype("int64")
+    out["dup_rate"] = _rha(1.0 - out["n_unique"].to_numpy() / out["n_docs"].to_numpy(), 6)
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_unique", "dup_rate"]
+    ]
+
+
+_DUP_STATS_SQL = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM documents GROUP BY source ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
 # last-touch attribution
 # ---------------------------------------------------------------------------
 
@@ -8065,6 +8145,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "join_skew_salted": join_skew_salted,
     "cdc_checksum_reconcile": cdc_checksum_reconcile,
     "events_attribution": events_attribution,
+    "corpus_dup_stats": corpus_dup_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10313,6 +10394,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "join_skew_salted": _SKEW_JOIN_SQL,
     "cdc_checksum_reconcile": _CHECKSUM_RECONCILE_SQL,
     "events_attribution": _ATTRIBUTION_SQL,
+    "corpus_dup_stats": _DUP_STATS_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

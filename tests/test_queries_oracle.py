@@ -92,6 +92,7 @@ SUBSET = [
     "join_skew_salted",
     "cdc_checksum_reconcile",
     "events_attribution",
+    "corpus_dup_stats",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
