@@ -7301,6 +7301,97 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# skip-gram pair counts (word2vec training prep)
+# ---------------------------------------------------------------------------
+
+
+def text_skipgrams(sf_dir: str) -> pd.DataFrame:
+    """Skip-gram (center, context) pair counts with window ±2 — the
+    embedding-training data-prep stage (word2vec/GloVe input). Per batch,
+    tokens explode ONCE with document boundaries; pairs at offsets 1 and 2
+    come from two vectorized shifted compares (no per-token loops), fold to
+    a pair-count partial (vocabulary²-bounded, not token-stream-bounded),
+    and one single-key groupby over 'center context' strings aggregates;
+    the driver sorts the bounded pair vocabulary and keeps the top 200."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r"[a-z0-9_]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas().fillna("")
+        toks = texts.str.lower().str.findall(pat)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        w = ex.to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        parts = []
+        for d in (1, 2):
+            if len(w) <= d:
+                continue
+            same = doc[d:] == doc[:-d]
+            a, bb = w[:-d][same], w[d:][same]
+            parts.append(pd.DataFrame({"c": a, "x": bb}))
+            parts.append(pd.DataFrame({"c": bb, "x": a}))
+        if not parts:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        allp = pd.concat(parts, ignore_index=True)
+        vc = (allp["c"] + " " + allp["x"]).value_counts()
+        return pa.table({"pair": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                         "n": pa.array(vc.to_numpy(dtype="int64"))})
+
+    folded = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    folded = folded[folded["n"] >= 5].copy()
+    sp = folded["pair"].str.split(" ", n=1, expand=True)
+    folded["center"], folded["context"] = sp[0], sp[1]
+    folded["n"] = folded["n"].astype("int64")
+    folded = folded.sort_values(["n", "center", "context"],
+                                ascending=[False, True, True]).head(200)
+    return folded.reset_index(drop=True)[["center", "context", "n"]]
+
+
+_SKIPGRAM_SQL = r"""
+    WITH d AS (
+      SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9_]+') AS ws
+      FROM documents
+    ),
+    p1 AS (
+      SELECT unnest(CASE WHEN len(ws) < 2 THEN []
+                    ELSE [ws[i] || ' ' || ws[i+1]
+                          FOR i IN generate_series(1, len(ws) - 1)] END) AS pr
+      FROM d
+    ),
+    p2 AS (
+      SELECT unnest(CASE WHEN len(ws) < 3 THEN []
+                    ELSE [ws[i] || ' ' || ws[i+2]
+                          FOR i IN generate_series(1, len(ws) - 2)] END) AS pr
+      FROM d
+    ),
+    dirpairs AS (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2),
+    sym AS (
+      SELECT split_part(pr, ' ', 1) AS center, split_part(pr, ' ', 2) AS context
+      FROM dirpairs
+      UNION ALL
+      SELECT split_part(pr, ' ', 2), split_part(pr, ' ', 1) FROM dirpairs
+    ),
+    cnt AS (SELECT center, context, count(*) AS n FROM sym GROUP BY center, context)
+    SELECT center, context, CAST(n AS BIGINT) AS n
+    FROM cnt WHERE n >= 5
+    ORDER BY n DESC, center, context LIMIT 200
+    """
+
+
+# ---------------------------------------------------------------------------
 # per-source duplication-rate report
 # ---------------------------------------------------------------------------
 
@@ -8146,6 +8237,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_checksum_reconcile": cdc_checksum_reconcile,
     "events_attribution": events_attribution,
     "corpus_dup_stats": corpus_dup_stats,
+    "text_skipgrams": text_skipgrams,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10395,6 +10487,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_checksum_reconcile": _CHECKSUM_RECONCILE_SQL,
     "events_attribution": _ATTRIBUTION_SQL,
     "corpus_dup_stats": _DUP_STATS_SQL,
+    "text_skipgrams": _SKIPGRAM_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

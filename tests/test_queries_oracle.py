@@ -93,6 +93,7 @@ SUBSET = [
     "cdc_checksum_reconcile",
     "events_attribution",
     "corpus_dup_stats",
+    "text_skipgrams",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
