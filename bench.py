@@ -75,6 +75,13 @@ QUERY_SWEEP = [
     "text_ngram_novelty",
     "text_pmi_bigrams",
     "cdc_snapshot_diff",
+    "events_skyline",
+    "events_quantile_histogram",
+    "join_skew_salted",
+    "cdc_checksum_reconcile",
+    "events_data_quality",
+    "text_skipgrams",
+    "text_vocab_growth",
 ]
 
 
