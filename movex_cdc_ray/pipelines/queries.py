@@ -5757,6 +5757,57 @@ def multimodal_scene_cuts(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def multimodal_image_histeq(sf_dir: str) -> pd.DataFrame:
+    """Per-channel histogram equalization (contrast-normalization
+    augmentation), integer-exact: for each channel the classic LUT
+    eq(v) = ((cdf(v) − cdf_min) · 255) // (N − cdf_min) is built from the
+    image's own 256-bin histogram (one bincount + cumsum per channel — no
+    per-pixel Python), pixels map through it, and the per-channel SUM of
+    equalized values is reported (order-independent, so BMP's bottom-up row
+    storage needs no flip and any re-sharding agrees). Every value is an
+    int64, so the byte-level SQL re-decode matches exactly."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        decode_bmp,
+        decode_ppm,
+        sniff_format,
+    )
+
+    def histeq(t: pa.Table) -> pa.Table:
+        mids, sums = [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            fmt = sniff_format(payload)
+            px = (decode_bmp(payload) if fmt == "bmp" else decode_ppm(payload)).reshape(-1, 3)
+            n = px.shape[0]
+            ch_sums = np.empty(3, dtype=np.int64)
+            for c in range(3):
+                hist = np.bincount(px[:, c], minlength=256).astype(np.int64)
+                cdf = np.cumsum(hist)
+                nz = np.flatnonzero(hist)
+                cdf_min = int(cdf[nz[0]])
+                if n > cdf_min:
+                    lut = (cdf - cdf_min) * 255 // (n - cdf_min)
+                else:  # constant image: everything maps to 0
+                    lut = np.zeros(256, dtype=np.int64)
+                ch_sums[c] = int(lut[px[:, c]].sum())
+            mids.append(mid)
+            sums.append(ch_sums)
+        s = np.array(sums, dtype=np.int64).reshape(-1, 3)
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "sum_r_eq": pa.array(s[:, 0]), "sum_g_eq": pa.array(s[:, 1]),
+             "sum_b_eq": pa.array(s[:, 2])}
+        )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        histeq, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def _sorted_pdf(ds: rd.Dataset, *sort_cols: str) -> pd.DataFrame:
     pdf = ds.to_pandas()
     return pdf.sort_values(list(sort_cols)).reset_index(drop=True)
@@ -8238,6 +8289,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_attribution": events_attribution,
     "corpus_dup_stats": corpus_dup_stats,
     "text_skipgrams": text_skipgrams,
+    "multimodal_image_histeq": multimodal_image_histeq,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -8437,6 +8489,76 @@ def _audio_vad_sql() -> str:
            CAST(n_active AS BIGINT) AS n_active,
            CAST(n_segments AS BIGINT) AS n_segments
     FROM seg ORDER BY media_id
+    """
+
+
+def _histeq_sql() -> str:
+    """Byte-level SQL re-decode of the histogram-equalization path: per
+    (image, channel) the CDF comes from a RANGE window over pixel values
+    (peers included ⇒ exactly #≤v), cdf_min from the min-value bin, and the
+    LUT ((cdf−cdf_min)·255) // (n−cdf_min) applies per pixel — all BIGINT,
+    so the sums match the engine exactly."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, kind, hex(payload) AS h
+      FROM read_parquet('{_stage_real_media()}') WHERE kind = 'image'
+    ),
+    geo AS (
+      SELECT *, CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    pxoff AS (
+      SELECT im.media_id, im.h AS h,
+        CASE WHEN im.fmt = 'bmp'
+             THEN im.datoff + (t.pi // im.w)*im.rowb + (t.pi % im.w)*3
+             ELSE im.datoff + t.pi*3 END AS base,
+        CASE WHEN im.fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+      FROM img2 im, range(400) t(pi) WHERE t.pi < im.w * im.ht
+    ),
+    px AS (
+      SELECT media_id, {_hx("base + rsh")} AS r, {_hx("base + 1")} AS g,
+             {_hx("base + 2 - rsh")} AS b
+      FROM pxoff
+    ),
+    chan AS (
+      SELECT media_id, 0 AS ch, r AS v FROM px
+      UNION ALL SELECT media_id, 1, g FROM px
+      UNION ALL SELECT media_id, 2, b FROM px
+    ),
+    wn AS (
+      SELECT media_id, ch, v,
+             COUNT(*) OVER (PARTITION BY media_id, ch ORDER BY v
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf,
+             COUNT(*) OVER (PARTITION BY media_id, ch) AS n,
+             MIN(v) OVER (PARTITION BY media_id, ch) AS vmin
+      FROM chan
+    ),
+    cm AS (
+      SELECT media_id, ch, count(*) AS cdfmin
+      FROM wn WHERE v = vmin GROUP BY media_id, ch
+    ),
+    eq AS (
+      SELECT wn.media_id, wn.ch,
+             CASE WHEN wn.n > cm.cdfmin
+                  THEN ((wn.cdf - cm.cdfmin) * 255) // (wn.n - cm.cdfmin)
+                  ELSE 0 END AS e
+      FROM wn JOIN cm USING (media_id, ch)
+    )
+    SELECT media_id,
+           CAST(SUM(e) FILTER (WHERE ch = 0) AS BIGINT) AS sum_r_eq,
+           CAST(SUM(e) FILTER (WHERE ch = 1) AS BIGINT) AS sum_g_eq,
+           CAST(SUM(e) FILTER (WHERE ch = 2) AS BIGINT) AS sum_b_eq
+    FROM eq GROUP BY media_id ORDER BY media_id
     """
 
 
@@ -10474,6 +10596,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_audio_resample": _audio_resample_sql(),
     "multimodal_audio_vad": _audio_vad_sql(),
     "multimodal_scene_cuts": _scene_cuts_sql(),
+    "multimodal_image_histeq": _histeq_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
     "events_nearest_join": _NEAREST_JOIN_SQL,
     "multimodal_image_crop": _image_crop_sql(),

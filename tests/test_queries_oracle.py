@@ -94,6 +94,7 @@ SUBSET = [
     "events_attribution",
     "corpus_dup_stats",
     "text_skipgrams",
+    "multimodal_image_histeq",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
