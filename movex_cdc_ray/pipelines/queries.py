@@ -7352,6 +7352,81 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hopping-window COUNT DISTINCT (overlap-replicated dedup)
+# ---------------------------------------------------------------------------
+
+
+def events_window_distinct(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per 2-hour window hopping hourly — the combination
+    plain windowed counts dodge: DISTINCT cannot pre-aggregate across
+    overlapping windows, so each event REPLICATES into its ⌈size/hop⌉=2
+    windows first, then (window, type, user) triples dedup per batch and
+    fold in user-hash coarse buckets where distinct counts are ADDITIVE
+    (bucket-disjoint users); the final fold is bounded by windows × types ×
+    buckets, and the report by windows × types."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+    HR = 3_600_000_000  # µs
+
+    def replicate(b: pd.DataFrame) -> pa.Table:
+        hr = (b["ts"].astype("datetime64[us]").astype(np.int64) // HR).to_numpy()
+        uid = b["user_id"].to_numpy(dtype=np.int64)
+        et = b["event_type"].to_numpy()
+        df = pd.DataFrame(
+            {"w0": np.r_[hr, hr - 1], "event_type": np.r_[et, et],
+             "user_id": np.r_[uid, uid]}
+        ).drop_duplicates()
+        return pa.table(
+            {"w0": pa.array(df["w0"].to_numpy(dtype="int64")),
+             "event_type": pa.array(df["event_type"].astype(str)),
+             "user_id": pa.array(df["user_id"].to_numpy(dtype="int64")),
+             "ub": pa.array(df["user_id"].to_numpy(dtype="int64") & 31)}
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "w0" not in g.columns:
+            return pa.table({"w0": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        u = g.groupby(["w0", "event_type"], sort=False)["user_id"].nunique()
+        idx = u.index.to_frame(index=False)
+        return pa.table(
+            {"w0": pa.array(idx["w0"].to_numpy(dtype="int64")),
+             "event_type": pa.array(idx["event_type"].astype(str)),
+             "n_users": pa.array(u.to_numpy(dtype="int64"))}
+        )
+
+    folded = (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # bounded: windows × types × buckets
+    )
+    out = (
+        folded.groupby(["w0", "event_type"], as_index=False)["n_users"].sum()
+        .rename(columns={"w0": "window_start_hr"})
+    )
+    out["window_start_hr"] = out["window_start_hr"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["window_start_hr", "event_type"]).reset_index(drop=True)
+
+
+_WINDOW_DISTINCT_SQL = """
+    WITH h AS (
+      SELECT event_type, user_id, epoch_us(ts) // 3600000000 AS hr FROM events
+    ), w AS (
+      SELECT event_type, user_id, hr AS w0 FROM h
+      UNION ALL
+      SELECT event_type, user_id, hr - 1 FROM h
+    )
+    SELECT CAST(w0 AS BIGINT) AS window_start_hr, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY w0, event_type ORDER BY w0, event_type
+    """
+
+
+# ---------------------------------------------------------------------------
 # skip-gram pair counts (word2vec training prep)
 # ---------------------------------------------------------------------------
 
@@ -8290,6 +8365,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_dup_stats": corpus_dup_stats,
     "text_skipgrams": text_skipgrams,
     "multimodal_image_histeq": multimodal_image_histeq,
+    "events_window_distinct": events_window_distinct,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10611,6 +10687,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_attribution": _ATTRIBUTION_SQL,
     "corpus_dup_stats": _DUP_STATS_SQL,
     "text_skipgrams": _SKIPGRAM_SQL,
+    "events_window_distinct": _WINDOW_DISTINCT_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

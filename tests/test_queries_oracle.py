@@ -95,6 +95,7 @@ SUBSET = [
     "corpus_dup_stats",
     "text_skipgrams",
     "multimodal_image_histeq",
+    "events_window_distinct",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
