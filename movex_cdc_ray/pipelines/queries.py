@@ -7370,6 +7370,11 @@ def events_window_distinct(sf_dir: str) -> pd.DataFrame:
     HR = 3_600_000_000  # µs
 
     def replicate(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:  # typed empty (block-schema hygiene)
+            return pa.table({"w0": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ub": pa.array([], pa.int64())})
         hr = (b["ts"].astype("datetime64[us]").astype(np.int64) // HR).to_numpy()
         uid = b["user_id"].to_numpy(dtype=np.int64)
         et = b["event_type"].to_numpy()
@@ -7538,6 +7543,11 @@ def corpus_dup_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def pair_partials(b: pa.Table) -> pa.Table:
+        if len(b) == 0:  # typed empty (block-schema hygiene)
+            return pa.table({"source": pa.array([], pa.string()),
+                             "md5": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "hb": pa.array([], pa.int64())})
         h = add_content_hash(b)
         df = pd.DataFrame({"source": h["source"].to_pandas(),
                            "md5": h["content_md5"].to_pandas()})
@@ -7633,11 +7643,15 @@ def events_attribution(sf_dir: str) -> pd.DataFrame:
         pos = last.to_numpy()[purch]
         chan = np.where(np.isnan(pos), "direct", et[np.nan_to_num(pos, nan=0).astype(int)])
         cents = np.floor(g["value"].to_numpy()[purch] * 100 + 0.5).astype(np.int64)
+        if not purch.any():  # a bucket with no purchases: typed empty
+            return pa.table({"channel": pa.array([], pa.string()),
+                             "n_purchases": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64())})
         agg = pd.DataFrame({"channel": chan, "n": 1, "cents": cents}).groupby(
             "channel", sort=False
         ).sum().reset_index()
         return pa.table(
-            {"channel": pa.array(agg["channel"].astype(str)),
+            {"channel": pa.array(agg["channel"].astype(str), pa.string()),
              "n_purchases": pa.array(agg["n"].to_numpy(dtype="int64")),
              "revenue_cents": pa.array(agg["cents"].to_numpy(dtype="int64"))}
         )
@@ -7862,6 +7876,11 @@ def events_quantile_histogram(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partials(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:  # typed empty (block-schema hygiene)
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cb": pa.array([], pa.int64())})
         cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         g = pd.DataFrame({"event_type": b["event_type"], "c": cents}).groupby(
             ["event_type", "c"], sort=False
