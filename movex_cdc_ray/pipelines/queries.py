@@ -7352,6 +7352,79 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# overlapping chunker (RAG prep)
+# ---------------------------------------------------------------------------
+
+
+def corpus_rag_chunks(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window chunking with overlap — the retrieval-indexing prep
+    (chunk = 16 tokens, stride = 12, so consecutive chunks share 4 tokens).
+    Embarrassingly parallel: each batch explodes its documents into chunk
+    rows with ONE concatenated-token gather (doc offsets + repeat/arange —
+    no per-doc Python beyond the tokenizer), emitting (doc_id, chunk_idx,
+    chunk token count, first/last token) so the oracle can value-check the
+    chunk geometry AND content anchors."""
+    import re
+
+    pat = re.compile(r"[a-z0-9_]+")
+    CH, ST = 16, 12
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(b: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "chunk_idx": pa.array([], pa.int64()),
+             "n_tokens_chunk": pa.array([], pa.int64()),
+             "first_tok": pa.array([], pa.string()), "last_tok": pa.array([], pa.string())}
+        )
+        if len(b) == 0:
+            return empty
+        toks = b["text"].fillna("").str.lower().str.findall(pat)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        keep = n > 0
+        if not keep.any():
+            return empty
+        toks, n = toks[keep], n[keep]
+        ids = b["doc_id"].to_numpy(dtype=np.int64)[keep]
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        offs = np.r_[0, np.cumsum(n)]
+        n_chunks = (n - 1) // ST + 1
+        doc_rep = np.repeat(np.arange(len(n)), n_chunks)
+        k = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(n_chunks)[:-1]], n_chunks
+        )
+        start = k * ST
+        ntc = np.minimum(CH, n[doc_rep] - start)
+        first = flat[offs[doc_rep] + start]
+        last = flat[offs[doc_rep] + start + ntc - 1]
+        return pa.table(
+            {"doc_id": pa.array(ids[doc_rep]), "chunk_idx": pa.array(k),
+             "n_tokens_chunk": pa.array(ntc),
+             "first_tok": pa.array(first, pa.string()),
+             "last_tok": pa.array(last, pa.string())}
+        )
+
+    out = ds.map_batches(chunks, batch_format="pandas")
+    return out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+_RAG_CHUNKS_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9_]+') AS ws
+      FROM documents
+    ), n AS (
+      SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0
+    ), ch AS (
+      SELECT doc_id, ws, n, unnest(generate_series(0, (n - 1) // 12)) AS k FROM n
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(LEAST(16, n - 12 * k) AS BIGINT) AS n_tokens_chunk,
+           ws[12 * k + 1] AS first_tok,
+           ws[12 * k + LEAST(16, n - 12 * k)] AS last_tok
+    FROM ch ORDER BY doc_id, chunk_idx
+    """
+
+
+# ---------------------------------------------------------------------------
 # hopping-window COUNT DISTINCT (overlap-replicated dedup)
 # ---------------------------------------------------------------------------
 
@@ -8385,6 +8458,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_skipgrams": text_skipgrams,
     "multimodal_image_histeq": multimodal_image_histeq,
     "events_window_distinct": events_window_distinct,
+    "corpus_rag_chunks": corpus_rag_chunks,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10707,6 +10781,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "corpus_dup_stats": _DUP_STATS_SQL,
     "text_skipgrams": _SKIPGRAM_SQL,
     "events_window_distinct": _WINDOW_DISTINCT_SQL,
+    "corpus_rag_chunks": _RAG_CHUNKS_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

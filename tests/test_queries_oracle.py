@@ -96,6 +96,7 @@ SUBSET = [
     "text_skipgrams",
     "multimodal_image_histeq",
     "events_window_distinct",
+    "corpus_rag_chunks",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
