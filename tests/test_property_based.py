@@ -84,3 +84,58 @@ def test_sample_merge_property_pure(ids, k, cut):
     merged = merge_samples([sample(ids[:cut]), sample(ids[cut:])], k=k)
     union = sample(ids)
     assert merged["doc_id"].tolist() == union["doc_id"].tolist()
+
+
+@DET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                 # event_type
+            st.integers(min_value=0, max_value=6),       # value (heavy ties)
+            st.integers(min_value=0, max_value=6),       # ts_us (heavy ties)
+        ),
+        min_size=1, max_size=120,
+    )
+)
+def test_skyline_pass_matches_bruteforce_dominance(rows):
+    """_skyline_pass == the O(n²) dominance definition on arbitrary tiny
+    domains (maximal tie pressure), and is idempotent."""
+    from movex_cdc_ray.pipelines.queries import _skyline_pass
+
+    df = pd.DataFrame(rows, columns=["event_type", "value", "ts_us"])
+    df["value"] = df["value"].astype("float64")
+    df["event_id"] = np.arange(len(df), dtype="int64")
+    got = _skyline_pass(df).to_pandas()
+    expect = []
+    for _, g in df.groupby("event_type"):
+        v = g["value"].to_numpy()
+        t = g["ts_us"].to_numpy(dtype="int64")
+        dom = ((v[None, :] >= v[:, None]) & (t[None, :] >= t[:, None])
+               & ((v[None, :] > v[:, None]) | (t[None, :] > t[:, None]))).any(axis=1)
+        expect.extend(g.loc[~dom, "event_id"].tolist())
+    assert sorted(got["event_id"].tolist()) == sorted(expect)
+    again = _skyline_pass(got)
+    assert again.num_rows == len(got)
+
+
+@DET
+@given(st.integers(min_value=1, max_value=400))
+def test_rag_chunk_geometry_tiles_every_token(n):
+    """Chunk spine invariants for any token count n: starts at stride 12,
+    last chunk reaches exactly token n-1, every token covered, full
+    consecutive chunks overlap by 4."""
+    CH, ST = 16, 12
+    n_chunks = (n - 1) // ST + 1
+    starts = np.arange(n_chunks, dtype=np.int64) * ST
+    lens = np.minimum(CH, n - starts)
+    assert (lens >= 1).all()
+    ends = starts + lens
+    assert ends[-1] == n
+    covered = np.zeros(n, dtype=bool)
+    for s, e in zip(starts, ends):
+        covered[s:e] = True
+    assert covered.all()
+    full = lens == CH
+    if n_chunks > 1:
+        overlaps = ends[:-1] - starts[1:]
+        assert (overlaps[full[:-1]] == CH - ST).all()
