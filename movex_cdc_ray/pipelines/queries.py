@@ -7352,6 +7352,86 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order clustering layout (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _morton_spread16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of x so bit k lands at position 2k (the
+    classic Morton bit-twiddle, vectorized int64)."""
+    x = x.astype(np.int64) & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def events_zorder(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) clustering layout — the OPTIMIZE ZORDER analog for
+    multi-dimensional data skipping: events key on the bit-interleave of
+    (user_id, value-cents), and the per-z-range report (count + min/max of
+    BOTH dimensions) exhibits the property the layout buys — every z-range
+    bucket bounds user AND value simultaneously, so a predicate on either
+    column can skip buckets by zone map alone (a single-column sort bounds
+    only itself).
+
+    Vectorized Morton spread per batch (five mask-shift ops, no loops);
+    per-batch partial (bucket, n, mins, maxes) rows make the exchange
+    bucket-sized."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        uid = _col(b, "user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        z = (_morton_spread16(uid) << 1) | _morton_spread16(cents)
+        g = pd.DataFrame({"zb": z >> 26, "u": uid & 0xFFFF, "c": cents & 0xFFFF}).groupby(
+            "zb", sort=False
+        ).agg(n=("u", "size"), u_min=("u", "min"), u_max=("u", "max"),
+              c_min=("c", "min"), c_max=("c", "max")).reset_index()
+        return pa.table({k: pa.array(g[k].to_numpy(dtype="int64"))
+                         for k in ("zb", "n", "u_min", "u_max", "c_min", "c_max")})
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("zb")
+        .aggregate(Sum("n", alias_name="n"),
+                   Min("u_min", alias_name="u_min"), Max("u_max", alias_name="u_max"),
+                   Min("c_min", alias_name="c_min"), Max("c_max", alias_name="c_max"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("zb").reset_index(drop=True)[
+        ["zb", "n", "u_min", "u_max", "c_min", "c_max"]
+    ]
+
+
+_ZORDER_SQL = """
+    WITH z AS (
+      SELECT (user_id % 65536) AS u,
+             (CAST(floor(value * 100 + 0.5) AS BIGINT) % 65536) AS c
+      FROM events
+    ), zk AS (
+      -- NB: DuckDB's // against a DOUBLE divisor (2**k is DOUBLE) is plain
+      -- division, not floor — the powers must be BIGINT
+      SELECT u, c,
+             list_sum([((u // CAST(2**k AS BIGINT)) % 2) * CAST(4**k AS BIGINT) * 2
+                       + ((c // CAST(2**k AS BIGINT)) % 2) * CAST(4**k AS BIGINT)
+                       FOR k IN range(0, 16)]) AS zval
+      FROM z
+    )
+    SELECT CAST(zval // 67108864 AS BIGINT) AS zb,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(MIN(u) AS BIGINT) AS u_min, CAST(MAX(u) AS BIGINT) AS u_max,
+           CAST(MIN(c) AS BIGINT) AS c_min, CAST(MAX(c) AS BIGINT) AS c_max
+    FROM zk GROUP BY zb ORDER BY zb
+    """
+
+
+# ---------------------------------------------------------------------------
 # overlapping chunker (RAG prep)
 # ---------------------------------------------------------------------------
 
@@ -8459,6 +8539,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_image_histeq": multimodal_image_histeq,
     "events_window_distinct": events_window_distinct,
     "corpus_rag_chunks": corpus_rag_chunks,
+    "events_zorder": events_zorder,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10782,6 +10863,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_skipgrams": _SKIPGRAM_SQL,
     "events_window_distinct": _WINDOW_DISTINCT_SQL,
     "corpus_rag_chunks": _RAG_CHUNKS_SQL,
+    "events_zorder": _ZORDER_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

@@ -97,6 +97,7 @@ SUBSET = [
     "multimodal_image_histeq",
     "events_window_distinct",
     "corpus_rag_chunks",
+    "events_zorder",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]

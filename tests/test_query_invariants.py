@@ -210,3 +210,15 @@ def test_quantile_histogram_equals_bruteforce_order_stats(qs):
         assert row["n"] == len(c)
         for q, col in ((0.50, "p50_cents"), (0.90, "p90_cents"), (0.99, "p99_cents")):
             assert row[col] == c[int(np.floor((len(c) - 1) * q))], (row["event_type"], q)
+
+
+def test_zorder_buckets_bound_both_dimensions(qs):
+    """The data-skipping property: every z-range bucket's (user x cents)
+    rectangle is strictly smaller than the global rectangle, so a predicate
+    on either column can skip buckets by zone map alone."""
+    got = qs["events_zorder"](SF_DIR)
+    assert len(got) > 1
+    gu = got["u_max"].max() - got["u_min"].min()
+    gc = got["c_max"].max() - got["c_min"].min()
+    area = (got["u_max"] - got["u_min"] + 1) * (got["c_max"] - got["c_min"] + 1)
+    assert (area < (gu + 1) * (gc + 1)).all()
