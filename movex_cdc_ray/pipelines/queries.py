@@ -7352,6 +7352,83 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dwell time between consecutive events (transition timing)
+# ---------------------------------------------------------------------------
+
+
+def events_dwell_time(sf_dir: str) -> pd.DataFrame:
+    """Dwell time per behavior transition: for each (from_type → to_type)
+    pair, how long users sit between the two events — the timing dimension
+    the Markov transition matrix drops. Exact contract: count, total dwell
+    µs (int64 sum) and mean dwell µs as integer division (non-negative, so
+    floor == trunc and DuckDB agrees bit-for-bit).
+
+    Same coarse user-bucket layout as the other per-key scans: one
+    vectorized sort + shift per bucket, (from, to, n, sum) partials,
+    register-sized pair fold."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    B = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = _col(batch, "user_id")
+        return batch.append_column("part", pc.bit_wise_and(uid.cast(pa.int64()), B - 1))
+
+    def dwell(g: pd.DataFrame) -> pa.Table:
+        # event-TIME order (ties broken by id): guarantees dwell_us >= 0, so
+        # the integer mean's floor == trunc and DuckDB // agrees exactly
+        g = g.assign(ts_us=g["ts"].astype("datetime64[us]").astype(np.int64))
+        g = g.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        same = g["user_id"].eq(g["user_id"].shift(1)).to_numpy()
+        ts = g["ts_us"].to_numpy()
+        et = g["event_type"].to_numpy()
+        d = pd.DataFrame(
+            {"from_type": np.r_[["-"], et[:-1]][same], "to_type": et[same],
+             "dwell_us": (ts - np.r_[ts[:1], ts[:-1]])[same]}
+        )
+        agg = d.groupby(["from_type", "to_type"], sort=False)["dwell_us"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {"from_type": pa.array(agg["from_type"].astype(str), pa.string()),
+             "to_type": pa.array(agg["to_type"].astype(str), pa.string()),
+             "n": pa.array(agg["size"].to_numpy(dtype="int64")),
+             "sum_dwell_us": pa.array(agg["sum"].to_numpy(dtype="int64"))}
+        )
+
+    out = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dwell, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_dwell_us", alias_name="sum_dwell_us"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_dwell_us"] = out["sum_dwell_us"].astype("int64")
+    out["mean_dwell_us"] = (out["sum_dwell_us"] // out["n"]).astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)[
+        ["from_type", "to_type", "n", "sum_dwell_us", "mean_dwell_us"]
+    ]
+
+
+_DWELL_SQL = """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             LAG(event_type) OVER w AS p_type,
+             LAG(epoch_us(ts)) OVER w AS p_us
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), d AS (
+      SELECT p_type AS from_type, event_type AS to_type, us - p_us AS dwell_us
+      FROM t WHERE p_type IS NOT NULL
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(dwell_us) AS BIGINT) AS sum_dwell_us,
+           CAST(SUM(dwell_us) // count(*) AS BIGINT) AS mean_dwell_us
+    FROM d GROUP BY from_type, to_type ORDER BY from_type, to_type
+    """
+
+
+# ---------------------------------------------------------------------------
 # Z-order clustering layout (multi-dimensional data skipping)
 # ---------------------------------------------------------------------------
 
@@ -8540,6 +8617,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_window_distinct": events_window_distinct,
     "corpus_rag_chunks": corpus_rag_chunks,
     "events_zorder": events_zorder,
+    "events_dwell_time": events_dwell_time,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10864,6 +10942,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_window_distinct": _WINDOW_DISTINCT_SQL,
     "corpus_rag_chunks": _RAG_CHUNKS_SQL,
     "events_zorder": _ZORDER_SQL,
+    "events_dwell_time": _DWELL_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

@@ -98,6 +98,7 @@ SUBSET = [
     "events_window_distinct",
     "corpus_rag_chunks",
     "events_zorder",
+    "events_dwell_time",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
