@@ -7352,6 +7352,103 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic A/B assignment + conversion report (experimentation)
+# ---------------------------------------------------------------------------
+
+
+def events_abtest(sf_dir: str) -> pd.DataFrame:
+    """Experimentation readout over a deterministic hash assignment: users
+    split 50/50 by ``md5(user_id:17) % 2`` (pure function of the id — no
+    RNG, stable across reruns and growth), then per variant: exposed users,
+    converting users (≥1 purchase), total purchases, purchase cents, and
+    the conversion rate (half-away rounding). The assignment is the same
+    ``_id_hashes`` convention every sampler here uses, so the SQL oracle
+    re-derives it with ``md5_number_upper``.
+
+    Shape: per-batch (user, variant, purchases, cents) partials dedupe the
+    exposure per user via a user-bucket fold (distinct users additive
+    across buckets), so the exchange carries one row per (user, batch) at
+    most — never the event stream."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.corpus import _id_hashes
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        uid = _col(b, "user_id")
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        purch = et == "purchase"
+        df = pd.DataFrame(
+            {"user_id": uid.to_numpy(zero_copy_only=False),
+             "n_purch": purch.astype(np.int64),
+             "cents": np.where(purch, cents, 0)}
+        ).groupby("user_id", as_index=False).sum()
+        return pa.table(
+            {"user_id": pa.array(df["user_id"].to_numpy(dtype="int64")),
+             "ub": pa.array(df["user_id"].to_numpy(dtype="int64") & 31),
+             "n_purch": pa.array(df["n_purch"].to_numpy(dtype="int64")),
+             "cents": pa.array(df["cents"].to_numpy(dtype="int64"))}
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pa.table({"variant": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64()),
+                             "n_converting": pa.array([], pa.int64()),
+                             "n_purchases": pa.array([], pa.int64()),
+                             "purchase_cents": pa.array([], pa.int64())})
+        u = g.groupby("user_id", as_index=False).sum()
+        variant = (_id_hashes(pa.array(u["user_id"].to_numpy(dtype="int64")), 17) % 2).astype(np.int64)
+        d = pd.DataFrame(
+            {"variant": variant, "n_users": 1,
+             "n_converting": (u["n_purch"] > 0).astype(np.int64),
+             "n_purchases": u["n_purch"], "purchase_cents": u["cents"]}
+        ).groupby("variant", as_index=False).sum()
+        return pa.table({c: pa.array(d[c].to_numpy(dtype="int64")) for c in d.columns})
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("variant")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_converting", alias_name="n_converting"),
+                   Sum("n_purchases", alias_name="n_purchases"),
+                   Sum("purchase_cents", alias_name="purchase_cents"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    out["conversion_rate"] = _rha(out["n_converting"].to_numpy() / out["n_users"].to_numpy(), 6)
+    return out.sort_values("variant").reset_index(drop=True)[
+        ["variant", "n_users", "n_converting", "n_purchases", "purchase_cents",
+         "conversion_rate"]
+    ]
+
+
+_ABTEST_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(md5_number_upper(CAST(user_id AS VARCHAR) || ':17') % 2 AS BIGINT)
+               AS variant,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purch,
+             COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      FILTER (WHERE event_type = 'purchase'), 0) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE n_purch > 0) AS BIGINT) AS n_converting,
+           CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS purchase_cents,
+           ROUND(CAST(count(*) FILTER (WHERE n_purch > 0) AS DOUBLE) / count(*), 6)
+             AS conversion_rate
+    FROM u GROUP BY variant ORDER BY variant
+    """
+
+
+# ---------------------------------------------------------------------------
 # dwell time between consecutive events (transition timing)
 # ---------------------------------------------------------------------------
 
@@ -8618,6 +8715,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_rag_chunks": corpus_rag_chunks,
     "events_zorder": events_zorder,
     "events_dwell_time": events_dwell_time,
+    "events_abtest": events_abtest,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -10943,6 +11041,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "corpus_rag_chunks": _RAG_CHUNKS_SQL,
     "events_zorder": _ZORDER_SQL,
     "events_dwell_time": _DWELL_SQL,
+    "events_abtest": _ABTEST_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

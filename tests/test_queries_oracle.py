@@ -99,6 +99,7 @@ SUBSET = [
     "corpus_rag_chunks",
     "events_zorder",
     "events_dwell_time",
+    "events_abtest",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
