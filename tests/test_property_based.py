@@ -139,3 +139,78 @@ def test_rag_chunk_geometry_tiles_every_token(n):
     if n_chunks > 1:
         overlaps = ends[:-1] - starts[1:]
         assert (overlaps[full[:-1]] == CH - ST).all()
+
+
+# ---- config import/export round-trip fuzz ----------------------------------
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF), min_size=1, max_size=24
+)
+
+
+@st.composite
+def _table_cfgs(draw):
+    from movex_cdc_ray.config import (
+        ColumnExpressionConfig,
+        ConditionConfig,
+        TableConfig,
+    )
+
+    km = draw(st.sampled_from("NPFTE"))
+    kw = dict(
+        name=draw(_TEXT), schema_name=draw(_TEXT), table_id=draw(st.integers(1, 99)),
+        topic=draw(st.one_of(st.just(""), _TEXT)),
+        key_handling=km,
+        yn_record_txid=(km == "T") or draw(st.booleans()),
+        yn_initialization=draw(st.booleans()),
+        yn_initialize_with_flashback=draw(st.booleans()),
+        initialization_filter=draw(st.one_of(st.none(), _TEXT)),
+        yn_add_cloudevents_header=draw(st.booleans()),
+        yn_payload_pkey_only=draw(st.booleans()),
+        yn_hidden=draw(st.booleans()),
+        conditions=[ConditionConfig(draw(st.sampled_from("IUD")), draw(_TEXT))
+                    for _ in range(draw(st.integers(0, 2)))],
+        column_expressions=[
+            ColumnExpressionConfig(op, f"e{i}", draw(_TEXT))
+            for i, op in enumerate(draw(st.lists(st.sampled_from("IUD"), max_size=2)))
+        ],
+    )
+    if km == "F":
+        kw["fixed_message_key"] = draw(_TEXT)
+    if km == "E":
+        kw["key_expression"] = draw(_TEXT)
+    if km == "P":
+        kw["pk_columns"] = draw(st.lists(_TEXT, min_size=1, max_size=3))
+    return TableConfig(**kw)
+
+
+@DET
+@given(
+    st.lists(_table_cfgs(), min_size=1, max_size=3),
+    st.integers(1, 64), st.integers(1, 16),
+    st.sampled_from([None, "TYPE_1", "TYPE_2"]),
+)
+def test_config_json_round_trip_fuzz(tables, num_partitions, cap_par, legacy):
+    """to_json/from_json is an exact round trip for ARBITRARY valid configs —
+    including control characters and non-ASCII in every free-text field (the
+    JSON control-char escaping fixed in round 2)."""
+    from movex_cdc_ray.config import CaptureConfig
+
+    # table_ids must be unique per registry
+    for i, t in enumerate(tables):
+        t.table_id = i + 1
+    cfg = CaptureConfig(
+        tables=tables, num_partitions=num_partitions,
+        capture_parallelism=cap_par, legacy_ts_format=legacy,
+    )
+    doc = cfg.to_json()
+    back = CaptureConfig.from_json(doc)
+    assert back.to_json() == doc
+    for a, b in zip(cfg.tables, back.tables):
+        assert (a.name, a.schema_name, a.key_handling, a.pk_columns,
+                a.fixed_message_key, a.key_expression) == (
+            b.name, b.schema_name, b.key_handling, b.pk_columns,
+            b.fixed_message_key, b.key_expression)
+        assert [c.filter for c in a.conditions] == [c.filter for c in b.conditions]
+        assert [(e.operation, e.name, e.sql) for e in a.column_expressions] == [
+            (e.operation, e.name, e.sql) for e in b.column_expressions]
