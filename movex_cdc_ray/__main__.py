@@ -148,6 +148,19 @@ def cmd_purge_tombstones(args) -> int:
     return 0
 
 
+def cmd_delete_where(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray
+
+    from .pipelines.replay import delete_where
+
+    cfg = _load_config(args)
+    m, n = delete_where(args.lake_dir, cfg, args.column, args.values)
+    print(json.dumps({"epoch": m.epoch, "rows_erased": n}, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_repartition(args) -> int:
     _ray_init(args.num_cpus)
     import ray
@@ -431,6 +444,12 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--force", action="store_true")
     sp.set_defaults(fn=cmd_purge_tombstones)
+
+    sp = sub.add_parser("delete-where", help="GDPR-style targeted erasure: live rows matching column IN values become tombstone fences")
+    common(sp)
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--values", nargs="+", required=True)
+    sp.set_defaults(fn=cmd_delete_where)
 
     sp = sub.add_parser("repartition", help="re-key the lake to a new partition count P")
     common(sp)

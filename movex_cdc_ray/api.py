@@ -232,3 +232,12 @@ class Engine:
 
         m = _purge(self.lake_dir, self.cfg, force=force)
         return m.metrics
+
+    def delete_where(self, column: str, values: list) -> dict[str, Any]:
+        """GDPR-style targeted erasure: live rows whose payload ``column`` is
+        in ``values`` become tombstone fences (payload nulled, keys/ids kept
+        so late retries stay fenced — see ``pipelines.replay.delete_where``)."""
+        from .pipelines.replay import delete_where as _dw
+
+        m, n = _dw(self.lake_dir, self.cfg, column, values)
+        return {"epoch": m.epoch, "rows_erased": n}

@@ -910,6 +910,120 @@ def purge_tombstones(lake_dir: str, cfg: CaptureConfig, force: bool = False) -> 
     )
 
 
+@ray.remote
+def _erase_part_task(
+    part: int, path: str, out_path: str, column: str, values: list,
+    payload_fields: list[str], sha_cols: list[str], compression: str = "snappy",
+) -> dict[str, Any]:
+    import pyarrow.parquet as pq
+
+    from ..stages.sink import atomic_write_parquet, partition_sha
+
+    t = pq.read_table(path)
+    col = t[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pyarrow.compute as pc
+
+    live = pc.invert(pc.equal(t["_last_op"], "D"))
+    match = pc.and_(pc.is_in(col, value_set=pa.array(values, col.type)), live)
+    n = pc.sum(match).as_py() or 0
+    if not n:
+        return {}
+    cols: dict[str, Any] = {}
+    for f in payload_fields:
+        c = t[f]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols[f] = pc.if_else(match, pa.nulls(len(t), c.type), c)
+    for meta in ("_table_id", "_key", "_last_id", "_last_ts"):
+        cols[meta] = t[meta]
+    cols["_last_op"] = pc.if_else(match, pa.scalar("D", pa.string()), t["_last_op"].combine_chunks() if isinstance(t["_last_op"], pa.ChunkedArray) else t["_last_op"])
+    import hashlib
+
+    null_sha = hashlib.sha256("\x1f".join([""] * len(sha_cols)).encode()).hexdigest()
+    sha_col = t["_content_sha"]
+    if isinstance(sha_col, pa.ChunkedArray):
+        sha_col = sha_col.combine_chunks()
+    cols["_content_sha"] = pc.if_else(match, pa.scalar(null_sha, pa.string()), sha_col)
+    out = pa.table(cols).select(t.schema.names)
+    nbytes = atomic_write_parquet(out, out_path, compression)
+    return {
+        "part": part, "path": out_path, "deltas": [], "rows": len(out),
+        "sha": partition_sha(out), "bytes": nbytes, "erased": int(n),
+    }
+
+
+def delete_where(
+    lake_dir: str, cfg: CaptureConfig, column: str, values: list
+) -> tuple[Manifest, int]:
+    """GDPR-style targeted erasure: every LIVE lake row whose ``column`` is
+    in ``values`` becomes a TOMBSTONE FENCE — payload nulled, ``_last_op='D'``,
+    ``_content_sha`` set to the null-payload constant — while ``_key`` /
+    ``_last_id`` are retained so the erased key keeps stale-dropping late
+    retries of older events (dropping the row entirely would let a late
+    retry resurrect the payload). A legitimately NEWER event (higher id) can
+    still recreate the key, which is the correct post-erasure semantics.
+
+    Same safety gates as :func:`purge_tombstones`: refuses while the retry
+    ledger or final errors hold events (a reprocessed event with a higher id
+    than the fence would re-apply its payload), while delta chains are
+    uncompacted, and when incremental views are configured (the erasure
+    happens outside the merge, so view deltas would go stale). One Ray task
+    per partition base, atomic staged writes, one manifest commit."""
+    import glob as _glob
+
+    manifest = Manifest.latest(lake_dir)
+    if _glob.glob(os.path.join(lake_dir, "_retry", "epoch=*", "part=*.parquet")):
+        raise RuntimeError("delete_where: retry backlog pending — drain it first")
+    if _glob.glob(os.path.join(lake_dir, "_final_errors", "epoch=*", "part=*.parquet")):
+        raise RuntimeError(
+            "delete_where: final errors pending — a reprocessed event would "
+            "re-apply payload over the erasure fence"
+        )
+    if any(p.get("deltas") for p in manifest.partitions.values()):
+        raise RuntimeError("delete_where: compact the delta chains first")
+    if cfg.views:
+        raise RuntimeError(
+            "delete_where: incremental views configured — erasure bypasses the "
+            "merge, so view deltas would go stale; drop the views or rebuild "
+            "them after the erasure"
+        )
+    from ..stages.sink import sha_source_columns
+
+    payload_fields = list(cfg.latest_version().payload_fields)
+    sha_cols = sha_source_columns(payload_fields)
+    if column not in payload_fields:
+        raise ValueError(f"delete_where: {column!r} is not a payload column")
+    epoch = manifest.epoch + 1
+    refs = [
+        _erase_part_task.remote(
+            int(k), entry["path"], staged_path(lake_dir, epoch, int(k)),
+            column, values, payload_fields, sha_cols, cfg.lake_compression,
+        )
+        for k, entry in manifest.partitions.items()
+        if entry.get("path")
+    ]
+    rows = [r for r in ray.get(refs) if r]
+    if not rows:
+        return manifest, 0
+    n_erased = sum(r["erased"] for r in rows)
+    part_updates = {
+        str(r["part"]): {
+            "path": r["path"], "deltas": [], "rows": r["rows"],
+            "watermark": manifest.partitions[str(r["part"])]["watermark"],
+            "sha": r["sha"],
+        }
+        for r in rows
+    }
+    manifest = manifest.commit_epoch(
+        epoch, [], part_updates, new_writer_token(),
+        metrics={"epoch": epoch, "delete_where": {"column": column, "n_values": len(values)},
+                 "rows_erased": n_erased, "partitions_touched": len(rows)},
+    )
+    return manifest, n_erased
+
+
 def repartition_lake(lake_dir: str, cfg: CaptureConfig, new_num_partitions: int) -> Manifest:
     """Re-key the lake to a new partition count P' — the ONLY sanctioned way
     to change ``num_partitions`` on a live lake (the manifest fence refuses a

@@ -3,6 +3,7 @@ topic introspection verbs, config-drift reporting (VERDICT r2 #8-#10 +
 ADVICE items)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -295,3 +296,66 @@ def test_sink_mode_lake_byte_identity(ray_session, tmp_path, monkeypatch):
     for p, meta in ma.partitions.items():
         with open(meta["path"], "rb") as fa, open(mb.partitions[p]["path"], "rb") as fb:
             assert fa.read() == fb.read(), f"partition {p} diverged between capture modes"
+
+
+# ---- GDPR-style targeted erasure (delete_where) -----------------------------
+
+
+def test_delete_where_erases_payload_and_keeps_fences(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.replay import delete_where, lake_to_pandas, replay
+    from movex_cdc_ray.state.manifest import Manifest
+
+    spec = StreamSpec(n_events=4_000, n_repos=6, paths_per_repo=25, chunk_size=2_000)
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+
+    before = lake_to_pandas(lake)
+    target = before["repo"].iloc[0]
+    n_target = int((before["repo"] == target).sum())
+    assert n_target > 0
+
+    m, n_erased = delete_where(lake, cfg, "repo", [target])
+    assert n_erased == n_target
+    after = lake_to_pandas(lake)
+    # live view: the erased repo is gone, everything else untouched
+    assert (after["repo"] != target).all()
+    rest = before[before["repo"] != target].reset_index(drop=True)
+    pd.testing.assert_frame_equal(after.reset_index(drop=True), rest)
+    # the fences persist physically with nulled payload and retained keys/ids
+    erased_keys = 0
+    for p in m.partitions.values():
+        t = pq.read_table(p["path"]).to_pandas()
+        fences = t[t["_last_op"] == "D"]
+        erased = fences[fences["_key"].str.contains("\x1f" + "", regex=False)]
+        nulled = fences[fences["repo"].isna() & fences["content"].isna()]
+        erased_keys += len(nulled)
+        assert fences["_last_id"].notna().all()
+    assert erased_keys >= n_erased
+    # idempotent: a second erasure of the same values is a no-op commit
+    m2, n2 = delete_where(lake, cfg, "repo", [target])
+    assert n2 == 0 and m2.epoch == m.epoch
+    # resume after erasure is a no-op (no chunks pending)
+    rep = replay(stream, lake, cfg, chunks_per_epoch=2)
+    assert rep.epochs == 0
+
+
+def test_delete_where_guards(ray_session, tmp_path):
+    from movex_cdc_ray.config import ViewSpec
+    from movex_cdc_ray.pipelines.replay import delete_where, replay
+
+    spec = StreamSpec(n_events=1_000, n_repos=3, paths_per_repo=10, chunk_size=500)
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=2)
+    lake = str(tmp_path / "lake")
+    replay(stream, lake, cfg, chunks_per_epoch=2)
+    with pytest.raises(ValueError, match="payload column"):
+        delete_where(lake, cfg, "_key", ["x"])
+    cfg.views = [ViewSpec(name="v", group_by=["repo"])]
+    with pytest.raises(RuntimeError, match="views"):
+        delete_where(lake, cfg, "repo", ["r0"])
