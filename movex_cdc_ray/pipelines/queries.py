@@ -7352,6 +7352,125 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# peak concurrency (interval sweep-line with distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def events_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Peak concurrent sessions (capacity planning): sessions are the 30-min
+    -gap windows of ``sessionize``; concurrency is the classic sweep-line
+    (+1 at start, −1 just after end) and the answer is the max running sum
+    plus the first microsecond it is reached.
+
+    Distributed prefix WITHOUT a global sort: boundaries bucket by time
+    range; each bucket reports (Σd, local max prefix, first t at that max)
+    from ONE vectorized lexsort+cumsum; the driver folds bucket offsets —
+    the global max prefix is max(offset + local max), attained first in the
+    earliest bucket that reaches it (the epoch_shuffle prefix-sum shape
+    applied to a sweep-line)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    GAP = 1_800_000_000  # 30 min in µs
+    W = 21_600_000_000  # 6 h time-range buckets
+
+    def intervals(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "ts" not in g.columns:
+            return pa.table({"t": pa.array([], pa.int64()), "d": pa.array([], pa.int64())})
+        g = g.assign(us=g["ts"].astype("datetime64[us]").astype(np.int64))
+        g = g.sort_values(["user_id", "us", "event_id"])
+        us = g["us"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > GAP)]
+        sid = np.cumsum(new) - 1
+        a = np.minimum.reduceat(us, np.flatnonzero(new))
+        b = np.maximum.reduceat(us, np.flatnonzero(new))
+        del sid
+        return pa.table(
+            {"t": pa.array(np.r_[a, b + 1]),
+             "d": pa.array(np.r_[np.ones(len(a), np.int64), -np.ones(len(b), np.int64)])}
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0 or "t" not in g.columns:
+            return pa.table({"tb": pa.array([], pa.int64()), "total": pa.array([], pa.int64()),
+                             "maxp": pa.array([], pa.int64()), "t_first": pa.array([], pa.int64()),
+                             "n_starts": pa.array([], pa.int64())})
+        t = g["t"].to_numpy(dtype=np.int64)
+        d = g["d"].to_numpy(dtype=np.int64)
+        order = np.lexsort((-d, t))  # by t asc, then +1 before -1 (SQL: t, d DESC)
+        t, d = t[order], d[order]
+        run = np.cumsum(d)
+        pos = int(np.argmax(run))
+        return pa.table(
+            {"tb": pa.array([int(t[0] // W)], pa.int64()),
+             "total": pa.array([int(d.sum())], pa.int64()),
+             "maxp": pa.array([int(run[pos])], pa.int64()),
+             "t_first": pa.array([int(t[pos])], pa.int64()),
+             "n_starts": pa.array([int((d > 0).sum())], pa.int64())}
+        )
+
+    # sessions need per-user co-location first, then boundaries re-bucket by time
+    bounds = (
+        ds.map_batches(
+            lambda b: b.append_column(
+                "ub", pc.bit_wise_and(_col(b, "user_id").cast(pa.int64()), 31)
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("ub")
+        .map_groups(intervals, batch_format="pandas")
+        .map_batches(
+            lambda b: b.append_column(
+                "tb", pc.divide(_col(b, "t"), pa.scalar(W, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("tb")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()  # bounded: one row per time bucket
+        .sort_values("tb")
+        .reset_index(drop=True)
+    )
+    offsets = np.r_[0, bounds["total"].cumsum().to_numpy()[:-1]]
+    glob = offsets + bounds["maxp"].to_numpy()
+    peak = int(glob.max())
+    first_idx = int(np.argmax(glob == peak))
+    return pd.DataFrame(
+        {"n_sessions": [int(bounds["n_starts"].sum())],
+         "peak_concurrency": [peak],
+         "peak_first_us": [int(bounds["t_first"].iloc[first_idx])]}
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ), lagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    ), iv AS (
+      SELECT MIN(us) AS a, MAX(us) AS b FROM sess GROUP BY user_id, sid
+    ), ev AS (
+      SELECT a AS t, 1 AS d FROM iv UNION ALL SELECT b + 1, -1 FROM iv
+    ), c AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS conc
+      FROM ev
+    )
+    SELECT CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(t) FILTER (WHERE conc = (SELECT MAX(conc) FROM c)) AS BIGINT)
+             AS peak_first_us
+    FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
 # deterministic A/B assignment + conversion report (experimentation)
 # ---------------------------------------------------------------------------
 
@@ -8716,6 +8835,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_zorder": events_zorder,
     "events_dwell_time": events_dwell_time,
     "events_abtest": events_abtest,
+    "events_peak_concurrency": events_peak_concurrency,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -11042,6 +11162,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_zorder": _ZORDER_SQL,
     "events_dwell_time": _DWELL_SQL,
     "events_abtest": _ABTEST_SQL,
+    "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

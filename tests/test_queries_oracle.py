@@ -100,6 +100,7 @@ SUBSET = [
     "events_zorder",
     "events_dwell_time",
     "events_abtest",
+    "events_peak_concurrency",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]

@@ -222,3 +222,25 @@ def test_zorder_buckets_bound_both_dimensions(qs):
     gc = got["c_max"].max() - got["c_min"].min()
     area = (got["u_max"] - got["u_min"] + 1) * (got["c_max"] - got["c_min"] + 1)
     assert (area < (gu + 1) * (gc + 1)).all()
+
+
+def test_peak_concurrency_equals_bruteforce_sweep(qs):
+    import pyarrow.parquet as pq
+
+    got = qs["events_peak_concurrency"](SF_DIR)
+    ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    us, uid = ev["us"].to_numpy(), ev["user_id"].to_numpy()
+    new = np.r_[True, (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > 1_800_000_000)]
+    a = np.minimum.reduceat(us, np.flatnonzero(new))
+    b = np.maximum.reduceat(us, np.flatnonzero(new))
+    t = np.r_[a, b + 1]
+    d = np.r_[np.ones(len(a), np.int64), -np.ones(len(b), np.int64)]
+    order = np.lexsort((-d, t))
+    run = np.cumsum(d[order])
+    peak = int(run.max())
+    assert int(got["n_sessions"].iloc[0]) == len(a)
+    assert int(got["peak_concurrency"].iloc[0]) == peak
+    assert int(got["peak_first_us"].iloc[0]) == int(t[order][int(np.argmax(run))])
