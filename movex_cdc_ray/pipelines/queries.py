@@ -7352,6 +7352,70 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# classifier evaluation: language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def text_langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Classifier evaluation against labels: the language-ID heuristic's
+    confusion matrix vs the corpus's labeled ``lang`` column — (actual,
+    predicted, n) cells plus per-actual recall (half-away rounding). The
+    eval itself is a per-batch predict + register-sized (actual, pred) fold;
+    the oracle re-derives the predictions with the generated profile SQL."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    stage = LangIdStage()
+
+    def cells(b: pd.DataFrame) -> pa.Table:
+        pred = stage(b[["doc_id", "text"]])["pred_lang"]
+        g = pd.DataFrame({"actual": b["lang"].to_numpy(), "predicted": pred.to_numpy()})
+        vc = g.value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pa.table(
+            {"actual": pa.array(idx["actual"].astype(str), pa.string()),
+             "predicted": pa.array(idx["predicted"].astype(str), pa.string()),
+             "n": pa.array(vc.to_numpy(dtype="int64"))}
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pandas")
+        .groupby(["actual", "predicted"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    tot = out.groupby("actual")["n"].transform("sum")
+    out["recall"] = _rha(
+        np.where(out["actual"] == out["predicted"], out["n"], 0) / tot.to_numpy(), 6
+    )
+    out.loc[out["actual"] != out["predicted"], "recall"] = 0.0
+    return out.sort_values(["actual", "predicted"]).reset_index(drop=True)[
+        ["actual", "predicted", "n", "recall"]
+    ]
+
+
+def _langid_confusion_sql() -> str:
+    pred = _langid_sql().replace("ORDER BY doc_id", "")
+    return f"""
+    WITH pred AS ({pred}),
+    cells AS (
+      SELECT d.lang AS actual, p.pred_lang AS predicted, count(*) AS n
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY d.lang, p.pred_lang
+    )
+    SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+           CASE WHEN actual = predicted
+                THEN ROUND(CAST(n AS DOUBLE)
+                           / SUM(n) OVER (PARTITION BY actual), 6)
+                ELSE 0.0 END AS recall
+    FROM cells ORDER BY actual, predicted
+    """
+
+
+# ---------------------------------------------------------------------------
 # peak concurrency (interval sweep-line with distributed prefix sum)
 # ---------------------------------------------------------------------------
 
@@ -8836,6 +8900,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_dwell_time": events_dwell_time,
     "events_abtest": events_abtest,
     "events_peak_concurrency": events_peak_concurrency,
+    "text_langid_confusion": text_langid_confusion,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -11163,6 +11228,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_dwell_time": _DWELL_SQL,
     "events_abtest": _ABTEST_SQL,
     "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
+    "text_langid_confusion": _langid_confusion_sql(),
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

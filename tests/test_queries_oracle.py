@@ -101,6 +101,7 @@ SUBSET = [
     "events_dwell_time",
     "events_abtest",
     "events_peak_concurrency",
+    "text_langid_confusion",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
