@@ -7352,6 +7352,98 @@ def q21_blamed_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM changepoint detection (streaming rate-shift alarm)
+# ---------------------------------------------------------------------------
+
+
+def events_cusum(sf_dir: str) -> pd.DataFrame:
+    """One-sided CUSUM rate-shift detector per event type over hourly
+    counts: S_t = max(0, S_{t−1} + x_t − k) with drift k = ⌈mean hourly
+    count⌉ (integer) and alarm at S_t > 3k — the streaming changepoint
+    sibling of ``events_anomaly``'s MAD outliers. All-integer, so SQL
+    agrees exactly.
+
+    The reset-max recursion is NOT a window aggregate, but the identity
+    S_t = P_t − min_{i≤t} P_i (P = prefix sum of x−k) turns it into two
+    plain prefix scans — the same distributed-prefix shape as
+    ``events_peak_concurrency``; the hourly count table itself is bounded
+    (types × hours), folded from per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    HR = 3_600_000_000
+
+    def partials(b: pd.DataFrame) -> pa.Table:
+        hr = (b["ts"].astype("datetime64[us]").astype(np.int64) // HR).to_numpy()
+        vc = pd.DataFrame({"event_type": b["event_type"].to_numpy(), "hr": hr}).value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pa.table(
+            {"event_type": pa.array(idx["event_type"].astype(str), pa.string()),
+             "hr": pa.array(idx["hr"].to_numpy(dtype="int64")),
+             "n": pa.array(vc.to_numpy(dtype="int64"))}
+        )
+
+    hourly = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: types × hours
+    )
+    rows = []
+    for et, g in hourly.groupby("event_type"):
+        g = g.sort_values("hr")
+        # dense hour spine: silent hours count 0 (a detector that skips
+        # empty hours would never see a rate DROP window; keep the spine)
+        hrs = np.arange(g["hr"].min(), g["hr"].max() + 1, dtype=np.int64)
+        x = np.zeros(len(hrs), dtype=np.int64)
+        x[(g["hr"].to_numpy() - hrs[0]).astype(int)] = g["n"].to_numpy()
+        # ceil mean via (s + n - 1) // n: positive operands, so numpy floor
+        # and DuckDB trunc division agree
+        k = int((x.sum() + len(hrs) - 1) // len(hrs))
+        p = np.cumsum(x - k)
+        # S_t = P_t - min(0, min_{i<=t} P_i)  (the pre-sum state S_0 = 0)
+        pmin = np.minimum.accumulate(np.minimum(p, 0))
+        s = p - pmin
+        alarm = s > 3 * k
+        for h, xs, ss, al in zip(hrs[alarm], x[alarm], s[alarm], alarm[alarm]):
+            rows.append((et, int(h), int(xs), int(ss), k))
+    out = pd.DataFrame(rows, columns=["event_type", "hr", "n", "cusum", "k"])
+    return out.sort_values(["event_type", "hr"]).reset_index(drop=True)
+
+
+_CUSUM_SQL = """
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      FROM events GROUP BY event_type, hr
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx)) AS hr
+      FROM (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY event_type)
+    ), dense AS (
+      SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n
+      FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hr = s.hr
+    ), kk AS (
+      SELECT event_type,
+             CAST((SUM(n) + count(*) - 1) // count(*) AS BIGINT) AS k
+      FROM dense GROUP BY event_type
+    ), pre1 AS (
+      SELECT d.event_type, d.hr, d.n, kk.k,
+             SUM(d.n - kk.k) OVER (PARTITION BY d.event_type ORDER BY d.hr
+                                   ROWS UNBOUNDED PRECEDING) AS p
+      FROM dense d JOIN kk USING (event_type)
+    ), pre AS (
+      SELECT event_type, hr, n, k, p,
+             LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS UNBOUNDED PRECEDING), 0) AS pmin
+      FROM pre1
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(n AS BIGINT) AS n,
+           CAST(p - pmin AS BIGINT) AS cusum, CAST(k AS BIGINT) AS k
+    FROM pre WHERE p - pmin > 3 * k
+    ORDER BY event_type, hr
+    """
+
+
+# ---------------------------------------------------------------------------
 # classifier evaluation: language-ID confusion matrix
 # ---------------------------------------------------------------------------
 
@@ -8901,6 +8993,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_abtest": events_abtest,
     "events_peak_concurrency": events_peak_concurrency,
     "text_langid_confusion": text_langid_confusion,
+    "events_cusum": events_cusum,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -11229,6 +11322,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_abtest": _ABTEST_SQL,
     "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "text_langid_confusion": _langid_confusion_sql(),
+    "events_cusum": _CUSUM_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake

@@ -102,6 +102,7 @@ SUBSET = [
     "events_abtest",
     "events_peak_concurrency",
     "text_langid_confusion",
+    "events_cusum",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
