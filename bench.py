@@ -82,6 +82,11 @@ QUERY_SWEEP = [
     "events_data_quality",
     "text_skipgrams",
     "text_vocab_growth",
+    "events_peak_concurrency",
+    "multimodal_scene_cuts",
+    "events_attribution",
+    "multimodal_audio_tone",
+    "events_decayed_score",
 ]
 
 

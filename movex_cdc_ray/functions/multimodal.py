@@ -232,6 +232,39 @@ def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_tone_audio_table(n: int = 90, n_samples: int = 1_600, seed: int = 42) -> pa.Table:
+    """Deterministic tone-detection fixture: PCM16 WAV clips of gaussian
+    noise (σ=2000), with odd-id clips carrying an added fs/6 tone. At fs/6
+    the sampled cosine 2A·cos(πk/3 + φ) is the INTEGER period-6 pattern
+    A·[2,1,-1,-2,-1,1] (rolled by the phase index), so the mixed signal is
+    exact int16 and a Goertzel detector at that bin sees ~10⁴× the noise
+    power. Amplitude varies per clip (2500 + 250·(i mod 16)) so thresholding
+    isn't a single knife-edge."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, payloads, metas = [], [], []
+    base = np.array([2, 1, -1, -2, -1, 1], dtype=np.int64)
+    for i in range(n):
+        x = np.rint(rng.normal(0.0, 2000.0, n_samples)).astype(np.int64)
+        if i % 2 == 1:
+            amp = 2500 + 250 * (i % 16)
+            pat = np.roll(base, i % 6) * amp
+            x = x + np.tile(pat, n_samples // 6 + 1)[:n_samples]
+        samples = np.clip(x, -32767, 32767).astype(np.int16)
+        ids.append(i)
+        payloads.append(encode_wav(samples, 16_000))
+        metas.append({"width": 0, "height": 0, "duration_ms": n_samples * 1000 // 16_000,
+                      "format": "wav"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class DecodeStage:
     """Actor-pool decode: binary payload → feature vector + dimensions.
 

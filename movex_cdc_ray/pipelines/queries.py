@@ -2097,6 +2097,75 @@ def cdc_scd2_history(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_decayed_score(sf_dir: str) -> pd.DataFrame:
+    """Time-decayed engagement score per user (feature-engineering staple:
+    recent activity counts more), integer-exact: with T = the stream's max
+    hour, every event in the trailing 24 h window contributes
+    cents · 2^(23−age_hours) — a half-life-of-one-hour EWMA in fixed point
+    (score_fp23 = 2²³ · Σ cents·2^−age), all int64 so the oracle matches
+    bit-for-bit (max event ≈ 49 k cents · 2²³ ≈ 4·10¹¹ per event, far from
+    overflow). Two streaming passes: a tiny max() aggregate pins T, then a
+    per-batch combiner folds (user → partial score/count) before the one
+    small groupby — shuffle volume is per-user partials, not events."""
+    from ray.data.aggregate import Sum
+
+    th = int(pd.Timestamp(_read(sf_dir, "events", ["ts"]).max("ts")).value // 1000) // 3_600_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"]
+        h = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        age = th - h
+        keep = age < 24
+        if not keep.any():
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "score_part": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)[keep] * 100 + 0.5
+        ).astype(np.int64)
+        w = cents << (23 - age[keep])
+        part = (
+            pa.table({"user_id": pa.array(uid), "w": pa.array(w),
+                      "one": pa.array(np.ones(len(uid), dtype=np.int64))})
+            .group_by("user_id")
+            .aggregate([("w", "sum"), ("one", "sum")])
+        )
+        return pa.table({"user_id": part["user_id"],
+                         "score_part": part["w_sum"],
+                         "n_part": part["one_sum"]})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("score_part", alias_name="score_fp23"),
+                   Sum("n_part", alias_name="n_window"))
+        .to_pandas()
+    )
+    out["score_fp23"] = out["score_fp23"].astype("int64")
+    out["n_window"] = out["n_window"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_DECAYED_SCORE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+mx AS (SELECT max(h) AS th FROM e)
+SELECT user_id,
+       CAST(SUM(cents * CAST(2**(23 - (th - h)) AS BIGINT)) AS BIGINT) AS score_fp23,
+       CAST(COUNT(*) AS BIGINT) AS n_window
+FROM e, mx
+WHERE th - h < 24
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def events_running_totals(sf_dir: str) -> pd.DataFrame:
     """Cumulative per-key aggregates (running sum/count ordered by event
     id) — the windowed-aggregate family member beside hopping windows and
@@ -4079,6 +4148,7 @@ _REAL_MEDIA_STAGE = "/tmp/movex_oracle/real_media_120_42.parquet"
 _VIDEO_STAGE = "/tmp/movex_oracle/videos_60x12_42.parquet"
 _SCENE_VIDEO_STAGE = "/tmp/movex_oracle/scene_videos_40x3x4_42.parquet"
 _PHASH_STAGE = "/tmp/movex_oracle/phash_media_64_42.parquet"
+_TONE_AUDIO_STAGE = "/tmp/movex_oracle/tone_audio_90_42.parquet"
 
 
 def _stage_real_media() -> str:
@@ -4142,6 +4212,22 @@ def _stage_phash_media() -> str:
         pq.write_table(synth_phash_media_table(64, seed=42), tmp)
         os.replace(tmp, _PHASH_STAGE)
     return _PHASH_STAGE
+
+
+def _stage_tone_audio() -> str:
+    """Stage the deterministic tone-audio table (WAV clips, half carrying an
+    exact-integer fs/6 tone; see ``multimodal.synth_tone_audio_table``) where
+    both the Ray query and the DuckDB oracle read it."""
+    import pyarrow.parquet as pq
+
+    from ..functions.multimodal import synth_tone_audio_table
+
+    if not os.path.exists(_TONE_AUDIO_STAGE):
+        os.makedirs(os.path.dirname(_TONE_AUDIO_STAGE), exist_ok=True)
+        tmp = f"{_TONE_AUDIO_STAGE}.tmp.{os.getpid()}"
+        pq.write_table(synth_tone_audio_table(90, seed=42), tmp)
+        os.replace(tmp, _TONE_AUDIO_STAGE)
+    return _TONE_AUDIO_STAGE
 
 
 def corpus_quality_cut(sf_dir: str) -> pd.DataFrame:
@@ -5721,6 +5807,48 @@ def multimodal_audio_vad(sf_dir: str) -> pd.DataFrame:
         vad, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
     )
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def multimodal_audio_tone(sf_dir: str) -> pd.DataFrame:
+    """Single-bin tone detection (DTMF-style) at f = fs/6 via Goertzel,
+    integer-exact: at that bin the Goertzel coefficient 2·cos(2π/6) = 1, so
+    the recurrence s[n] = x[n] + s[n−1] − s[n−2] stays in int64 and has the
+    CLOSED FORM s[N−1] = Σₖ x[k]·u[(N−1−k) mod 6] with u = [1,1,0,−1,−1,0]
+    (Chebyshev impulse response, period 6) — each 400-sample frame's
+    (s[N−1], s[N−2]) is one int64 matmul against a ±1/0 weight matrix, and
+    tone power P = s₁² + s₂² − s₁·s₂ is exact. Frames over the fixed
+    threshold carry the fixture's planted fs/6 tone at ~10⁴× the noise
+    floor. The SQL oracle re-decodes the WAV bytes and evaluates the same
+    closed-form weighted sums, so every power value matches exactly."""
+    from ..functions.multimodal import RECOMMENDED_MEDIA_BATCH_SIZE, decode_wav
+
+    frame, thresh = 400, 100_000_000_000
+    u = np.array([1, 1, 0, -1, -1, 0], dtype=np.int64)
+    j = np.arange(frame)
+    wmat = np.stack([u[(frame - 1 - j) % 6], u[(frame - 2 - j) % 6]], axis=1)
+
+    def tone(t: pa.Table) -> pa.Table:
+        mids, fis, pows, hots = [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            s, _rate = decode_wav(payload)
+            nw = len(s) // frame
+            sv = s[: nw * frame].astype(np.int64).reshape(nw, frame) @ wmat
+            p = sv[:, 0] ** 2 + sv[:, 1] ** 2 - sv[:, 0] * sv[:, 1]
+            mids.extend([mid] * nw)
+            fis.extend(range(nw))
+            pows.extend(int(v) for v in p)
+            hots.extend(bool(v > thresh) for v in p)
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "frame_idx": pa.array(fis, pa.int64()),
+             "tone_power": pa.array(pows, pa.int64()),
+             "has_tone": pa.array(hots, pa.bool_())}
+        )
+
+    out = rd.read_parquet(_stage_tone_audio()).map_batches(
+        tone, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
 def multimodal_scene_cuts(sf_dir: str) -> pd.DataFrame:
@@ -8978,6 +9106,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_column_churn": cdc_column_churn,
     "text_vocab_growth": text_vocab_growth,
     "multimodal_audio_vad": multimodal_audio_vad,
+    "multimodal_audio_tone": multimodal_audio_tone,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
     "join_skew_salted": join_skew_salted,
@@ -9083,6 +9212,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_substrings": dedup_substrings,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "events_running_totals": events_running_totals,
+    "events_decayed_score": events_decayed_score,
     "approx_distinct_by_source": approx_distinct_by_source,
     "dedup_semantic": dedup_semantic,
     "corpus_cap_source": corpus_cap_source,
@@ -9193,6 +9323,42 @@ def _audio_vad_sql() -> str:
            CAST(n_active AS BIGINT) AS n_active,
            CAST(n_segments AS BIGINT) AS n_segments
     FROM seg ORDER BY media_id
+    """
+
+
+def _audio_tone_sql() -> str:
+    """Byte-level SQL re-evaluation of the closed-form Goertzel at fs/6:
+    sample j of frame f gets weight u[(399−j) mod 6] toward s₁ and
+    u[(398−j) mod 6] toward s₂ (u = [1,1,0,−1,−1,0]; the j=399 term of s₂
+    lands on u[5] = 0, matching the recurrence's k ≤ N−2 sum), then
+    P = s₁² + s₂² − s₁·s₂ — all BIGINT, exact."""
+    w1 = "CASE ((399 - (i % 400)) % 6 + 6) % 6 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END"
+    w2 = "CASE ((398 - (i % 400)) % 6 + 6) % 6 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END"
+    return f"""
+    WITH wav AS (
+      SELECT media_id, hex(payload) AS h, ({_le32(40)}) // 2 AS ns
+      FROM read_parquet('{_stage_tone_audio()}')
+      WHERE kind = 'audio' AND substr(hex(payload), 25, 8) = '666D7420'
+                           AND substr(hex(payload), 73, 8) = '64617461'
+    ),
+    smp AS (
+      SELECT media_id, i,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+      FROM (SELECT w.media_id, t.i,
+                   {_hx("44 + 2*t.i")} + 256*{_hx("45 + 2*t.i")} AS raw,
+                   w.h AS h
+            FROM wav w, range(4096) t(i) WHERE t.i < (w.ns // 400) * 400)
+    ),
+    g AS (
+      SELECT media_id, i // 400 AS frame_idx,
+             SUM(CAST(s AS BIGINT) * ({w1})) AS s1,
+             SUM(CAST(s AS BIGINT) * ({w2})) AS s2
+      FROM smp GROUP BY media_id, i // 400
+    )
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(s1*s1 + s2*s2 - s1*s2 AS BIGINT) AS tone_power,
+           (s1*s1 + s2*s2 - s1*s2) > 100000000000 AS has_tone
+    FROM g ORDER BY media_id, frame_idx
     """
 
 
@@ -10455,6 +10621,7 @@ def _build_oracle_sql() -> dict[str, str]:
         WHERE d.mad > 0 AND abs(e.value - m.med) > 3 * d.mad
         ORDER BY e.event_id
     """,
+    "events_decayed_score": _DECAYED_SCORE_SQL,
     "events_running_totals": """
         SELECT user_id, event_id,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
@@ -11299,6 +11466,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "cdc_gap_audit": _GAP_AUDIT_SQL,
     "multimodal_audio_resample": _audio_resample_sql(),
     "multimodal_audio_vad": _audio_vad_sql(),
+    "multimodal_audio_tone": _audio_tone_sql(),
     "multimodal_scene_cuts": _scene_cuts_sql(),
     "multimodal_image_histeq": _histeq_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,

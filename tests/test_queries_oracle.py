@@ -87,6 +87,8 @@ SUBSET = [
     "cdc_column_churn",
     "text_vocab_growth",
     "multimodal_audio_vad",
+    "multimodal_audio_tone",
+    "events_decayed_score",
     "multimodal_scene_cuts",
     "events_quantile_histogram",
     "join_skew_salted",
