@@ -87,6 +87,9 @@ QUERY_SWEEP = [
     "events_attribution",
     "multimodal_audio_tone",
     "events_decayed_score",
+    "events_heavy_hitters",
+    "multimodal_image_boxblur",
+    "events_debounce",
 ]
 
 

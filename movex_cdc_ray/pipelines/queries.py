@@ -2097,6 +2097,148 @@ def cdc_scd2_history(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_debounce(sf_dir: str) -> pd.DataFrame:
+    """Debounce filter (trailing-gap variant): keep an event iff the
+    PREVIOUS event of the same (user, type) — by event time, event_id
+    tie-break — is at least 5 minutes older. The stream-hygiene op that
+    collapses UI double-fires / sensor chatter before sessionization. One
+    user-hash shuffle (the events partitioning key); inside each group a
+    per-type vectorized shift-compare in integer microseconds, so equal-ts
+    duplicates drop deterministically and the LAG-based SQL oracle agrees
+    row-for-row."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = g.assign(_us=us)
+        prev = g.groupby("event_type")["_us"].shift()
+        keep = prev.isna() | ((g["_us"] - prev) > 300_000_000)
+        out = g.loc[keep, ["event_id", "user_id", "event_type"]]
+        return out
+
+    out = ds.groupby("user_id").map_groups(debounce, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_DEBOUNCE_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
+         LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM lagged
+WHERE prev_us IS NULL OR us - prev_us > 300000000
+ORDER BY event_id
+"""
+
+
+def events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """φ-heavy hitters (φ = 1/32) over (event_type, value-magnitude bucket)
+    via the MERGEABLE Misra-Gries summary (Agarwal et al., "Mergeable
+    Summaries", PODS'12): each batch folds to an ≤31-counter MG sketch, the
+    sketches merge associatively through one tiny groupby (merge = add
+    counters, subtract the 32nd-largest, drop ≤0 — undercount stays
+    ≤ N/32), and every key with true count > N/32 PROVABLY survives as a
+    candidate. A second streaming pass recounts only the ≤31 candidates
+    exactly (broadcast set, per-batch fold), so the output — keys with
+    n·32 > N — is deterministic and partitioning-independent even though
+    the intermediate sketch isn't. The magnitude bucket floor(log2(
+    cents//100 + 1)) is integer-safe (arguments ≤ 2⁹, doubling boundaries
+    land on exact powers of two) and gives the geometric key distribution
+    heavy-hitter detection exists for."""
+    from ray.data.aggregate import Sum
+
+    cap = 31
+
+    def keyize(batch: pa.Table) -> pd.DataFrame:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        vb = np.floor(np.log2(cents // 100 + 1)).astype(np.int64)
+        return pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+             "vbucket": vb}
+        )
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        cnt = keyize(batch).groupby(["event_type", "vbucket"], as_index=False).size()
+        cnt = cnt.rename(columns={"size": "n_mg"})
+        if len(cnt) > cap:
+            cut = int(cnt["n_mg"].nlargest(cap + 1).iloc[-1])
+            cnt["n_mg"] -= cut
+            cnt = cnt[cnt["n_mg"] > 0]
+        total = pd.DataFrame(
+            {"event_type": ["#TOTAL"], "vbucket": [-1], "n_mg": [batch.num_rows]}
+        )
+        out = pd.concat([cnt, total], ignore_index=True)
+        return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                         "vbucket": pa.array(out["vbucket"], pa.int64()),
+                         "n_mg": pa.array(out["n_mg"], pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    summ = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby(["event_type", "vbucket"])
+        .aggregate(Sum("n_mg", alias_name="n_mg"))
+        .to_pandas()
+    )
+    n_total = int(summ.loc[summ["event_type"] == "#TOTAL", "n_mg"].sum())
+    cnt = summ[summ["event_type"] != "#TOTAL"].copy()
+    if len(cnt) > cap:  # final MG trim — keeps the ≤ N/32 undercount bound
+        cut = int(cnt["n_mg"].nlargest(cap + 1).iloc[-1])
+        cnt["n_mg"] -= cut
+        cnt = cnt[cnt["n_mg"] > 0]
+    cands = frozenset(zip(cnt["event_type"], cnt["vbucket"]))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        pdf = keyize(batch)
+        mask = pd.Series(list(zip(pdf["event_type"], pdf["vbucket"]))).isin(cands)
+        cnt2 = pdf[mask.to_numpy()].groupby(
+            ["event_type", "vbucket"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        return pa.table({"event_type": pa.array(cnt2["event_type"], pa.string()),
+                         "vbucket": pa.array(cnt2["vbucket"], pa.int64()),
+                         "n": pa.array(cnt2["n"], pa.int64())})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby(["event_type", "vbucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = exact[exact["n"] * 32 > n_total].copy()
+    out["n"] = out["n"].astype("int64")
+    out["vbucket"] = out["vbucket"].astype("int64")
+    return out.sort_values(["event_type", "vbucket"]).reset_index(drop=True)[
+        ["event_type", "vbucket", "n"]
+    ]
+
+
+_HEAVY_HITTERS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) // 100 + 1 AS m
+  FROM events
+),
+c AS (
+  SELECT event_type, CAST(floor(log2(m)) AS BIGINT) AS vbucket, COUNT(*) AS n
+  FROM e GROUP BY 1, 2
+),
+t AS (SELECT COUNT(*) AS total FROM e)
+SELECT event_type, vbucket, CAST(n AS BIGINT) AS n
+FROM c, t
+WHERE n * 32 > total
+ORDER BY event_type, vbucket
+"""
+
+
 def events_decayed_score(sf_dir: str) -> pd.DataFrame:
     """Time-decayed engagement score per user (feature-engineering staple:
     recent activity counts more), integer-exact: with T = the stream's max
@@ -2210,6 +2352,56 @@ def cdc_flagship_replay(sf_dir: str) -> pd.DataFrame:
     got["size"] = got["size"].astype("int64")
     return got[["repo", "path", "commit", "lang", "content", "size", "_key",
                 "_last_id", "_last_op"]]
+
+
+def cdc_txn_batches(sf_dir: str) -> pd.DataFrame:
+    """Transaction-bounded delivery batching report over the staged flagship
+    binlog (the reference delivers a DB transaction's events as one atomic
+    producer batch — ``yn_record_txid`` / KafkaMock's per-batch checks): per
+    txn_id the op count, distinct tables touched, id span, and an
+    order-sensitive md5 over "id:op" in id order — the batch fingerprint a
+    consumer can use to assert atomic, in-order arrival. One txn-hash
+    groupby; groups are bounded by the source's max transaction size
+    (~50 events in the synth), so map_groups never sees a mega-group."""
+    import hashlib as _hl
+
+    stream = _flagship_stream()
+    ds = rd.read_parquet(
+        [os.path.join(stream, f) for f in sorted(os.listdir(stream))
+         if f.startswith("chunk_")],
+        columns=["id", "table_id", "op", "txn_id"],
+    )
+
+    def batch_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("id")
+        ids = g["id"].to_numpy()
+        fp = _hl.md5(
+            ",".join(f"{i}:{o}" for i, o in zip(ids, g["op"])).encode()
+        ).hexdigest()
+        return pd.DataFrame(
+            {"txn_id": [g["txn_id"].iloc[0]], "n_ops": [np.int64(len(g))],
+             "n_tables": [np.int64(g["table_id"].nunique())],
+             "id_min": [np.int64(ids[0])], "id_max": [np.int64(ids[-1])],
+             "ops_md5": [fp]}
+        )
+
+    out = ds.groupby("txn_id").map_groups(batch_fp, batch_format="pandas").to_pandas()
+    for c in ("n_ops", "n_tables", "id_min", "id_max"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("txn_id").reset_index(drop=True)
+
+
+def _txn_batches_sql() -> str:
+    return f"""
+    SELECT txn_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ops,
+           CAST(COUNT(DISTINCT table_id) AS BIGINT) AS n_tables,
+           CAST(MIN(id) AS BIGINT) AS id_min,
+           CAST(MAX(id) AS BIGINT) AS id_max,
+           md5(string_agg(id || ':' || op, ',' ORDER BY id)) AS ops_md5
+    FROM read_parquet('{_FLAGSHIP_STREAM_DIR}/chunk_*.parquet', union_by_name=true)
+    GROUP BY txn_id ORDER BY txn_id
+    """
 
 
 _PR_SCALE, _PR_DNUM, _PR_DDEN, _PR_ITERS = 10**9, 85, 100, 10
@@ -5587,6 +5779,50 @@ def multimodal_phash_dedup(sf_dir: str) -> pd.DataFrame:
     # identical hamming — dedupe the (small, verified) driver-side result
     pdf = pdf.drop_duplicates(["id_a", "id_b"])
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def multimodal_image_boxblur(sf_dir: str) -> pd.DataFrame:
+    """3×3 box-filter convolution (the stencil member of the augmentation
+    family beside crop/resize/histeq), integer-exact: per channel the valid
+    (interior) box SUM image is built from two axis-wise shifted adds — six
+    vectorized int64 adds per image, no per-pixel Python — and the reported
+    per-channel interior sums plus the global max box value are
+    FLIP-INVARIANT (a 3×3 sum commutes with BMP's bottom-up row order), so
+    the SQL re-decode can run the stencil in raw storage coordinates. A
+    blur that's off by one row/column shifts which pixels get interior
+    multiplicities and changes every reported value."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        decode_bmp,
+        decode_ppm,
+        sniff_format,
+    )
+
+    def boxblur(t: pa.Table) -> pa.Table:
+        mids, sums, maxs = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            fmt = sniff_format(payload)
+            px = (decode_bmp(payload) if fmt == "bmp" else decode_ppm(payload)).astype(np.int64)
+            v = px[:-2] + px[1:-1] + px[2:]
+            box = v[:, :-2] + v[:, 1:-1] + v[:, 2:]
+            mids.append(mid)
+            sums.append(box.sum(axis=(0, 1)))
+            maxs.append(int(box.max()))
+        s = np.array(sums, dtype=np.int64).reshape(-1, 3)
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "blur_sum_r": pa.array(s[:, 0]), "blur_sum_g": pa.array(s[:, 1]),
+             "blur_sum_b": pa.array(s[:, 2]),
+             "blur_max": pa.array(maxs, pa.int64())}
+        )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        boxblur, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
 def multimodal_image_crop(sf_dir: str) -> pd.DataFrame:
@@ -9107,6 +9343,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_vocab_growth": text_vocab_growth,
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_audio_tone": multimodal_audio_tone,
+    "multimodal_image_boxblur": multimodal_image_boxblur,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
     "join_skew_salted": join_skew_salted,
@@ -9213,6 +9450,9 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "events_running_totals": events_running_totals,
     "events_decayed_score": events_decayed_score,
+    "events_heavy_hitters": events_heavy_hitters,
+    "events_debounce": events_debounce,
+    "cdc_txn_batches": cdc_txn_batches,
     "approx_distinct_by_source": approx_distinct_by_source,
     "dedup_semantic": dedup_semantic,
     "corpus_cap_source": corpus_cap_source,
@@ -9429,6 +9669,63 @@ def _histeq_sql() -> str:
            CAST(SUM(e) FILTER (WHERE ch = 1) AS BIGINT) AS sum_g_eq,
            CAST(SUM(e) FILTER (WHERE ch = 2) AS BIGINT) AS sum_b_eq
     FROM eq GROUP BY media_id ORDER BY media_id
+    """
+
+
+def _boxblur_sql() -> str:
+    """Byte-level SQL re-decode of the 3×3 box filter: pixels keyed by
+    STORAGE row/col (pi//w, pi%w — valid because the reported sums/max are
+    flip-invariant), box values via a ±1/±1 self-join over each image's
+    pixel table, interior rows/cols only."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, kind, hex(payload) AS h
+      FROM read_parquet('{_stage_real_media()}') WHERE kind = 'image'
+    ),
+    geo AS (
+      SELECT *, CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    px AS (
+      SELECT im.media_id, im.w, im.ht,
+             t.pi // im.w AS rw, t.pi % im.w AS cl,
+             {_hx("base + rsh")} AS r, {_hx("base + 1")} AS g,
+             {_hx("base + 2 - rsh")} AS b
+      FROM (SELECT im0.*,
+              CASE WHEN im0.fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+            FROM img2 im0) im,
+           range(400) t(pi),
+           LATERAL (SELECT CASE WHEN im.fmt = 'bmp'
+                         THEN im.datoff + (t.pi // im.w)*im.rowb + (t.pi % im.w)*3
+                         ELSE im.datoff + t.pi*3 END AS base) o
+      WHERE t.pi < im.w * im.ht
+    ),
+    blur AS (
+      SELECT p.media_id, p.rw, p.cl,
+             CAST(SUM(q.r) AS BIGINT) AS br, CAST(SUM(q.g) AS BIGINT) AS bg,
+             CAST(SUM(q.b) AS BIGINT) AS bb
+      FROM px p JOIN px q
+        ON q.media_id = p.media_id
+       AND abs(q.rw - p.rw) <= 1 AND abs(q.cl - p.cl) <= 1
+      WHERE p.rw BETWEEN 1 AND p.ht - 2 AND p.cl BETWEEN 1 AND p.w - 2
+      GROUP BY p.media_id, p.rw, p.cl
+    )
+    SELECT media_id,
+           CAST(SUM(br) AS BIGINT) AS blur_sum_r,
+           CAST(SUM(bg) AS BIGINT) AS blur_sum_g,
+           CAST(SUM(bb) AS BIGINT) AS blur_sum_b,
+           CAST(MAX(greatest(br, bg, bb)) AS BIGINT) AS blur_max
+    FROM blur GROUP BY media_id ORDER BY media_id
     """
 
 
@@ -10622,6 +10919,9 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY e.event_id
     """,
     "events_decayed_score": _DECAYED_SCORE_SQL,
+    "events_heavy_hitters": _HEAVY_HITTERS_SQL,
+    "events_debounce": _DEBOUNCE_SQL,
+    "cdc_txn_batches": _txn_batches_sql(),
     "events_running_totals": """
         SELECT user_id, event_id,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
@@ -11467,6 +11767,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_audio_resample": _audio_resample_sql(),
     "multimodal_audio_vad": _audio_vad_sql(),
     "multimodal_audio_tone": _audio_tone_sql(),
+    "multimodal_image_boxblur": _boxblur_sql(),
     "multimodal_scene_cuts": _scene_cuts_sql(),
     "multimodal_image_histeq": _histeq_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,

@@ -89,6 +89,10 @@ SUBSET = [
     "multimodal_audio_vad",
     "multimodal_audio_tone",
     "events_decayed_score",
+    "events_heavy_hitters",
+    "multimodal_image_boxblur",
+    "events_debounce",
+    "cdc_txn_batches",
     "multimodal_scene_cuts",
     "events_quantile_histogram",
     "join_skew_salted",
