@@ -90,6 +90,8 @@ QUERY_SWEEP = [
     "events_heavy_hitters",
     "multimodal_image_boxblur",
     "events_debounce",
+    "events_outlier_mad",
+    "multimodal_image_palette",
 ]
 
 

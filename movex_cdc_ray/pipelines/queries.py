@@ -92,6 +92,48 @@ def _minhash_sql(threshold: float = 0.5, source: str = "documents") -> str:
     """
 
 
+_JACCARD_EXACT_SQL = r"""
+        WITH docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
+            END)) AS g
+          FROM docs WHERE len(w) > 0
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ninter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               ROUND(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jac
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5
+        ORDER BY a_id, b_id
+    """
+
+
+def _dedup_recall_sql() -> str:
+    """Eval oracle: the banded-LSH pair set and the exact inverted-index
+    pair set are BOTH SQL-expressible, so their set difference is too —
+    composing the two full queries as subqueries."""
+    return f"""
+    WITH lsh AS (SELECT a_id, b_id FROM ({_minhash_sql()})),
+         ex  AS (SELECT a_id, b_id FROM ({_JACCARD_EXACT_SQL}))
+    SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM ex JOIN lsh USING (a_id, b_id)) AS BIGINT) AS n_common,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN 1000
+                ELSE (SELECT COUNT(*) FROM ex JOIN lsh USING (a_id, b_id)) * 1000
+                     // (SELECT COUNT(*) FROM ex) END AS BIGINT) AS recall_permille
+    """
+
+
 def _langid_sql() -> str:
     """DuckDB oracle for LangIdStage, generated from the same profiles so
     the two can never drift: per-language stopword hit counts, argmax with
@@ -3242,6 +3284,28 @@ def dedup_jaccard(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+def dedup_minhash_recall(sf_dir: str) -> pd.DataFrame:
+    """Dedup-quality eval (the near-dup counterpart of ann_recall): run the
+    banded-LSH pipeline AND the exact inverted-index pipeline over the same
+    corpus and report how many true ≥0.5-Jaccard pairs the 16-band LSH
+    recovered — the recall a corpus owner checks before trusting the
+    approximate path at 100 TB where the exact join is off the table. Both
+    legs are the existing distributed pipelines; the comparison itself is a
+    driver-side merge of two small pair sets. recall_permille uses integer
+    division so the value is exact."""
+    lsh = dedup_minhash(sf_dir)[["a_id", "b_id"]]
+    ex = dedup_jaccard(sf_dir)[["a_id", "b_id"]]
+    m = ex.merge(lsh, on=["a_id", "b_id"], how="inner")
+    n_exact, n_lsh, n_common = len(ex), len(lsh), len(m)
+    recall = n_common * 1000 // n_exact if n_exact else 1000
+    return pd.DataFrame(
+        {"n_exact": pd.array([n_exact], dtype="int64"),
+         "n_lsh": pd.array([n_lsh], dtype="int64"),
+         "n_common": pd.array([n_common], dtype="int64"),
+         "recall_permille": pd.array([recall], dtype="int64")}
+    )
+
+
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash fingerprints + 16-bit bands for hamming bucketing — full SQL
     value oracle (word hash = DuckDB md5_number_upper; see SimHasher)."""
@@ -5823,6 +5887,56 @@ def multimodal_image_boxblur(sf_dir: str) -> pd.DataFrame:
         boxblur, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
     )
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def multimodal_image_palette(sf_dir: str) -> pd.DataFrame:
+    """Dominant-palette extraction: pixels quantize to a 16×16×16 RGB grid
+    (cell = (r>>4)<<8 | (g>>4)<<4 | (b>>4)) and the top-3 cells per image by
+    pixel count (ties → smaller cell id) come out of one bincount — the
+    deterministic, integer-exact stand-in for k-means palette fitting that
+    a curation pipeline uses to bucket images by color profile. Counts are
+    order-independent, so BMP storage order and re-sharding never matter."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        decode_bmp,
+        decode_ppm,
+        sniff_format,
+    )
+
+    def palette(t: pa.Table) -> pa.Table:
+        mids, ranks, cells, npx = [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            fmt = sniff_format(payload)
+            px = (decode_bmp(payload) if fmt == "bmp" else decode_ppm(payload)).reshape(-1, 3)
+            cell = (
+                (px[:, 0].astype(np.int64) >> 4) << 8
+                | (px[:, 1].astype(np.int64) >> 4) << 4
+                | (px[:, 2].astype(np.int64) >> 4)
+            )
+            cnt = np.bincount(cell, minlength=4096)
+            # top-3 by count desc, cell id asc — lexsort keys are (-count, cell)
+            order = np.lexsort((np.arange(4096), -cnt))[:3]
+            for r, cl in enumerate(order, start=1):
+                if cnt[cl] == 0:
+                    break
+                mids.append(mid)
+                ranks.append(r)
+                cells.append(int(cl))
+                npx.append(int(cnt[cl]))
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "rank": pa.array(ranks, pa.int64()),
+             "cell": pa.array(cells, pa.int64()),
+             "n_px": pa.array(npx, pa.int64())}
+        )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        palette, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values(["media_id", "rank"]).reset_index(drop=True)
 
 
 def multimodal_image_crop(sf_dir: str) -> pd.DataFrame:
@@ -8839,6 +8953,25 @@ def events_quantile_histogram(sf_dir: str) -> pd.DataFrame:
     searchsorted over the bounded histogram. p50/p90/p99 are the exact
     lower order statistics at rank floor((n−1)·q) — integer outputs, so
     the SQL agreement is exact."""
+    hist = _events_cent_hist(sf_dir)
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("c")
+        cum = g["n"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        c = g["c"].to_numpy()
+        qs = [int(c[np.searchsorted(cum, 1 + int(np.floor((tot - 1) * q)))])
+              for q in (0.50, 0.90, 0.99)]
+        rows.append((et, tot, *qs))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "p50_cents", "p90_cents", "p99_cents"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _events_cent_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared mergeable cent-histogram: distributed (type, cents, n)
+    bincount partials folded in cents-hash coarse buckets — the exchange is
+    bounded by the distinct value domain, never the event count. Drives
+    ``events_quantile_histogram`` and ``events_outlier_mad``."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partials(b: pd.DataFrame) -> pa.Table:
@@ -8872,23 +9005,78 @@ def events_quantile_histogram(sf_dir: str) -> pd.DataFrame:
              "n": pa.array(m.to_numpy(dtype="int64"))}
         )
 
-    hist = (
+    return (
         ds.map_batches(partials, batch_format="pandas")
         .groupby("cb")
         .map_groups(fold, batch_format="pandas")
         .to_pandas()  # bounded by the value domain, not the event count
     )
+
+
+def events_outlier_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier detection per event type via MAD (median absolute
+    deviation — the data-quality screen that, unlike z-scores, a few wild
+    values can't poison): ONE distributed mergeable cent-histogram pass
+    (shared with events_quantile_histogram — exchange bounded by the value
+    domain), then median, MAD and the |x−med| > 3·MAD outlier count all
+    derive driver-side from the bounded histogram by exact integer
+    cumsum/searchsorted — no second scan of events. Lower order statistics
+    at rank floor((n−1)/2), all int64, so the SQL windowed-cumsum oracle
+    agrees exactly."""
+    hist = _events_cent_hist(sf_dir)
     rows = []
     for et, g in hist.groupby("event_type"):
         g = g.sort_values("c")
-        cum = g["n"].cumsum().to_numpy()
+        n_arr = g["n"].to_numpy()
+        cum = n_arr.cumsum()
         tot = int(cum[-1])
         c = g["c"].to_numpy()
-        qs = [int(c[np.searchsorted(cum, 1 + int(np.floor((tot - 1) * q)))])
-              for q in (0.50, 0.90, 0.99)]
-        rows.append((et, tot, *qs))
-    out = pd.DataFrame(rows, columns=["event_type", "n", "p50_cents", "p90_cents", "p99_cents"])
+        med = int(c[np.searchsorted(cum, 1 + (tot - 1) // 2)])
+        dv = pd.DataFrame({"dev": np.abs(c - med), "n": n_arr}).groupby(
+            "dev", as_index=False
+        )["n"].sum().sort_values("dev")
+        cumd = dv["n"].cumsum().to_numpy()
+        mad = int(dv["dev"].to_numpy()[np.searchsorted(cumd, 1 + (tot - 1) // 2)])
+        n_out = int(dv.loc[dv["dev"] > 3 * mad, "n"].sum())
+        rows.append((et, tot, med, mad, n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "med_cents", "mad_cents", "n_outliers"])
+    for col in ("n", "med_cents", "mad_cents", "n_outliers"):
+        out[col] = out[col].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+_OUTLIER_MAD_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+), h AS (
+  SELECT event_type, c, count(*) AS n FROM cents GROUP BY event_type, c
+), med AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN cum >= 1 + (tot - 1) // 2 THEN c END) AS BIGINT) AS med,
+         CAST(MAX(tot) AS BIGINT) AS tot
+  FROM (SELECT event_type, c,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM h)
+  GROUP BY event_type
+), devh AS (
+  SELECT h.event_type, abs(h.c - m.med) AS dev, SUM(h.n) AS n
+  FROM h JOIN med m USING (event_type) GROUP BY 1, 2
+), madt AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN cum >= 1 + (tot - 1) // 2 THEN dev END) AS BIGINT) AS mad
+  FROM (SELECT event_type, dev,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM devh)
+  GROUP BY event_type
+)
+SELECT d.event_type, m2.tot AS n, m2.med AS med_cents, t.mad AS mad_cents,
+       CAST(COALESCE(SUM(d.n) FILTER (WHERE d.dev > 3 * t.mad), 0) AS BIGINT) AS n_outliers
+FROM devh d JOIN madt t USING (event_type) JOIN med m2 USING (event_type)
+GROUP BY d.event_type, m2.tot, m2.med, t.mad
+ORDER BY d.event_type
+"""
 
 
 _QUANTILE_HIST_SQL = """
@@ -9344,8 +9532,10 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_audio_tone": multimodal_audio_tone,
     "multimodal_image_boxblur": multimodal_image_boxblur,
+    "multimodal_image_palette": multimodal_image_palette,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
+    "events_outlier_mad": events_outlier_mad,
     "join_skew_salted": join_skew_salted,
     "cdc_checksum_reconcile": cdc_checksum_reconcile,
     "events_attribution": events_attribution,
@@ -9409,6 +9599,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -9726,6 +9917,58 @@ def _boxblur_sql() -> str:
            CAST(SUM(bb) AS BIGINT) AS blur_sum_b,
            CAST(MAX(greatest(br, bg, bb)) AS BIGINT) AS blur_max
     FROM blur GROUP BY media_id ORDER BY media_id
+    """
+
+
+def _palette_sql() -> str:
+    """Byte-level SQL re-decode of the palette path: same px CTE chain as
+    the box blur, cell = (r//16)*256 + (g//16)*16 + b//16, top-3 per image
+    via ROW_NUMBER ordered (count DESC, cell ASC)."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, kind, hex(payload) AS h
+      FROM read_parquet('{_stage_real_media()}') WHERE kind = 'image'
+    ),
+    geo AS (
+      SELECT *, CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    pxoff AS (
+      SELECT im.media_id, im.h AS h,
+        CASE WHEN im.fmt = 'bmp'
+             THEN im.datoff + (t.pi // im.w)*im.rowb + (t.pi % im.w)*3
+             ELSE im.datoff + t.pi*3 END AS base,
+        CASE WHEN im.fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+      FROM img2 im, range(400) t(pi) WHERE t.pi < im.w * im.ht
+    ),
+    px AS (
+      SELECT media_id,
+             ({_hx("base + rsh")} // 16) * 256 + ({_hx("base + 1")} // 16) * 16
+               + ({_hx("base + 2 - rsh")} // 16) AS cell
+      FROM pxoff
+    ),
+    cnt AS (
+      SELECT media_id, cell, COUNT(*) AS n_px FROM px GROUP BY media_id, cell
+    ),
+    rk AS (
+      SELECT media_id, cell, n_px,
+             ROW_NUMBER() OVER (PARTITION BY media_id
+                                ORDER BY n_px DESC, cell ASC) AS rank
+      FROM cnt
+    )
+    SELECT media_id, CAST(rank AS BIGINT) AS rank, CAST(cell AS BIGINT) AS cell,
+           CAST(n_px AS BIGINT) AS n_px
+    FROM rk WHERE rank <= 3 ORDER BY media_id, rank
     """
 
 
@@ -10701,30 +10944,8 @@ def _build_oracle_sql() -> dict[str, str]:
         LEFT JOIN sh ON sh.doc_id = d.doc_id
         ORDER BY d.doc_id
     """,
-    "dedup_jaccard": r"""
-        WITH docs AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
-        ), sh AS (
-          SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                 ELSE [array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]
-            END)) AS g
-          FROM docs WHERE len(w) > 0
-        ), sizes AS (
-          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        ), inter AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ninter
-          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT a_id, b_id,
-               ROUND(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jac
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = a_id
-        JOIN sizes sb ON sb.doc_id = b_id
-        WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5
-        ORDER BY a_id, b_id
-    """,
+    "dedup_jaccard": _JACCARD_EXACT_SQL,
+    "dedup_minhash_recall": _dedup_recall_sql(),
     "knn_bruteforce": """
         SELECT query_id, neighbor_id, rank, cosine
         FROM (
@@ -11768,6 +11989,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_audio_vad": _audio_vad_sql(),
     "multimodal_audio_tone": _audio_tone_sql(),
     "multimodal_image_boxblur": _boxblur_sql(),
+    "multimodal_image_palette": _palette_sql(),
     "multimodal_scene_cuts": _scene_cuts_sql(),
     "multimodal_image_histeq": _histeq_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,
@@ -11779,6 +12001,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_skyline": _SKYLINE_SQL,
     "events_data_quality": _DATA_QUALITY_SQL,
     "events_quantile_histogram": _QUANTILE_HIST_SQL,
+    "events_outlier_mad": _OUTLIER_MAD_SQL,
     "join_skew_salted": _SKEW_JOIN_SQL,
     "cdc_checksum_reconcile": _CHECKSUM_RECONCILE_SQL,
     "events_attribution": _ATTRIBUTION_SQL,

@@ -93,6 +93,9 @@ SUBSET = [
     "multimodal_image_boxblur",
     "events_debounce",
     "cdc_txn_batches",
+    "dedup_minhash_recall",
+    "events_outlier_mad",
+    "multimodal_image_palette",
     "multimodal_scene_cuts",
     "events_quantile_histogram",
     "join_skew_salted",
