@@ -1042,7 +1042,10 @@ def deletion_keys(mat: np.ndarray, k: int = 2) -> list[np.ndarray]:
     pre[:, w + 1] = pre[:, w]
     total = pre[:, w]
     suf = total[:, None] - pre[:, : w + 2]                       # suf[:, d] = Σ_{j≥d}
-    inv1, inv2 = _FNV64_INV, _FNV64_INV * _FNV64_INV
+    # wraparound mod 2^64 is intended; square via Python ints + mask so the
+    # numpy-scalar overflow RuntimeWarning never fires in worker logs
+    inv1 = _FNV64_INV
+    inv2 = np.uint64((int(_FNV64_INV) * int(_FNV64_INV)) & 0xFFFFFFFFFFFFFFFF)
     keys = [total.copy()]
     for d1 in range(w):
         keys.append(pre[:, d1] + suf[:, d1 + 1] * inv1)
