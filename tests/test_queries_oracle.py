@@ -112,6 +112,7 @@ SUBSET = [
     "events_peak_concurrency",
     "text_langid_confusion",
     "events_cusum",
+    "graph_triangles",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
