@@ -4127,6 +4127,118 @@ def text_topk_tokens(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+_NB_VOCAB = 128
+
+
+def text_nb_train(sf_dir: str) -> pd.DataFrame:
+    """Distributed Naive-Bayes training (`functions/nb.py:nb_train`): the
+    vocab-restricted (source, token, n) sufficient-statistics table from one
+    corpus scan — per-batch vocabulary-sized partial counts, one coarse
+    token-hash bucket fold, vocabulary cut by Ray sort+limit. The oracle is
+    the same counts in plain SQL (no literal tables — training itself is
+    SQL-expressible; only the fixed-point weights need the ln() step that
+    `text_nb_classify` exercises)."""
+    from ..functions.nb import nb_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = nb_train(ds, vocab_size=_NB_VOCAB)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def text_nb_classify(sf_dir: str) -> pd.DataFrame:
+    """NB scoring (`functions/nb.py:nb_classify`): train on the corpus, then
+    label every doc with its max-posterior source. Weights are fixed-point
+    ints — floor(1e6·ln(p)) — so per-doc scores are exact int64 sums and the
+    oracle recomputes the WHOLE model in SQL (vocab cut, Laplace counts,
+    ln() weights, scoring, argmax): ln over identical IEEE doubles through
+    the same platform libm is bit-identical, everything after the floor is
+    integer, ties break (score desc, source asc) on both sides."""
+    from ..functions.nb import nb_classify
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = nb_classify(ds, vocab_size=_NB_VOCAB).to_pandas()
+    out["score"] = out["score"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _nb_toks_sql() -> str:
+    return """
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+      FROM documents
+    """
+
+
+def _nb_train_sql() -> str:
+    return f"""
+    WITH toks AS ({_nb_toks_sql()}),
+    vocab AS (
+      SELECT token FROM toks GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT {_NB_VOCAB}
+    )
+    SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks t JOIN vocab v USING (token)
+    GROUP BY t.source, t.token
+    ORDER BY t.source, t.token
+    """
+
+
+def _nb_classify_sql() -> str:
+    return f"""
+    WITH toks AS ({_nb_toks_sql()}),
+    vocab AS (
+      SELECT token FROM toks GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT {_NB_VOCAB}
+    ),
+    cnt AS (
+      SELECT t.source, t.token, COUNT(*) AS n
+      FROM toks t JOIN vocab v USING (token)
+      GROUP BY t.source, t.token
+    ),
+    classes AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT source, SUM(n) AS tot FROM cnt GROUP BY source),
+    w AS (
+      SELECT c.source, v.token,
+             CAST(FLOOR(1000000 * LN(
+               (COALESCE(cn.n, 0) + 1)::DOUBLE
+               / (COALESCE(t.tot, 0) + {_NB_VOCAB})::DOUBLE
+             )) AS BIGINT) AS wt
+      FROM classes c
+      CROSS JOIN vocab v
+      LEFT JOIN cnt cn ON cn.source = c.source AND cn.token = v.token
+      LEFT JOIN tot t ON t.source = c.source
+    ),
+    pri AS (
+      SELECT source, CAST(FLOOR(1000000 * LN(
+               n_docs::DOUBLE / (SELECT SUM(n_docs) FROM classes)::DOUBLE
+             )) AS BIGINT) AS pw
+      FROM classes
+    ),
+    tok_w AS (
+      SELECT t.doc_id, w.source, SUM(w.wt) AS s
+      FROM toks t JOIN w ON w.token = t.token
+      GROUP BY t.doc_id, w.source
+    ),
+    scores AS (
+      SELECT d.doc_id, p.source, p.pw + COALESCE(tw.s, 0) AS score
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN pri p
+      LEFT JOIN tok_w tw ON tw.doc_id = d.doc_id AND tw.source = p.source
+    ),
+    best AS (
+      SELECT doc_id, source AS pred_source, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, source
+             ) AS rn
+      FROM scores
+    )
+    SELECT doc_id, pred_source, CAST(score AS BIGINT) AS score
+    FROM best WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
 def corpus_shuffle(sf_dir: str) -> pd.DataFrame:
     """Deterministic epoch shuffle (`functions/corpus.py:epoch_shuffle`):
     dense global rank in (md5(id:epoch), id) order via a range-partitioned
@@ -9855,6 +9967,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
     "text_topk_tokens": text_topk_tokens,
+    "text_nb_train": text_nb_train,
+    "text_nb_classify": text_nb_classify,
     "knn_bruteforce": knn_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -11844,6 +11958,8 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     # heavy hitters: token-stream unnest + count, same (n DESC, token) order
     # and k-cut as top_tokens
+    "text_nb_train": _nb_train_sql(),
+    "text_nb_classify": _nb_classify_sql(),
     "text_topk_tokens": r"""
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
         FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token

@@ -113,6 +113,8 @@ SUBSET = [
     "text_langid_confusion",
     "events_cusum",
     "graph_triangles",
+    "text_nb_train",
+    "text_nb_classify",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
