@@ -92,6 +92,8 @@ QUERY_SWEEP = [
     "events_debounce",
     "events_outlier_mad",
     "multimodal_image_palette",
+    "graph_triangles",
+    "text_nb_classify",
 ]
 
 

@@ -1105,3 +1105,78 @@ def sq8_encode(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (Gonzalez max-min)
+# ---------------------------------------------------------------------------
+
+KC_SCALE = 1024  # fixed-point: q = round_half_away(x * 1024), dist² in int64
+
+
+def _kc_quantize(mat: np.ndarray) -> np.ndarray:
+    """Half-away integer quantization matching DuckDB
+    ``CAST(ROUND(x::DOUBLE * 1024, 0) AS BIGINT)`` bit-for-bit: float32→
+    float64 is exact, ×1024 is a power-of-two (exact), and the sign-aware
+    floor(|v|+0.5) is the same half-away rule ROUND uses."""
+    v = mat.astype(np.float64) * KC_SCALE
+    return np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+
+
+def kcenter_select(
+    ds: rd.Dataset,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Greedy k-center (Gonzalez 1985 max-min) coreset selection — the
+    diversity-sampling step of a training-data curation pipeline (pick k
+    maximally-spread exemplars; dedup's complement). Returns a k-row frame
+    (step, vec_id, d2) where d2 is the squared quantized distance from the
+    chosen point to the PREVIOUS center set (step 0 seeds at the min id,
+    d2=0). The 2-approximation guarantee is the textbook one.
+
+    Scale shape: k corpus scans, each embarrassingly parallel — the current
+    center matrix (≤ k×d int64) broadcasts via ``ray.put`` once per round,
+    every batch computes one (n,c,d) vectorized min-distance and emits a
+    SINGLE candidate row (its argmax point + that point's quantized vector),
+    so the driver reduce sees one row per block per round. No shuffle at
+    all; distances are exact integers, so every round's argmax (ties:
+    min id) is deterministic under any partitioning, and the DuckDB oracle
+    unrolls the same k rounds as a CTE chain."""
+    centers: list[tuple[int, np.ndarray]] = []
+
+    first = ds.select_columns([id_col]).min(id_col)
+    first_row = ds.filter(expr=f"{id_col} == {first}").take(1)[0]
+    q0 = _kc_quantize(np.asarray(first_row[vec_col], dtype=np.float64)[None, :])[0]
+    centers.append((int(first), q0))
+    out = [{"step": 0, "vec_id": int(first), "d2": 0}]
+
+    for step in range(1, k):
+        cmat_ref = ray.put(np.stack([c[1] for c in centers]))
+
+        def candidate(b: pa.Table, _ref=cmat_ref) -> pa.Table:
+            cmat = ray.get(_ref)  # (c, d) int64
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = _kc_quantize(_to_matrix(b[vec_col]))  # (n, d) int64
+            if len(ids) == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "d2": pa.array([], pa.int64()),
+                     "qvec": pa.array([], pa.list_(pa.int64()))}
+                )
+            diff = q[:, None, :] - cmat[None, :, :]
+            d2 = (diff * diff).sum(axis=2).min(axis=1)  # (n,) min over centers
+            best = np.lexsort((ids, -d2))[0]  # max d2, tie min id
+            return pa.table(
+                {"vec_id": pa.array([ids[best]], pa.int64()),
+                 "d2": pa.array([int(d2[best])], pa.int64()),
+                 "qvec": pa.array([q[best].tolist()], pa.list_(pa.int64()))}
+            )
+
+        cand = ds.map_batches(candidate, batch_format="pyarrow").to_pandas()
+        row = cand.sort_values(["d2", "vec_id"], ascending=[False, True]).iloc[0]
+        centers.append((int(row["vec_id"]), np.asarray(row["qvec"], dtype=np.int64)))
+        out.append({"step": step, "vec_id": int(row["vec_id"]), "d2": int(row["d2"])})
+
+    return pd.DataFrame(out)

@@ -7314,6 +7314,68 @@ def embedding_sq8(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("vec_id").reset_index(drop=True)
 
 
+_KC_K = 8
+
+
+def embedding_kcenter(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset selection (`functions/similarity.py:
+    kcenter_select`): k=8 maximally-spread exemplars via Gonzalez max-min —
+    k broadcast-and-scan rounds, one candidate row per block per round, no
+    shuffle. Distances are exact int64 over half-away-quantized coordinates,
+    so the unrolled-CTE DuckDB oracle (the k-means/pagerank unroll pattern)
+    is hash-exact."""
+    from ..functions.similarity import kcenter_select
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kcenter_select(ds, k=_KC_K)
+    for c in ("step", "vec_id", "d2"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _kcenter_sql() -> str:
+    """Oracle: the same greedy rounds unrolled — d_r = LEAST(d_{r-1},
+    dist² to the round-r center), c_{r+1} = argmax d_r (ties: min id)."""
+    parts = [
+        """
+    q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1024, 0) AS BIGINT) AS qx
+      FROM embeddings
+    ),
+    c0 AS (SELECT MIN(vec_id) AS cid FROM q),
+    d0 AS (
+      SELECT p.vec_id, SUM((p.qx - c.qx) * (p.qx - c.qx)) AS d2
+      FROM q p
+      JOIN q c ON c.vec_id = (SELECT cid FROM c0) AND c.i = p.i
+      GROUP BY p.vec_id
+    ),
+    c1 AS (SELECT vec_id AS cid, d2 FROM d0 ORDER BY d2 DESC, vec_id LIMIT 1)"""
+    ]
+    for r in range(1, _KC_K - 1):
+        parts.append(f"""
+    d{r} AS (
+      SELECT p.vec_id, LEAST(d{r - 1}.d2, SUM((p.qx - c.qx) * (p.qx - c.qx))) AS d2
+      FROM q p
+      JOIN q c ON c.vec_id = (SELECT cid FROM c{r}) AND c.i = p.i
+      JOIN d{r - 1} ON d{r - 1}.vec_id = p.vec_id
+      GROUP BY p.vec_id, d{r - 1}.d2
+    ),
+    c{r + 1} AS (SELECT vec_id AS cid, d2 FROM d{r} ORDER BY d2 DESC, vec_id LIMIT 1)""")
+    selects = [
+        "SELECT 0 AS step, (SELECT cid FROM c0) AS vec_id, CAST(0 AS BIGINT) AS d2"
+    ]
+    for r in range(1, _KC_K):
+        selects.append(
+            f"SELECT {r} AS step, cid AS vec_id, CAST(d2 AS BIGINT) AS d2 FROM c{r}"
+        )
+    return (
+        "WITH" + ",".join(parts) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
 def corpus_dsir_sample(sf_dir: str) -> pd.DataFrame:
     """The full DSIR pipeline end-to-end: importance weights →
     Efraimidis-Spirakis weighted resample (the paper's selection step) —
@@ -9905,6 +9967,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "corpus_dsir_weights": corpus_dsir_weights,
     "corpus_dsir_sample": corpus_dsir_sample,
     "embedding_sq8": embedding_sq8,
+    "embedding_kcenter": embedding_kcenter,
     "corpus_divergence": corpus_divergence,
     "embedding_hard_negatives": embedding_hard_negatives,
     "text_bpe_merges": text_bpe_merges,
@@ -12303,6 +12366,7 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """,
     "embedding_pca_power": _pca_power_sql(),
+    "embedding_kcenter": _kcenter_sql(),
     "embedding_sq8": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         ex AS (

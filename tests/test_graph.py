@@ -46,3 +46,29 @@ def test_pair_explode_empty_and_singletons():
     e = np.array([], dtype=np.int64)
     u_out, v_out = _pair_explode(e, e)
     assert len(u_out) == 0 and len(v_out) == 0
+
+
+def test_kcenter_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.similarity import _kc_quantize, kcenter_select
+
+    rng = np.random.default_rng(11)
+    n, d, k = 40, 6, 5
+    vecs = rng.normal(scale=0.3, size=(n, d)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+
+    got = kcenter_select(rd.from_pandas(df), k=k)
+
+    # brute force: same quantization, same greedy argmax with min-id ties
+    q = _kc_quantize(vecs.astype(np.float64))
+    chosen = [int(np.argmin(ids))]
+    exp = [(0, int(ids[chosen[0]]), 0)]
+    mind = ((q - q[chosen[0]]) ** 2).sum(axis=1)
+    for step in range(1, k):
+        best = np.lexsort((ids, -mind))[0]
+        exp.append((step, int(ids[best]), int(mind[best])))
+        mind = np.minimum(mind, ((q - q[best]) ** 2).sum(axis=1))
+    assert list(map(tuple, got[["step", "vec_id", "d2"]].to_numpy())) == exp

@@ -115,6 +115,7 @@ SUBSET = [
     "graph_triangles",
     "text_nb_train",
     "text_nb_classify",
+    "embedding_kcenter",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
