@@ -4983,6 +4983,117 @@ def events_unpivot(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
 
 
+_HOLT_SCALE = 1 << 20  # fixed-point for level/trend (α=1/4, β=1/8)
+
+
+def _trunc_div(a: np.ndarray | int, d: int):
+    """Integer division truncating toward zero — DuckDB BIGINT ``//``
+    semantics (Python/numpy ``//`` floor instead; they differ on negatives:
+    -7//2 = -4 vs trunc -3). Needed because Holt's trend term goes negative
+    on decaying series."""
+    a = np.asarray(a)
+    return np.sign(a) * (np.abs(a) // d)
+
+
+def events_holt(sf_dir: str) -> pd.DataFrame:
+    """Holt linear-trend double exponential smoothing over the hourly
+    per-type count series (the forecasting member of the time-series family
+    beside gap-fill/CUSUM/decayed-score): level tracks the smoothed rate,
+    trend its drift — the standard capacity-forecast primitive. α=1/4,
+    β=1/8 in 2²⁰ fixed-point with TRUNCATING integer division (matching
+    DuckDB BIGINT ``//`` exactly — the trend term goes negative, where
+    Python floor and SQL trunc diverge), so the whole recurrence is
+    integer-exact and the oracle is a recursive CTE running the identical
+    arithmetic.
+
+    Scale shape: the corpus-sized work is the distributed hourly rollup
+    (per-batch partial counts, one kilobyte-scale groupby — gap_fill's
+    fold); the sequential recurrence runs on the driver over the DENSE
+    per-type spine, bounded by types × hours independent of event volume
+    (a year of hourly cells × 1k types ≈ 9M recurrence steps; beyond that,
+    segment the recurrence with per-partition carry-in states)."""
+    from ray.data.aggregate import Sum
+
+    HR = 3_600_000_000
+    S = _HOLT_SCALE
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // HR
+        gb = (
+            pa.table({"event_type": batch["event_type"],
+                      "h": pa.array(h, pa.int64())})
+            .group_by(["event_type", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"event_type": gb["event_type"], "h": gb["h"],
+             "n": gb["count_all"].cast(pa.int64())}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows: list[dict] = []
+    for et, g in cells.groupby("event_type"):
+        g = g.set_index("h")["n"]
+        h0, h1 = int(g.index.min()), int(g.index.max())
+        y = g.reindex(range(h0, h1 + 1), fill_value=0).to_numpy(dtype=np.int64)
+        level = int(y[0]) * S
+        trend = 0
+        rows.append({"event_type": et, "h": h0, "n": int(y[0]),
+                     "level": level, "trend": trend})
+        for i in range(1, len(y)):
+            new_level = int(_trunc_div(int(y[i]) * S + 3 * (level + trend), 4))
+            trend = int(_trunc_div((new_level - level) + 7 * trend, 8))
+            level = new_level
+            rows.append({"event_type": et, "h": h0 + i, "n": int(y[i]),
+                         "level": level, "trend": trend})
+    out = pd.DataFrame(rows)
+    for c in ("h", "n", "level", "trend"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "h"]).reset_index(drop=True)
+
+
+def _holt_sql() -> str:
+    """Oracle: the identical fixed-point recurrence as a recursive CTE —
+    DuckDB BIGINT ``//`` is trunc-toward-zero, matching `_trunc_div`."""
+    S = _HOLT_SCALE
+    return f"""
+    WITH RECURSIVE agg AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM agg GROUP BY 1),
+    spine AS (
+      SELECT event_type, h0, unnest(generate_series(0, h1 - h0)) AS i FROM span
+    ),
+    series AS (
+      SELECT sp.event_type, sp.i, sp.h0 + sp.i AS h, COALESCE(a.n, 0) AS n
+      FROM spine sp
+      LEFT JOIN agg a ON a.event_type = sp.event_type AND a.h = sp.h0 + sp.i
+    ),
+    rec AS (
+      SELECT event_type, i, h, n,
+             CAST(n * {S} AS BIGINT) AS level, CAST(0 AS BIGINT) AS trend
+      FROM series WHERE i = 0
+      UNION ALL
+      SELECT s.event_type, s.i, s.h, s.n,
+             (s.n * {S} + 3 * (r.level + r.trend)) // 4 AS level,
+             (((s.n * {S} + 3 * (r.level + r.trend)) // 4) - r.level
+              + 7 * r.trend) // 8 AS trend
+      FROM rec r
+      JOIN series s ON s.event_type = r.event_type AND s.i = r.i + 1
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h, n, level, trend
+    FROM rec ORDER BY event_type, h
+    """
+
+
 def events_gap_fill(sf_dir: str) -> pd.DataFrame:
     """Time-series gap fill: the hourly per-type count series densified over
     the full (event_type × hour) spine — empty windows materialize as ZERO
@@ -6234,6 +6345,114 @@ def multimodal_image_boxblur(sf_dir: str) -> pd.DataFrame:
         boxblur, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
     )
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def multimodal_image_sobel(sf_dir: str) -> pd.DataFrame:
+    """Sobel edge magnitude (the gradient member of the stencil family
+    beside the 3×3 box blur), integer-exact: per channel gx/gy come from
+    two shifted-difference + weighted-add passes (six int64 ops per axis,
+    no per-pixel Python), magnitude is |gx|+|gy| (L1 — stays integer), and
+    the reported per-channel interior magnitude sums plus the global max
+    are FLIP-INVARIANT: the gx kernel is symmetric across rows, gy flips
+    sign but |gy| doesn't, so BMP's bottom-up storage order and any
+    re-sharding leave every reported value unchanged — the SQL re-decode
+    runs the same stencil in raw storage coordinates."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        decode_bmp,
+        decode_ppm,
+        sniff_format,
+    )
+
+    def sobel(t: pa.Table) -> pa.Table:
+        mids, sums, maxs = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            fmt = sniff_format(payload)
+            px = (decode_bmp(payload) if fmt == "bmp" else decode_ppm(payload)).astype(np.int64)
+            sx = px[:, 2:] - px[:, :-2]
+            gx = sx[:-2] + 2 * sx[1:-1] + sx[2:]
+            sy = px[2:] - px[:-2]
+            gy = sy[:, :-2] + 2 * sy[:, 1:-1] + sy[:, 2:]
+            mag = np.abs(gx) + np.abs(gy)
+            mids.append(mid)
+            sums.append(mag.sum(axis=(0, 1)))
+            maxs.append(int(mag.max()))
+        s = np.array(sums, dtype=np.int64).reshape(-1, 3)
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "edge_sum_r": pa.array(s[:, 0]), "edge_sum_g": pa.array(s[:, 1]),
+             "edge_sum_b": pa.array(s[:, 2]),
+             "edge_max": pa.array(maxs, pa.int64())}
+        )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        sobel, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def _sobel_sql() -> str:
+    """Byte-level SQL re-decode of the Sobel pass: same px CTE chain as the
+    box blur; the 3×3 neighborhood self-join carries the separable kernel as
+    weight expressions — gx weight (dc)·(2−|dr|), gy weight (dr)·(2−|dc|)."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, kind, hex(payload) AS h
+      FROM read_parquet('{_stage_real_media()}') WHERE kind = 'image'
+    ),
+    geo AS (
+      SELECT *, CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    px AS (
+      SELECT im.media_id, im.w, im.ht,
+             t.pi // im.w AS rw, t.pi % im.w AS cl,
+             {_hx("base + rsh")} AS r, {_hx("base + 1")} AS g,
+             {_hx("base + 2 - rsh")} AS b
+      FROM (SELECT im0.*,
+              CASE WHEN im0.fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+            FROM img2 im0) im,
+           range(400) t(pi),
+           LATERAL (SELECT CASE WHEN im.fmt = 'bmp'
+                         THEN im.datoff + (t.pi // im.w)*im.rowb + (t.pi % im.w)*3
+                         ELSE im.datoff + t.pi*3 END AS base) o
+      WHERE t.pi < im.w * im.ht
+    ),
+    grad AS (
+      SELECT p.media_id, p.rw, p.cl,
+             CAST(SUM(q.r * (q.cl - p.cl) * (2 - abs(q.rw - p.rw))) AS BIGINT) AS gxr,
+             CAST(SUM(q.r * (q.rw - p.rw) * (2 - abs(q.cl - p.cl))) AS BIGINT) AS gyr,
+             CAST(SUM(q.g * (q.cl - p.cl) * (2 - abs(q.rw - p.rw))) AS BIGINT) AS gxg,
+             CAST(SUM(q.g * (q.rw - p.rw) * (2 - abs(q.cl - p.cl))) AS BIGINT) AS gyg,
+             CAST(SUM(q.b * (q.cl - p.cl) * (2 - abs(q.rw - p.rw))) AS BIGINT) AS gxb,
+             CAST(SUM(q.b * (q.rw - p.rw) * (2 - abs(q.cl - p.cl))) AS BIGINT) AS gyb
+      FROM px p JOIN px q
+        ON q.media_id = p.media_id
+       AND abs(q.rw - p.rw) <= 1 AND abs(q.cl - p.cl) <= 1
+      WHERE p.rw BETWEEN 1 AND p.ht - 2 AND p.cl BETWEEN 1 AND p.w - 2
+      GROUP BY p.media_id, p.rw, p.cl
+    )
+    SELECT media_id,
+           CAST(SUM(abs(gxr) + abs(gyr)) AS BIGINT) AS edge_sum_r,
+           CAST(SUM(abs(gxg) + abs(gyg)) AS BIGINT) AS edge_sum_g,
+           CAST(SUM(abs(gxb) + abs(gyb)) AS BIGINT) AS edge_sum_b,
+           CAST(MAX(greatest(abs(gxr) + abs(gyr), abs(gxg) + abs(gyg),
+                             abs(gxb) + abs(gyb))) AS BIGINT) AS edge_max
+    FROM grad GROUP BY media_id ORDER BY media_id
+    """
 
 
 def multimodal_image_palette(sf_dir: str) -> pd.DataFrame:
@@ -9942,6 +10161,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_audio_vad": multimodal_audio_vad,
     "multimodal_audio_tone": multimodal_audio_tone,
     "multimodal_image_boxblur": multimodal_image_boxblur,
+    "multimodal_image_sobel": multimodal_image_sobel,
     "multimodal_image_palette": multimodal_image_palette,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
@@ -10070,6 +10290,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "embedding_kmeans": embedding_kmeans,
     "events_user_paths": events_user_paths,
     "events_gap_fill": events_gap_fill,
+    "events_holt": events_holt,
     "events_pivot": events_pivot,
     "events_cep_match": events_cep_match,
     "events_unpivot": events_unpivot,
@@ -12200,6 +12421,7 @@ def _build_oracle_sql() -> dict[str, str]:
         GROUP BY user_id
         ORDER BY user_id
     """,
+    "events_holt": _holt_sql(),
     "events_gap_fill": """
         WITH counts AS (
             SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hr,
@@ -12406,6 +12628,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_audio_vad": _audio_vad_sql(),
     "multimodal_audio_tone": _audio_tone_sql(),
     "multimodal_image_boxblur": _boxblur_sql(),
+    "multimodal_image_sobel": _sobel_sql(),
     "multimodal_image_palette": _palette_sql(),
     "multimodal_scene_cuts": _scene_cuts_sql(),
     "multimodal_image_histeq": _histeq_sql(),

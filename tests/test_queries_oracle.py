@@ -116,6 +116,8 @@ SUBSET = [
     "text_nb_train",
     "text_nb_classify",
     "embedding_kcenter",
+    "multimodal_image_sobel",
+    "events_holt",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
