@@ -294,6 +294,14 @@ class CaptureConfig:
     # with a pinned mtime=0 header so crashed-epoch re-attempts stay
     # byte-identical; readers are extension-agnostic
     producer_compression: str = "none"
+    # chaos-engineering hook (tests/ops drills): when set to a filesystem
+    # path, the FIRST merge task to atomically create that sentinel file
+    # hard-exits its worker process (os._exit — SIGKILL semantics, no
+    # exception, no cleanup), simulating a node/worker loss mid-epoch.
+    # Exactly-once then rests on Ray lineage retry + deterministic staged
+    # paths + the atomic manifest commit; test_worker_crash.py asserts the
+    # digest is byte-identical to an uninterrupted run. Never set in prod.
+    fault_sentinel: str | None = None
     # incrementally-maintained grouped-aggregate views (rewrite merge mode
     # only: delta mode never loads the previous per-key state the retraction
     # needs — run_epoch validates)
@@ -399,6 +407,7 @@ class CaptureConfig:
                     "build_version",
                     "lake_compression",
                     "producer_compression",
+                    "fault_sentinel",
                 )
                 if k in d
             },

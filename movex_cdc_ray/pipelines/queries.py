@@ -3192,6 +3192,104 @@ def join_hash(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+_BLOOM_BITS = 1 << 16  # 64 kbit filter, broadcast once
+_BLOOM_NATION = 3  # present at every test scale (sf0.001 has a sparse nation set)
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two vectorized multiplicative-hash bit positions per key (uint64
+    wraparound intended; array ops don't warn)."""
+    k = keys.astype(np.uint64)
+    h1 = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)
+    h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(48)
+    return h1.astype(np.int64), h2.astype(np.int64)
+
+
+def join_bloom_prefilter(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pushdown semi-join (the 4th join strategy beside broadcast /
+    partitioned-hash / salted-skew): revenue per supplier for one nation's
+    suppliers. The filtered dim side builds a 64-kbit Bloom filter
+    DISTRIBUTED (per-batch partial bitmaps, one driver OR over
+    blocks-count × 8 KB partials), broadcast once via ``ray.put``; the fact
+    scan probes it per batch and only probable rows enter the exchange —
+    at a 1-in-25 selectivity that is a ~25× shuffle-volume cut, which is
+    the entire point at 100 TB. Bloom false positives (bounded by the m/n
+    ratio) are eliminated by the reduce-side EXACT semi-join, so the result
+    is byte-identical to the plain join — the filter is pure shuffle
+    avoidance, never an approximation of the answer."""
+    import ray
+
+    B = 16
+    sup = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+    ).filter(expr=f"s_nationkey == {_BLOOM_NATION}")
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        h1, h2 = _bloom_positions(keys)
+        bits[h1] = True
+        bits[h2] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+
+    partials = sup.map_batches(partial_bloom, batch_format="pyarrow").take_all()
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for row in partials:  # one 8 KB partial per dim block — driver-bounded
+        bits |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bloom_ref = ray.put(np.unpackbits(bits).astype(bool))
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def probe(batch: pa.Table, _ref=bloom_ref) -> pa.Table:
+        bl = ray.get(_ref)
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        h1, h2 = _bloom_positions(keys)
+        keep = bl[h1] & bl[h2]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        kk = keys[keep].astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(kk % B, pa.int64()),
+             "suppkey": pa.array(kk, pa.int64()),
+             "rev_cents": pa.array(
+                 np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64)
+             ),
+             "side": pa.array(["L"] * int(keep.sum()), pa.string())}
+        )
+
+    def tag_dim(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(keys % B, pa.int64()),
+             "suppkey": pa.array(keys, pa.int64()),
+             "rev_cents": pa.array(np.zeros(len(keys), dtype=np.int64)),
+             "side": pa.array(["S"] * len(keys), pa.string())}
+        )
+
+    def exact_semi(g: pd.DataFrame) -> pa.Table:
+        present = g.loc[g["side"] == "S", "suppkey"].unique()
+        l = g[g["side"] == "L"]
+        l = l[l["suppkey"].isin(present)]  # kills bloom false positives
+        agg = l.groupby("suppkey", as_index=False)["rev_cents"].sum()
+        return pa.table(
+            {"suppkey": pa.array(agg["suppkey"].to_numpy(), pa.int64()),
+             "revenue_cents": pa.array(agg["rev_cents"].to_numpy(), pa.int64())}
+        )
+
+    out = (
+        li.map_batches(probe, batch_format="pyarrow")
+        .union(sup.map_batches(tag_dim, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(exact_semi, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # typed empty (no supplier in the nation at this scale)
+        out = pd.DataFrame({"suppkey": pd.array([], dtype="int64"),
+                            "revenue_cents": pd.array([], dtype="int64")})
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("suppkey").reset_index(drop=True)
+
+
 def events_tumbling_window(sf_dir: str) -> pd.DataFrame:
     """Windowed aggregate (streaming-shaped): 10-minute tumbling windows per
     user — event count + value sum per (user, window)."""
@@ -10217,6 +10315,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "top_events_per_user": top_events_per_user,
     "join_broadcast": join_broadcast,
     "join_hash": join_hash,
+    "join_bloom_prefilter": join_bloom_prefilter,
     "events_tumbling_window": events_tumbling_window,
     "events_hopping_window": events_hopping_window,
     "events_asof_join": events_asof_join,
@@ -11452,6 +11551,16 @@ def _build_oracle_sql() -> dict[str, str]:
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
         ORDER BY n.n_name
+    """,
+    "join_bloom_prefilter": f"""
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE s_nationkey = {_BLOOM_NATION}
+        GROUP BY l_suppkey
+        ORDER BY suppkey
     """,
     "join_hash": """
         SELECT o.o_orderpriority,

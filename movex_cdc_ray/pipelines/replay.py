@@ -194,6 +194,7 @@ def _merge_via_delta_files(
         invariant_cols=_inv(cfg),
         compression=cfg.lake_compression,
         views=list(cfg.views) or None,
+        fault_sentinel=cfg.fault_sentinel,
     )
     ctx_ref = ray.put(ctx)
     refs = []

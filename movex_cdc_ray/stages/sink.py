@@ -378,11 +378,23 @@ class MergeContext:
     compression: str = "snappy"  # CaptureConfig.lake_compression
     # incrementally-maintained views (CaptureConfig.views); rewrite mode only
     views: list[Any] = None  # list[ViewSpec] | None
+    fault_sentinel: str | None = None  # chaos hook (CaptureConfig.fault_sentinel)
 
 
 def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     """Merge one partition's epoch delta into its base. Pure given inputs +
     the base file on disk; idempotent (deterministic staged output path)."""
+    if ctx.fault_sentinel:
+        import os as _os
+
+        try:  # O_EXCL: exactly ONE task across the cluster wins the crash
+            fd = _os.open(ctx.fault_sentinel, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            pass
+        else:
+            _os.write(fd, str(part).encode())
+            _os.close(fd)
+            _os._exit(1)  # SIGKILL semantics: no exception, no cleanup
     lake_dir, epoch = ctx.lake_dir, ctx.epoch
     payload_fields, lake_schema = ctx.payload_fields, ctx.lake_schema
     sha_cols = ctx.sha_cols or sha_source_columns(payload_fields)
@@ -619,6 +631,7 @@ def make_epoch_merger(
         invariant_cols=invariant_columns(cfg),
         compression=cfg.lake_compression,
         views=list(cfg.views) or None,
+        fault_sentinel=cfg.fault_sentinel,
     )
 
     def merge(group: pa.Table) -> pa.Table:

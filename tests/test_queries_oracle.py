@@ -118,6 +118,7 @@ SUBSET = [
     "embedding_kcenter",
     "multimodal_image_sobel",
     "events_holt",
+    "join_bloom_prefilter",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
