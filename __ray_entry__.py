@@ -55,16 +55,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
-    The keys absent here are non-SQL-expressible and get rows-only checks:
-    multimodal_decode (fake features are PCG64-seeded normals) and
-    text_bpe_merges / text_bpe_encode (BPE training and encoding are
-    iterative string rewriting; pytest value-locks both against
-    independent brute-force implementations, tests/test_bpe.py).
-    The seeded hash families (minhash perms, simhash, hyperplane LSH), the
+    The ONLY key absent here is multimodal_decode (its fake features are
+    PCG64-seeded standard normals from sha256(payload) — not SQL), which
+    gets a rows-only check. Everything else is value-checked, including
+    the seeded hash families (minhash perms, simhash, hyperplane LSH), the
     IVF k-means quantizer (unrolled Lloyd iterations as materialized CTEs),
-    the flagship replay's staged binlog AND the real multimodal decodes
-    (byte-level BMP/PPM/WAV re-decode in SQL over the staged media parquet)
-    are all value-checked."""
+    BPE tokenizer training AND encoding (pipe-wrapped symbols make each
+    merge round one boundary-safe REPLACE; 30 rounds unrolled as
+    materialized CTEs), the flagship replay's staged binlog, and the real
+    multimodal decodes (byte-level BMP/PPM/WAV re-decode in SQL)."""
     from movex_cdc_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -7572,29 +7572,147 @@ def events_rank_portfolio(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("event_id").reset_index(drop=True)
 
 
+_BPE_N_MERGES = 30
+
+
 def text_bpe_merges(sf_dir: str) -> pd.DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): the learned merge
-    table for 30 merges over the documents corpus. Rows-only for the driver
-    (iterative string rewriting is not SQL-expressible); pytest value-locks
-    both iteration engines against an independent brute-force BPE
-    (tests/test_round3_fixes.py)."""
+    table for 30 merges over the documents corpus. Full SQL value oracle
+    (`_bpe_train_sql`): iterative string rewriting IS SQL-expressible once
+    symbols are pipe-wrapped ('|c||a||t</w>|') — each merge round is one
+    boundary-safe REPLACE whose leftmost-non-overlapping semantics match
+    `_bpe_merge_word` exactly; pytest additionally value-locks both
+    iteration engines against an independent brute force."""
     from ..functions.text import bpe_train
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return bpe_train(ds, n_merges=30)
+    return bpe_train(ds, n_merges=_BPE_N_MERGES)
 
 
 def text_bpe_encode(sf_dir: str) -> pd.DataFrame:
     """Tokenize the corpus with its own learned BPE merges: per doc the
     token count + an md5 of the token stream (see
-    :func:`functions.text.bpe_encode`). Rows-only like text_bpe_merges;
-    pytest value-locks the encoder against a brute force."""
+    :func:`functions.text.bpe_encode`). Full SQL value oracle: the train
+    CTE chain re-derives the merges, then 30 chained REPLACEs re-segment
+    the distinct-word table and per-doc aggregation rebuilds the exact
+    '\\x1f'-joined token-stream md5."""
     from ..functions.text import bpe_encode, bpe_train
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    merges = bpe_train(ds, n_merges=30)
+    merges = bpe_train(ds, n_merges=_BPE_N_MERGES)
     pdf = bpe_encode(ds, merges).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_train_ctes(n: int) -> str:
+    """The shared CTE chain: word vocab → pipe-wrapped char segmentation →
+    n unrolled merge rounds. MATERIALIZED is load-bearing: each round
+    references the previous state twice (pair count + replace), so inlined
+    CTEs would expand the scan 2^n times. Symbols are wrapped per-symbol
+    ('|a||b|') so REPLACE('|a||b|' → '|ab|') is boundary-safe AND leaves
+    the neighbors' own pipes intact — consecutive pairs still match, and
+    leftmost-non-overlapping REPLACE equals the canonical BPE merge scan
+    ('a a a' merges once, to [aa, a])."""
+    parts = [
+        r"""
+    bwords AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+      FROM documents
+    ),
+    bvocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM bwords GROUP BY w
+    ),
+    bseg0a AS (SELECT w, n, regexp_replace(w, '(.)', '\1||', 'g') AS s FROM bvocab),
+    st0 AS MATERIALIZED (
+      SELECT w, n, '|' || substr(s, 1, length(s) - 2) || '</w>|' AS seq FROM bseg0a
+    )"""
+    ]
+    for r in range(1, n + 1):
+        p = r - 1
+        parts.append(f"""
+    ex{r} AS MATERIALIZED (
+      SELECT n, generate_subscripts(arr, 1) AS i, arr
+      FROM (SELECT n, string_split(trim(seq, '|'), '||') AS arr FROM st{p})
+    ),
+    pr{r} AS MATERIALIZED (
+      SELECT arr[i] AS l, arr[i+1] AS r2, SUM(n) AS cnt
+      FROM ex{r} WHERE i < len(arr) GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT l, r2, cnt FROM pr{r} ORDER BY cnt DESC, l || chr(31) || r2 LIMIT 1
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT w, n, REPLACE(seq,
+        COALESCE((SELECT '|' || l || '||' || r2 || '|' FROM m{r}), chr(1)),
+        COALESCE((SELECT '|' || l || r2 || '|' FROM m{r}), chr(1))) AS seq
+      FROM st{p}
+    )""")
+    return ",".join(parts)
+
+
+def _bpe_train_sql(n: int = _BPE_N_MERGES) -> str:
+    """Oracle: same greedy merge loop — max pair count, ties to the
+    lexicographically smallest chr(31)-packed pair (byte order == Python
+    code-point order on these ASCII symbols)."""
+    selects = [
+        f'SELECT {r} AS rank, l AS "left", r2 AS "right", '
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n + 1)
+    ]
+    return (
+        "WITH" + _bpe_train_ctes(n) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY rank"
+    )
+
+
+def _bpe_encode_sql(n: int = _BPE_N_MERGES) -> str:
+    """Oracle: the train chain re-derives the merges, the distinct-word
+    table replays them as n chained REPLACEs, and per-doc aggregation
+    rebuilds the flat chr(31)-joined token stream (word order preserved via
+    generate_subscripts) — token counts and stream md5s are byte-exact."""
+    parts = [
+        r"""
+    dwords AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+            FROM documents)
+    ),
+    dw AS (SELECT DISTINCT w FROM dwords),
+    se0 AS MATERIALIZED (
+      SELECT w, '|' || substr(s, 1, length(s) - 2) || '</w>|' AS seq
+      FROM (SELECT w, regexp_replace(w, '(.)', '\1||', 'g') AS s FROM dw)
+    )"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(f"""
+    se{r} AS MATERIALIZED (
+      SELECT w, REPLACE(seq,
+        COALESCE((SELECT '|' || l || '||' || r2 || '|' FROM m{r}), chr(1)),
+        COALESCE((SELECT '|' || l || r2 || '|' FROM m{r}), chr(1))) AS seq
+      FROM se{r - 1}
+    )""")
+    return (
+        "WITH" + _bpe_train_ctes(n) + "," + ",".join(parts) + f""",
+    wseg AS MATERIALIZED (
+      SELECT w, trim(seq, '|') AS stripped,
+             (length(seq) - length(replace(seq, '|', ''))) // 2 AS n_sym
+      FROM se{n}
+    ),
+    perdoc AS (
+      SELECT d.doc_id, SUM(ws2.n_sym) AS n_bpe_tokens,
+             md5(string_agg(replace(ws2.stripped, '||', chr(31)),
+                            chr(31) ORDER BY d.wi)) AS token_stream_md5
+      FROM dwords d JOIN wseg ws2 ON ws2.w = d.w
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           COALESCE(p.token_stream_md5, md5('')) AS token_stream_md5
+    FROM documents doc LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY doc.doc_id"""
+    )
 
 
 def embedding_hard_negatives(sf_dir: str) -> pd.DataFrame:
@@ -12766,6 +12884,8 @@ def _build_oracle_sql() -> dict[str, str]:
     "events_cusum": _CUSUM_SQL,
     "cdc_column_churn": _COLUMN_CHURN_SQL,
     "text_vocab_growth": _VOCAB_GROWTH_SQL,
+    "text_bpe_merges": _bpe_train_sql(),
+    "text_bpe_encode": _bpe_encode_sql(),
     # rows-only (no SQL-expressible oracle): multimodal_decode — its fake
     # features are PCG64-seeded standard normals from sha256(payload)
     }

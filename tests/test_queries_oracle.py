@@ -183,8 +183,7 @@ def test_every_query_has_callable_and_oracle_keys():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
-    # non-SQL ops are known and intentional: multimodal_decode (PCG64-seeded
-    # fake features) and text_bpe_merges (iterative rewriting — value-locked
-    # against a brute-force implementation in tests/test_bpe.py instead)
+    # the single non-SQL op is known and intentional: multimodal_decode's
+    # fake features are PCG64-seeded standard normals from sha256(payload)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"multimodal_decode", "text_bpe_merges", "text_bpe_encode"}
+    assert rows_only == {"multimodal_decode"}
