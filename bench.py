@@ -94,6 +94,10 @@ QUERY_SWEEP = [
     "multimodal_image_palette",
     "graph_triangles",
     "text_nb_classify",
+    "embedding_kcenter",
+    "events_holt",
+    "join_bloom_prefilter",
+    "knn_filtered",
 ]
 
 

@@ -234,7 +234,7 @@ def nb_classify(
     label_col: str = "source",
     text_col: str = "text",
     vocab_size: int = 128,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> rd.Dataset:
     """Train on ``ds`` then score every row: (doc_id, pred_source, score)."""
     counts = nb_train(
@@ -250,9 +250,13 @@ def nb_classify(
     )
     model = nb_weights(counts, cd, vocab_size)
     model_ref = ray.put(model)
+    from ._pool import pool_size
+
+    # pool_size leaves CPU headroom so the actor pool can't starve the
+    # upstream read and deadlock the streaming executor on small sessions
     return ds.map_batches(
         NBScoreStage,
         fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col},
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(4),
     )

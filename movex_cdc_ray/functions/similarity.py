@@ -94,8 +94,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    corpus: rd.Dataset | None = None,
 ) -> pd.DataFrame:
     """Top-k cosine neighbors for the given query vectors (taken from ``ds``).
+
+    ``corpus`` (default: ``ds`` itself) is the dataset the neighbors are
+    scanned from — pass a FILTERED dataset for metadata-filtered vector
+    search (the predicate prunes at the parquet scan, the scorer never
+    sees non-qualifying rows).
 
     Returns (query_id, neighbor_id, rank, cosine) with deterministic
     tie-breaks (cosine desc, neighbor_id asc). Rounded to 6 decimals so a
@@ -116,7 +122,7 @@ def brute_force_topk(
         "mat": np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]),
     }
     queries_ref = ray.put(q)
-    partials = ds.map_batches(
+    partials = (corpus if corpus is not None else ds).map_batches(
         BruteForceScorer,
         fn_constructor_args=(queries_ref, k + (1 if exclude_self else 0), id_col, vec_col),
         batch_format="pyarrow",

@@ -3678,6 +3678,40 @@ def knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     return pdf[["query_id", "neighbor_id", "rank", "cosine"]]
 
 
+def knn_filtered(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered vector search (the vector-DB workload: predicate +
+    top-k): neighbors restricted to ``label = 2 AND vec_id % 3 = 0``. The
+    equality predicate pushes into the parquet SCAN (`_read(filter=...)` —
+    row groups whose zone maps exclude label 2 never leave storage); the
+    modulo residual filters per batch in Arrow. The scorer then runs the
+    standard broadcast-query matmul over the pruned corpus — filtering
+    BEFORE scoring is the whole economics of filtered ANN at 100 TB (the
+    alternative, post-filtering a top-k′, under-fills k when the predicate
+    is selective)."""
+    import pyarrow.dataset as pads
+
+    full = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    corpus = _read(
+        sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+        filter=(pads.field("label") == 2),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["vec_id"],
+                    pc.multiply(pc.divide(t["vec_id"], 3), 3),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    pdf = fsim.brute_force_topk(
+        full, query_ids=[0, 1, 2, 3, 4], k=10, corpus=corpus
+    )
+    return pdf[["query_id", "neighbor_id", "rank", "cosine"]]
+
+
 def ann_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed approximate top-k (the scale path); value-checked via
     the literal hyperplane-matrix SQL oracle (_ann_lsh_sql). Multi-table
@@ -10470,6 +10504,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_nb_train": text_nb_train,
     "text_nb_classify": text_nb_classify,
     "knn_bruteforce": knn_bruteforce,
+    "knn_filtered": knn_filtered,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "text_tokens": text_tokens,
@@ -11807,6 +11842,25 @@ def _build_oracle_sql() -> dict[str, str]:
     """,
     "dedup_jaccard": _JACCARD_EXACT_SQL,
     "dedup_minhash_recall": _dedup_recall_sql(),
+    "knn_filtered": """
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM (
+            SELECT q.vec_id AS query_id,
+                   v.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                                v.vec_id ASC
+                   ) AS rank,
+                   ROUND(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings q
+            JOIN embeddings v
+              ON v.vec_id <> q.vec_id AND v.label = 2 AND v.vec_id % 3 = 0
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        ) t
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
     "knn_bruteforce": """
         SELECT query_id, neighbor_id, rank, cosine
         FROM (

@@ -119,6 +119,7 @@ SUBSET = [
     "multimodal_image_sobel",
     "events_holt",
     "join_bloom_prefilter",
+    "knn_filtered",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
