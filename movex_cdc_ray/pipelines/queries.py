@@ -6587,6 +6587,175 @@ def _sobel_sql() -> str:
     """
 
 
+def events_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit screen per event type (the
+    fraud/synthetic-data smell test in the data-quality family beside the
+    Deequ suite): counts of leading digits 1-9 over the money column in
+    exact integer cents. Vectorized leading-digit extraction is 18 folds of
+    ``where(d >= 10, d // 10, d)`` — pure int64, no log10 float boundary —
+    and the per-batch partial is ≤ types×9 rows, so the single groupby is
+    kilobyte-scale at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5)
+        m = ~np.isnan(cents) & (cents >= 1)
+        d = cents[m].astype(np.int64)
+        for _ in range(18):  # int64 max has 19 digits
+            d = np.where(d >= 10, d // 10, d)
+        agg = (
+            pd.DataFrame({"event_type": batch["event_type"].to_pandas().to_numpy()[m],
+                          "digit": d})
+            .groupby(["event_type", "digit"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {"event_type": pa.array(agg["event_type"].astype(str), pa.string()),
+             "digit": pa.array(agg["digit"].to_numpy(), pa.int64()),
+             "n_events": pa.array(agg["size"].to_numpy(), pa.int64())}
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["event_type", "digit"], as_index=False)["n_events"].sum()
+        return pa.table(
+            {"event_type": pa.array(agg["event_type"].astype(str), pa.string()),
+             "digit": pa.array(agg["digit"].to_numpy(), pa.int64()),
+             "n_events": pa.array(agg["n_events"].to_numpy(), pa.int64())}
+        )
+
+    def add_tb(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "tb", pc.cast(pc.bit_wise_and(batch["digit"], 7), pa.int64())
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_tb, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "digit"]).reset_index(drop=True)
+
+
+def multimodal_image_otsu(sf_dir: str) -> pd.DataFrame:
+    """Otsu adaptive threshold per image (the binarization step a
+    document-image curation pipeline runs before OCR/layout): gray =
+    (r+g+b)//3 (exact integer), 256-bin histogram, and the threshold t*
+    maximizing between-class variance. The variance key
+    (s0·N − w0·S)² / (w0·(N−w0)) is computed from EXACT integer moments —
+    numerator ≤ ~1.6e15 < 2⁵³ so its float64 image is exact, and both
+    engine and oracle evaluate the identical double division, so the
+    argmax (ties: smaller t) never diverges. Embarrassingly parallel,
+    order-independent (histogram-based)."""
+    from ..functions.multimodal import (
+        RECOMMENDED_MEDIA_BATCH_SIZE,
+        decode_bmp,
+        decode_ppm,
+        sniff_format,
+    )
+
+    def otsu(t: pa.Table) -> pa.Table:
+        mids, thr, below = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            fmt = sniff_format(payload)
+            px = (decode_bmp(payload) if fmt == "bmp" else decode_ppm(payload)).astype(np.int64)
+            gray = px.reshape(-1, 3).sum(axis=1) // 3
+            h = np.bincount(gray, minlength=256)
+            N = int(h.sum())
+            S = int((np.arange(256) * h).sum())
+            w0 = np.cumsum(h)[:-1]  # pixels with gray <= t, t = 0..254
+            s0 = np.cumsum(np.arange(256) * h)[:-1]
+            valid = (w0 > 0) & (w0 < N)
+            num = (s0 * N - w0 * S).astype(np.float64) ** 2  # exact < 2^53
+            den = (w0 * (N - w0)).astype(np.float64)
+            key = np.where(valid, num / np.where(den == 0, 1.0, den), -1.0)
+            t_star = int(np.argmax(key))  # first max = smaller t on ties
+            mids.append(mid)
+            thr.append(t_star)
+            below.append(int(w0[t_star]))
+        return pa.table(
+            {"media_id": pa.array(mids, pa.int64()),
+             "otsu_t": pa.array(thr, pa.int64()),
+             "n_below": pa.array(below, pa.int64())}
+        )
+
+    ds = rd.read_parquet(_stage_real_media()).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        otsu, batch_format="pyarrow", batch_size=RECOMMENDED_MEDIA_BATCH_SIZE
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def _otsu_sql() -> str:
+    """Oracle: same px chain → gray histogram → integer moments → the
+    identical float64 variance key, argmax by (key desc, t asc)."""
+    return f"""
+    WITH media AS (
+      SELECT media_id, kind, hex(payload) AS h
+      FROM read_parquet('{_stage_real_media()}') WHERE kind = 'image'
+    ),
+    geo AS (
+      SELECT *, CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM media
+    ),
+    img AS (
+      SELECT media_id, h, fmt,
+        CASE WHEN fmt = 'bmp' THEN {_le32(18)} ELSE {_ppm_dim_sql(1)} END AS w,
+        CASE WHEN fmt = 'bmp' THEN {_le32(22)} ELSE {_ppm_dim_sql(2)} END AS ht,
+        CASE WHEN fmt = 'bmp' THEN {_le32(10)}
+             ELSE 9 + length(regexp_extract(h, '{_PPM_HEX_RE}', 1))//2
+                    + length(regexp_extract(h, '{_PPM_HEX_RE}', 2))//2 END AS datoff
+      FROM geo
+    ),
+    img2 AS (SELECT *, ((w*3 + 3) // 4) * 4 AS rowb FROM img),
+    px AS (
+      SELECT im.media_id,
+             ({_hx("base + rsh")} + {_hx("base + 1")} + {_hx("base + 2 - rsh")}) // 3 AS gray
+      FROM (SELECT im0.*,
+              CASE WHEN im0.fmt = 'bmp' THEN 2 ELSE 0 END AS rsh
+            FROM img2 im0) im,
+           range(400) t(pi),
+           LATERAL (SELECT CASE WHEN im.fmt = 'bmp'
+                         THEN im.datoff + (t.pi // im.w)*im.rowb + (t.pi % im.w)*3
+                         ELSE im.datoff + t.pi*3 END AS base) o
+      WHERE t.pi < im.w * im.ht
+    ),
+    mom AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gray) AS BIGINT) AS s
+      FROM px GROUP BY media_id
+    ),
+    cum AS (
+      SELECT p.media_id, t.t,
+             CAST(SUM(CASE WHEN p.gray <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN p.gray <= t.t THEN p.gray ELSE 0 END) AS BIGINT) AS s0
+      FROM px p, range(255) t(t)
+      GROUP BY p.media_id, t.t
+    ),
+    keyed AS (
+      SELECT c.media_id, c.t, c.w0,
+             CASE WHEN c.w0 > 0 AND c.w0 < m.n
+                  THEN (CAST(c.s0 * m.n - c.w0 * m.s AS DOUBLE)
+                        * CAST(c.s0 * m.n - c.w0 * m.s AS DOUBLE))
+                       / CAST(c.w0 * (m.n - c.w0) AS DOUBLE)
+                  ELSE -1.0 END AS key
+      FROM cum c JOIN mom m USING (media_id)
+    ),
+    best AS (
+      SELECT media_id, t, w0,
+             ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY key DESC, t) AS rn
+      FROM keyed
+    )
+    SELECT media_id, CAST(t AS BIGINT) AS otsu_t, CAST(w0 AS BIGINT) AS n_below
+    FROM best WHERE rn = 1 ORDER BY media_id
+    """
+
+
 def multimodal_image_palette(sf_dir: str) -> pd.DataFrame:
     """Dominant-palette extraction: pixels quantize to a 16×16×16 RGB grid
     (cell = (r>>4)<<8 | (g>>4)<<4 | (b>>4)) and the top-3 cells per image by
@@ -10413,6 +10582,8 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_image_boxblur": multimodal_image_boxblur,
     "multimodal_image_sobel": multimodal_image_sobel,
     "multimodal_image_palette": multimodal_image_palette,
+    "multimodal_image_otsu": multimodal_image_otsu,
+    "events_benford": events_benford,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
     "events_outlier_mad": events_outlier_mad,
@@ -12911,6 +13082,19 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_image_boxblur": _boxblur_sql(),
     "multimodal_image_sobel": _sobel_sql(),
     "multimodal_image_palette": _palette_sql(),
+    "multimodal_image_otsu": _otsu_sql(),
+    "events_benford": """
+        WITH c AS (
+          SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+          WHERE value IS NOT NULL AND FLOOR(value * 100 + 0.5) >= 1
+        )
+        SELECT event_type,
+               CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM c GROUP BY event_type, digit
+        ORDER BY event_type, digit
+    """,
     "multimodal_scene_cuts": _scene_cuts_sql(),
     "multimodal_image_histeq": _histeq_sql(),
     "cdc_ordering_inversions": _ORDERING_INV_SQL,

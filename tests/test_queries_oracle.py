@@ -120,6 +120,8 @@ SUBSET = [
     "events_holt",
     "join_bloom_prefilter",
     "knn_filtered",
+    "events_benford",
+    "multimodal_image_otsu",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
