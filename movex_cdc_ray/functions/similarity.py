@@ -1186,3 +1186,94 @@ def kcenter_select(
         out.append({"step": step, "vec_id": int(row["vec_id"]), "d2": int(row["d2"])})
 
     return pd.DataFrame(out)
+
+
+class TripletScorer:
+    """One matmul + two masks per batch: per anchor the best SAME-label
+    (positive, self excluded) and best DIFFERENT-label (hard negative)
+    candidates; per-batch partial top-1s, anchor count bounds the tiny
+    per-query loop."""
+
+    def __init__(self, queries_ref, id_col, vec_col, label_col):
+        q = ray.get(queries_ref)
+        self.qids = np.asarray(q["ids"], dtype=np.int64)
+        self.qmat = _normalize(q["mat"])
+        self.qlabels = np.asarray(q["labels"])
+        self.id_col, self.vec_col, self.label_col = id_col, vec_col, label_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t[self.label_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "side": pa.array([], pa.string()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        mat = _normalize(_to_matrix(t[self.vec_col]))
+        cos = self.qmat @ mat.T  # (Q, n)
+        same = labels[None, :] == self.qlabels[:, None]
+        notself = ids[None, :] != self.qids[:, None]
+        qo, so, no, co = [], [], [], []
+        for j, qid in enumerate(self.qids):
+            for side, mask in (("pos", same[j] & notself[j]), ("neg", ~same[j])):
+                if not mask.any():
+                    continue
+                c = np.where(mask, cos[j], -2.0)
+                best = np.lexsort((ids, -c))[0]
+                qo.append(int(qid)); so.append(side)
+                no.append(int(ids[best])); co.append(float(c[best]))
+        return pa.table(
+            {"query_id": pa.array(qo, pa.int64()),
+             "side": pa.array(so, pa.string()),
+             "neighbor_id": pa.array(no, pa.int64()),
+             "cosine": pa.array(co, pa.float64())}
+        )
+
+
+def triplet_sample(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Contrastive-training triplet mining: per anchor, (positive = most
+    cosine-similar SAME-label vector, negative = most similar
+    DIFFERENT-label vector — the hard negative). Anchors broadcast once,
+    one matmul + two masks per batch, per-batch partial top-1s, driver
+    merge over (batches × anchors × 2) rows. Same corpus-scale path as
+    brute_force_topk: swap the scan for LSH/IVF candidates, keep the
+    mask stage."""
+    qset = sorted(set(query_ids))
+    qrows = ds.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t[id_col], value_set=pa.array(qset))),
+        batch_format="pyarrow",
+    ).take_all()
+    if not qrows:
+        raise ValueError(f"no anchor vectors found for ids {qset}")
+    qrows.sort(key=lambda r: query_ids.index(r[id_col]))
+    queries_ref = ray.put(
+        {"ids": [r[id_col] for r in qrows],
+         "mat": np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows]),
+         "labels": [r[label_col] for r in qrows]}
+    )
+    partials = ds.map_batches(
+        TripletScorer,
+        fn_constructor_args=(queries_ref, id_col, vec_col, label_col),
+        batch_format="pyarrow",
+        concurrency=pool_size(4),
+        batch_size=4096,
+    ).to_pandas()
+    rows = []
+    for qid in query_ids:
+        row = {"query_id": int(qid)}
+        for side, pcol, ccol in (("pos", "pos_id", "pos_cosine"),
+                                 ("neg", "neg_id", "neg_cosine")):
+            g = partials[(partials["query_id"] == qid) & (partials["side"] == side)]
+            g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+            row[pcol] = int(g.iloc[0]["neighbor_id"])
+            row[ccol] = float(round_half_away(g.iloc[0]["cosine"], 6))
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -6587,6 +6587,17 @@ def _sobel_sql() -> str:
     """
 
 
+def embedding_triplets(sf_dir: str) -> pd.DataFrame:
+    """Contrastive triplet mining (`functions/similarity.py:triplet_sample`):
+    per anchor (vec_ids 0-4) the nearest SAME-label positive and nearest
+    DIFFERENT-label hard negative — the (a, p, n) rows a triplet/InfoNCE
+    objective trains on. One broadcast matmul + two masks per batch."""
+    from ..functions.similarity import triplet_sample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return triplet_sample(ds, query_ids=[0, 1, 2, 3, 4])
+
+
 def events_benford(sf_dir: str) -> pd.DataFrame:
     """Benford first-significant-digit screen per event type (the
     fraud/synthetic-data smell test in the data-quality family beside the
@@ -10584,6 +10595,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "multimodal_image_palette": multimodal_image_palette,
     "multimodal_image_otsu": multimodal_image_otsu,
     "events_benford": events_benford,
+    "embedding_triplets": embedding_triplets,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "events_quantile_histogram": events_quantile_histogram,
     "events_outlier_mad": events_outlier_mad,
@@ -13083,6 +13095,38 @@ def _build_oracle_sql() -> dict[str, str]:
     "multimodal_image_sobel": _sobel_sql(),
     "multimodal_image_palette": _palette_sql(),
     "multimodal_image_otsu": _otsu_sql(),
+    "embedding_triplets": """
+        WITH q AS (
+          SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS nid,
+                 (v.label = q.label) AS same,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        v.embedding::DOUBLE[]) AS cos
+          FROM q JOIN embeddings v ON v.vec_id <> q.vec_id
+        ),
+        pos AS (
+          SELECT query_id, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, nid) AS rn
+          FROM scored WHERE same
+        ),
+        neg AS (
+          SELECT query_id, nid, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, nid) AS rn
+          FROM scored WHERE NOT same
+        )
+        SELECT p.query_id,
+               p.nid AS pos_id, ROUND(p.cos, 6) AS pos_cosine,
+               n.nid AS neg_id, ROUND(n.cos, 6) AS neg_cosine
+        FROM pos p
+        JOIN neg n ON n.query_id = p.query_id AND n.rn = 1
+        WHERE p.rn = 1
+        ORDER BY p.query_id
+    """,
     "events_benford": """
         WITH c AS (
           SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents

@@ -122,6 +122,7 @@ SUBSET = [
     "knn_filtered",
     "events_benford",
     "multimodal_image_otsu",
+    "embedding_triplets",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
