@@ -192,12 +192,22 @@ def run_headline(num_cpus: int) -> dict:
     rep = replay(stream_dir, lake_dir, cfg, chunks_per_epoch=chunks_per_epoch, shuffle_mode=shuffle_mode)
     elapsed = time.perf_counter() - t0
     ray.shutdown()
+    # measured exchange volume (docs/SCALE.md "Exchange volume"): events
+    # read vs post-combine rows/bytes that crossed the one all-to-all
+    events_read = sum(m.get("events_read", 0) for m in rep.epoch_metrics)
+    shuffle_rows = sum(m.get("events_in", 0) for m in rep.epoch_metrics)
+    shuffle_bytes = sum(m.get("shuffle_bytes", 0) for m in rep.epoch_metrics)
     return {
         "sec": round(elapsed, 3),
         "events": n_events,
         "events_per_sec": round(n_events / elapsed),
         "epochs": rep.epochs,
         "lake_rows": rep.lake_rows,
+        "events_read": events_read,
+        "shuffle_rows": shuffle_rows,
+        "shuffle_bytes": shuffle_bytes,
+        "shuffle_bytes_per_event": round(shuffle_bytes / n_events, 1) if n_events else 0.0,
+        "combine_reduction": round(shuffle_rows / events_read, 4) if events_read else None,
     }
 
 
@@ -276,9 +286,31 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
+        # Health gate (round-3 verdict directive #1): a trial only counts if
+        # the host's first-touch bandwidth is healthy when it starts. During a
+        # hypervisor-throttled phase (<~10 MB/s) the hi-core leg plateaus at
+        # the page-fault ceiling and the per-trial ratio measures the host,
+        # not the engine. Re-probe with backoff up to a wait budget; if the
+        # box never recovers, record the skipped probes and give up loudly.
+        probe_gate = float(os.environ.get("GRAFT_SCALE_PROBE_GATE", "1000"))
+        probe_wait_budget = float(os.environ.get("GRAFT_SCALE_PROBE_WAIT", "600"))
+
+        def wait_for_healthy_host() -> tuple:
+            waited, skipped = 0.0, []
+            while True:
+                phase = host_phase_probe()
+                if phase >= probe_gate:
+                    return phase, skipped
+                skipped.append(phase)
+                if waited >= probe_wait_budget:
+                    return phase, skipped  # caller records the degraded probe
+                pause = min(30.0, 5.0 * len(skipped))
+                time.sleep(pause)
+                waited += pause
+
         trials = []
         for i in range(n_trials):
-            phase = host_phase_probe()
+            phase, skipped_probes = wait_for_healthy_host()
             r_lo = run_level(lo)
             r_hi = run_level(hi)
             eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
@@ -286,10 +318,20 @@ def main() -> None:
                 {
                     "trial": i + 1,
                     "host_first_touch_mb_s": phase,
+                    "host_probe_gate_mb_s": probe_gate,
+                    "host_probe_gate_passed": phase >= probe_gate,
+                    "host_probes_skipped": skipped_probes,
                     f"sec_{lo}": r_lo["value"],
                     f"sec_{hi}": r_hi["value"],
                     f"events_per_sec_{lo}": r_lo["events_per_sec"],
                     f"events_per_sec_{hi}": r_hi["events_per_sec"],
+                    # identical shuffle volume at both levels is the point:
+                    # the exchange is a property of the JOB, not the
+                    # parallelism — per-core exchange bandwidth falls 1/N
+                    f"shuffle_bytes_{lo}": r_lo.get("shuffle_bytes", 0),
+                    f"shuffle_bytes_{hi}": r_hi.get("shuffle_bytes", 0),
+                    f"shuffle_rows_{lo}": r_lo.get("shuffle_rows", 0),
+                    f"shuffle_rows_{hi}": r_hi.get("shuffle_rows", 0),
                     "efficiency": round(eff, 3),
                 }
             )

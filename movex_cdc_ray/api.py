@@ -18,6 +18,12 @@ from .stages.stats import health_check as _health
 from .state.manifest import Manifest
 
 
+def _introspect():
+    from .sources import introspect
+
+    return introspect
+
+
 class Engine:
     """One engine instance = one config + one lake directory.
 
@@ -115,6 +121,47 @@ class Engine:
             "observed_max_bytes": self._topic_max_bytes.get(topic, 0),
         }
 
+    # ---- consumer-group introspection (GET /kafka/groups, /describe_group) -
+    def groups(self, out_dir: str | None = None) -> list[dict[str, Any]]:
+        """``kafka#groups`` analog (`config/routes.rb:29`): consumer groups
+        with committed offsets under the produce output dir (defaults to
+        this engine's lake dir)."""
+        from .pipelines.produce import list_groups
+
+        return list_groups(out_dir or self.lake_dir)
+
+    def describe_group(self, group: str, out_dir: str | None = None) -> dict[str, Any]:
+        """``kafka#describe_group`` analog (`config/routes.rb:30`):
+        committed offset, log-end offset and lag per (topic, partition)."""
+        from .pipelines.produce import describe_group as _dg
+
+        return _dg(out_dir or self.lake_dir, group)
+
+    # ---- source introspection (GET /db_schemas, /db_tables, /db_columns) ---
+    def list_source_schemas(self, source_root: str) -> list[str]:
+        """``db_schemas#index`` analog (`config/routes.rb:12`): candidate
+        source schemas of a parquet source directory."""
+        return _introspect().list_source_schemas(source_root)
+
+    def list_source_tables(self, source_root: str, schema_name: str) -> list[str]:
+        """``db_tables#index`` analog (`config/routes.rb:14`). With an auth
+        registry attached, listing requires the actor's grant on the schema
+        — the reference filters by the user's SELECT grants
+        (`app/models/db_table.rb`, db_user semi-join)."""
+        if self.auth is not None and self.actor is not None:
+            self.auth.check_deploy(self.actor, schema_name)
+        return _introspect().list_source_tables(source_root, schema_name)
+
+    def list_source_columns(
+        self, source_root: str, schema_name: str, table_name: str
+    ) -> list[dict[str, Any]]:
+        """``db_columns#index`` analog (`config/routes.rb:16`,
+        `app/models/db_column.rb:7-27`): column name/type/nullable from the
+        parquet footer."""
+        if self.auth is not None and self.actor is not None:
+            self.auth.check_deploy(self.actor, schema_name)
+        return _introspect().list_source_columns(source_root, schema_name, table_name)
+
     def observe_topic_watermarks(self, max_bytes_per_topic: dict[str, int]) -> None:
         """Fold a ``validate_messages`` result into the per-topic watermark
         (the ``max.message.bytes`` auto-raise input, A4 —
@@ -171,20 +218,72 @@ class Engine:
 
     # ---- import/export (S8) ------------------------------------------------
     def export_config(self) -> str:
-        return self.cfg.to_json()
+        """Config export; with an auth registry attached the document also
+        embeds the reference's authz state (`import_export_config.rb:40-81`):
+        a top-level ``users`` array plus a ``schema_rights`` array inside
+        every schema object, both ordered by email. The document stays
+        loadable by plain :meth:`CaptureConfig.from_json` (which ignores the
+        auth keys)."""
+        import json
+        from dataclasses import asdict
+
+        if self.auth is None:
+            return self.cfg.to_json()
+        d = json.loads(self.cfg.to_json())
+        for s in d.get("schemas", []):
+            s["schema_rights"] = self.auth.rights_for_schema(s["name"])
+        d["users"] = [asdict(u) for u in sorted(self.auth.users, key=lambda u: u.email)]
+        return json.dumps(d, indent=2, sort_keys=True)
 
     def import_config(self, doc: str) -> None:
         """Import a changed registry and 'regenerate triggers' — the schema /
         behavior evolution cycle (`app/models/import_export_config.rb:86-136`).
         Config import is admin-scope in the reference: with auth attached it
-        requires a grant on EVERY imported schema."""
-        new_cfg = CaptureConfig.from_json(doc)
+        requires a grant on EVERY imported schema.
+
+        When the document embeds authz state, grants are synced per imported
+        schema (rights absent from the import are revoked on that schema,
+        `import_export_config.rb:258-275`) and users referenced by a grant
+        but unknown to the registry are created LOCKED from the document's
+        ``users`` list (`:93-107`). Users are never deleted."""
+        import json
+
+        d = json.loads(doc)
+        new_cfg = CaptureConfig.from_dict(d)
         if self.auth is not None and self.actor is not None:
             for s in new_cfg.schemas:
                 self.auth.check_deploy(self.actor, s.name)
             self.auth.log(self.actor, action="import_config")
+        if self.auth is not None:
+            import_users = d.get("users", [])
+            for s in d.get("schemas", []):
+                rights = s.get("schema_rights")
+                if rights is None:
+                    continue  # pre-authz export: leave that schema's grants alone
+                self.auth.ensure_right_users(rights, import_users)
+                self.auth.sync_schema_rights(s["name"], rights)
         self.cfg = new_cfg
         self.generate_triggers()
+
+    def import_users(self, doc: str) -> dict[str, int]:
+        """POST /import_all_users analog (`config/routes.rb:28`,
+        `import_export_config.rb:134-156`): update existing users, add
+        missing ones, never delete. Accepts either a full config export or a
+        bare ``{"users": [...]}`` document. Admin-only with auth attached
+        (the reference scopes the route to admins)."""
+        import json
+
+        if self.auth is None:
+            raise ValueError("no auth registry attached to this engine")
+        if self.actor is not None:
+            u = self.auth.user(self.actor)
+            if not u.yn_admin:
+                from .auth import NotAuthorized
+
+                raise NotAuthorized(f"{self.actor} is not an admin")
+            self.auth.log(self.actor, action="import_users")
+        d = json.loads(doc)
+        return self.auth.import_users(d.get("users", []))
 
     # ---- server control (POST /server_control/...) -------------------------
     def set_log_level(self, level: str) -> str:

@@ -190,6 +190,111 @@ class AuthRegistry:
         self._activity = []
         return path
 
+    # ----------------------------------------------- import/export semantics
+    def find_user_case_insensitive(self, email: str) -> User | None:
+        """Case-insensitive email lookup (`app/models/user.rb:32`) — import
+        matching must not duplicate a user over email casing."""
+        low = email.lower()
+        for u in self.users:
+            if u.email.lower() == low:
+                return u
+        return None
+
+    def import_users(self, user_dicts: list[dict[str, Any]]) -> dict[str, int]:
+        """Reference `import_export_config.rb:134-156` (import_all_users):
+        update existing users (case-insensitive email match), add missing
+        ones, NEVER delete users absent from the import list."""
+        if not isinstance(user_dicts, list):
+            raise TypeError("users is not a list")
+        updated = added = 0
+        for ud in user_dicts:
+            ud = {k: v for k, v in ud.items() if k in User.__dataclass_fields__}
+            existing = self.find_user_case_insensitive(ud["email"])
+            if existing is not None:
+                for k, v in ud.items():
+                    setattr(existing, k, v)
+                updated += 1
+            else:
+                self.users.append(User(**ud))
+                added += 1
+        return {"updated": updated, "added": added}
+
+    def ensure_right_users(
+        self, rights: list[dict[str, Any]], import_users_list: list[dict[str, Any]]
+    ) -> int:
+        """Pre-pass of `import_schemas` (`import_export_config.rb:93-107`):
+        every user referenced by a schema_right must exist — a referenced
+        user found only in the import's users list is created LOCKED (the
+        reference's 'create as locked user for reference'); one in neither
+        place is an error."""
+        created = 0
+        for r in rights:
+            email = r["email"]
+            if self.find_user_case_insensitive(email) is not None:
+                continue
+            ud = next(
+                (u for u in import_users_list if u.get("email", "").lower() == email.lower()),
+                None,
+            )
+            if ud is None:
+                raise ValueError(
+                    f"User with email {email!r} exists neither in the registry "
+                    "nor in the user list of import data"
+                )
+            self.users.append(
+                User(
+                    email=ud["email"],
+                    db_user=ud.get("db_user"),
+                    first_name=ud.get("first_name", ""),
+                    last_name=ud.get("last_name", ""),
+                    yn_account_locked=True,
+                )
+            )
+            created += 1
+        return created
+
+    def sync_schema_rights(self, schema_name: str, rights: list[dict[str, Any]]) -> None:
+        """Per-schema grant sync (`import_export_config.rb:258-275`): rights
+        on ``schema_name`` absent from the import are DELETED; listed rights
+        are inserted or updated. Other schemas' grants are untouched. Every
+        referenced user must already exist (see :meth:`ensure_right_users`)."""
+        keep_emails = {r["email"].lower() for r in rights}
+        self.schema_rights = [
+            sr
+            for sr in self.schema_rights
+            if sr.schema_name != schema_name or sr.user_email.lower() in keep_emails
+        ]
+        for r in rights:
+            user = self.find_user_case_insensitive(r["email"])
+            if user is None:
+                raise ValueError(f"User with email {r['email']!r} does not exist")
+            existing = next(
+                (
+                    sr
+                    for sr in self.schema_rights
+                    if sr.schema_name == schema_name
+                    and sr.user_email.lower() == user.email.lower()
+                ),
+                None,
+            )
+            if existing is not None:
+                existing.info = r.get("info", existing.info)
+            else:
+                self.schema_rights.append(
+                    SchemaRight(user_email=user.email, schema_name=schema_name, info=r.get("info"))
+                )
+
+    def rights_for_schema(self, schema_name: str) -> list[dict[str, Any]]:
+        """Export shape of one schema's grants, ordered by email
+        (`import_export_config.rb:57-61`)."""
+        return [
+            {"email": sr.user_email, "info": sr.info}
+            for sr in sorted(
+                (sr for sr in self.schema_rights if sr.schema_name == schema_name),
+                key=lambda sr: sr.user_email,
+            )
+        ]
+
     # ------------------------------------------------------ JSON round-trip
     def to_dict(self) -> dict[str, Any]:
         from dataclasses import asdict

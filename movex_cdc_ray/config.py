@@ -384,7 +384,12 @@ class CaptureConfig:
             ]
             tables.append(TableConfig(**td))
         return cls(
-            schemas=[SchemaConfig(**s) for s in d.get("schemas", [])],
+            # an Engine export embeds per-schema "schema_rights" (authz state,
+            # consumed by Engine.import_config) — not a SchemaConfig field
+            schemas=[
+                SchemaConfig(**{k: v for k, v in s.items() if k != "schema_rights"})
+                for s in d.get("schemas", [])
+            ],
             tables=tables,
             schema_versions=[SchemaVersion(**v) for v in d.get("schema_versions", [])],
             views=[ViewSpec(**v) for v in d.get("views", [])],

@@ -465,44 +465,59 @@ def ngram_jaccard_pairs(
     )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # both sides of a pair land in this bucket (keyed by pk); shingle
-        # sets memoized per doc — O(distinct docs) tokenizations per bucket
+        # both sides of a pair land in this bucket (keyed by pk). Pair-axis
+        # vectorized (the editdistance_join pattern): each DISTINCT doc is
+        # tokenized once, shingles explode to a (doc, shingle) frame, and
+        # per-pair intersections fall out of one C-level merge + groupby —
+        # no per-pair Python sets, no iterrows.
+        empty = pd.DataFrame({"a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "jac": pd.Series(dtype="float64")})
         if g.empty:
-            return pd.DataFrame({"a_id": pd.Series(dtype="int64"),
-                                 "b_id": pd.Series(dtype="int64"),
-                                 "jac": pd.Series(dtype="float64")})
-        memo: dict[int, set] = {}
+            return empty
+        gs = g.sort_values(["pk", id_col])
+        gs = gs[gs.groupby("pk")[id_col].transform("size") == 2]
+        if gs.empty:  # a side's doc vanished (shouldn't happen) — skip
+            return empty
+        grp = gs.groupby("pk", sort=False)[id_col]
+        pairs = pd.DataFrame({"a_id": grp.first(), "b_id": grp.last()}).reset_index()
 
-        def shingle_set(doc_id: int, t) -> set:
-            s = memo.get(doc_id)
-            if s is None:
-                ws = _WORD_RE.findall((t or "").lower())
-                s = (
-                    {" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1))}
-                    if ws
-                    else set()
-                )
-                memo[doc_id] = s
-            return s
+        docs = gs.drop_duplicates(id_col)
+        words = docs[text_col].fillna("").str.lower().str.findall(_WORD_RE)
+        # per-doc k-gram DEDUP needs a set per doc (bounded by docs-in-pairs,
+        # the old memo's cost) — the pair axis below is where vectorization pays
+        sh_lists = [
+            list({" ".join(ws[i : i + k]) for i in range(max(len(ws) - k + 1, 1))})
+            if ws
+            else []
+            for ws in words
+        ]
+        import itertools
 
-        rows = []
-        for pk, pg in g.groupby("pk", sort=False):
-            if len(pg) != 2:  # a side's doc vanished (shouldn't happen) — skip
-                continue
-            (ida, ta), (idb, tb) = (
-                (int(r[id_col]), r[text_col]) for _, r in pg.iterrows()
-            )
-            if ida > idb:
-                ida, idb, ta, tb = idb, ida, tb, ta
-            sa, sb = shingle_set(ida, ta), shingle_set(idb, tb)
-            if not sa and not sb:
-                jc = 1.0
-            else:
-                inter = len(sa & sb)
-                jc = inter / max(len(sa) + len(sb) - inter, 1)
-            if jc >= threshold:
-                rows.append((ida, idb, float(round_half_away(jc))))
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "jac"])
+        sh = pd.DataFrame(
+            {
+                id_col: docs[id_col].to_numpy().repeat([len(s) for s in sh_lists]),
+                "sh": list(itertools.chain.from_iterable(sh_lists)),
+            }
+        )
+        sizes = sh.groupby(id_col).size()
+        e_a = pairs.merge(sh, left_on="a_id", right_on=id_col)[["pk", "sh"]]
+        e_b = pairs.merge(sh, left_on="b_id", right_on=id_col)[["pk", "sh"]]
+        inter = e_a.merge(e_b, on=["pk", "sh"]).groupby("pk").size()
+        na = pairs["a_id"].map(sizes).fillna(0).to_numpy(np.int64)
+        nb = pairs["b_id"].map(sizes).fillna(0).to_numpy(np.int64)
+        ni = pairs["pk"].map(inter).fillna(0).to_numpy(np.int64)
+        jac = np.where(
+            (na == 0) & (nb == 0), 1.0, ni / np.maximum(na + nb - ni, 1)
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "a_id": pairs["a_id"].to_numpy(np.int64)[keep],
+                "b_id": pairs["b_id"].to_numpy(np.int64)[keep],
+                "jac": round_half_away(jac[keep]),
+            }
+        )
 
     def rebucket_by_pk(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(vb=(b["pk"] % n_buckets).astype(np.int64))

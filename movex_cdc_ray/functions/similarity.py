@@ -1152,6 +1152,13 @@ def kcenter_select(
     unrolls the same k rounds as a CTE chain."""
     centers: list[tuple[int, np.ndarray]] = []
 
+    n_rows = ds.count()
+    if n_rows < k:
+        # with fewer points than requested centers every extra round would
+        # re-pick an already-chosen point at d2=0 — degenerate output the
+        # oracle's k-round unroll does not model; fail loudly instead
+        raise ValueError(f"kcenter_select: k={k} exceeds corpus size {n_rows}")
+
     first = ds.select_columns([id_col]).min(id_col)
     first_row = ds.filter(expr=f"{id_col} == {first}").take(1)[0]
     q0 = _kc_quantize(np.asarray(first_row[vec_col], dtype=np.float64)[None, :])[0]
@@ -1272,6 +1279,15 @@ def triplet_sample(
         for side, pcol, ccol in (("pos", "pos_id", "pos_cosine"),
                                  ("neg", "neg_id", "neg_cosine")):
             g = partials[(partials["query_id"] == qid) & (partials["side"] == side)]
+            if g.empty:
+                # a unique-label anchor has no positive; a single-label
+                # corpus has no negative — per-batch partials skip empty
+                # sides, so surface the degenerate corpus explicitly
+                # instead of a bare IndexError at iloc[0]
+                raise ValueError(
+                    f"anchor {int(qid)} has no {side} candidate "
+                    f"({'same' if side == 'pos' else 'different'}-label side is empty)"
+                )
             g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
             row[pcol] = int(g.iloc[0]["neighbor_id"])
             row[ccol] = float(round_half_away(g.iloc[0]["cosine"], 6))

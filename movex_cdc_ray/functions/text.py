@@ -1033,9 +1033,12 @@ def bpe_train(
     the table is deterministic under any sharding.
 
     Returns the merge table (rank, left, right, pair_count) — the artifact
-    a tokenizer ships. Not SQL-expressible (iterative rewriting): the
-    driver records a rows-only check; pytest value-locks both engines
-    against an independent brute-force implementation."""
+    a tokenizer ships. Value-oracled byte-exact: the DuckDB SQL oracle
+    unrolls the same merge rounds as a materialized-CTE chain, applying
+    each round's winning pair with pipe-wrapped REPLACE rewriting (see
+    text_bpe_merges / text_bpe_encode in pipelines/queries.py); pytest
+    additionally locks both engines against an independent brute-force
+    implementation."""
     from ray.data.aggregate import Sum
 
     word_re = re.compile(r"[a-z0-9_]+")

@@ -531,6 +531,76 @@ def consume_topic(
     return out
 
 
+def list_groups(out_dir: str) -> list[dict]:
+    """``kafka#groups`` analog (`config/routes.rb:29`,
+    `app/controllers/kafka_controller.rb`): every consumer group that has
+    committed offsets, with its topic — pure directory listing of the
+    committed group-state files."""
+    import json
+
+    out = []
+    d = os.path.join(out_dir, CONSUMERS_DIR)
+    if not os.path.isdir(d):
+        return out
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(d, f)) as fh:
+            doc = json.load(fh)
+        out.append({"group": doc.get("group"), "topic": doc.get("topic")})
+    return out
+
+
+def log_end_offsets(out_dir: str, topic: str) -> dict[int, int]:
+    """Committed message count per partition of ``topic`` — the log-end
+    offset a consumer chases. Counts lines of manifest-committed epoch
+    files only (staged/uncommitted epochs are invisible to consumers, same
+    rule as :func:`consume_topic`). O(messages of the topic): an
+    introspection/maintenance verb, not a hot-path call."""
+    committed = Manifest.latest(out_dir).epoch
+    ends: dict[int, int] = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, TOPICS_DIR, topic, "part=*"))):
+        part = int(os.path.basename(d).split("=")[1])
+        n = 0
+        for e, f in _epoch_files(d):
+            if e > committed:
+                continue
+            n += sum(1 for line in _message_lines(f) if line.strip())
+        ends[part] = n
+    return ends
+
+
+def describe_group(out_dir: str, group: str) -> dict:
+    """``kafka#describe_group`` analog (`config/routes.rb:30`): the group's
+    per-(topic, partition) committed offset, log-end offset and lag —
+    Kafka's ``kafka-consumer-groups --describe`` shape."""
+    rows = []
+    for g in list_groups(out_dir):
+        if g["group"] != group:
+            continue
+        topic = g["topic"]
+        committed = group_offsets(out_dir, topic, group)
+        ends = log_end_offsets(out_dir, topic)
+        for part in sorted(ends):
+            off = committed.get(part, 0)
+            rows.append(
+                {
+                    "topic": topic,
+                    "partition": part,
+                    "committed_offset": off,
+                    "log_end_offset": ends[part],
+                    "lag": ends[part] - off,
+                }
+            )
+    if not rows:
+        raise KeyError(f"no committed offsets for consumer group {group!r}")
+    return {
+        "group": group,
+        "partitions": rows,
+        "total_lag": sum(r["lag"] for r in rows),
+    }
+
+
 def commit_offsets(out_dir: str, topic: str, group: str, offsets: dict[int, int]) -> None:
     """Atomically persist the group's offsets (tmp + fsync + rename, the
     manifest durability contract)."""

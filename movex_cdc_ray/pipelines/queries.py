@@ -2546,28 +2546,11 @@ _TRI_EMPTY = pa.table(
 )
 
 
-def graph_triangles(sf_dir: str) -> pd.DataFrame:
-    """Distributed triangle counting over the co-purchase graph (graph
-    analytics family): nodes = parts, edge (u,v) iff parts u<v co-occur in
-    ≥ ``_TRI_MIN_SUPPORT`` distinct orders; output = per-part triangle
-    participation, top 20 by (count desc, partkey). The support threshold is
-    what makes this corpus-scale-stable: random co-occurrence pairs are
-    birthday-bounded, so the surviving edge set stays ~constant as the
-    catalog and order volume grow together (measured 2.3k/3.4k/3.6k edges at
-    sf0.001/0.01/0.1).
-
-    Scale shape — three coarse-bucket exchanges, no driver materialization:
-    (1) baskets co-located by ``l_orderkey % NB``, per-order pair generation
-    vectorized by group size (`_pair_explode`); (2) support fold + threshold
-    co-located by edge hash; (3) wedges from the LOWEST vertex's adjacency
-    (triangle a<b<c is generated exactly once, from a) semi-joined against
-    the edge set inside one union+side-tag bucket merge keyed on (b,c) — the
-    same reduce-side pattern as :func:`q3_shipping_priority`. Id-orientation
-    bounds wedge fan-out by the smallest endpoint's degree; at web scale with
-    power-law hubs swap in degree-orientation (one |V|-row degree aggregate,
-    broadcast or joined) — the bucket plumbing is unchanged. All counts are
-    integers, so the DuckDB oracle (the textbook e1⋈e2⋈e3 triple join) is
-    hash-exact."""
+def _tri_support_edges(sf_dir: str) -> "rd.Dataset":
+    """Stages 1-2 shared by both triangle queries: per-order co-occurrence
+    pair generation (co-located by ``l_orderkey % NB``) + global support
+    fold + threshold (co-located by edge hash). Returns the thresholded
+    undirected edge set as (u, v) with u < v by id."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def order_bucket(batch: pa.Table) -> pa.Table:
@@ -2598,7 +2581,6 @@ def graph_triangles(sf_dir: str) -> pd.DataFrame:
         .map_groups(pairs_in_orders, batch_format="pandas")
     )
 
-    # ---- stage 2: global support fold + threshold, co-located by edge ----
     def edge_bucket(batch: pa.Table) -> pa.Table:
         key = pc.add(pc.multiply(batch["u"], 1000003), batch["v"])
         return batch.append_column(
@@ -2613,11 +2595,150 @@ def graph_triangles(sf_dir: str) -> pd.DataFrame:
              "v": pa.array(agg["v"].to_numpy(), pa.int64())}
         )
 
-    edges = (
+    return (
         pair_partials.map_batches(edge_bucket, batch_format="pyarrow")
         .groupby("eb")
         .map_groups(fold_support, batch_format="pandas")
     )
+
+
+def triangles_degree_oriented(edges: "rd.Dataset") -> "rd.Dataset":
+    """Degree-orientation triangle enumeration over an undirected edge set
+    (u, v), u < v by id — the power-law-safe variant of graph_triangles'
+    stage 3. Returns the triangle Dataset (a, b, c), each triangle exactly
+    once, vertices in (degree, id) rank order.
+
+    Orientation: one |V|-row degree aggregate (groupby-count over exploded
+    endpoints), broadcast once via ``ray.put`` as two sorted numpy arrays
+    (vertex ids + degrees, ~16 B/vertex); each edge is directed from its
+    lower-(degree, id) endpoint. Wedges then form at an edge's SOURCE, so a
+    hub of degree D generates wedges only from the ≤ O(sqrt(E)) out-degree
+    the orientation leaves it — id-orientation's D² wedge blow-up on a
+    power-law hub never happens. Closing works on the identical union +
+    side-tag bucket merge as the id-oriented path."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def explode_verts(batch: pa.Table) -> pa.Table:
+        vs = pa.concat_arrays(
+            [batch["u"].combine_chunks(), batch["v"].combine_chunks()]
+        )
+        return pa.table({"vtx": vs})
+
+    deg_rows = (
+        edges.map_batches(explode_verts, batch_format="pyarrow")
+        .groupby("vtx")
+        .aggregate(Count(alias_name="deg"))
+        .take_all()  # |V| rows — the one driver-sized collect, by design
+    )
+    if not deg_rows:
+        return rd.from_arrow(_TRI_EMPTY)
+    vid = np.array([r["vtx"] for r in deg_rows], dtype=np.int64)
+    dg = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
+    order = np.argsort(vid)
+    deg_ref = ray.put((vid[order], dg[order]))
+
+    def orient(batch: pa.Table, _ref=deg_ref) -> pa.Table:
+        vid_s, deg_s = ray.get(_ref)
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        du = deg_s[np.searchsorted(vid_s, u)]
+        dv = deg_s[np.searchsorted(vid_s, v)]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(u_first, u, v)
+        t = np.where(u_first, v, u)
+        dt = np.where(u_first, dv, du)
+        return pa.table(
+            {"s": pa.array(s, pa.int64()), "t": pa.array(t, pa.int64()),
+             "dt": pa.array(dt, pa.int64()),
+             "sb": pa.array(s & (_TRI_NB - 1), pa.int64())}
+        )
+
+    directed = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        # out-neighbors sorted by (deg, id) rank — _pair_explode then emits
+        # each wedge's (b, c) in rank order, matching the directed closing
+        # edge's (s, t) orientation
+        g = g.sort_values(["s", "dt", "t"])
+        ss = g["s"].to_numpy()
+        b, c = _pair_explode(ss, g["t"].to_numpy())
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        counts = np.diff(np.r_[starts, len(ss)])
+        a_parts: list[np.ndarray] = []
+        for cnt in np.unique(counts):
+            if cnt < 2:
+                continue
+            sel = counts == cnt
+            a_parts.append(np.repeat(ss[starts[sel]], cnt * (cnt - 1) // 2))
+        a = np.concatenate(a_parts) if a_parts else np.array([], dtype=ss.dtype)
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+             "c": pa.array(c, pa.int64())}
+        )
+
+    wedge_ds = directed.groupby("sb").map_groups(wedges, batch_format="pandas")
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(batch["b"], 1000003), batch["c"])
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "c": batch["c"],
+             "kb": pc.cast(pc.bit_wise_and(key, _TRI_NB - 1), pa.int64()),
+             "side": pa.array(["W"] * batch.num_rows, pa.string())}
+        )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(batch["s"], 1000003), batch["t"])
+        return pa.table(
+            {"a": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+             "b": batch["s"], "c": batch["t"],
+             "kb": pc.cast(pc.bit_wise_and(key, _TRI_NB - 1), pa.int64()),
+             "side": pa.array(["E"] * batch.num_rows, pa.string())}
+        )
+
+    def close_triangles(g: pd.DataFrame) -> pa.Table:
+        w = g[g["side"] == "W"]
+        e = g[g["side"] == "E"][["b", "c"]]
+        if w.empty or e.empty:
+            return _TRI_EMPTY
+        hit = w.merge(e, on=["b", "c"], how="inner")
+        return pa.table(
+            {"a": pa.array(hit["a"].to_numpy(), pa.int64()),
+             "b": pa.array(hit["b"].to_numpy(), pa.int64()),
+             "c": pa.array(hit["c"].to_numpy(), pa.int64())}
+        )
+
+    return (
+        wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+        .union(directed.map_batches(tag_edge, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(close_triangles, batch_format="pandas")
+    )
+
+
+def graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle counting over the co-purchase graph (graph
+    analytics family): nodes = parts, edge (u,v) iff parts u<v co-occur in
+    ≥ ``_TRI_MIN_SUPPORT`` distinct orders; output = per-part triangle
+    participation, top 20 by (count desc, partkey). The support threshold is
+    what makes this corpus-scale-stable: random co-occurrence pairs are
+    birthday-bounded, so the surviving edge set stays ~constant as the
+    catalog and order volume grow together (measured 2.3k/3.4k/3.6k edges at
+    sf0.001/0.01/0.1).
+
+    Scale shape — three coarse-bucket exchanges, no driver materialization:
+    (1) baskets co-located by ``l_orderkey % NB``, per-order pair generation
+    vectorized by group size (`_pair_explode`); (2) support fold + threshold
+    co-located by edge hash; (3) wedges from the LOWEST vertex's adjacency
+    (triangle a<b<c is generated exactly once, from a) semi-joined against
+    the edge set inside one union+side-tag bucket merge keyed on (b,c) — the
+    same reduce-side pattern as :func:`q3_shipping_priority`. Id-orientation
+    bounds wedge fan-out by the smallest endpoint's degree; at web scale with
+    power-law hubs swap in degree-orientation (one |V|-row degree aggregate,
+    broadcast or joined) — the bucket plumbing is unchanged. All counts are
+    integers, so the DuckDB oracle (the textbook e1⋈e2⋈e3 triple join) is
+    hash-exact."""
+    edges = _tri_support_edges(sf_dir)
 
     # ---- stage 3: wedges from the lowest vertex, keyed on the closing edge
     def low_bucket(batch: pa.Table) -> pa.Table:
@@ -2743,6 +2864,39 @@ def _triangles_sql() -> str:
     ORDER BY n_triangles DESC, l_partkey
     LIMIT 20
     """
+
+
+def graph_triangles_degree(sf_dir: str) -> pd.DataFrame:
+    """Degree-orientation triangle counting (the web-scale swap documented
+    in :func:`graph_triangles`): same thresholded co-purchase edge set, same
+    output, but stage 3 orients every edge from its lower-(degree, id)
+    endpoint via a broadcast |V|-row degree aggregate
+    (:func:`triangles_degree_oriented`), so wedge fan-out at a power-law hub
+    is bounded by its out-degree (≤ O(sqrt(E))), not its total degree
+    squared. Triangle participation is orientation-invariant, so the oracle
+    is graph_triangles' textbook triple join, unchanged."""
+    tris = triangles_degree_oriented(_tri_support_edges(sf_dir))
+
+    def explode_parts(batch: pa.Table) -> pa.Table:
+        stacked = pa.concat_arrays(
+            [batch["a"].combine_chunks(), batch["b"].combine_chunks(),
+             batch["c"].combine_chunks()]
+        )
+        return pa.table({"l_partkey": stacked})
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        tris.map_batches(explode_parts, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="n_triangles"))
+        .to_pandas()
+    )
+    counts["n_triangles"] = counts["n_triangles"].astype("int64")
+    out = counts.sort_values(
+        ["n_triangles", "l_partkey"], ascending=[False, True]
+    ).head(20)
+    return out.reset_index(drop=True)
 
 
 def _pagerank_sql() -> str:
@@ -2954,6 +3108,44 @@ def cdc_view_maintenance(sf_dir: str) -> pd.DataFrame:
     cfg = _cfs(_flagship_spec(), num_partitions=8)
     cfg.views = [_VS("by_repo", ["repo"], ["size"])]
     _replay(stream, lake, cfg, chunks_per_epoch=1)
+    pdf = _rv(lake, "by_repo").to_pandas()
+    pdf["n_rows"] = pdf["n_rows"].astype("int64")
+    pdf["sum_size"] = pdf["sum_size"].astype("int64")
+    return pdf.sort_values("repo").reset_index(drop=True)[["repo", "n_rows", "sum_size"]]
+
+
+def cdc_view_maintenance_delta(sf_dir: str) -> pd.DataFrame:
+    """IVM under ``merge_mode='delta'``: delta-mode epochs defer view
+    maintenance to ``compact()`` — the compact task is where base + delta
+    chain first meet, so it computes the view delta for exactly the keys
+    the chain touched (retract old base state, add resolved state;
+    ``pipelines/replay.py:_compact_part_task``). Epoch cost stays ∝ delta
+    and the view lags the lake by at most one compaction interval — the
+    shape delta mode exists for at 10^10 events. Replays half the stream,
+    compacts mid-stream (one view delta), replays the rest, compacts again:
+    the folded view must equal the batch recompute, same oracle as the
+    rewrite-mode query."""
+    import shutil as _shutil
+
+    from ..config import ViewSpec as _VS
+    from ..pipelines.replay import compact as _compact
+    from ..pipelines.replay import read_view as _rv
+    from ..pipelines.replay import replay as _replay
+    from ..sources.stream import list_chunks as _lc
+    from ..synth import config_for_spec as _cfs
+
+    stream = _flagship_stream()
+    lake = "/tmp/movex_flagship/lake_views_delta"
+    _shutil.rmtree(lake, ignore_errors=True)
+    cfg = _cfs(_flagship_spec(), num_partitions=8)
+    cfg.views = [_VS("by_repo", ["repo"], ["size"])]
+    n_chunks = len(_lc(stream))
+    half = max(1, n_chunks // 2)
+    _replay(stream, lake, cfg, chunks_per_epoch=1, max_epochs=half,
+            merge_mode="delta", drain_retries=False)
+    _compact(lake, cfg)  # mid-stream compaction: first view delta
+    _replay(stream, lake, cfg, chunks_per_epoch=1, merge_mode="delta")
+    _compact(lake, cfg)  # final compaction folds the remaining chain
     pdf = _rv(lake, "by_repo").to_pandas()
     pdf["n_rows"] = pdf["n_rows"].astype("int64")
     pdf["sum_size"] = pdf["sum_size"].astype("int64")
@@ -10578,10 +10770,12 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "cdc_dlq_routing": cdc_dlq_routing,
     "cdc_flagship_replay": cdc_flagship_replay,
     "cdc_view_maintenance": cdc_view_maintenance,
+    "cdc_view_maintenance_delta": cdc_view_maintenance_delta,
     "cdc_produce_delivery": cdc_produce_delivery,
     "cdc_consumer_state": cdc_consumer_state,
     "events_pagerank": events_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_triangles_degree": graph_triangles_degree,
     "events_ntile": events_ntile,
     "events_cube": events_cube,
     "events_skyline": events_skyline,
@@ -12719,12 +12913,17 @@ def _build_oracle_sql() -> dict[str, str]:
     "text_langid": _langid_sql(),
     "cdc_flagship_replay": _flagship_sql(),
     "cdc_view_maintenance": _view_maintenance_sql(),
+    # delta-mode IVM must converge to the identical batch recompute
+    "cdc_view_maintenance_delta": _view_maintenance_sql(),
     "cdc_produce_delivery": _produce_sql(),
     # consumer-rebuilt state must equal the state SQL derives from the RAW
     # chunks — the oracle is exactly the flagship-replay oracle on purpose
     "cdc_consumer_state": _flagship_sql(),
     "events_pagerank": _pagerank_sql(),
     "graph_triangles": _triangles_sql(),
+    # orientation-invariant: degree orientation must reproduce the id-
+    # oriented result exactly, so the oracle is the same triple join
+    "graph_triangles_degree": _triangles_sql(),
     "events_cube": """
         SELECT COALESCE(event_type, '#all') AS event_type,
                CAST(COALESCE(h, -1) AS BIGINT) AS hour,

@@ -59,6 +59,7 @@ _AGG_KEYS = (
     "upserts",
     "deletes",
     "ordering_violations",
+    "shuffle_bytes",
 )
 
 
@@ -473,11 +474,11 @@ def run_epoch(
             "refusing to overwrite committed staged output"
         )
     if cfg.views:
-        if merge_mode != "rewrite":
-            raise ValueError(
-                "incremental views require merge_mode='rewrite': delta mode "
-                "never loads the previous per-key state the retraction needs"
-            )
+        # rewrite mode maintains views inside each epoch's merge (the merge
+        # holds the previous per-key state); delta mode DEFERS maintenance
+        # to compact(), where base + chain first meet (docs/SCALE.md) — the
+        # view then lags the lake by at most one compaction interval, and
+        # epoch cost stays ∝ delta.
         payload = set(cfg.latest_version().payload_fields)
         known_tables = {f"{t.schema_name}.{t.name}" for t in cfg.tables}
         for v in cfg.views:
@@ -576,11 +577,22 @@ def run_epoch(
         atomic_write_parquet(pa.Table.from_pylist(stats_rows), stats_path)
 
     elapsed = time.perf_counter() - t0
-    agg = {k: int(sum(r[k] for r in stats_rows)) for k in _AGG_KEYS}
+    agg = {k: int(sum(r.get(k, 0) for r in stats_rows)) for k in _AGG_KEYS}
     agg["epoch"] = epoch
     agg["elapsed_sec"] = round(elapsed, 3)
     agg["partitions_touched"] = len(stats_rows)
     agg["lake_rows"] = int(sum(r["lake_rows"] for r in stats_rows))
+    # exchange-volume instrumentation (scaling evidence, docs/SCALE.md):
+    # events READ from the stream (parquet footers — no data scan) vs rows
+    # and Arrow bytes that actually crossed the shuffle into the merges.
+    # events_in (post-combine merge arrivals) / events_read is the per-batch
+    # combiner's measured reduction of the all-to-all exchange.
+    try:
+        import pyarrow.parquet as _pq
+
+        agg["events_read"] = int(sum(_pq.ParquetFile(f).metadata.num_rows for f in files))
+    except Exception:  # noqa: BLE001 — instrumentation must never fail a commit
+        agg["events_read"] = 0
     manifest = manifest.commit_epoch(epoch, chunk_files, part_updates, writer_token, metrics=agg,
                                      num_partitions=cfg.num_partitions)
     return manifest, agg
@@ -667,19 +679,79 @@ def replay(
 
 
 @ray.remote
-def _compact_part_task(part: int, entry: dict, out_path: str, lake_schema_ref) -> dict[str, Any]:
+def _compact_part_task(
+    part: int,
+    entry: dict,
+    out_path: str,
+    lake_schema_ref,
+    lake_dir: str | None = None,
+    epoch: int | None = None,
+    views: list | None = None,
+    compression: str | None = None,
+) -> dict[str, Any]:
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from ..stages.sink import atomic_write_parquet, drop_tombstones, partition_sha, resolve_lake_tables
+    from ..stages.sink import (
+        atomic_write_parquet,
+        drop_tombstones,
+        partition_sha,
+        resolve_lake_tables,
+        view_contribution,
+        view_delta_path,
+    )
 
     tables = []
+    base = None
     if entry.get("path"):
-        tables.append(pq.read_table(entry["path"]))
-    for d in entry.get("deltas", []):
-        tables.append(pq.read_table(d))
+        base = pq.read_table(entry["path"])
+        tables.append(base)
+    delta_tables = [pq.read_table(d) for d in entry.get("deltas", [])]
+    tables.extend(delta_tables)
     # keep_tombstones: compaction must NOT drop deleted keys' _last_id
     # fences while late retries could still arrive (see resolve_lake_tables)
     resolved = resolve_lake_tables(tables, lake_schema_ref, keep_tombstones=True)
+
+    # ---- delta-mode view maintenance (docs/SCALE.md) -------------------
+    # Delta-mode epochs never load the previous per-key state, so they
+    # cannot retract view contributions; the compact task is the first
+    # place base + chain meet, so the view delta is computed HERE: for the
+    # keys the chain touched, retract the old base's live rows and add the
+    # resolved state's live rows. Untouched keys contribute nothing, so
+    # cost stays ∝ delta, and a no-op chain (all-stale events) cancels to
+    # zero exactly.
+    if views and delta_tables:
+        touched_arrays = []
+        for dt in delta_tables:
+            k = dt["_key"]
+            touched_arrays.append(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
+        touched = pc.unique(pa.concat_arrays(touched_arrays))
+
+        def _live_touched(t: pa.Table | None) -> pa.Table:
+            if t is None or not len(t):
+                return resolved.schema.empty_table()
+            t = drop_tombstones(t)
+            keys = t["_key"]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            return t.filter(pc.is_in(keys, value_set=touched))
+
+        old_live = _live_touched(base)
+        new_live = _live_touched(resolved)
+        for spec in views:
+            nl, rl = new_live, old_live
+            if getattr(spec, "table", None):
+                pref = spec.table + "\x1f"  # KEY_SEP — see capture.py:44
+                nl = nl.filter(pc.starts_with(nl["_key"].combine_chunks() if isinstance(nl["_key"], pa.ChunkedArray) else nl["_key"], pattern=pref))
+                rl = rl.filter(pc.starts_with(rl["_key"].combine_chunks() if isinstance(rl["_key"], pa.ChunkedArray) else rl["_key"], pattern=pref))
+            vdelta = pa.concat_tables(
+                [view_contribution(nl, spec, 1), view_contribution(rl, spec, -1)]
+            )
+            atomic_write_parquet(
+                vdelta, view_delta_path(lake_dir, spec.name, epoch, part), compression
+            )
+
     nbytes = atomic_write_parquet(resolved, out_path)
     live = drop_tombstones(resolved)
     return {
@@ -700,12 +772,29 @@ def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None)
     manifest = manifest or Manifest.latest(lake_dir)
     epoch = manifest.epoch + 1
     schema = lake_table_schema(cfg)
+    views = list(cfg.views) if cfg.views else None
+    if views:
+        # a stale/crashed attempt of THIS compaction epoch may have written
+        # view deltas for partitions this attempt won't touch — same glob
+        # double-count hazard as run_epoch's pre-clean
+        import shutil as _sh
+
+        from ..stages.sink import VIEWS_DIR as _VD
+
+        for v in views:
+            _sh.rmtree(os.path.join(lake_dir, _VD, v.name, f"epoch={epoch:06d}"),
+                       ignore_errors=True)
     refs = []
     for k, entry in manifest.partitions.items():
         if not entry.get("deltas"):
             continue
         out_path = staged_path(lake_dir, epoch, int(k))
-        refs.append(_compact_part_task.remote(int(k), entry, out_path, schema))
+        refs.append(
+            _compact_part_task.remote(
+                int(k), entry, out_path, schema,
+                lake_dir, epoch, views, cfg.lake_compression,
+            )
+        )
     if not refs:
         return manifest
     rows = ray.get(refs)

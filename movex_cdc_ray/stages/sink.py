@@ -61,6 +61,12 @@ MERGE_STATS_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("sha", pa.string()),
         ("bytes", pa.int64()),
+        # Arrow bytes that arrived at this merge group through the exchange —
+        # the measured cross-stage shuffle volume (scaling evidence; see
+        # docs/SCALE.md "Exchange volume"). In winners mode this counts the
+        # phase-2 (wide) leg only; the skinny phase-1 keys/ids leg is bounded
+        # by ~16B/event and documented separately.
+        ("shuffle_bytes", pa.int64()),
     ]
 )
 
@@ -408,6 +414,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     prev = ctx.prev_partitions.get(str(part))
     prev_wm = prev["watermark"] if prev else -1
     events_in = len(group)
+    shuffle_bytes = int(group.nbytes)
 
     # ---- watermark dedup (T2/D1): replayed events are dropped ----------
     # Retried events (retry_count > 0, re-fed from the retry ledger) are
@@ -472,6 +479,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
                 "path": pa.array([out_path], pa.string()),
                 "sha": pa.array([partition_sha(drop_tombstones(delta_rows), sha_cols)], pa.string()),
                 "bytes": pa.array([nbytes], pa.int64()),
+                "shuffle_bytes": pa.array([shuffle_bytes], pa.int64()),
             },
             schema=MERGE_STATS_SCHEMA,
         )
@@ -603,6 +611,7 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
             "path": pa.array([out_path], pa.string()),
             "sha": pa.array([sha], pa.string()),
             "bytes": pa.array([nbytes], pa.int64()),
+            "shuffle_bytes": pa.array([shuffle_bytes], pa.int64()),
         },
         schema=MERGE_STATS_SCHEMA,
     )

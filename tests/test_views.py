@@ -133,10 +133,21 @@ def test_view_compaction(ray_session, stream_dir, tmp_path):
     pd.testing.assert_frame_equal(got2, exp_repo[["repo", "n_rows", "sum_size"]])
 
 
-def test_views_require_rewrite_mode(ray_session, stream_dir, tmp_path):
-    with pytest.raises(ValueError, match="rewrite"):
-        replay(stream_dir, str(tmp_path / "lake_d"), _cfg(),
-               chunks_per_epoch=2, merge_mode="delta")
+def test_views_delta_mode_defers_to_compaction(ray_session, stream_dir, tmp_path):
+    # delta mode no longer refuses views (round-3 gap): maintenance is
+    # deferred to compact(), so mid-chain the view is empty, and after
+    # compaction it equals the rewrite-mode result (full parity suite in
+    # tests/test_round4_fixes.py)
+    from movex_cdc_ray.pipelines.replay import compact
+
+    lake = str(tmp_path / "lake_d")
+    cfg = _cfg()
+    replay(stream_dir, lake, cfg, chunks_per_epoch=2, merge_mode="delta")
+    assert read_view(lake, "by_repo").count() == 0  # documented lag
+    compact(lake, cfg)
+    exp_repo, _ = _recompute(lake)
+    got_repo = _view_pdf(lake, "by_repo", ["repo"])[["repo", "n_rows", "sum_size"]]
+    pd.testing.assert_frame_equal(got_repo, exp_repo[["repo", "n_rows", "sum_size"]])
 
 
 def test_view_nonpayload_column_refused(ray_session, stream_dir, tmp_path):
