@@ -55,9 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/values).
-    The ONLY key absent here is multimodal_decode (its fake features are
-    PCG64-seeded standard normals from sha256(payload) — not SQL), which
-    gets a rows-only check. Everything else is value-checked, including
+    EVERY queries() key has a value oracle (no rows-only entries since
+    round 4: the fake-feature plumbing mode is pytest-locked by an
+    independent PCG64 re-derivation instead of a driver row count;
+    multimodal_decode_real is the driver-visible decode contract), including
     the seeded hash families (minhash perms, simhash, hyperplane LSH), the
     IVF k-means quantizer (unrolled Lloyd iterations as materialized CTEs),
     BPE tokenizer training AND encoding (pipe-wrapped symbols make each

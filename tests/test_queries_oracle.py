@@ -187,7 +187,7 @@ def test_every_query_has_callable_and_oracle_keys():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
-    # the single non-SQL op is known and intentional: multimodal_decode's
-    # fake features are PCG64-seeded standard normals from sha256(payload)
-    rows_only = set(qs) - set(os_)
-    assert rows_only == {"multimodal_decode"}
+    # every driver query is value-checked — the former rows-only entry
+    # (multimodal_decode, PCG64 fake features) moved to a pytest-only
+    # re-derivation check (test_round4_fixes.py::test_fake_decode_rederivation)
+    assert set(qs) == set(os_)

@@ -357,6 +357,40 @@ def test_groups_and_describe_group(ray_session, stream_dir, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# fake-decode plumbing: engine-side re-derivation (replaces the one
+# rows-only driver query; multimodal_decode_real is the driver contract)
+# ---------------------------------------------------------------------------
+
+
+def test_fake_decode_rederivation(ray_session):
+    import hashlib
+
+    from movex_cdc_ray.pipelines.queries import multimodal_decode
+    from movex_cdc_ray.functions.multimodal import synth_media_table
+
+    got = multimodal_decode("ignored")
+    media = synth_media_table(200, seed=42).to_pandas()
+    # independent re-derivation of the PCG64 feature path: seed from
+    # sha256(payload)[:8], standard normals at float32, norm at float64
+    rows = []
+    for _, r in media.iterrows():
+        p = r["payload"]
+        seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "big")
+        feats = (
+            np.random.Generator(np.random.PCG64(seed)).standard_normal(64)
+            .astype(np.float32)
+        )
+        rows.append(
+            {"media_id": r["media_id"],
+             "payload_sha": hashlib.sha256(p).hexdigest(),
+             "payload_bytes": len(p),
+             "feature_norm": round(float(np.linalg.norm(feats.astype(np.float64))), 4)}
+        )
+    exp = pd.DataFrame(rows).sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+# ---------------------------------------------------------------------------
 # advice-item guards
 # ---------------------------------------------------------------------------
 
