@@ -203,8 +203,60 @@ class MinHasher:
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) & _MERSENNE
         return vals.min(axis=0)
 
+    def _batch_signatures(self, texts: pd.Series) -> np.ndarray:
+        """Batch-vectorized signature path (round-4 Arrow-native pass).
+
+        Tokenization stays on the PYTHON regex (``\\w`` is unicode in
+        Python but ASCII in RE2 — an Arrow split would silently diverge
+        from the SQL oracle's token stream); everything after it is flat
+        and vectorized: one Arrow ``take`` + ``binary_join_element_wise``
+        builds every k-shingle of the batch in two kernel calls, ONE
+        ``pd.factorize`` dedups shingles batch-globally (per-doc uniquing
+        is unnecessary — a min over a multiset equals the min over its
+        set), md5 runs only on cache-missing DISTINCT shingles, and the
+        permutation-min loops per doc over small gathers (measured faster
+        than a flat ``minimum.reduceat`` — per-doc blocks stay in L2).
+        Byte-identical signatures to the scalar path (pytest-locked)."""
+        import itertools
+
+        k = self.k
+        words = [_WORD_RE.findall((t or "").lower()) for t in texts]
+        n = np.array([len(w) for w in words], dtype=np.int64)
+        flat = list(itertools.chain.from_iterable(words))
+        tok_off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=tok_off[1:])
+        # shingle counts mirror shingles(): n>=k -> n-k+1; 0<n<k -> 1
+        # (the all-words gram); n==0 -> 1 (the "" gram)
+        s_count = np.maximum(n - k + 1, 1)
+        sh_off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(s_count, out=sh_off[1:])
+        out = np.empty(sh_off[-1], dtype=object)
+        normal = n >= k
+        if normal.any():
+            reps = (n - k + 1)[normal]
+            base = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+            j0 = np.repeat(tok_off[:-1][normal], reps) + base
+            fa = pa.array(flat, pa.string())
+            parts = [fa.take(pa.array(j0 + i)) for i in range(k)]
+            joined = pc.binary_join_element_wise(*parts, " ")
+            o0 = np.repeat(sh_off[:-1][normal], reps) + base
+            out[o0] = np.asarray(joined, dtype=object)
+        for d in np.flatnonzero(~normal):
+            w = words[d]
+            out[sh_off[d]] = " ".join(w) if w else ""
+        codes, uniq = pd.factorize(pd.Series(out))
+        md5s = np.fromiter(
+            (self._gram_hash(g) for g in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        hflat = md5s[codes]
+        sigs = np.empty((len(n), self.n_perm), dtype=np.uint64)
+        for d in range(len(n)):
+            sh = hflat[sh_off[d]: sh_off[d + 1]]
+            sigs[d] = ((sh[:, None] * self.a[None, :] + self.b[None, :]) & _MERSENNE).min(axis=0)
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col].fillna("")])
+        sigs = self._batch_signatures(batch[self.text_col].fillna(""))
         r = self.n_perm // self.bands
         for bi in range(self.bands):
             band = sigs[:, bi * r : (bi + 1) * r]

@@ -395,6 +395,20 @@ def test_fake_decode_rederivation(ray_session):
 # ---------------------------------------------------------------------------
 
 
+def test_minhash_batch_path_matches_scalar():
+    # the Arrow-native batch signature path must stay byte-identical to the
+    # per-doc scalar path (the SQL oracle derives from the scalar contract)
+    from movex_cdc_ray.functions.dedup import MinHasher
+
+    texts = pd.Series(
+        ["", "one two", "a b c d e", "a a a a", "x_1 y-2 z!3 x_1", "Unicode Wörter hier drei mal"]
+    )
+    scalar = MinHasher()
+    exp = np.stack([scalar.signature(t) for t in texts])
+    got = MinHasher()._batch_signatures(texts)
+    assert np.array_equal(got, exp)
+
+
 def test_kcenter_k_exceeds_corpus_raises(ray_session):
     import ray.data as rd
 
