@@ -378,6 +378,11 @@ def main() -> None:
                 "events_per_sec": headline["events_per_sec"],
                 "epochs": headline["epochs"],
                 "lake_rows": headline["lake_rows"],
+                "events_read": headline["events_read"],
+                "shuffle_rows": headline["shuffle_rows"],
+                "shuffle_bytes": headline["shuffle_bytes"],
+                "shuffle_bytes_per_event": headline["shuffle_bytes_per_event"],
+                "combine_reduction": headline["combine_reduction"],
                 "host_first_touch_mb_s": phase,
             }
         )
