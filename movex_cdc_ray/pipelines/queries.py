@@ -4640,6 +4640,43 @@ def ann_pq(sf_dir: str) -> pd.DataFrame:
     return fsim.pq_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, m=4, ks=16, sample_rows=256)
 
 
+def ann_pq_rerank(sf_dir: str) -> pd.DataFrame:
+    """PQ-ADC shortlist + exact re-rank (`similarity.py:pq_topk_rerank`) —
+    the production two-stage PQ search: code-only scan keeps a 100-candidate
+    shortlist per query (2% of the sf0.1 corpus), exact cosine re-ranks the
+    gathered candidates. Lifts PQ recall@10 from 0.18 (code-only, m=4/ks=16)
+    to 0.92 at sf0.1 (driver config m=16/ks=64). Oracle: the PQ chain at
+    shortlist size nested under the exact-cosine re-rank."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return fsim.pq_topk_rerank(
+        ds, query_ids=[0, 1, 2, 3, 4], k=10, shortlist=100, m=16, ks=64,
+        sample_rows=256,
+    )
+
+
+def _pq_rerank_sql(shortlist: int = 100, m: int = 16, ks: int = 64, k: int = 10) -> str:
+    return f"""
+        WITH short AS MATERIALIZED (
+          SELECT query_id, neighbor_id
+          FROM ({_pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=shortlist, m=m, ks=ks)})
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT s.query_id, s.neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   v.embedding::DOUBLE[]) DESC,
+                            s.neighbor_id ASC) AS BIGINT) AS rank,
+                 ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              v.embedding::DOUBLE[]), 6) AS cosine
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings v ON v.vec_id = s.neighbor_id
+          WHERE s.neighbor_id <> s.query_id
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def text_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 TF-IDF terms (`functions/text.py:tfidf_top_terms`):
     distributed DF pass → broadcast df map → per-batch local tf + scoring."""
@@ -5563,6 +5600,8 @@ def ann_recall(sf_dir: str) -> pd.DataFrame:
         # n_probe=4) — the ≥0.9 config the round-3 verdict asked for
         "ivf_mp": ann_ivf_mp(sf_dir)[["query_id", "neighbor_id"]],
         "pq": ann_pq(sf_dir)[["query_id", "neighbor_id"]],
+        # two-stage PQ (ADC shortlist + exact re-rank): 0.18 → 0.92 at sf0.1
+        "pq_rerank": ann_pq_rerank(sf_dir)[["query_id", "neighbor_id"]],
     }
     rows = []
     for m, approx in sorted(methods.items()):
@@ -10891,6 +10930,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "text_gopher_rules": text_gopher_rules,
     "pq_codes": pq_codes,
     "ann_pq": ann_pq,
+    "ann_pq_rerank": ann_pq_rerank,
     "corpus_mixture": corpus_mixture,
     "dedup_incremental": dedup_incremental,
     "dedup_clusters": dedup_clusters,
@@ -12754,6 +12794,7 @@ def _build_oracle_sql() -> dict[str, str]:
     "corpus_prep": _corpus_prep_sql(),
     "pq_codes": _pq_sql(),
     "ann_pq": _pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10),
+    "ann_pq_rerank": _pq_rerank_sql(),
     # incremental dedup via CDC replay: converged lake == arg-max doc per
     # distinct content (op=I stream keyed by md5(text))
     "dedup_incremental": """
@@ -12999,6 +13040,8 @@ def _build_oracle_sql() -> dict[str, str]:
           SELECT query_id, neighbor_id FROM ({_ivf_sql(n_probe=8)})
         ), pq AS (
           SELECT query_id, neighbor_id FROM ({_pq_sql(final="topk", query_ids=[0, 1, 2, 3, 4], k=10)})
+        ), pq_rr AS (
+          SELECT query_id, neighbor_id FROM ({_pq_rerank_sql()})
         ), qs AS (
           SELECT DISTINCT query_id FROM ex
         ), hits AS (
@@ -13013,11 +13056,14 @@ def _build_oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'pq' AS method, e.query_id, COUNT(*) AS n
           FROM ex e JOIN pq a USING (query_id, neighbor_id) GROUP BY e.query_id
+          UNION ALL
+          SELECT 'pq_rerank' AS method, e.query_id, COUNT(*) AS n
+          FROM ex e JOIN pq_rr a USING (query_id, neighbor_id) GROUP BY e.query_id
         )
         SELECT m.method, qs.query_id,
                CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
                CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0 AS recall
-        FROM (VALUES ('ivf'), ('ivf_mp'), ('lsh'), ('pq')) AS m(method)
+        FROM (VALUES ('ivf'), ('ivf_mp'), ('lsh'), ('pq'), ('pq_rerank')) AS m(method)
         CROSS JOIN qs
         LEFT JOIN hits h ON h.method = m.method AND h.query_id = qs.query_id
         ORDER BY m.method, qs.query_id
