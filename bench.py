@@ -98,6 +98,12 @@ QUERY_SWEEP = [
     "events_holt",
     "join_bloom_prefilter",
     "knn_filtered",
+    # round-4 additions
+    "cdc_view_maintenance_delta",
+    "graph_triangles_degree",
+    "ann_ivf_mp",
+    "ann_pq_rerank",
+    "ann_recall",
 ]
 
 

@@ -761,9 +761,47 @@ class SimHasher:
         sums = (2 * bitmat - 1).sum(axis=0)
         return int(((sums > 0).astype(np.uint64) << self.bits).sum())
 
+    def _batch_simhashes(self, texts: pd.Series) -> np.ndarray:
+        """Batch-vectorized fingerprints (round-4 pass, the MinHasher
+        pattern): ONE ``pd.factorize`` over the batch's flat token stream,
+        md5 + the 64-bit expansion computed only per DISTINCT word, and the
+        per-doc sign-sums as a single segment ``add.reduceat`` over the
+        gathered distinct-word bit matrix. Byte-identical to
+        :meth:`simhash` (2·Σbits − n > 0 is the same sign test);
+        tokenization stays on the Python regex for oracle parity."""
+        import itertools
+
+        words = [_WORD_RE.findall((t or "").lower()) for t in texts]
+        n = np.array([len(w) for w in words], dtype=np.int64)
+        out = np.zeros(len(n), dtype=np.uint64)
+        flat = list(itertools.chain.from_iterable(words))
+        if not flat:
+            return out
+        codes, uniq = pd.factorize(pd.Series(flat))
+        cache = self._word_hash_cache
+        md5 = hashlib.md5
+
+        def h(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = int.from_bytes(md5(w.encode()).digest()[:8], "little")
+                cache[w] = v
+            return v
+
+        hs_u = np.fromiter((h(w) for w in uniq), dtype=np.uint64, count=len(uniq))
+        bitmat_u = ((hs_u[:, None] >> self.bits[None, :]) & np.uint64(1)).astype(np.int32)
+        g = bitmat_u[codes]  # (n_flat, 64), {0,1}
+        off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        nz = n > 0  # empty docs contribute no flat rows; their hash stays 0
+        sums = np.add.reduceat(g, off[:-1][nz], axis=0).astype(np.int64)
+        pos = (2 * sums - n[nz][:, None]) > 0
+        out[nz] = (pos.astype(np.uint64) << self.bits[None, :]).sum(axis=1)
+        return out
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        sh = batch[self.text_col].fillna("").map(self.simhash).to_numpy(dtype=np.uint64)
+        sh = self._batch_simhashes(batch[self.text_col].fillna(""))
         batch["simhash"] = sh
         for i in range(4):  # 16-bit bands for hamming-distance bucketing
             batch[f"simhash_band_{i}"] = ((sh >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.int64)

@@ -409,6 +409,15 @@ def test_minhash_batch_path_matches_scalar():
     assert np.array_equal(got, exp)
 
 
+def test_simhash_batch_path_matches_scalar():
+    from movex_cdc_ray.functions.dedup import SimHasher
+
+    texts = pd.Series(["", "one", "a b c", "x x x y", "Wörter über alles", "tie tie"])
+    exp = np.array([SimHasher().simhash(t) for t in texts], dtype=np.uint64)
+    got = SimHasher()._batch_simhashes(texts)
+    assert np.array_equal(got, exp)
+
+
 def test_kcenter_k_exceeds_corpus_raises(ray_session):
     import ray.data as rd
 
