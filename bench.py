@@ -103,6 +103,7 @@ QUERY_SWEEP = [
     "graph_triangles_degree",
     "ann_ivf_mp",
     "ann_pq_rerank",
+    "ann_lsh_mp",
     "ann_recall",
 ]
 
