@@ -4691,6 +4691,131 @@ def _pq_rerank_sql(shortlist: int = 100, m: int = 16, ks: int = 64, k: int = 10)
     """
 
 
+def _ann_inc_config(num_partitions: int = 8):
+    """CaptureConfig for the incremental vector index: one VECTORS table
+    keyed by vec_id, embedding as a float64-byte binary payload (the lake's
+    scalar column model; bit-exact roundtrip)."""
+    from ..config import (
+        CaptureConfig,
+        ColumnConfig,
+        SchemaConfig,
+        SchemaVersion,
+        TableConfig,
+    )
+
+    v1 = SchemaVersion(
+        version=1,
+        active_from_id=0,
+        payload_fields={"vec_id": "int64", "embedding": "binary"},
+    )
+    vectors = TableConfig(
+        name="VECTORS", schema_name="CORPUS", table_id=1,
+        topic="lake.corpus.vectors", key_handling="P", pk_columns=["vec_id"],
+        columns=[ColumnConfig("vec_id"), ColumnConfig("embedding")],
+    )
+    return CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS", topic="lake.corpus")],
+        tables=[vectors],
+        schema_versions=[v1],
+        num_partitions=num_partitions,
+        capture_parallelism=2,
+    )
+
+
+def _vector_events(df: pd.DataFrame, op: str = "I", id_offset: int = 0) -> pa.Table:
+    """Change events for a batch of (vec_id, embedding) rows — embeddings
+    ship as float64 bytes (bit-exact)."""
+    ts = pa.scalar(1_700_000_000_000_000, pa.timestamp("us")).as_py()
+    n = len(df)
+    payloads = [
+        np.asarray(v, dtype=np.float64).tobytes() for v in df["embedding"]
+    ]
+    return pa.table(
+        {
+            "id": pa.array(df["vec_id"].to_numpy().astype("int64") + 1 + id_offset, pa.int64()),
+            "table_id": pa.array([1] * n, pa.int32()),
+            "op": pa.array([op] * n),
+            "dbuser": pa.array(["corpus"] * n),
+            "txn_id": pa.nulls(n, pa.string()),
+            "created_at": pa.array([ts] * n, pa.timestamp("us")),
+            "retry_count": pa.array(np.zeros(n, np.int32)),
+            "new_vec_id": pa.array(df["vec_id"].to_numpy().astype("int64"), pa.int64()),
+            "new_embedding": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def _lake_vector_dataset(lake: str) -> rd.Dataset:
+    """Converged VECTORS lake → (vec_id, embedding list<double>) Dataset —
+    the live vector index a query-time probe scans."""
+    from ..pipelines.replay import read_lake
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+            ).empty_table()
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = np.frombuffer(emb.buffers()[1], dtype=np.int32)[
+            emb.offset : emb.offset + len(emb) + 1
+        ]
+        flat = np.frombuffer(
+            emb.buffers()[2], dtype=np.float64,
+            offset=int(offs[0]), count=int(offs[-1] - offs[0]) // 8,
+        )
+        lst = pa.ListArray.from_arrays(
+            pa.array((offs - offs[0]) // 8, pa.int32()), pa.array(flat, pa.float64())
+        )
+        return pa.table({"vec_id": batch["vec_id"], "embedding": lst})
+
+    return read_lake(lake).map_batches(decode, batch_format="pyarrow")
+
+
+def ann_ivf_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL vector index as a CDC replay — the daily-embedding-drop
+    shape the incremental dedup family already models: the corpus's vectors
+    are EXACTLY-ONCE lake state (VECTORS table keyed by vec_id, embeddings
+    as bit-exact float64 binary payloads), so indexing a new batch costs one
+    delta-sized epoch (its upserts), never a corpus rescan, and re-embedding
+    a document is an UPDATE the merge folds in place — the operation a
+    batch-built index needs a full rebuild for (pytest drives that case
+    against a brute-force oracle; see test_round4_fixes).
+
+    Composition: embeddings → two replay epochs (old 80% / new 20%) →
+    converged lake decoded back to a vector Dataset → the UNCHANGED
+    ``ivf_topk`` probe (quantizer trained on the same deterministic
+    vec_id<256 sample, which the first epoch fully contains). Because the
+    converged lake state equals the batch corpus, the incremental index
+    must answer EXACTLY like the batch one — the SQL oracle is ann_ivf's
+    unrolled-Lloyd oracle, unchanged: that identity is the value lock."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.replay import replay
+
+    docs = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    docs = docs.sort_values("vec_id").reset_index(drop=True)
+    cutoff = int(docs["vec_id"].max() + 1) * 4 // 5
+
+    base = "/tmp/movex_anninc"
+    stream, lake = os.path.join(base, "stream"), os.path.join(base, "lake")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stream, exist_ok=True)
+    pq.write_table(_vector_events(docs[docs["vec_id"] < cutoff]),
+                   os.path.join(stream, "chunk_000000.parquet"))
+    pq.write_table(_vector_events(docs[docs["vec_id"] >= cutoff]),
+                   os.path.join(stream, "chunk_000001.parquet"))
+    replay(stream, lake, _ann_inc_config(), chunks_per_epoch=1)
+
+    return fsim.ivf_topk(
+        _lake_vector_dataset(lake), query_ids=[0, 1, 2, 3, 4], k=10,
+        n_centroids=16, n_probe=4,
+    )
+
+
 def text_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 TF-IDF terms (`functions/text.py:tfidf_top_terms`):
     distributed DF pass → broadcast df map → per-batch local tf + scoring."""
@@ -10959,6 +11084,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "ann_lsh_mp": ann_lsh_mp,
     "ann_ivf": ann_ivf,
     "ann_ivf_mp": ann_ivf_mp,
+    "ann_ivf_incremental": ann_ivf_incremental,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -13036,6 +13162,9 @@ def _build_oracle_sql() -> dict[str, str]:
     "ann_lsh_mp": _ann_lsh_sql(multiprobe=2),
     "ann_ivf": _ivf_sql(),
     "ann_ivf_mp": _ivf_sql(n_probe=8),
+    # incremental index converges to the batch corpus, so it must answer
+    # exactly like batch IVF — identity is the value lock
+    "ann_ivf_incremental": _ivf_sql(),
     # recall@10 = overlap of each approximate ranking with the exact one;
     # every ranking is the SAME SQL its own oracle uses, nested verbatim
     "ann_recall": f"""

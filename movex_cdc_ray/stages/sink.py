@@ -105,14 +105,29 @@ def content_sha_array(t: pa.Table, cols: list[str], prefix: str = "") -> pa.Arra
     if n == 0:
         return pa.array([], pa.string())
     rendered = []
+    has_binary = False
     for c in cols:
         col = t[prefix + c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # binary payloads (e.g. packed embeddings) digest their raw
+            # bytes — a utf8 cast would REJECT them (Invalid UTF8 payload)
+            has_binary = True
+            col = pc.cast(col, pa.binary()) if pa.types.is_large_binary(col.type) else col
+        elif not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
             col = pc.cast(col, pa.string())
-        rendered.append(pc.fill_null(col, ""))
-    joined = rendered[0] if len(rendered) == 1 else pc.binary_join_element_wise(*rendered, "\x1f")
+        rendered.append(pc.fill_null(col, b"" if pa.types.is_binary(col.type) else ""))
+    if has_binary:
+        # join in binary space: utf8 columns reinterpret as their identical
+        # bytes, so all-string configs are unaffected by this branch
+        rendered = [
+            r if pa.types.is_binary(r.type) else pc.cast(r, pa.binary())
+            for r in rendered
+        ]
+        joined = rendered[0] if len(rendered) == 1 else pc.binary_join_element_wise(*rendered, b"\x1f")
+    else:
+        joined = rendered[0] if len(rendered) == 1 else pc.binary_join_element_wise(*rendered, "\x1f")
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
     offs, data = _string_offsets_data(joined)

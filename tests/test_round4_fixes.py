@@ -391,6 +391,73 @@ def test_fake_decode_rederivation(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# incremental vector index: re-embedding is an UPDATE, not a rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_ann_incremental_update_reembeds(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from movex_cdc_ray.functions.similarity import ivf_topk
+    from movex_cdc_ray.pipelines.queries import (
+        _ann_inc_config,
+        _lake_vector_dataset,
+        _vector_events,
+    )
+    from movex_cdc_ray.pipelines.replay import replay
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        pq.read_table(os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # epoch 1: full corpus; epoch 2: RE-EMBED 20 docs (deterministic
+    # perturbation, ids above the quantizer's vec_id<256 sample so the
+    # coarse quantizer is unchanged)
+    upd = docs[docs["vec_id"].between(300, 319)].copy()
+    upd["embedding"] = upd["embedding"].map(
+        lambda v: (np.asarray(v, dtype=np.float64)[::-1] + 0.25).tolist()
+    )
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "lake")
+    os.makedirs(stream)
+    id_top = int(docs["vec_id"].max()) + 2
+    pq.write_table(_vector_events(docs), os.path.join(stream, "chunk_000000.parquet"))
+    ev2 = _vector_events(upd, op="U", id_offset=id_top)
+    pq.write_table(ev2, os.path.join(stream, "chunk_000001.parquet"))
+    replay(stream, lake, _ann_inc_config(num_partitions=4), chunks_per_epoch=1)
+
+    # the incrementally-maintained index must answer exactly like an index
+    # built from scratch over the UPDATED corpus
+    updated = docs.set_index("vec_id")
+    for _, r in upd.iterrows():
+        updated.at[r["vec_id"], "embedding"] = r["embedding"]
+    updated = updated.reset_index()
+    fresh = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array(updated["vec_id"].to_numpy(), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in updated["embedding"]], pa.list_(pa.float64())
+            ),
+        })
+    )
+    got = ivf_topk(_lake_vector_dataset(lake), query_ids=[0, 1, 2], k=5)
+    exp = ivf_topk(fresh, query_ids=[0, 1, 2], k=5)
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True),
+    )
+    # and the update really changed the index state
+    lake_pdf = _lake_vector_dataset(lake).to_pandas()
+    row = lake_pdf[lake_pdf["vec_id"] == 300]["embedding"].iloc[0]
+    assert not np.allclose(row, np.asarray(docs[docs["vec_id"] == 300]["embedding"].iloc[0], dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
 # advice-item guards
 # ---------------------------------------------------------------------------
 
