@@ -390,6 +390,41 @@ def test_fake_decode_rederivation(ray_session):
     pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
 
 
+def test_delta_mode_view_table_scoping(ray_session, tmp_path):
+    # the compact-task's spec.table prefix filter (delta-mode view path)
+    # must scope exactly like the merge-side filter does in rewrite mode
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.config import ColumnConfig, TableConfig, default_code_cdc_config
+    from movex_cdc_ray.pipelines.replay import run_epoch
+    from movex_cdc_ray.state.manifest import Manifest, new_writer_token
+    from tests.test_multi_table import _events
+
+    cfg = default_code_cdc_config(num_partitions=2)
+    cfg.tables.append(TableConfig(
+        name="DOCS", schema_name="CODE", table_id=2, key_handling="P",
+        pk_columns=["repo", "path"],
+        columns=[ColumnConfig(c) for c in ("repo", "path", "commit", "lang", "content", "size", "stars")],
+    ))
+    cfg.views = [ViewSpec("all_repo", ["repo"]),
+                 ViewSpec("docs_repo", ["repo"], table="CODE.DOCS")]
+
+    chunk = str(tmp_path / "chunk.parquet")
+    pq.write_table(pa.concat_tables([
+        _events(1, [10, 11], path="p1"),
+        _events(2, [12], path="p2"),
+    ]), chunk)
+    lake = str(tmp_path / "lake")
+    m, _ = run_epoch(cfg, Manifest(lake_dir=lake), 1, [chunk], lake,
+                     new_writer_token(), merge_mode="delta")
+    assert read_view(lake, "all_repo").count() == 0  # deferred
+    compact(lake, cfg, m)
+    allv = read_view(lake, "all_repo").to_pandas()
+    docs = read_view(lake, "docs_repo").to_pandas()
+    assert allv["n_rows"].sum() == 2  # FILES LWW key + DOCS key
+    assert docs["n_rows"].sum() == 1  # only the DOCS row
+
+
 # ---------------------------------------------------------------------------
 # incremental vector index: re-embedding is an UPDATE, not a rebuild
 # ---------------------------------------------------------------------------
