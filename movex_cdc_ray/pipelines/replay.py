@@ -1223,6 +1223,7 @@ def tail(
     max_epochs: int | None = None,
     merge_mode: str = "rewrite",
     config_provider=None,
+    compact_every: int = 0,
 ) -> ReplayReport:
     """Continuous tailer: follow a growing chunk directory, committing epochs
     as new chunks appear — the reference's steady-state worker loop
@@ -1235,6 +1236,12 @@ def tail(
     return a fresh :class:`CaptureConfig` — the reference's 60 s config-cache
     refresh (T1): edits to conditions/projections/topics take effect on the
     next epoch without restarting the tailer.
+
+    ``compact_every=k`` (delta mode): fold the delta chains every k epochs,
+    same as :func:`replay` — the knob that bounds a long-running tailer's
+    chain length AND refreshes delta-mode incremental views (whose
+    maintenance runs at compaction). Without it a delta-mode tailer's
+    merge-on-read cost grows with stream length.
     """
     from ..sources.stream import follow_stream
 
@@ -1251,6 +1258,8 @@ def tail(
             extra_event_files=retry_files, merge_mode=merge_mode,
         )
         consume_retry_files(retry_files)
+        if compact_every and merge_mode == "delta" and m.epoch % compact_every == 0:
+            m = compact(lake_dir, step_cfg, m)
         report.add_epoch(agg)
         return m
 

@@ -125,6 +125,27 @@ def test_delta_mode_compact_idempotent_retry(ray_session, stream_dir, tmp_path):
     pd.testing.assert_frame_equal(good, _view_pdf(lake))
 
 
+def test_tail_delta_mode_compact_every_refreshes_views(ray_session, stream_dir, tmp_path):
+    # a delta-mode tailer with compact_every both bounds the chains and
+    # refreshes the compaction-maintained views; final state equals a
+    # rewrite-mode replay of the same stream
+    from movex_cdc_ray.pipelines.replay import tail
+    from movex_cdc_ray.state.manifest import Manifest
+
+    lake = str(tmp_path / "lake_tail")
+    cfg = _cfg()
+    tail(stream_dir, lake, cfg, chunks_per_epoch=1, poll_interval=0.05,
+         max_idle_cycles=1, merge_mode="delta", compact_every=2)
+    # any residual chain folds at a final explicit compaction
+    compact(lake, cfg)
+    assert not any(
+        p.get("deltas") for p in Manifest.latest(lake).partitions.values()
+    )
+    rw = str(tmp_path / "lake_rw")
+    replay(stream_dir, rw, _cfg(), chunks_per_epoch=1)
+    pd.testing.assert_frame_equal(_view_pdf(rw), _view_pdf(lake))
+
+
 # ---------------------------------------------------------------------------
 # degree-orientation triangle counting (hub-heavy graph)
 # ---------------------------------------------------------------------------
