@@ -116,6 +116,7 @@ def cmd_tail(args) -> int:
         poll_interval=args.poll_interval,
         max_idle_cycles=args.max_idle_cycles,
         merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
     )
     print(json.dumps({"epochs": rep.epochs, "events_in": rep.events_in, "lake_rows": rep.lake_rows}))
     ray.shutdown()
@@ -400,6 +401,8 @@ def main(argv=None) -> int:
     sp.add_argument("--poll-interval", type=float, default=1.0)
     sp.add_argument("--max-idle-cycles", type=int, default=3)
     sp.add_argument("--merge-mode", choices=["rewrite", "delta"], default="rewrite")
+    sp.add_argument("--compact-every", type=int, default=0,
+                    help="delta mode: fold chains (and refresh views) every k epochs")
     sp.set_defaults(fn=cmd_tail)
 
     sp = sub.add_parser("compact", help="fold delta chains into fresh bases")
