@@ -256,12 +256,21 @@ class Engine:
             self.auth.log(self.actor, action="import_config")
         if self.auth is not None:
             import_users = d.get("users", [])
+            has_authz = any("schema_rights" in s for s in d.get("schemas", []))
             for s in d.get("schemas", []):
                 rights = s.get("schema_rights")
                 if rights is None:
                     continue  # pre-authz export: leave that schema's grants alone
                 self.auth.ensure_right_users(rights, import_users)
                 self.auth.sync_schema_rights(s["name"], rights)
+            if has_authz:
+                # full import deactivates schemas absent from the list:
+                # their rights are destroyed (users never are) —
+                # `deactivate_surplus_schema`, import_export_config.rb:166-178
+                imported = {s["name"] for s in d.get("schemas", [])}
+                self.auth.schema_rights = [
+                    r for r in self.auth.schema_rights if r.schema_name in imported
+                ]
         self.cfg = new_cfg
         self.generate_triggers()
 

@@ -2654,7 +2654,10 @@ def triangles_degree_oriented(edges: "rd.Dataset") -> "rd.Dataset":
              "sb": pa.array(s & (_TRI_NB - 1), pa.int64())}
         )
 
-    directed = edges.map_batches(orient, batch_format="pyarrow")
+    # materialized for the same reason as the caller's edge set: consumed
+    # by BOTH the wedge groupby and the closing-edge union, and it is
+    # |E|-sized (the small side)
+    directed = edges.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedges(g: pd.DataFrame) -> pa.Table:
         # out-neighbors sorted by (deg, id) rank — _pair_explode then emits
@@ -2738,7 +2741,13 @@ def graph_triangles(sf_dir: str) -> pd.DataFrame:
     broadcast or joined) — the bucket plumbing is unchanged. All counts are
     integers, so the DuckDB oracle (the textbook e1⋈e2⋈e3 triple join) is
     hash-exact."""
-    edges = _tri_support_edges(sf_dir)
+    # materialize the thresholded edge set: it is consumed twice (wedge
+    # generation + the closing-edge union) and a lazy Dataset would re-run
+    # the full co-occurrence scan + two shuffles per consumer. The edge set
+    # is the SMALL side by construction (support-thresholded,
+    # corpus-scale-stable — ~3.6k rows at sf0.1), so pinning it in the
+    # object store is the right call at any scale.
+    edges = _tri_support_edges(sf_dir).materialize()
 
     # ---- stage 3: wedges from the lowest vertex, keyed on the closing edge
     def low_bucket(batch: pa.Table) -> pa.Table:
@@ -2875,7 +2884,7 @@ def graph_triangles_degree(sf_dir: str) -> pd.DataFrame:
     is bounded by its out-degree (≤ O(sqrt(E))), not its total degree
     squared. Triangle participation is orientation-invariant, so the oracle
     is graph_triangles' textbook triple join, unchanged."""
-    tris = triangles_degree_oriented(_tri_support_edges(sf_dir))
+    tris = triangles_degree_oriented(_tri_support_edges(sf_dir).materialize())
 
     def explode_parts(batch: pa.Table) -> pa.Table:
         stacked = pa.concat_arrays(

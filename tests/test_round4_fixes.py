@@ -249,6 +249,17 @@ def test_import_config_revokes_surplus_rights(tmp_path):
     assert [r.info for r in auth.schema_rights if r.user_email == "dev@x"] == ["kept"]
 
 
+def test_import_deactivates_surplus_schema_rights(tmp_path):
+    # full import: rights on schemas ABSENT from the import are destroyed
+    # (deactivate_surplus_schema) — users themselves are never deleted
+    auth = _auth()
+    auth.schema_rights.append(SchemaRight(user_email="dev@x", schema_name="LEGACY"))
+    eng = Engine(default_code_cdc_config(4), str(tmp_path), auth=auth, actor="admin@x")
+    eng.import_config(eng.export_config())  # export lists only CODE
+    assert {r.schema_name for r in auth.schema_rights} == {"CODE"}
+    assert auth.find_user_case_insensitive("dev@x") is not None
+
+
 def test_import_users_update_add_never_delete():
     auth = _auth()
     res = auth.import_users(
