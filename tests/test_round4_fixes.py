@@ -524,6 +524,34 @@ def test_ann_incremental_update_reembeds(ray_session, tmp_path):
     assert not np.allclose(row, np.asarray(docs[docs["vec_id"] == 300]["embedding"].iloc[0], dtype=np.float64))
 
 
+def test_binary_payload_produce_renders_hex(ray_session, tmp_path):
+    # a binary payload column flows through the FULL delivery path: capture
+    # envelope -> JSON message (upper-hex per the reference's convert_col
+    # binary arm) -> KafkaMock conformance -> consumer sees the exact bytes
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.produce import consume_topic, produce
+    from movex_cdc_ray.pipelines.queries import _ann_inc_config, _vector_events
+
+    cfg = _ann_inc_config(num_partitions=2)
+    cfg.tables[0].topic = "lake.vectors"
+    docs = pd.DataFrame(
+        {"vec_id": [1, 2, 3],
+         "embedding": [[1.0, 2.0], [0.5, -0.25], [3.0, 4.0]]}
+    )
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+    pq.write_table(_vector_events(docs), os.path.join(stream, "chunk_000000.parquet"))
+    out = str(tmp_path / "topics")
+    produce(stream, out, cfg, chunks_per_epoch=1)
+    msgs = consume_topic(out, "lake.vectors", "g1")
+    assert len(msgs) == 3
+    by_id = {m["value"]["new"]["vec_id"]: m for m in msgs}
+    hex_payload = by_id[1]["value"]["new"]["embedding"]
+    assert bytes.fromhex(hex_payload) == np.asarray([1.0, 2.0], dtype=np.float64).tobytes()
+    assert hex_payload == hex_payload.upper()
+
+
 # ---------------------------------------------------------------------------
 # advice-item guards
 # ---------------------------------------------------------------------------
