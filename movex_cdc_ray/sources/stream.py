@@ -30,7 +30,8 @@ def list_chunks(stream_dir: str) -> list[str]:
     truncated file."""
     return sorted(
         glob.glob(os.path.join(stream_dir, "chunk_*.parquet"))
-        + glob.glob(os.path.join(stream_dir, "chunk_*.jsonl")),
+        + glob.glob(os.path.join(stream_dir, "chunk_*.jsonl"))
+        + glob.glob(os.path.join(stream_dir, "chunk_*.csv")),
         key=os.path.basename,
     )
 
@@ -136,8 +137,9 @@ def read_chunks(
     string timestamps normalized to ``timestamp[us]`` — the rest of the
     pipeline sees the exact Parquet-chunk shape.
     """
-    pq_files = [f for f in files if not f.endswith(".jsonl")]
+    pq_files = [f for f in files if not f.endswith((".jsonl", ".csv"))]
     js_files = [f for f in files if f.endswith(".jsonl")]
+    csv_files = [f for f in files if f.endswith(".csv")]
     parts: list[rd.Dataset] = []
     if pq_files:
         parts.append(
@@ -146,6 +148,26 @@ def read_chunks(
     if js_files:
         ds = rd.read_json(
             js_files, file_extensions=["jsonl"], override_num_blocks=override_num_blocks
+        )
+        ds = ds.map_batches(_normalize_json_chunk, batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(columns)
+        parts.append(ds)
+    if csv_files:
+        from pyarrow import csv as pacsv
+
+        # null/empty-string fidelity: the writer quotes every VALID value
+        # (QuotingStyle AllValid, see convert_chunks_to_csv), so an
+        # UNQUOTED empty field is a null and a QUOTED "" is an empty
+        # string — without this contract CSV cannot round-trip a change
+        # stream whose payload distinguishes the two
+        ds = rd.read_csv(
+            csv_files,
+            file_extensions=["csv"],
+            override_num_blocks=override_num_blocks,
+            convert_options=pacsv.ConvertOptions(
+                strings_can_be_null=True, quoted_strings_can_be_null=False
+            ),
         )
         ds = ds.map_batches(_normalize_json_chunk, batch_format="pyarrow")
         if columns:
@@ -202,6 +224,37 @@ def convert_chunks_to_jsonl(src_dir: str, dst_dir: str) -> list[str]:
             dst_dir, os.path.basename(f).replace(".parquet", ".jsonl")
         )
         df.to_json(dst, orient="records", lines=True)
+        written.append(dst)
+    return written
+
+
+def convert_chunks_to_csv(src_dir: str, dst_dir: str) -> list[str]:
+    """Re-dump a Parquet chunk stream as CSV chunks (the third common dump
+    format). Null/empty-string fidelity via QuotingStyle ``AllValid``:
+    every valid value is quoted, nulls stay unquoted-empty — paired with
+    the reader's ``quoted_strings_can_be_null=False`` this round-trips a
+    payload that distinguishes '' from NULL, which plain pandas
+    ``to_csv``/``read_csv`` silently merges. Timestamps become ISO strings
+    with microseconds (cast back by ``_normalize_json_chunk``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import csv as pacsv
+
+    os.makedirs(dst_dir, exist_ok=True)
+    written = []
+    for f in sorted(glob.glob(os.path.join(src_dir, "chunk_*.parquet"))):
+        t = pq.read_table(f)
+        cols = []
+        for name, col in zip(t.schema.names, t.columns):
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us")).cast(pa.string())
+            cols.append(col)
+        t = pa.table(dict(zip(t.schema.names, cols)))
+        dst = os.path.join(dst_dir, os.path.basename(f).replace(".parquet", ".csv"))
+        pacsv.write_csv(
+            t, dst,
+            write_options=pacsv.WriteOptions(quoting_style="all_valid"),
+        )
         written.append(dst)
     return written
 
