@@ -162,6 +162,27 @@ class Engine:
             self.auth.check_deploy(self.actor, schema_name)
         return _introspect().list_source_columns(source_root, schema_name, table_name)
 
+    def seed_config_from_source(
+        self,
+        source_root: str,
+        schema_name: str,
+        table_name: str,
+        pk_columns: list[str],
+        **kwargs: Any,
+    ):
+        """The GUI's add-table flow as one verb: introspect the source
+        table's footer and return a ready-to-run :class:`CaptureConfig`
+        (all columns observed, payload types from the footer —
+        `sources/introspect.py:seed_capture_config`). Grant-gated like the
+        listing verbs."""
+        if self.auth is not None and self.actor is not None:
+            self.auth.check_deploy(self.actor, schema_name)
+            self.auth.log(self.actor, action="seed_config", schema_name=schema_name,
+                          table_name=table_name)
+        return _introspect().seed_capture_config(
+            source_root, schema_name, table_name, pk_columns, **kwargs
+        )
+
     def observe_topic_watermarks(self, max_bytes_per_topic: dict[str, int]) -> None:
         """Fold a ``validate_messages`` result into the per-topic watermark
         (the ``max.message.bytes`` auto-raise input, A4 —
