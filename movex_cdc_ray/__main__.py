@@ -362,6 +362,33 @@ def cmd_export_config(args) -> int:
     return 0
 
 
+def cmd_groups(args) -> int:
+    """kafka#groups / #describe_group analogs (config/routes.rb:29-30) —
+    driver-side directory reads, no Ray session."""
+    from .pipelines.produce import describe_group, list_groups
+
+    if args.group:
+        print(json.dumps(describe_group(args.out_dir, args.group)))
+    else:
+        print(json.dumps(list_groups(args.out_dir)))
+    return 0
+
+
+def cmd_introspect(args) -> int:
+    """db_schemas/db_tables/db_columns analogs (config/routes.rb:12-17) —
+    footer-only metadata reads, no Ray session."""
+    from .sources import introspect as intr
+
+    if args.table:
+        out = intr.list_source_columns(args.source_root, args.schema, args.table)
+    elif args.schema:
+        out = intr.list_source_tables(args.source_root, args.schema)
+    else:
+        out = intr.list_source_schemas(args.source_root)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="movex_cdc_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -498,6 +525,17 @@ def main(argv=None) -> int:
     sp = sub.add_parser("export-config", help="print the (default or given) config JSON")
     common(sp, lake=False)
     sp.set_defaults(fn=cmd_export_config)
+
+    sp = sub.add_parser("groups", help="list consumer groups, or describe one group's per-partition lag")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--group", help="describe this group (omit to list all)")
+    sp.set_defaults(fn=cmd_groups)
+
+    sp = sub.add_parser("introspect", help="list source schemas / tables / columns of a parquet source dir")
+    sp.add_argument("--source-root", required=True)
+    sp.add_argument("--schema", help="list tables of this schema")
+    sp.add_argument("--table", help="list columns of this table (needs --schema)")
+    sp.set_defaults(fn=cmd_introspect)
 
     args = p.parse_args(argv)
     return args.fn(args)
