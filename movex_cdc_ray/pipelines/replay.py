@@ -678,8 +678,7 @@ def replay(
     return report
 
 
-@ray.remote
-def _compact_part_task(
+def compact_partition(
     part: int,
     entry: dict,
     out_path: str,
@@ -689,6 +688,10 @@ def _compact_part_task(
     views: list | None = None,
     compression: str | None = None,
 ) -> dict[str, Any]:
+    """Fold ONE partition's base + delta chain into a fresh base (and, with
+    views configured, write the compaction's view delta). Pure given inputs
+    — the plain-call body of the per-partition compaction task, exposed for
+    direct (hypothesis) testing; ``_compact_part_task`` is its Ray wrapper."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -763,6 +766,9 @@ def _compact_part_task(
         "sha": partition_sha(live),  # digest = live rows, same as the merge
         "bytes": nbytes,
     }
+
+
+_compact_part_task = ray.remote(compact_partition)
 
 
 def compact(lake_dir: str, cfg: CaptureConfig, manifest: Manifest | None = None) -> Manifest:
