@@ -5077,7 +5077,7 @@ def dedup_minhash_incremental(sf_dir: str) -> pd.DataFrame:
 
     # candidate pairs from buckets a new doc touched — distributed groupby
     # over the converged BANDS lake
-    bands_ds = read_lake(lake).filter(lambda r: r["_table_id"] == 1)
+    bands_ds = read_lake(lake).filter(expr="_table_id == 1")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = np.unique(g["doc_id"].to_numpy().astype("int64"))
