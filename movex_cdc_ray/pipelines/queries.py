@@ -4825,6 +4825,101 @@ def ann_ivf_incremental(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def text_df_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL document frequency — the BM25/TF-IDF prerequisite — as
+    CDC state + an incrementally-maintained view: term MEMBERSHIP is an
+    exactly-once lake table keyed by (term, doc_id) and DF is simply the
+    ``n_rows``-per-term view over it, so a new doc batch costs one
+    delta-sized epoch and, crucially, DELETING a doc RETRACTS its terms'
+    df — the operation a batch DF table needs a corpus rescan for (pytest
+    drives the delete case). Composition only: capture → merge → ViewSpec;
+    no new engine machinery.
+
+    Output: top-50 (term, df) by df desc / term asc over the converged
+    corpus (old 80% + new 20% epochs). The SQL oracle recomputes batch DF
+    from the documents table with the identical tokenizer
+    (``[a-z0-9_]+`` on lowercased text, distinct per doc) — incremental
+    maintenance and batch recompute are value-locked to each other."""
+    import re
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..config import (
+        CaptureConfig,
+        ColumnConfig,
+        SchemaConfig,
+        SchemaVersion,
+        TableConfig,
+        ViewSpec,
+    )
+    from ..pipelines.replay import read_view, replay
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    cutoff = int(docs["doc_id"].max() + 1) * 4 // 5
+
+    toks = docs["text"].fillna("").str.lower().str.findall(word_re)
+    terms = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].to_numpy().repeat([len(set(t)) for t in toks]),
+            "term": [w for t in toks for w in sorted(set(t))],
+        }
+    )
+
+    v1 = SchemaVersion(version=1, active_from_id=0,
+                       payload_fields={"term": "string", "doc_id": "int64"})
+    table = TableConfig(
+        name="TERMS", schema_name="CORPUS", table_id=1, topic="lake.corpus.terms",
+        key_handling="P", pk_columns=["term", "doc_id"],
+        columns=[ColumnConfig("term"), ColumnConfig("doc_id")],
+    )
+    cfg = CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS", topic="lake.corpus")],
+        tables=[table], schema_versions=[v1],
+        num_partitions=8, capture_parallelism=2,
+        views=[ViewSpec("df_by_term", ["term"])],
+    )
+
+    ts = pa.scalar(1_700_000_000_000_000, pa.timestamp("us")).as_py()
+
+    def events_for(sel: pd.DataFrame, id_base: int) -> pa.Table:
+        n = len(sel)
+        return pa.table(
+            {
+                "id": pa.array(np.arange(id_base, id_base + n), pa.int64()),
+                "table_id": pa.array([1] * n, pa.int32()),
+                "op": pa.array(["I"] * n),
+                "dbuser": pa.array(["corpus"] * n),
+                "txn_id": pa.nulls(n, pa.string()),
+                "created_at": pa.array([ts] * n, pa.timestamp("us")),
+                "retry_count": pa.array(np.zeros(n, np.int32)),
+                "new_term": pa.array(sel["term"].tolist(), pa.string()),
+                "new_doc_id": pa.array(sel["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    base = "/tmp/movex_dfinc"
+    stream, lake = os.path.join(base, "stream"), os.path.join(base, "lake")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stream, exist_ok=True)
+    old = terms[terms["doc_id"] < cutoff]
+    new = terms[terms["doc_id"] >= cutoff]
+    pq.write_table(events_for(old, 1), os.path.join(stream, "chunk_000000.parquet"))
+    pq.write_table(events_for(new, 1 + len(old)), os.path.join(stream, "chunk_000001.parquet"))
+    replay(stream, lake, cfg, chunks_per_epoch=1)
+
+    pdf = read_view(lake, "df_by_term").to_pandas()
+    pdf = pdf.rename(columns={"n_rows": "df"})
+    pdf["df"] = pdf["df"].astype("int64")
+    return (
+        pdf.sort_values(["df", "term"], ascending=[False, True])
+        .head(50)
+        .reset_index(drop=True)[["term", "df"]]
+    )
+
+
 def text_tfidf(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 TF-IDF terms (`functions/text.py:tfidf_top_terms`):
     distributed DF pass → broadcast df map → per-batch local tf + scoring."""
@@ -11094,6 +11189,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "ann_ivf": ann_ivf,
     "ann_ivf_mp": ann_ivf_mp,
     "ann_ivf_incremental": ann_ivf_incremental,
+    "text_df_incremental": text_df_incremental,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -13174,6 +13270,17 @@ def _build_oracle_sql() -> dict[str, str]:
     # incremental index converges to the batch corpus, so it must answer
     # exactly like batch IVF — identity is the value lock
     "ann_ivf_incremental": _ivf_sql(),
+    # incremental DF converges to batch DF over the same tokenizer
+    "text_df_incremental": """
+        SELECT term, df FROM (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9_]+')) AS term
+            FROM documents)
+          GROUP BY term
+        ) ORDER BY df DESC, term ASC LIMIT 50
+    """,
     # recall@10 = overlap of each approximate ranking with the exact one;
     # every ranking is the SAME SQL its own oracle uses, nested verbatim
     "ann_recall": f"""

@@ -552,6 +552,60 @@ def test_binary_payload_produce_renders_hex(ray_session, tmp_path):
     assert hex_payload == hex_payload.upper()
 
 
+def test_incremental_df_retracts_on_doc_delete(ray_session, tmp_path):
+    # DF maintained as CDC state + view: deleting a doc retracts its terms'
+    # df (the op a batch DF table needs a corpus rescan for)
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.config import (
+        CaptureConfig, ColumnConfig, SchemaConfig, SchemaVersion, TableConfig, ViewSpec,
+    )
+    from movex_cdc_ray.pipelines.replay import read_view, replay
+
+    v1 = SchemaVersion(version=1, active_from_id=0,
+                       payload_fields={"term": "string", "doc_id": "int64"})
+    table = TableConfig(
+        name="TERMS", schema_name="CORPUS", table_id=1, key_handling="P",
+        pk_columns=["term", "doc_id"],
+        columns=[ColumnConfig("term"), ColumnConfig("doc_id")],
+    )
+    cfg = CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS")], tables=[table],
+        schema_versions=[v1], num_partitions=2, capture_parallelism=1,
+        views=[ViewSpec("df", ["term"])],
+    )
+    ts = pa.scalar(1_700_000_000_000_000, pa.timestamp("us")).as_py()
+
+    def ev(rows, op, base):
+        n = len(rows)
+        return pa.table(
+            {"id": pa.array(range(base, base + n), pa.int64()),
+             "table_id": pa.array([1] * n, pa.int32()),
+             "op": pa.array([op] * n),
+             "dbuser": pa.array(["c"] * n),
+             "txn_id": pa.nulls(n, pa.string()),
+             "created_at": pa.array([ts] * n, pa.timestamp("us")),
+             "retry_count": pa.array(np.zeros(n, np.int32)),
+             "new_term": pa.array([r[0] for r in rows], pa.string()),
+             "new_doc_id": pa.array([r[1] for r in rows], pa.int64()),
+             # DELETE re-derives its key from the old image
+             "old_term": pa.array([r[0] if op == "D" else None for r in rows], pa.string()),
+             "old_doc_id": pa.array([r[1] if op == "D" else None for r in rows], pa.int64())}
+        )
+
+    stream = str(tmp_path / "s")
+    lake = str(tmp_path / "l")
+    os.makedirs(stream)
+    # doc 1: {a, b}; doc 2: {a}; then DELETE doc 1's memberships
+    pq.write_table(ev([("a", 1), ("b", 1), ("a", 2)], "I", 1),
+                   os.path.join(stream, "chunk_000000.parquet"))
+    pq.write_table(ev([("a", 1), ("b", 1)], "D", 10),
+                   os.path.join(stream, "chunk_000001.parquet"))
+    replay(stream, lake, cfg, chunks_per_epoch=1)
+    df = read_view(lake, "df").to_pandas().set_index("term")["n_rows"].astype(int).to_dict()
+    assert df == {"a": 1}  # b fully retracted, a down to doc 2 only
+
+
 # ---------------------------------------------------------------------------
 # advice-item guards
 # ---------------------------------------------------------------------------
