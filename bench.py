@@ -104,6 +104,8 @@ QUERY_SWEEP = [
     "ann_ivf_mp",
     "ann_pq_rerank",
     "ann_lsh_mp",
+    "ann_ivf_incremental",
+    "text_df_incremental",
     "ann_recall",
 ]
 
