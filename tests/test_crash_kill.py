@@ -163,3 +163,71 @@ def test_sigkill_mid_produce_resumes_byte_identical(tmp_path):
     assert topic_messages(crashed, "lake.code.files") == topic_messages(
         clean, "lake.code.files"
     )
+
+
+DELTA_VIEWS_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from movex_cdc_ray.pipelines.replay import replay, compact
+from movex_cdc_ray.synth import StreamSpec, config_for_spec
+from movex_cdc_ray.config import ViewSpec
+spec = StreamSpec(n_events=40_000, n_repos=10, paths_per_repo=50, chunk_size=2_000, evolve_at_event=30_000)
+cfg = config_for_spec(spec, num_partitions=8)
+cfg.views = [ViewSpec("by_repo", ["repo"], ["size"])]
+replay({stream!r}, {lake!r}, cfg, chunks_per_epoch=2, merge_mode="delta", compact_every=3)
+compact({lake!r}, cfg)
+print("REPLAY_DONE")
+"""
+
+
+def test_sigkill_mid_delta_views_replay_converges(tmp_path, ray_session):
+    """SIGKILL lands anywhere in the delta+views flow — mid-epoch,
+    mid-compaction (view deltas staged), between commits; the resumed run
+    must converge AND the compaction-maintained view must equal the
+    rewrite-mode view of a clean run."""
+    import pandas as pd
+
+    from movex_cdc_ray.config import ViewSpec
+    from movex_cdc_ray.pipelines.replay import read_view, replay
+
+    stream = str(tmp_path / "stream")
+    lake = str(tmp_path / "lake")
+    generate_stream(stream, SPEC)
+    child_src = DELTA_VIEWS_CHILD.format(repo="/root/repo", stream=stream, lake=lake)
+
+    p = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(9.0)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+
+    out = subprocess.run(
+        [sys.executable, "-c", child_src], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "REPLAY_DONE" in out.stdout
+
+    got = lake_to_pandas(lake)
+    exp = expected_lake_state(SPEC)
+    cols = ["repo", "path", "commit", "content", "_last_id", "_last_op"]
+    assert got[cols].reset_index(drop=True).equals(exp[cols].reset_index(drop=True))
+
+    # clean rewrite-mode reference view (in-process; per-epoch maintenance)
+    ref_lake = str(tmp_path / "ref")
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    cfg.views = [ViewSpec("by_repo", ["repo"], ["size"])]
+    replay(stream, ref_lake, cfg, chunks_per_epoch=2)
+
+    def vp(lk):
+        pdf = read_view(lk, "by_repo").to_pandas()
+        pdf["n_rows"] = pdf["n_rows"].astype("int64")
+        pdf["sum_size"] = pdf["sum_size"].astype("int64")
+        return pdf.sort_values("repo").reset_index(drop=True)[["repo", "n_rows", "sum_size"]]
+
+    pd.testing.assert_frame_equal(vp(lake), vp(ref_lake))
