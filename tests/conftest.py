@@ -1,9 +1,20 @@
+import faulthandler
 import os
+import signal
 import sys
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Hang diagnosis: `kill -USR1 <pytest pid>` dumps every thread's Python
+# stack to stderr without killing the run. The suite intermittently stalls
+# on this box when a fresh Ray session starts amid leftover Ray daemons
+# (see CLAUDE.md: pre-clean `ray::`/raylet/gcs_server before suite runs).
+try:
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+except (AttributeError, ValueError):  # platform without SIGUSR1 / non-main thread
+    pass
 
 
 @pytest.fixture(scope="session")
