@@ -21,9 +21,15 @@ except (AttributeError, ValueError):  # platform without SIGUSR1 / non-main thre
 def ray_session():
     import ray
 
+    # 6 CPUs, not 4: the suite intermittently DEADLOCKED at 4 — a query's
+    # 2-actor pool plus one not-yet-torn-down actor from the previous test
+    # plus the sort's boundary-sampling task can pin every slot (caught via
+    # the SIGUSR1 stack dump: sample_boundaries ray.wait never returning
+    # while 3 idle workers hold the CPUs). Two spare slots make that
+    # transient overlap schedulable; pool_size() still caps pools at 4.
     ray.init(
         address="local",
-        num_cpus=4,
+        num_cpus=6,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
