@@ -250,6 +250,13 @@ class Engine:
 
         if self.auth is None:
             return self.cfg.to_json()
+        # Authz state is embedded only for an admin actor — the reference's
+        # export route sits behind ImportExportController's admin
+        # before_action; a grant-holding (or actor-less) caller must not be
+        # able to enumerate users/locks/grants. Non-admins get the plain
+        # config document.
+        if self.actor is None or not self.auth.user(self.actor).yn_admin:
+            return self.cfg.to_json()
         d = json.loads(self.cfg.to_json())
         for s in d.get("schemas", []):
             s["schema_rights"] = self.auth.rights_for_schema(s["name"])
@@ -271,7 +278,21 @@ class Engine:
 
         d = json.loads(doc)
         new_cfg = CaptureConfig.from_dict(d)
+        carries_authz = bool(d.get("users")) or any(
+            "schema_rights" in s for s in d.get("schemas", [])
+        )
         if self.auth is not None and self.actor is not None:
+            # A document that carries authz state can create users and
+            # revoke grants on schemas NOT in the document (surplus-schema
+            # deactivation below) — reference scope for that is the whole
+            # ImportExportController's admin before_action, so require
+            # yn_admin; per-schema deploy grants are not enough.
+            if carries_authz and not self.auth.user(self.actor).yn_admin:
+                from .auth import NotAuthorized
+
+                raise NotAuthorized(
+                    f"{self.actor} is not an admin (import carries authz state)"
+                )
             for s in new_cfg.schemas:
                 self.auth.check_deploy(self.actor, s.name)
             self.auth.log(self.actor, action="import_config")

@@ -206,9 +206,18 @@ class AuthRegistry:
         ones, NEVER delete users absent from the import list."""
         if not isinstance(user_dicts, list):
             raise TypeError("users is not a list")
+        # Validate the whole document BEFORE mutating anything — the
+        # reference wraps the import in a transaction; a malformed entry
+        # must fully reject, never leave the registry half-updated.
+        cleaned = []
+        for i, ud in enumerate(user_dicts):
+            if not isinstance(ud, dict):
+                raise ValueError(f"users[{i}] is not an object")
+            if not ud.get("email"):
+                raise ValueError(f"users[{i}] has no 'email'")
+            cleaned.append({k: v for k, v in ud.items() if k in User.__dataclass_fields__})
         updated = added = 0
-        for ud in user_dicts:
-            ud = {k: v for k, v in ud.items() if k in User.__dataclass_fields__}
+        for ud in cleaned:
             existing = self.find_user_case_insensitive(ud["email"])
             if existing is not None:
                 for k, v in ud.items():

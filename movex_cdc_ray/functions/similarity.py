@@ -675,7 +675,7 @@ def pq_topk_rerank(
             {"query_id": np.full(len(sel), qid, dtype=np.int64),
              "neighbor_id": cands[sel],
              "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
-             "cosine": np.round(cos[sel], 6)}
+             "cosine": round_half_away(cos[sel], 6)}
         )
         out.append(g)
     return pd.concat(out, ignore_index=True)

@@ -1152,10 +1152,12 @@ def cdc_watermarks(sf_dir: str) -> pd.DataFrame:
 def cdc_snapshot_init(sf_dir: str) -> pd.DataFrame:
     """S7+O4: INIT snapshot load with initialization filter + ORDER BY,
     emitting op='i' (INIT) envelope rows."""
-    ds = _read(sf_dir, "customer")
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater(t["c_acctbal"], 0.0)), batch_format="pyarrow"
-    )
+    import pyarrow.dataset as pads
+
+    # initialization filter pushed into the parquet scan: row groups whose
+    # c_acctbal stats exclude the predicate never leave storage (O4's ORDER
+    # BY still needs the full matching slice, so the sort stays).
+    ds = _read(sf_dir, "customer", filter=pads.field("c_acctbal") > 0.0)
     ds = ds.sort("c_custkey")
 
     def wrap(batch: pa.Table) -> pa.Table:
@@ -1175,10 +1177,15 @@ def cdc_snapshot_init(sf_dir: str) -> pd.DataFrame:
 
 def cdc_retry_backoff(sf_dir: str) -> pd.DataFrame:
     """W3: retry ledger with exponential backoff 20 * 3^(retry-1) seconds."""
-    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    import pyarrow.dataset as pads
 
-    def backoff(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["event_type"], "error"))
+    # op-type predicate pushed into the scan (only 'error' rows leave storage)
+    ds = _read(
+        sf_dir, "events", ["event_id", "event_type"],
+        filter=pads.field("event_type") == "error",
+    )
+
+    def backoff(t: pa.Table) -> pa.Table:
         eid = t["event_id"].combine_chunks() if isinstance(t["event_id"], pa.ChunkedArray) else t["event_id"]
         eid_np = eid.to_numpy(zero_copy_only=False)
         retry = (eid_np % 5 + 1).astype(np.int64)
@@ -3553,10 +3560,11 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     groupby(user).map_groups with a vectorized sort + forward-fill per group
     — the partitioned as-of shape: only per-user history co-locates, never a
     global sort. -1 marks purchases with no prior click."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))),
-        batch_format="pyarrow",
+    import pyarrow.dataset as pads
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin(["click", "purchase"]),
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -4468,10 +4476,9 @@ def corpus_sample_weighted(sf_dir: str) -> pd.DataFrame:
     the uniform bottom-k sample; deterministic, per-batch bounded fold."""
     from ..functions.corpus import weighted_sample_es
 
-    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater(t["n_chars"], 0)), batch_format="pyarrow"
-    )
+    import pyarrow.dataset as pads
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"], filter=pads.field("n_chars") > 0)
     out = weighted_sample_es(ds, k=100, weight_col="n_chars").to_pandas()
     out["es_key"] = np.round(out["es_key"], 6)
     return out[["doc_id", "n_chars", "es_key"]].sort_values("doc_id").reset_index(drop=True)

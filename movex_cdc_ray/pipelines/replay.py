@@ -587,12 +587,22 @@ def run_epoch(
     # and Arrow bytes that actually crossed the shuffle into the merges.
     # events_in (post-combine merge arrivals) / events_read is the per-batch
     # combiner's measured reduction of the all-to-all exchange.
-    try:
-        import pyarrow.parquet as _pq
+    # Counted per file so a mixed parquet/jsonl/csv stream degrades per-file
+    # instead of zeroing the whole metric (jsonl = line count, csv = lines-1).
+    events_read = 0
+    for f in files:
+        try:
+            if f.endswith((".jsonl", ".csv")):
+                with open(f, "rb") as fh:
+                    n = sum(buf.count(b"\n") for buf in iter(lambda: fh.read(1 << 20), b""))
+                events_read += max(n - 1, 0) if f.endswith(".csv") else n
+            else:
+                import pyarrow.parquet as _pq
 
-        agg["events_read"] = int(sum(_pq.ParquetFile(f).metadata.num_rows for f in files))
-    except Exception:  # noqa: BLE001 — instrumentation must never fail a commit
-        agg["events_read"] = 0
+                events_read += int(_pq.ParquetFile(f).metadata.num_rows)
+        except Exception:  # noqa: BLE001 — instrumentation must never fail a commit
+            pass
+    agg["events_read"] = events_read
     manifest = manifest.commit_epoch(epoch, chunk_files, part_updates, writer_token, metrics=agg,
                                      num_partitions=cfg.num_partitions)
     return manifest, agg

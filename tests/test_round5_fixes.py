@@ -1,0 +1,119 @@
+"""Round-5 fixes: admin scoping for authz-carrying import/export (the
+reference gates the whole ImportExportController behind
+check_for_current_user_admin, `app/controllers/import_export_controller.rb`),
+atomic user-import validation, and per-file events_read instrumentation for
+non-parquet chunk streams."""
+
+import json
+
+import pytest
+
+from movex_cdc_ray.api import Engine
+from movex_cdc_ray.auth import AuthRegistry, NotAuthorized, SchemaRight, User
+from movex_cdc_ray.config import default_code_cdc_config
+
+
+def _auth():
+    return AuthRegistry(
+        users=[User(email="admin@x", yn_admin=True), User(email="dev@x")],
+        schema_rights=[SchemaRight(user_email="dev@x", schema_name="CODE")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# export_config: authz embedding is admin-only
+# ---------------------------------------------------------------------------
+
+
+def test_export_config_non_admin_gets_plain_document(tmp_path):
+    eng = Engine(default_code_cdc_config(4), str(tmp_path), auth=_auth(), actor="dev@x")
+    doc = json.loads(eng.export_config())
+    assert "users" not in doc
+    assert all("schema_rights" not in s for s in doc["schemas"])
+
+
+def test_export_config_actorless_gets_plain_document(tmp_path):
+    eng = Engine(default_code_cdc_config(4), str(tmp_path), auth=_auth())
+    doc = json.loads(eng.export_config())
+    assert "users" not in doc
+
+
+def test_export_config_admin_still_embeds_authz(tmp_path):
+    eng = Engine(default_code_cdc_config(4), str(tmp_path), auth=_auth(), actor="admin@x")
+    doc = json.loads(eng.export_config())
+    assert [u["email"] for u in doc["users"]] == ["admin@x", "dev@x"]
+
+
+# ---------------------------------------------------------------------------
+# import_config: a document carrying authz state requires an admin actor
+# ---------------------------------------------------------------------------
+
+
+def test_import_config_authz_doc_requires_admin(tmp_path):
+    auth = _auth()
+    src = Engine(default_code_cdc_config(4), str(tmp_path / "a"), auth=auth, actor="admin@x")
+    doc = src.export_config()  # embeds users + schema_rights
+    # dev@x holds a deploy grant on CODE but is NOT admin: the import's
+    # surplus-schema rights destruction must not be reachable
+    auth.schema_rights.append(SchemaRight(user_email="dev@x", schema_name="LEGACY"))
+    dst = Engine(default_code_cdc_config(4), str(tmp_path / "b"), auth=auth, actor="dev@x")
+    with pytest.raises(NotAuthorized, match="authz state"):
+        dst.import_config(doc)
+    # nothing was revoked
+    assert {r.schema_name for r in auth.schema_rights} == {"CODE", "LEGACY"}
+
+
+def test_import_config_plain_doc_allowed_for_grant_holder(tmp_path):
+    # a plain (authz-less) config import stays deploy-grant scoped
+    auth = _auth()
+    eng = Engine(default_code_cdc_config(4), str(tmp_path), auth=auth, actor="dev@x")
+    eng.import_config(default_code_cdc_config(4).to_json())
+    assert eng.cfg.num_partitions == 4
+
+
+# ---------------------------------------------------------------------------
+# import_users: malformed documents fully reject, never half-apply
+# ---------------------------------------------------------------------------
+
+
+def test_import_users_malformed_rejects_atomically():
+    auth = _auth()
+    before = [(u.email, u.first_name) for u in auth.users]
+    with pytest.raises(ValueError, match="users\\[1\\] has no 'email'"):
+        auth.import_users(
+            [{"email": "dev@x", "first_name": "Half"}, {"first_name": "NoEmail"}]
+        )
+    # the valid first entry was NOT applied — all-or-nothing
+    assert [(u.email, u.first_name) for u in auth.users] == before
+    with pytest.raises(ValueError, match="users\\[0\\] is not an object"):
+        auth.import_users(["dev@x"])
+
+
+# ---------------------------------------------------------------------------
+# events_read: mixed / non-parquet chunk streams count per file
+# ---------------------------------------------------------------------------
+
+
+def test_events_read_counts_jsonl_and_csv_chunks(ray_session, tmp_path):
+    from movex_cdc_ray.pipelines.replay import replay
+    from movex_cdc_ray.sources.stream import (
+        convert_chunks_to_csv,
+        convert_chunks_to_jsonl,
+    )
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=4000, n_repos=4, paths_per_repo=10, chunk_size=1000)
+    pq_stream = str(tmp_path / "pq")
+    generate_stream(pq_stream, spec)
+    cfg = config_for_spec(spec, num_partitions=2)
+
+    rep_pq = replay(pq_stream, str(tmp_path / "lake_pq"), cfg, chunks_per_epoch=2)
+    read_pq = sum(m.get("events_read", 0) for m in rep_pq.epoch_metrics)
+    assert read_pq == spec.n_events
+
+    for conv, name in ((convert_chunks_to_jsonl, "js"), (convert_chunks_to_csv, "cs")):
+        stream = str(tmp_path / f"{name}_stream")
+        conv(pq_stream, stream)
+        rep = replay(stream, str(tmp_path / f"lake_{name}"), cfg, chunks_per_epoch=2)
+        read = sum(m.get("events_read", 0) for m in rep.epoch_metrics)
+        assert read == spec.n_events, name
