@@ -876,7 +876,7 @@ def embedding_neardup_pairs(
         keep = a != b
         a, b, s = a[keep], b[keep], s[keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": np.round(s, 6)})
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": round_half_away(s, 6)})
 
     pairs = (
         ds.map_batches(explode_to_tiles, batch_format="pyarrow")
@@ -903,6 +903,7 @@ def semantic_dup_pairs(
     sample_rows: int = 2048,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int = 4096,
 ) -> pd.DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): a coarse k-means
     quantizer clusters the embedding space, then near-dup pairs are found
@@ -921,7 +922,20 @@ def semantic_dup_pairs(
     Deterministic and SQL-checkable end-to-end: the same round-9
     normalization / fixed-iteration Lloyd contract as ``ivf_topk``, pair
     filter on round-6 cosine (`queries.py:_semdedup_sql` re-derives the
-    full pipeline, k-means included, in DuckDB)."""
+    full pipeline, k-means included, in DuckDB).
+
+    Hot-cell guard: a degenerate embedding space (many near-identical
+    docs — exactly the dedup target) can put most rows in ONE cell, making
+    one ``map_groups`` task own the whole O(cell²) comparison. Cells above
+    ``max_cell_rows`` are split with the same exact triangle tile join as
+    ``embedding_neardup_pairs``: rows hash into ⌈cell/max_cell_rows⌉
+    blocks and every unordered block pair becomes its own task, so no task
+    compares more than ~max_cell_rows² candidates. The split is EXACT —
+    pair output is byte-identical with or without it (unlike a
+    sub-clustering cap there is no extra recall loss), so the SQL oracle
+    holds at every cell-size distribution. The per-cell histogram pass
+    (n_centroids rows) runs only when the corpus row count can exceed the
+    cap."""
     from .similarity import _normalize, _round9, _to_matrix, train_coarse_quantizer
 
     centroids = train_coarse_quantizer(ds, n_centroids, sample_rows, id_col, vec_col)
@@ -943,17 +957,96 @@ def semantic_dup_pairs(
         mat = _round9(_normalize(np.stack(
             [np.asarray(v, dtype=np.float64) for v in g[vec_col]]
         )))
-        sims = np.round(mat @ mat.T, 6)
+        sims = round_half_away(mat @ mat.T, 6)
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
         a, b = ids[ii], ids[jj]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": sims[ii, jj]})
 
-    pairs = (
-        ds.map_batches(assign_cells, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(pairs_in_cell, batch_format="pandas")
-    )
+    assigned = ds.map_batches(assign_cells, batch_format="pyarrow")
+
+    # hot-cell guard: histogram only when any cell COULD exceed the cap
+    nb: dict[int, int] = {}
+    if ds.count() > max_cell_rows:
+        sizes = assigned.groupby("cell").count().take_all()  # n_centroids rows
+        nb = {
+            int(r["cell"]): -(-int(r["count()"]) // max_cell_rows) for r in sizes
+        }
+    hot = {c: b for c, b in nb.items() if b > 1}
+
+    if not hot:
+        pairs = assigned.groupby("cell").map_groups(pairs_in_cell, batch_format="pandas")
+    else:
+        maxb = max(hot.values())
+        nb_arr = np.ones(n_centroids, dtype=np.int64)
+        for c, b in nb.items():
+            nb_arr[c] = b
+        nb_ref = ray.put(nb_arr)
+
+        def explode_hot(batch: pa.Table) -> pa.Table:
+            blocks_of = ray.get(nb_ref)  # int64[n_centroids] tile counts
+            ids_np = (
+                batch[id_col].combine_chunks()
+                if isinstance(batch[id_col], pa.ChunkedArray)
+                else batch[id_col]
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            cells = (
+                batch["cell"].combine_chunks()
+                if isinstance(batch["cell"], pa.ChunkedArray)
+                else batch["cell"]
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            bcount = blocks_of[cells]
+            my_block = ids_np % bcount
+            # each row replicates to the bcount tiles touching its block;
+            # cold cells (bcount 1) stay single-copy with tile (0, 0)
+            take_idx = np.repeat(np.arange(len(ids_np)), bcount)
+            # ragged per-row ranges 0..bcount[r]-1, fully vectorized
+            starts = np.repeat(np.cumsum(bcount) - bcount, bcount)
+            other = np.arange(int(bcount.sum()), dtype=np.int64) - starts
+            mine = np.repeat(my_block, bcount)
+            ti = np.minimum(mine, other)
+            tj = np.maximum(mine, other)
+            # injective group key across cells: cell · maxb² + i · maxb + j
+            gkey = np.repeat(cells, bcount) * (maxb * maxb) + ti * maxb + tj
+            rep = batch.select([id_col, vec_col]).take(pa.array(take_idx))
+            rep = rep.append_column("gkey", pa.array(gkey))
+            rep = rep.append_column("block", pa.array(mine))
+            return rep
+
+        def pairs_in_tile(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+            if len(g) < 2:
+                return empty
+            gkey = int(g["gkey"].iloc[0])
+            bi, bj = divmod(gkey % (maxb * maxb), maxb)
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            mat = _round9(_normalize(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in g[vec_col]]
+            )))
+            blocks = g["block"].to_numpy(dtype=np.int64)
+            if bi == bj:  # diagonal tile: all pairs within the block
+                sims = round_half_away(mat @ mat.T, 6)
+                ii, jj = np.where(np.triu(sims >= threshold, k=1))
+                a, b, s = ids[ii], ids[jj], sims[ii, jj]
+            else:  # off-diagonal: cross-block pairs only (within-block
+                # pairs belong to each block's own diagonal tile)
+                mi, mj = blocks == bi, blocks == bj
+                if not mi.any() or not mj.any():
+                    return empty
+                sims = round_half_away(mat[mi] @ mat[mj].T, 6)
+                ii, jj = np.where(sims >= threshold)
+                a, b, s = ids[mi][ii], ids[mj][jj], sims[ii, jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": s})
+
+        pairs = (
+            assigned.map_batches(explode_hot, batch_format="pyarrow")
+            .groupby("gkey")
+            .map_groups(pairs_in_tile, batch_format="pandas")
+        )
     pdf = pairs.to_pandas()  # only matching PAIRS reach the driver
     if len(pdf) == 0:
         return pd.DataFrame(

@@ -480,6 +480,39 @@ def test_semantic_dup_pairs_cluster_local(ray_session):
     pd.testing.assert_frame_equal(got, again)
 
 
+def test_semantic_dup_pairs_hot_cell_split_is_exact(ray_session):
+    """Round-5 hot-cell guard: a skewed embedding space (one cell holding
+    ~85% of docs) is split into triangle tiles so no single map_groups
+    task owns the whole O(cell²) comparison — and the split is EXACT:
+    pair output is byte-identical to the uncapped single-task path."""
+    from movex_cdc_ray.functions.dedup import semantic_dup_pairs
+
+    rng = np.random.default_rng(11)
+    hot = np.array([1.0, 0.0, 0.0, 0.0])
+    cold = np.array([0.0, 1.0, 0.0, 0.0])
+    # 100 near-identical hot-cluster docs (the dedup target), 18 cold;
+    # interleave every 6th so first-k init sees both clusters
+    vecs = [
+        (cold if i % 6 == 5 else hot) + rng.normal(0, 0.01, 4)
+        for i in range(108)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    kw = dict(threshold=0.9, n_centroids=2, sample_rows=100)
+    capped = semantic_dup_pairs(ds, max_cell_rows=16, **kw)  # hot cell → ~6 blocks
+    uncapped = semantic_dup_pairs(ds, max_cell_rows=1_000_000, **kw)
+    pd.testing.assert_frame_equal(capped, uncapped)
+    # the skew really exercised the tiled path: far more pairs than the cap
+    hot_ids = [i for i in range(108) if i % 6 != 5]
+    assert len(capped) >= len(hot_ids) * (len(hot_ids) - 1) // 4  # dense hot cell
+
+
 def test_normalized_dedup_collapses_trivial_variants(ray_session):
     from movex_cdc_ray.functions.dedup import normalized_dedup_keep_first
 
