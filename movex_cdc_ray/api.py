@@ -41,6 +41,24 @@ class Engine:
         self.actor = actor
         self._topic_max_bytes: dict[str, int] = {}  # A4 watermark per topic
 
+    # ---- session tokens (POST /login/do_logon + check_jwt analog) ----------
+    def logon(self, email: str, password_ok: bool = True, ttl_seconds: int = 3600) -> str:
+        """Issue a signed session token (`config/routes.rb:34-36`). The
+        caller asserts credential validity (the reference checks against the
+        source DB); failed logons count toward the five-failure lock."""
+        if self.auth is None:
+            raise ValueError("no auth registry attached to this engine")
+        return self.auth.do_logon(email, password_ok, ttl_seconds=ttl_seconds)
+
+    def authenticate(self, token: str) -> str:
+        """check_jwt analog: validate the token and bind its user as this
+        engine's acting identity, so subsequent verbs are attributed to it
+        in the activity ledger."""
+        if self.auth is None:
+            raise ValueError("no auth registry attached to this engine")
+        self.actor = self.auth.check_token(token)
+        return self.actor
+
     def _authorize(self, schema_name: str, action: str, table_name: str | None = None) -> None:
         if self.auth is None or self.actor is None:
             return

@@ -77,6 +77,7 @@ class AuthRegistry:
     users: list[User] = field(default_factory=list)
     schema_rights: list[SchemaRight] = field(default_factory=list)
     log_dir: str | None = None  # lake_dir/_activity (None = in-memory only)
+    token_secret: str | None = None  # session-token HMAC key (lazy random)
     _activity: list[dict[str, Any]] = field(default_factory=list)
     _seq: int = 0
 
@@ -150,6 +151,77 @@ class AuthRegistry:
                 u.yn_account_locked = True
         self.log(email, action="logon" if success else "logon_failed")
         return u
+
+    # -------------------------------------------------- session tokens
+    # JWT-less analog of the reference's login flow (`config/routes.rb:34-36`,
+    # login#do_logon issues a JWT after the DB-credential check;
+    # application_controller#check_jwt validates it per request): an
+    # HMAC-SHA256-signed {email, exp} token so API verbs can be attributed
+    # in the activity ledger without an HTTP layer. Credential verification
+    # itself stays with the caller (the reference delegates it to the source
+    # DB connection), exactly like ``record_logon``'s ``success`` flag.
+
+    def _token_key(self) -> bytes:
+        if self.token_secret is None:
+            import secrets
+
+            self.token_secret = secrets.token_hex(32)
+        return self.token_secret.encode()
+
+    def do_logon(
+        self,
+        email: str,
+        success: bool,
+        ttl_seconds: int = 3600,
+        now: float | None = None,
+    ) -> str:
+        """Issue a signed session token for a successful logon. Failed /
+        locked / unknown logons raise and are counted + audited exactly as
+        :meth:`record_logon` (five failures lock the account)."""
+        self.record_logon(email, success)
+        if not success:
+            raise NotAuthorized(f"invalid credentials for {email}")
+        import base64
+        import hmac
+        import json
+        import time
+
+        exp = int((time.time() if now is None else now) + ttl_seconds)
+        body = base64.urlsafe_b64encode(
+            json.dumps({"email": email, "exp": exp}, sort_keys=True).encode()
+        ).rstrip(b"=")
+        sig = hmac.new(self._token_key(), body, "sha256").hexdigest()
+        return f"{body.decode()}.{sig}"
+
+    def check_token(self, token: str, now: float | None = None) -> str:
+        """Validate a session token → the authenticated email. Tampered,
+        expired, or foreign-registry tokens are denials; so is a token for
+        an account that was locked or hidden AFTER issuance (check_jwt
+        re-reads the user per request)."""
+        import base64
+        import hmac
+        import json
+        import time
+
+        try:
+            body_s, sig = token.rsplit(".", 1)
+            body = body_s.encode()
+            want = hmac.new(self._token_key(), body, "sha256").hexdigest()
+            if not hmac.compare_digest(want, sig):
+                raise ValueError("bad signature")
+            pad = b"=" * (-len(body) % 4)
+            payload = json.loads(base64.urlsafe_b64decode(body + pad))
+            email, exp = payload["email"], int(payload["exp"])
+        except NotAuthorized:
+            raise
+        except Exception as e:  # noqa: BLE001 — malformed token is a denial
+            raise NotAuthorized(f"invalid token: {e}") from None
+        if (time.time() if now is None else now) >= exp:
+            raise NotAuthorized(f"token for {email} expired")
+        u = self.user(email)  # unknown/hidden → denial
+        if u.yn_account_locked:
+            raise NotAuthorized(f"account {email} is locked")
+        return email
 
     # --------------------------------------------------------------- audit
     def log(

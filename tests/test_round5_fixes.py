@@ -90,6 +90,58 @@ def test_import_users_malformed_rejects_atomically():
 
 
 # ---------------------------------------------------------------------------
+# session tokens: logon → token → attributed verbs (routes.rb:34-36 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_token_logon_attributes_verbs_in_ledger(tmp_path):
+    auth = _auth()
+    eng = Engine(default_code_cdc_config(4), str(tmp_path), auth=auth)
+    token = eng.logon("dev@x")
+    assert eng.authenticate(token) == "dev@x"
+    out = eng.generate_triggers()
+    assert out["successes"]
+    acts = auth.activity_table().to_pylist()
+    assert [a["action"] for a in acts if a["user_email"] == "dev@x"] == [
+        "logon",
+        "generate_trigger",
+    ]
+
+
+def test_token_tamper_expiry_and_foreign_registry_denied():
+    auth = _auth()
+    token = auth.do_logon("dev@x", True, ttl_seconds=60, now=1000.0)
+    assert auth.check_token(token, now=1030.0) == "dev@x"
+    with pytest.raises(NotAuthorized, match="expired"):
+        auth.check_token(token, now=1061.0)
+    body, sig = token.rsplit(".", 1)
+    with pytest.raises(NotAuthorized, match="invalid token"):
+        auth.check_token(body + "." + ("0" * len(sig)))
+    with pytest.raises(NotAuthorized, match="invalid token"):
+        auth.check_token("garbage")
+    # a second registry signs with a different secret
+    other = _auth()
+    with pytest.raises(NotAuthorized, match="invalid token"):
+        other.check_token(token)
+
+
+def test_token_rejected_after_lock_and_failed_logons_still_lock():
+    auth = _auth()
+    token = auth.do_logon("dev@x", True, now=1000.0)
+    # five failed logons lock the account (reference semantics preserved)
+    for _ in range(4):
+        with pytest.raises(NotAuthorized):
+            auth.do_logon("dev@x", False)
+    assert auth.find_user_case_insensitive("dev@x").failed_logons == 4
+    with pytest.raises(NotAuthorized):
+        auth.do_logon("dev@x", False)
+    assert auth.find_user_case_insensitive("dev@x").yn_account_locked
+    # an already-issued token dies with the lock (check_jwt re-reads the user)
+    with pytest.raises(NotAuthorized, match="locked"):
+        auth.check_token(token, now=1001.0)
+
+
+# ---------------------------------------------------------------------------
 # events_read: mixed / non-parquet chunk streams count per file
 # ---------------------------------------------------------------------------
 
