@@ -90,12 +90,19 @@ def _run_dir(sf_dir: str, only: str | None) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = 0
-    if only and only not in qs:
+    subset = None
+    if only and only.startswith("first:"):
+        # "first:N" = the driver's sampling rule (first N registry entries)
+        subset = set(list(qs)[: int(only.split(":", 1)[1])])
+    elif only and only not in qs:
         # a typo'd name must not run zero checks and exit green
         print(f"FAIL  unknown query {only!r}; valid: {sorted(qs)}")
         return 1
     for name, fn in qs.items():
-        if only and name != only:
+        if subset is not None:
+            if name not in subset:
+                continue
+        elif only and name != only:
             continue
         t0 = time.perf_counter()
         try:
