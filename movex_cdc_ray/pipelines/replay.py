@@ -30,12 +30,13 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
 from ..config import CaptureConfig
 from ..sources.stream import epoch_batches, pending_chunks, read_chunks
-from ..stages.capture import CaptureStage
+from ..stages.capture import CaptureStage, sink_key_spec
 from ..stages.errors import consume_retry_files, pending_retry_files
 from ..stages.partitioning import assign_partitions, combine_last_per_key
 from ..stages.sink import (
@@ -103,11 +104,23 @@ class CapturePartitionStage:
     throughput ceiling well before CPUs are."""
 
     def __init__(self, cfg: CaptureConfig, hot_keys: frozenset[str] | None = None,
-                 combine: bool = True, project_for_sink: bool = False):
+                 combine: bool = True, project_for_sink: bool = False,
+                 drop_key: bool = False, encode_cols: list[str] | None = None):
         self.capture = CaptureStage(cfg, sink_mode=project_for_sink)
         self.cfg = cfg
         self.hot_keys = hot_keys
         self.combine = combine
+        # drop_key: key_string is pure duplication of the PK payload values
+        # when the merge can re-derive it (capture.sink_key_spec non-None) —
+        # partition/combine here still use it, but it never enters the
+        # exchange (the biggest single lever on shuffle bytes/event).
+        self.drop_key = drop_key and project_for_sink
+        # encode_cols: low-cardinality string columns dictionary-encoded
+        # into the exchange (int32 indices + per-block dict instead of
+        # repeated bytes); probed once per epoch on the first chunk
+        # (_probe_dict_cols) so every capture task emits the SAME schema —
+        # the merge decodes them right after measuring shuffle_bytes.
+        self.encode_cols = list(encode_cols or [])
         keep: list[str] | None = None
         self.old_pk_cols: list[str] = []
         if project_for_sink:
@@ -160,6 +173,20 @@ class CapturePartitionStage:
         )
         if self.combine and len(out):
             out = combine_last_per_key(out)
+        if self.drop_key and "key_string" in out.column_names:
+            out = out.drop_columns(["key_string"])
+        if self.encode_cols and len(out):
+            import pyarrow.compute as pc
+
+            names = out.column_names
+            for c in self.encode_cols:
+                if c not in names:
+                    continue
+                col = out[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    out = out.set_column(names.index(c), c, pc.dictionary_encode(col))
         return out
 
 
@@ -196,6 +223,7 @@ def _merge_via_delta_files(
         compression=cfg.lake_compression,
         views=list(cfg.views) or None,
         fault_sentinel=cfg.fault_sentinel,
+        key_spec=sink_key_spec(cfg),
     )
     ctx_ref = ray.put(ctx)
     refs = []
@@ -430,6 +458,33 @@ def _epoch_execution_context():
         ctx.op_resource_reservation_enabled = prev
 
 
+def _probe_dict_cols(first_file: str, sample_rows: int = 8192) -> list[str]:
+    """Choose the exchange's dictionary-encoded columns from a one-row-group
+    sample of the epoch's first chunk: string event/payload columns whose
+    distinct ratio is ≤ 0.5 (repo names, paths, langs, op codes — not
+    content/commit hashes). Deterministic per epoch and shared by every
+    capture task, so all exchange blocks carry one schema. Non-parquet
+    (jsonl/csv) streams skip the optimization."""
+    if first_file.endswith((".jsonl", ".csv")):
+        return []
+    try:
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(first_file)
+        sample = next(pf.iter_batches(batch_size=sample_rows))
+    except Exception:  # noqa: BLE001 — a probe failure must never fail the epoch
+        return []
+    out = []
+    n = max(sample.num_rows, 1)
+    for i, f in enumerate(sample.schema):
+        if f.name == "op" or f.name.startswith(("new_", "old_")):
+            if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                distinct = pc.count_distinct(sample.column(i)).as_py() or 0
+                if distinct / n <= 0.5:
+                    out.append(f.name)
+    return out
+
+
 def run_epoch(
     cfg: CaptureConfig,
     manifest: Manifest,
@@ -517,7 +572,19 @@ def run_epoch(
         # NOTE: a Dataset snapshots its DataContext at CREATION — the tuned
         # context must wrap read_chunks, not just the consuming take_all
         ds = read_chunks(files, override_num_blocks=nblocks)
-        stage = CapturePartitionStage(cfg, hot_keys=hot_keys, project_for_sink=True)
+        # ship no key through the exchange when the merge can re-derive it
+        # (groupby/files paths; salted stage-1 and winners phase-1 group on
+        # key_string post/pre-exchange and keep shipping it)
+        drop_key = (
+            not salted
+            and shuffle_mode in ("groupby", "files")
+            and sink_key_spec(cfg) is not None
+        )
+        encode_cols = _probe_dict_cols(files[0]) if drop_key else []
+        stage = CapturePartitionStage(
+            cfg, hot_keys=hot_keys, project_for_sink=True, drop_key=drop_key,
+            encode_cols=encode_cols,
+        )
         ds = ds.map_batches(
             stage,
             batch_format="pyarrow",

@@ -184,6 +184,72 @@ def derive_keys(
     return msg_key, key_string
 
 
+def sink_key_spec(cfg) -> dict[int, tuple[str, list[str]]] | None:
+    """``table_id → (qualified-name prefix, pk_columns)`` IF the merge can
+    re-derive every row's ``key_string`` from the post-projection event
+    columns — then the exchange need not ship the key at all (it is pure
+    duplication of the PK payload values; measured 217.9 → ~150 B/event on
+    the flagship replay). Returns ``None`` when any (table, op) omits a PK
+    column from its logged payload (projection would null the value the key
+    derives from — `derive_keys`' ``pk_source`` caveat) or when computed
+    expressions exist (they may overwrite a PK column post-derivation);
+    the capture then ships ``key_string`` verbatim as before."""
+    payload = set(cfg.latest_version().payload_fields)
+    spec: dict[int, tuple[str, list[str]]] = {}
+    for t in cfg.tables:
+        if t.column_expressions:
+            return None
+        if not t.pk_columns:
+            spec[t.table_id] = (f"{t.schema_name}.{t.name}", [])
+            continue
+        pk = set(t.pk_columns)
+        if not pk <= payload:
+            return None
+        # I/i rows read new_<pk>: capture's new_mask is logged[I] OR logged[i]
+        logged_ii = set(t.logged_columns("I")) | set(t.logged_columns("i"))
+        if not (pk <= logged_ii and pk <= set(t.logged_columns("U"))
+                and pk <= set(t.logged_columns("D"))):
+            return None
+        spec[t.table_id] = (f"{t.schema_name}.{t.name}", list(t.pk_columns))
+    return spec
+
+
+def derive_sink_keys(events: pa.Table, key_spec: dict[int, tuple[str, list[str]]]) -> pa.Array:
+    """Re-derive ``key_string`` at the merge from table_id + PK columns
+    (old image for DELETE rows, new otherwise) — the exact expression
+    ``derive_keys`` evaluates at capture, legal only under a non-None
+    :func:`sink_key_spec`. One vectorized pass per configured table."""
+    n = len(events)
+    out: pa.Array = pa.nulls(n, pa.string())
+    if n == 0:
+        return out
+    tid = events["table_id"]
+    if isinstance(tid, pa.ChunkedArray):
+        tid = tid.combine_chunks()
+    op = events["op"]
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+    is_del = pc.equal(op, "D")
+    for table_id, (prefix, pks) in key_spec.items():
+        if not pks:
+            continue  # unkeyed table: key stays null (S3 side channel)
+        mask = pc.equal(tid, pa.scalar(table_id, tid.type))
+        if not pc.any(mask).as_py():
+            continue
+        parts = [pa.array([prefix] * n, pa.string())]
+        for c in pks:
+            old = events[f"old_{c}"]
+            new = events[f"new_{c}"]
+            if isinstance(old, pa.ChunkedArray):
+                old = old.combine_chunks()
+            if isinstance(new, pa.ChunkedArray):
+                new = new.combine_chunks()
+            parts.append(pc.if_else(is_del, old, new).cast(pa.string()))
+        ks = pc.binary_join_element_wise(*parts, KEY_SEP)
+        out = pc.if_else(mask, ks, out)
+    return out
+
+
 class CaptureStage:
     """Callable for ``ds.map_batches(CaptureStage(cfg), batch_format="pyarrow")``.
 

@@ -37,6 +37,7 @@ from ..config import CaptureConfig
 from ..functions.scalar import string_offsets_data as _string_offsets_data
 from ..events import align_to_schema, arrow_type
 from ..state.manifest import atomic_write_parquet, staged_path
+from .capture import sink_key_spec as _sink_key_spec
 from .errors import divide_and_conquer, write_bad_events
 from .partitioning import combine_last_per_key
 
@@ -400,6 +401,10 @@ class MergeContext:
     # incrementally-maintained views (CaptureConfig.views); rewrite mode only
     views: list[Any] = None  # list[ViewSpec] | None
     fault_sentinel: str | None = None  # chaos hook (CaptureConfig.fault_sentinel)
+    # table_id → (prefix, pk_columns) for sink-side key_string re-derivation
+    # (capture.sink_key_spec); the capture drops the key from the exchange
+    # whenever this is derivable
+    key_spec: dict[int, tuple[str, list[str]]] | None = None
 
 
 def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
@@ -429,7 +434,28 @@ def merge_partition(ctx: MergeContext, group: pa.Table, part: int) -> pa.Table:
     prev = ctx.prev_partitions.get(str(part))
     prev_wm = prev["watermark"] if prev else -1
     events_in = len(group)
-    shuffle_bytes = int(group.nbytes)
+    shuffle_bytes = int(group.nbytes)  # BEFORE key re-derivation: what shipped
+
+    # ---- decode dictionary-encoded exchange columns --------------------
+    # (capture's encode_cols optimization: low-cardinality strings crossed
+    # the shuffle as int32 indices; everything below works on plain strings)
+    for i, f in enumerate(group.schema):
+        if pa.types.is_dictionary(f.type):
+            col = group[f.name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            group = group.set_column(i, f.name, col.cast(f.type.value_type))
+
+    # ---- key re-derivation (exchange ships no key_string) --------------
+    if "key_string" not in group.column_names:
+        if ctx.key_spec is None:
+            raise RuntimeError(
+                "delta carries no key_string and MergeContext has no key_spec "
+                "to re-derive it — capture/merge configuration mismatch"
+            )
+        from .capture import derive_sink_keys
+
+        group = group.append_column("key_string", derive_sink_keys(group, ctx.key_spec))
 
     # ---- watermark dedup (T2/D1): replayed events are dropped ----------
     # Retried events (retry_count > 0, re-fed from the retry ledger) are
@@ -656,6 +682,7 @@ def make_epoch_merger(
         compression=cfg.lake_compression,
         views=list(cfg.views) or None,
         fault_sentinel=cfg.fault_sentinel,
+        key_spec=_sink_key_spec(cfg),
     )
 
     def merge(group: pa.Table) -> pa.Table:

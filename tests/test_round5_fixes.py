@@ -142,6 +142,85 @@ def test_token_rejected_after_lock_and_failed_logons_still_lock():
 
 
 # ---------------------------------------------------------------------------
+# keyless exchange: key_string dropped from the shuffle, re-derived at merge
+# ---------------------------------------------------------------------------
+
+
+def test_sink_key_spec_derivability_gates():
+    from movex_cdc_ray.config import ColumnExpressionConfig
+    from movex_cdc_ray.stages.capture import sink_key_spec
+
+    cfg = default_code_cdc_config(4)
+    spec = sink_key_spec(cfg)
+    assert spec == {1: ("CODE.FILES", ["repo", "path"])}
+
+    # a PK column not logged on UPDATE: projection nulls the value the key
+    # derives from — key must ship through the exchange
+    cfg2 = default_code_cdc_config(4)
+    for c in cfg2.tables[0].columns:
+        if c.name == "repo":
+            c.yn_log_update = False
+    assert sink_key_spec(cfg2) is None
+
+    # computed expressions may overwrite PK columns post-derivation
+    cfg3 = default_code_cdc_config(4)
+    cfg3.tables[0].column_expressions = [
+        ColumnExpressionConfig(operation="I", name="lang_up", sql="c('new_lang')")
+    ]
+    assert sink_key_spec(cfg3) is None
+
+
+def test_capture_drops_key_and_merge_rederives(ray_session, tmp_path):
+    """The exchange carries no key_string; derive_sink_keys reproduces the
+    capture's keys byte-for-byte, DELETE rows (old image) included."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.replay import CapturePartitionStage
+    from movex_cdc_ray.stages.capture import derive_sink_keys, sink_key_spec
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=5000, n_repos=5, paths_per_repo=20, chunk_size=5000,
+                      delete_frac=0.2)
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, spec)
+    chunk = pq.read_table(sorted(glob.glob(stream + "/chunk_*.parquet"))[0])
+    cfg = config_for_spec(spec, num_partitions=4)
+
+    keep = CapturePartitionStage(cfg, project_for_sink=True, combine=False)(chunk)
+    assert "key_string" in keep.column_names
+    drop = CapturePartitionStage(cfg, project_for_sink=True, combine=False,
+                                 drop_key=True)(chunk)
+    assert "key_string" not in drop.column_names
+
+    derived = derive_sink_keys(drop, sink_key_spec(cfg))
+    assert derived.to_pylist() == keep["key_string"].to_pylist()
+    ops = keep["op"].to_pylist()
+    assert "D" in ops  # delete rows exercised the old-image branch
+
+
+def test_key_drop_replay_identical_lake(ray_session, tmp_path):
+    """groupby (keyless exchange) and salted (key-shipping) replays of the
+    same stream converge to identical lakes — the drop is invisible."""
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=6000, n_repos=6, paths_per_repo=20, chunk_size=2000,
+                      delete_frac=0.15)
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=4)
+    replay(stream, str(tmp_path / "lake_a"), cfg, chunks_per_epoch=2)
+    replay(stream, str(tmp_path / "lake_b"), cfg, chunks_per_epoch=2,
+           hot_keys=frozenset({"CODE.FILES\x1frepo-0\x1fsrc/mod0/file0.txt"}), salted=True)
+    a = lake_to_pandas(str(tmp_path / "lake_a")).reset_index(drop=True)
+    b = lake_to_pandas(str(tmp_path / "lake_b")).reset_index(drop=True)
+    pd_cols = list(a.columns)
+    assert a[pd_cols].equals(b[pd_cols])
+
+
+# ---------------------------------------------------------------------------
 # events_read: mixed / non-parquet chunk streams count per file
 # ---------------------------------------------------------------------------
 
