@@ -254,14 +254,23 @@ class HllGroupedPartialStage:
             bucket[i] = ((dig[0] << 8) | dig[1]) >> shift
             suffix[i] = int.from_bytes(dig[2:6], "big")
         rank = _RANK_MAX - _bit_length_u32(suffix)
-        # per-(group, bucket) fold via a dense scatter: group codes from
-        # the batch's own dictionary, one matrix max per batch. factorize
-        # (not np.unique) so a NULL group key forms its own group instead
-        # of raising on None-vs-str comparison — matching SQL GROUP BY.
-        gcodes, gvals = pd.factorize(
-            batch[self.group_col].to_pandas(), use_na_sentinel=False
+        # per-(group, bucket) fold via a dense scatter: group codes from the
+        # batch's own dictionary, one matrix max per batch. Arrow-native
+        # pc.dictionary_encode (the column is already Arrow) measured ~2.5×
+        # faster than pd.factorize(to_pandas()) at sf0.1 shapes
+        # (BENCH/BASELINE.md "factorize vs dictionary_encode") AND hashes by
+        # bytes+length, so embedded-NUL group keys can't silently merge
+        # (the pandas C-string caveat). A NULL group key gets the sentinel
+        # slot len(dict) — its own group, matching SQL GROUP BY.
+        gcol = batch[self.group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        enc = pc.dictionary_encode(gcol)
+        nvals = len(enc.dictionary)
+        gcodes = (
+            pc.fill_null(enc.indices, nvals).to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        gvals = np.asarray(gvals, dtype=object)
+        gvals = np.asarray(enc.dictionary.to_pylist() + [None], dtype=object)
         keep = bucket >= 0
         regs = np.zeros((len(gvals), 1 << self.p), dtype=np.int64)
         np.maximum.at(regs, (gcodes[keep], bucket[keep]), rank[keep])
