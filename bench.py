@@ -220,6 +220,98 @@ def run_headline(num_cpus: int) -> dict:
     }
 
 
+def run_tail_latency(num_cpus: int) -> dict:
+    """`--tail-latency`: event-appended → lake-visible latency SLO under
+    ``tail()`` (the reference's steady-state is a LATENCY pipeline —
+    adaptive 0-60 s sleep, `transfer_thread.rb:642-657` — while the
+    headline measures throughput only).
+
+    A producer thread hard-links one pre-synthesized chunk per cadence tick
+    into a live stream dir; ``tail(chunks_per_epoch=1, poll_interval=0.2)``
+    follows and commits an epoch per chunk. Per-chunk visibility latency =
+    the committing manifest's mtime − the chunk's append time; p50/p95/max
+    over all chunks, in BOTH merge modes (delta runs ``compact_every=2``,
+    the chain-bounding dial). Env knobs: GRAFT_TAIL_CHUNKS (20),
+    GRAFT_TAIL_CHUNK_EVENTS (50000), GRAFT_TAIL_CADENCE (1.0 s)."""
+    import glob as _glob
+    import threading
+
+    import numpy as np
+    import ray
+
+    from movex_cdc_ray.__main__ import _ray_init
+    from movex_cdc_ray.pipelines.replay import tail
+    from movex_cdc_ray.sources.stream import list_chunks
+    from movex_cdc_ray.state.manifest import MANIFEST_DIR
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream, stream_matches_spec
+
+    n_chunks = int(os.environ.get("GRAFT_TAIL_CHUNKS", "20"))
+    chunk_events = int(os.environ.get("GRAFT_TAIL_CHUNK_EVENTS", "50000"))
+    cadence = float(os.environ.get("GRAFT_TAIL_CADENCE", "1.0"))
+    spec = StreamSpec(
+        n_events=n_chunks * chunk_events, n_repos=200, paths_per_repo=500,
+        hot_repo_fraction=0.15, chunk_size=chunk_events,
+    )
+    staging = os.path.join(BENCH_TMP, f"tail_staging_{n_chunks}x{chunk_events}")
+    if not stream_matches_spec(staging, spec):
+        shutil.rmtree(staging, ignore_errors=True)
+        generate_stream(staging, spec)
+    chunks = list_chunks(staging)
+
+    _ray_init(num_cpus)
+    cfg = config_for_spec(spec, num_partitions=64)
+
+    def run_mode(mode: str, compact_every: int) -> dict:
+        live = os.path.join(BENCH_TMP, f"tail_live_{mode}")
+        lake = os.path.join(BENCH_TMP, f"tail_lake_{mode}")
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(lake, ignore_errors=True)
+        os.makedirs(live)
+        append_times: dict[str, float] = {}
+
+        def producer() -> None:
+            for i, f in enumerate(chunks):
+                time.sleep(0.5 if i == 0 else cadence)
+                os.link(f, os.path.join(live, os.path.basename(f)))
+                append_times[os.path.basename(f)] = time.time()
+
+        th = threading.Thread(target=producer)
+        th.start()
+        rep = tail(live, lake, cfg, chunks_per_epoch=1, poll_interval=0.2,
+                   max_idle_cycles=8, merge_mode=mode, compact_every=compact_every)
+        th.join()
+        lat = []
+        for mf in sorted(_glob.glob(os.path.join(lake, MANIFEST_DIR, "epoch-*.json"))):
+            with open(mf) as fh:
+                doc = json.load(fh)
+            mt = os.path.getmtime(mf)
+            for cf in doc.get("chunk_files", []):
+                t_app = append_times.get(os.path.basename(cf))
+                if t_app is not None:
+                    lat.append(mt - t_app)
+        arr = np.array(lat)
+        return {
+            "mode": mode + (f"+compact_every={compact_every}" if compact_every else ""),
+            "chunks_measured": int(len(arr)),
+            "epochs": rep.epochs,
+            "lake_rows": rep.lake_rows,
+            "p50_sec": round(float(np.percentile(arr, 50)), 3) if len(arr) else None,
+            "p95_sec": round(float(np.percentile(arr, 95)), 3) if len(arr) else None,
+            "max_sec": round(float(arr.max()), 3) if len(arr) else None,
+        }
+
+    out = {
+        "metric": "tail_visibility_latency_sec",
+        "cadence_sec": cadence,
+        "chunk_events": chunk_events,
+        "n_chunks": n_chunks,
+        "num_cpus": num_cpus,
+        "modes": [run_mode("rewrite", 0), run_mode("delta", 2)],
+    }
+    ray.shutdown()
+    return out
+
+
 def run_queries(num_cpus: int) -> dict:
     import ray
 
@@ -369,6 +461,12 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if "--tail-latency" in sys.argv:
+        res = run_tail_latency(NUM_CPUS)
+        res["host_first_touch_mb_s"] = host_phase_probe()
+        print(json.dumps(res))
         return
 
     phase = host_phase_probe()
