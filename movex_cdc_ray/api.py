@@ -9,6 +9,7 @@ control: max_transaction_size, worker count, reprocess final errors). No HTTP
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from .config import CaptureConfig
@@ -40,6 +41,7 @@ class Engine:
         self.auth = auth
         self.actor = actor
         self._topic_max_bytes: dict[str, int] = {}  # A4 watermark per topic
+        self._trigger_dates: dict[str, dict[str, str]] = {}  # table -> op -> iso ts
 
     # ---- session tokens (POST /login/do_logon + check_jwt analog) ----------
     def logon(self, email: str, password_ok: bool = True, ttl_seconds: int = 3600) -> str:
@@ -85,6 +87,15 @@ class Engine:
                 # poison the other tables' results (or recompile O(T^2))
                 compile_table_plan(self.cfg, t)
                 successes.append({"table": f"{t.schema_name}.{t.name}"})
+                # trigger_dates bookkeeping (tables#trigger_dates,
+                # `config/routes.rb:49`): the reference records each
+                # generated trigger's changed_at per operation
+                import datetime as _dt
+
+                now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+                self._trigger_dates[f"{t.schema_name}.{t.name}"] = {
+                    "I": now, "U": now, "D": now
+                }
             except Exception as exc:  # noqa: BLE001
                 errors.append({"table": f"{t.schema_name}.{t.name}", "error": str(exc)})
         # load_sqls analog: tables flagged for initialization
@@ -110,6 +121,114 @@ class Engine:
         so it is an opt-in maintenance check, never part of a liveness
         poll."""
         return _health(self.lake_dir, cfg=self.cfg if check_drift else None)
+
+    def trigger_dates(self, schema_name: str, table_name: str) -> dict[str, Any]:
+        """GET /trigger_dates/:id analog (`config/routes.rb:49`,
+        `tables_controller.rb:20-23`): youngest trigger change date per
+        operation for one table — null until generate_triggers deployed it."""
+        d = self._trigger_dates.get(f"{schema_name}.{table_name}", {})
+        return {
+            "youngest_insert_trigger_changed_at": d.get("I"),
+            "youngest_update_trigger_changed_at": d.get("U"),
+            "youngest_delete_trigger_changed_at": d.get("D"),
+        }
+
+    def config_info(self) -> list[dict[str, str]]:
+        """GET /health_check/config_info analog
+        (`health_check_controller.rb:44-70`): the home-screen
+        {name, value, info} records over the engine's own knobs."""
+        c = self.cfg
+
+        def rec(name: str, value: Any, info: str) -> dict[str, str]:
+            return {"name": name, "value": str(value), "info": info}
+
+        return [
+            rec("error_max_retries", c.error_max_retries,
+                "Max. retries after transfer error"),
+            rec("error_retry_start_delay", c.error_retry_start_delay,
+                "Seconds after error before first retry starts. Tripled for each next retry."),
+            rec("max_transaction_size", c.max_transaction_size,
+                "Maximum number of events within one transaction"),
+            rec("num_partitions", c.num_partitions,
+                "Key-hash partitions = worker slots for Kafka transfer"),
+            rec("capture_parallelism", c.capture_parallelism,
+                "Capture blocks per epoch (a job parameter)"),
+            rec("lake_compression", c.lake_compression,
+                "Compression codec for lake/base parquet"),
+            rec("max_message_bytes", c.max_message_bytes,
+                "Max. message size accepted by the sink (A4 watermark)"),
+            rec("hot_key_threshold", c.hot_key_threshold,
+                "Events per key per epoch before salting engages"),
+            rec("salt_factor", c.salt_factor,
+                "Sub-partitions per hot key in the two-stage merge"),
+            rec("lake_dir", self.lake_dir, "Lake root directory"),
+        ]
+
+    def log_file(self, max_lines: int = 200) -> str:
+        """GET /health_check/log_file analog
+        (`health_check_controller.rb:38-40`, which sends the server log).
+        The engine's operational log IS the manifest ledger plus the
+        activity ledger — rendered chronologically, newest last."""
+        import glob
+        import json as _json
+
+        lines: list[str] = []
+        from .state.manifest import MANIFEST_DIR
+
+        for mf in sorted(glob.glob(os.path.join(self.lake_dir, MANIFEST_DIR, "epoch-*.json"))):
+            try:
+                with open(mf) as fh:
+                    doc = _json.load(fh)
+                m = doc.get("metrics", {})
+                lines.append(
+                    f"epoch {doc['epoch']:6d} committed: events_in={m.get('events_in', 0)} "
+                    f"success={m.get('events_success', 0)} errors={m.get('events_final_errors', 0)} "
+                    f"elapsed={m.get('elapsed_sec', 0.0)}s partitions={m.get('partitions_touched', 0)}"
+                )
+            except Exception:  # noqa: BLE001 — a torn file must not break the log view
+                lines.append(f"epoch ?: unreadable manifest {os.path.basename(mf)}")
+        if self.auth is not None:
+            for a in self.auth.activity_table().to_pylist():
+                lines.append(
+                    f"activity seq={a['seq']} user={a['user_email']} action={a['action']}"
+                    + (f" schema={a['schema_name']}" if a["schema_name"] else "")
+                    + (f" table={a['table_name']}" if a["table_name"] else "")
+                )
+        return "\n".join(lines[-max_lines:])
+
+    def validate_user_name(self, source_root: str, user_name: str | None) -> bool:
+        """GET /db_schemas/validate_user_name analog
+        (`db_schemas_controller.rb:21-28`, `db_schema.rb:52-60`): does the
+        name denote an existing source schema? (The reference checks
+        All_Users on Oracle / 'main' on SQLite.)"""
+        if not user_name:
+            return False
+        from .sources.introspect import list_source_schemas
+
+        return user_name in set(list_source_schemas(source_root))
+
+    def set_all_columns(self, schema_name: str, table_name: str, operation: str,
+                        enabled: bool) -> list[dict[str, Any]]:
+        """POST /columns/select_all_columns / deselect_all_columns analog
+        (`columns_controller.rb:51-64`): flip the op flag on EVERY column of
+        one table, grant-gated like the reference's
+        check_table_allowed_for_db_user; returns the resulting column list."""
+        if operation not in ("I", "U", "D"):
+            raise ValueError(f"operation must be I/U/D, got {operation!r}")
+        t = next(
+            (x for x in self.cfg.tables
+             if x.schema_name == schema_name and x.name == table_name), None)
+        if t is None:
+            raise KeyError(f"unknown table {schema_name}.{table_name}")
+        self._authorize(schema_name, "set_all_columns", table_name)
+        attr = {"I": "yn_log_insert", "U": "yn_log_update", "D": "yn_log_delete"}[operation]
+        for c in t.columns:
+            setattr(c, attr, enabled)
+        return [
+            {"name": c.name, "yn_log_insert": c.yn_log_insert,
+             "yn_log_update": c.yn_log_update, "yn_log_delete": c.yn_log_delete}
+            for c in t.columns
+        ]
 
     # ---- topic introspection (GET /kafka/topics, /kafka/describe_topic) ----
     def list_topics(self) -> list[str]:

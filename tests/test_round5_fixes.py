@@ -142,6 +142,81 @@ def test_token_rejected_after_lock_and_failed_logons_still_lock():
 
 
 # ---------------------------------------------------------------------------
+# minor admin endpoints (routes.rb:8-9,22-25,15,49 — the last Missing items)
+# ---------------------------------------------------------------------------
+
+
+def test_trigger_dates_null_then_set(tmp_path):
+    eng = Engine(default_code_cdc_config(4), str(tmp_path))
+    d = eng.trigger_dates("CODE", "FILES")
+    assert d == {
+        "youngest_insert_trigger_changed_at": None,
+        "youngest_update_trigger_changed_at": None,
+        "youngest_delete_trigger_changed_at": None,
+    }
+    eng.generate_triggers()
+    d = eng.trigger_dates("CODE", "FILES")
+    assert all(v is not None for v in d.values())
+
+
+def test_config_info_records(tmp_path):
+    eng = Engine(default_code_cdc_config(4), str(tmp_path))
+    info = {r["name"]: r["value"] for r in eng.config_info()}
+    assert info["error_max_retries"] == "5"
+    assert info["num_partitions"] == "4"
+    assert info["lake_dir"] == str(tmp_path)
+
+
+def test_log_file_renders_epochs_and_activity(ray_session, tmp_path):
+    from movex_cdc_ray.pipelines.replay import replay
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=3000, n_repos=3, paths_per_repo=10, chunk_size=1500)
+    stream = str(tmp_path / "s")
+    lake = str(tmp_path / "l")
+    generate_stream(stream, spec)
+    cfg = config_for_spec(spec, num_partitions=2)
+    replay(stream, lake, cfg, chunks_per_epoch=1)
+    eng = Engine(cfg, lake, auth=_auth(), actor="admin@x")
+    eng.generate_triggers()
+    log = eng.log_file()
+    assert "epoch      1 committed" in log
+    assert "action=generate_trigger" in log
+    assert len(eng.log_file(max_lines=1).splitlines()) == 1
+
+
+def test_validate_user_name_against_source(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "src"
+    (root / "CODE").mkdir(parents=True)
+    pq.write_table(pa.table({"a": [1]}), str(root / "CODE" / "files.parquet"))
+    eng = Engine(default_code_cdc_config(4), str(tmp_path / "lake"))
+    assert eng.validate_user_name(str(root), "CODE")
+    assert not eng.validate_user_name(str(root), "NOPE")
+    assert not eng.validate_user_name(str(root), None)
+
+
+def test_set_all_columns_flips_flags_and_is_grant_gated(tmp_path):
+    cfg = default_code_cdc_config(4)
+    eng = Engine(cfg, str(tmp_path), auth=_auth(), actor="dev@x")
+    cols = eng.set_all_columns("CODE", "FILES", "U", False)
+    assert cols and all(not c["yn_log_update"] for c in cols)
+    assert all(c["yn_log_insert"] for c in cols)
+    cols = eng.set_all_columns("CODE", "FILES", "U", True)
+    assert all(c["yn_log_update"] for c in cols)
+    # ungranted actor is rejected like check_table_allowed_for_db_user
+    auth2 = _auth()
+    auth2.users.append(User(email="intern@x"))
+    eng2 = Engine(cfg, str(tmp_path), auth=auth2, actor="intern@x")
+    with pytest.raises(NotAuthorized):
+        eng2.set_all_columns("CODE", "FILES", "I", False)
+    with pytest.raises(ValueError, match="I/U/D"):
+        eng.set_all_columns("CODE", "FILES", "X", True)
+
+
+# ---------------------------------------------------------------------------
 # keyless exchange: key_string dropped from the shuffle, re-derived at merge
 # ---------------------------------------------------------------------------
 
