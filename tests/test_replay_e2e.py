@@ -145,6 +145,27 @@ def test_winners_shuffle_mode_matches(ray_session, stream_dir, tmp_path):
     )
 
 
+def test_files_shuffle_mode_matches(ray_session, stream_dir, tmp_path):
+    # the file-shuffle exchange (delta parquet partitioned by part, one raw
+    # merge task per partition) converges byte-identically — including the
+    # round-5 keyless exchange + dictionary-encoded column path, which the
+    # delta parquet round-trips
+    from movex_cdc_ray.state.manifest import Manifest
+
+    cfg = config_for_spec(SPEC, num_partitions=8)
+    a, b = str(tmp_path / "gb"), str(tmp_path / "files")
+    replay(stream_dir, a, cfg, chunks_per_epoch=2, shuffle_mode="groupby")
+    replay(stream_dir, b, cfg, chunks_per_epoch=2, shuffle_mode="files")
+    ma, mb = Manifest.latest(a), Manifest.latest(b)
+    assert {k: v["sha"] for k, v in ma.partitions.items()} == {
+        k: v["sha"] for k, v in mb.partitions.items()
+    }
+    pd.testing.assert_frame_equal(
+        lake_to_pandas(b)[COLS].reset_index(drop=True),
+        expected_lake_state(SPEC)[COLS].reset_index(drop=True),
+    )
+
+
 def test_winners_partition_fallback_matches(ray_session, stream_dir, tmp_path, monkeypatch):
     """The per-partition winner-collection fallback (driver never holds the
     winner set) converges byte-identically to the default groupby exchange;
