@@ -572,14 +572,13 @@ def run_epoch(
         # NOTE: a Dataset snapshots its DataContext at CREATION — the tuned
         # context must wrap read_chunks, not just the consuming take_all
         ds = read_chunks(files, override_num_blocks=nblocks)
-        # ship no key through the exchange when the merge can re-derive it
-        # (groupby/files paths; salted stage-1 and winners phase-1 group on
-        # key_string post/pre-exchange and keep shipping it)
-        drop_key = (
-            not salted
-            and shuffle_mode in ("groupby", "files")
-            and sink_key_spec(cfg) is not None
-        )
+        # ship no key through the exchange when the merge can re-derive it.
+        # Applies to groupby/files AND the salted two-stage path (stage-1
+        # re-derives before its per-(part,salt) combine and drops again, so
+        # BOTH salted exchanges go keyless); winners phase-1 groups the
+        # materialized capture output BY key and keeps shipping it.
+        key_spec = sink_key_spec(cfg)
+        drop_key = shuffle_mode in ("groupby", "files") and key_spec is not None
         encode_cols = _probe_dict_cols(files[0]) if drop_key else []
         stage = CapturePartitionStage(
             cfg, hot_keys=hot_keys, project_for_sink=True, drop_key=drop_key,
@@ -603,7 +602,23 @@ def run_epoch(
         else:
             if salted and hot_keys:
                 # stage-1 of the two-stage skew merge: combine per (part, salt)
-                ds = ds.groupby(["part", "salt"]).map_groups(combine_last_per_key, batch_format="pyarrow")
+                if drop_key:
+                    from ..stages.capture import derive_sink_keys
+
+                    def salted_combine(g: pa.Table) -> pa.Table:
+                        # keyless stage-1: derive → combine → drop again, so
+                        # the second (part) exchange is keyless too
+                        g = g.append_column("key_string", derive_sink_keys(g, key_spec))
+                        g = combine_last_per_key(g)
+                        return g.drop_columns(["key_string"])
+
+                    ds = ds.groupby(["part", "salt"]).map_groups(
+                        salted_combine, batch_format="pyarrow"
+                    )
+                else:
+                    ds = ds.groupby(["part", "salt"]).map_groups(
+                        combine_last_per_key, batch_format="pyarrow"
+                    )
             merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
             stats_ds = ds.groupby("part", num_partitions=cfg.num_partitions).map_groups(
                 merger, batch_format="pyarrow"

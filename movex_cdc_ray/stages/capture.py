@@ -219,17 +219,21 @@ def derive_sink_keys(events: pa.Table, key_spec: dict[int, tuple[str, list[str]]
     (old image for DELETE rows, new otherwise) — the exact expression
     ``derive_keys`` evaluates at capture, legal only under a non-None
     :func:`sink_key_spec`. One vectorized pass per configured table."""
+    def col(name: str) -> pa.Array:
+        c = events[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if pa.types.is_dictionary(c.type):
+            # exchange columns may arrive dictionary-encoded (encode_cols)
+            c = c.cast(c.type.value_type)
+        return c
+
     n = len(events)
     out: pa.Array = pa.nulls(n, pa.string())
     if n == 0:
         return out
-    tid = events["table_id"]
-    if isinstance(tid, pa.ChunkedArray):
-        tid = tid.combine_chunks()
-    op = events["op"]
-    if isinstance(op, pa.ChunkedArray):
-        op = op.combine_chunks()
-    is_del = pc.equal(op, "D")
+    tid = col("table_id")
+    is_del = pc.equal(col("op"), "D")
     for table_id, (prefix, pks) in key_spec.items():
         if not pks:
             continue  # unkeyed table: key stays null (S3 side channel)
@@ -238,13 +242,7 @@ def derive_sink_keys(events: pa.Table, key_spec: dict[int, tuple[str, list[str]]
             continue
         parts = [pa.array([prefix] * n, pa.string())]
         for c in pks:
-            old = events[f"old_{c}"]
-            new = events[f"new_{c}"]
-            if isinstance(old, pa.ChunkedArray):
-                old = old.combine_chunks()
-            if isinstance(new, pa.ChunkedArray):
-                new = new.combine_chunks()
-            parts.append(pc.if_else(is_del, old, new).cast(pa.string()))
+            parts.append(pc.if_else(is_del, col(f"old_{c}"), col(f"new_{c}")).cast(pa.string()))
         ks = pc.binary_join_element_wise(*parts, KEY_SEP)
         out = pc.if_else(mask, ks, out)
     return out

@@ -276,8 +276,10 @@ def test_capture_drops_key_and_merge_rederives(ray_session, tmp_path):
 
 
 def test_key_drop_replay_identical_lake(ray_session, tmp_path):
-    """groupby (keyless exchange) and salted (key-shipping) replays of the
-    same stream converge to identical lakes — the drop is invisible."""
+    """groupby (keyless exchange), salted (keyless in BOTH its exchanges —
+    stage-1 derives/combines/drops) and winners (key-shipping control)
+    replays of the same stream converge to identical lakes — the drop is
+    invisible across every shuffle strategy."""
     from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
     from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
 
@@ -289,10 +291,14 @@ def test_key_drop_replay_identical_lake(ray_session, tmp_path):
     replay(stream, str(tmp_path / "lake_a"), cfg, chunks_per_epoch=2)
     replay(stream, str(tmp_path / "lake_b"), cfg, chunks_per_epoch=2,
            hot_keys=frozenset({"CODE.FILES\x1frepo-0\x1fsrc/mod0/file0.txt"}), salted=True)
+    replay(stream, str(tmp_path / "lake_c"), cfg, chunks_per_epoch=2,
+           shuffle_mode="winners")
     a = lake_to_pandas(str(tmp_path / "lake_a")).reset_index(drop=True)
     b = lake_to_pandas(str(tmp_path / "lake_b")).reset_index(drop=True)
+    c = lake_to_pandas(str(tmp_path / "lake_c")).reset_index(drop=True)
     pd_cols = list(a.columns)
     assert a[pd_cols].equals(b[pd_cols])
+    assert a[pd_cols].equals(c[pd_cols])
 
 
 # ---------------------------------------------------------------------------
