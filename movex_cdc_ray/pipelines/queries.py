@@ -5834,6 +5834,184 @@ def text_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def text_bm25_incremental(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL BM25 retrieval index (CDC-powered): the postings list
+    and doc-length table are exactly-once LAKE STATE — POSTINGS keyed
+    (term, doc_id) with payload tf, DOCLEN keyed doc_id with payload dl —
+    so indexing a new doc batch costs one delta-sized epoch (a batch BM25
+    needs a corpus rescan), a re-crawled doc is an UPDATE the merge folds
+    in place, and DELETING a doc retracts its postings (pytest drives
+    both). Scoring touches only the QUERY TERMS' postings (df-sized read,
+    never the corpus) plus a register-sized doc-length aggregate.
+
+    Completes the incremental-index family beside ann_ivf_incremental /
+    dedup_minhash_incremental / text_df_incremental. Value-locked:
+    identical output to text_bm25_topk's batch scan, so the oracle is the
+    SAME SQL (_BM25_SQL) — incremental state == batch recompute."""
+    import math
+    import re
+    import shutil
+
+    import pyarrow.parquet as pqt
+
+    from ..config import (
+        CaptureConfig,
+        ColumnConfig,
+        SchemaConfig,
+        SchemaVersion,
+        TableConfig,
+    )
+    from ..functions.scalar import round_half_away
+    from ..pipelines.replay import read_lake, replay
+
+    k1, b, k = 1.2, 0.75, 10
+    word_re = re.compile(r"[a-z0-9_]+")
+    queries = _BM25_QUERIES
+    terms = sorted({t for ts in queries.values() for t in ts})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    cutoff = int(docs["doc_id"].max() + 1) * 4 // 5
+    toks = docs["text"].fillna("").str.lower().str.findall(word_re)
+    flat = toks.explode().dropna()
+    cnt = (
+        pd.DataFrame({"row": flat.index, "term": flat.to_numpy()})
+        .groupby(["row", "term"], sort=True)
+        .size()
+        .reset_index(name="tf")
+    )
+    cnt["doc_id"] = docs["doc_id"].to_numpy()[cnt["row"]]
+    dls = pd.DataFrame({"doc_id": docs["doc_id"], "dl": toks.str.len().astype("int64")})
+
+    v1 = SchemaVersion(
+        version=1, active_from_id=0,
+        payload_fields={"term": "string", "doc_id": "int64", "tf": "int64", "dl": "int64"},
+    )
+    postings_t = TableConfig(
+        name="POSTINGS", schema_name="CORPUS", table_id=1, topic="lake.corpus.postings",
+        key_handling="P", pk_columns=["term", "doc_id"],
+        columns=[ColumnConfig("term"), ColumnConfig("doc_id"), ColumnConfig("tf")],
+    )
+    doclen_t = TableConfig(
+        name="DOCLEN", schema_name="CORPUS", table_id=2, topic="lake.corpus.doclen",
+        key_handling="P", pk_columns=["doc_id"],
+        columns=[ColumnConfig("doc_id"), ColumnConfig("dl")],
+    )
+    cfg = CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS", topic="lake.corpus")],
+        tables=[postings_t, doclen_t], schema_versions=[v1],
+        num_partitions=8, capture_parallelism=2,
+    )
+
+    ts = pa.scalar(1_700_000_000_000_000, pa.timestamp("us")).as_py()
+
+    def events_for(post_sel: pd.DataFrame, dl_sel: pd.DataFrame, id_base: int) -> pa.Table:
+        np_, nd = len(post_sel), len(dl_sel)
+        n = np_ + nd
+        return pa.table(
+            {
+                "id": pa.array(np.arange(id_base, id_base + n), pa.int64()),
+                "table_id": pa.array([1] * np_ + [2] * nd, pa.int32()),
+                "op": pa.array(["I"] * n),
+                "dbuser": pa.array(["corpus"] * n),
+                "txn_id": pa.nulls(n, pa.string()),
+                "created_at": pa.array([ts] * n, pa.timestamp("us")),
+                "retry_count": pa.array(np.zeros(n, np.int32)),
+                "new_term": pa.array(
+                    post_sel["term"].tolist() + [None] * nd, pa.string()
+                ),
+                "new_doc_id": pa.array(
+                    np.concatenate([post_sel["doc_id"].to_numpy(),
+                                    dl_sel["doc_id"].to_numpy()]).astype("int64"),
+                    pa.int64(),
+                ),
+                "new_tf": pa.array(
+                    list(post_sel["tf"].astype("int64")) + [None] * nd, pa.int64()
+                ),
+                "new_dl": pa.array(
+                    [None] * np_ + list(dl_sel["dl"].astype("int64")), pa.int64()
+                ),
+            }
+        )
+
+    base = "/tmp/movex_bm25inc"
+    stream, lake = os.path.join(base, "stream"), os.path.join(base, "lake")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(stream, exist_ok=True)
+    old_p, new_p = cnt[cnt["doc_id"] < cutoff], cnt[cnt["doc_id"] >= cutoff]
+    old_d, new_d = dls[dls["doc_id"] < cutoff], dls[dls["doc_id"] >= cutoff]
+    e0 = events_for(old_p, old_d, 1)
+    pqt.write_table(e0, os.path.join(stream, "chunk_000000.parquet"))
+    pqt.write_table(events_for(new_p, new_d, 1 + len(e0)),
+                    os.path.join(stream, "chunk_000001.parquet"))
+    replay(stream, lake, cfg, chunks_per_epoch=1)
+
+    lake_ds = read_lake(lake, cfg=cfg)
+    # corpus constants: one register-sized aggregate over DOCLEN state
+    from ray.data.aggregate import Count, Sum
+
+    stats = (
+        lake_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["_table_id"], 2)).select(["dl"]),
+            batch_format="pyarrow",
+        )
+        .aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="total_tokens"))
+    )
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["total_tokens"]) / max(n_docs, 1)
+
+    # postings of the QUERY TERMS only: a df-sized read, never the corpus
+    post = lake_ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["_table_id"], 1),
+                    pc.is_in(t["term"], value_set=pa.array(terms)))
+        ).select(["term", "doc_id", "tf"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    df_map = post.groupby("term")["doc_id"].nunique()
+    idf = {
+        t: math.log(
+            (n_docs - int(df_map.get(t, 0)) + 0.5) / (int(df_map.get(t, 0)) + 0.5) + 1.0
+        )
+        for t in terms
+    }
+    cand = np.sort(post["doc_id"].unique())
+    cand_arr = pa.array(cand.astype("int64"))
+    cand_dl = lake_ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["_table_id"], 2), pc.is_in(t["doc_id"], value_set=cand_arr))
+        ).select(["doc_id", "dl"]),
+        batch_format="pyarrow",
+    ).to_pandas().set_index("doc_id")["dl"]
+
+    tf_by_term = {
+        t: g.set_index("doc_id")["tf"] for t, g in post.groupby("term")
+    }
+    dl_np = cand_dl.reindex(cand).to_numpy(dtype=np.float64)
+    norm = k1 * (1.0 - b + b * dl_np / avgdl)
+    frames = []
+    for qid, qterms in queries.items():
+        score = np.zeros(len(cand))
+        for t in qterms:
+            tf = (
+                tf_by_term.get(t, pd.Series(dtype="int64"))
+                .reindex(cand, fill_value=0)
+                .to_numpy(dtype=np.float64)
+            )
+            score += idf[t] * tf * (k1 + 1.0) / np.where(tf > 0, tf + norm, 1.0)
+        keep = score > 0
+        f = pd.DataFrame(
+            {"query_id": qid, "doc_id": cand[keep], "score": round_half_away(score[keep])}
+        )
+        f = f.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        f["rank"] = np.arange(1, len(f) + 1, dtype="int64")
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    return out[["query_id", "doc_id", "rank", "score"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def ann_recall(sf_dir: str) -> pd.DataFrame:
     """Recall@10 of the approximate indexes against the exact brute-force
     top-10 — the standard ANN quality metric, as a first-class query: for
@@ -11237,6 +11415,7 @@ QUERIES: dict[str, Callable[[str], pd.DataFrame]] = {
     "events_cep_match": events_cep_match,
     "events_unpivot": events_unpivot,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_incremental": text_bm25_incremental,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall": ann_recall,
     "multimodal_inventory": multimodal_inventory,
@@ -13363,6 +13542,9 @@ def _build_oracle_sql() -> dict[str, str]:
         ORDER BY s.doc_id
     """,
     "text_bm25_topk": _BM25_SQL,
+    # incremental postings/doclen lake state converges to the batch corpus,
+    # so the value oracle is the SAME batch BM25 re-derivation
+    "text_bm25_incremental": _BM25_SQL,
     "hybrid_rrf_topk": f"""
         WITH bm AS (
           SELECT query_id, doc_id, rank FROM ({_BM25_SQL})

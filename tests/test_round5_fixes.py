@@ -302,6 +302,90 @@ def test_key_drop_replay_identical_lake(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# incremental BM25: re-crawl updates and doc deletes retract postings
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_incremental_update_and_delete_retract(ray_session, tmp_path):
+    """The postings/doclen lake state folds a re-crawled doc's UPDATE in
+    place and a doc DELETE retracts its postings — the two operations a
+    batch BM25 index needs a corpus rescan for."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.config import (
+        CaptureConfig,
+        ColumnConfig,
+        SchemaConfig,
+        SchemaVersion,
+        TableConfig,
+    )
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+
+    v1 = SchemaVersion(
+        version=1, active_from_id=0,
+        payload_fields={"term": "string", "doc_id": "int64", "tf": "int64", "dl": "int64"},
+    )
+    cfg = CaptureConfig(
+        schemas=[SchemaConfig(name="CORPUS", topic="lake.corpus")],
+        tables=[
+            TableConfig(name="POSTINGS", schema_name="CORPUS", table_id=1,
+                        key_handling="P", pk_columns=["term", "doc_id"],
+                        columns=[ColumnConfig("term"), ColumnConfig("doc_id"), ColumnConfig("tf")]),
+            TableConfig(name="DOCLEN", schema_name="CORPUS", table_id=2,
+                        key_handling="P", pk_columns=["doc_id"],
+                        columns=[ColumnConfig("doc_id"), ColumnConfig("dl")]),
+        ],
+        schema_versions=[v1], num_partitions=2, capture_parallelism=1,
+    )
+
+    def ev(eid, table_id, op, term, doc_id, tf, dl):
+        return {
+            "id": eid, "table_id": table_id, "op": op, "dbuser": "t",
+            "txn_id": None, "created_at": 1_700_000_000_000_000, "retry_count": 0,
+            "new_term": term, "new_doc_id": doc_id, "new_tf": tf, "new_dl": dl,
+            "old_term": term if op == "D" else None,
+            "old_doc_id": doc_id if op == "D" else None,
+        }
+
+    rows = [
+        # doc 1: terms hash(2), join(1); doc 2: terms hash(1)
+        ev(1, 1, "I", "hash", 1, 2, None), ev(2, 1, "I", "join", 1, 1, None),
+        ev(3, 2, "I", None, 1, None, 3),
+        ev(4, 1, "I", "hash", 2, 1, None), ev(5, 2, "I", None, 2, None, 1),
+        # re-crawl doc 1: 'join' gone (D), 'hash' tf drops to 1 (U), dl 1
+        ev(6, 1, "U", "hash", 1, 1, None), ev(7, 1, "D", "join", 1, None, None),
+        ev(8, 2, "U", None, 1, None, 1),
+        # doc 2 deleted outright: postings + doclen retracted
+        ev(9, 1, "D", "hash", 2, None, None), ev(10, 2, "D", None, 2, None, None),
+    ]
+    schema = pa.schema([
+        ("id", pa.int64()), ("table_id", pa.int32()), ("op", pa.string()),
+        ("dbuser", pa.string()), ("txn_id", pa.string()),
+        ("created_at", pa.timestamp("us")), ("retry_count", pa.int32()),
+        ("new_term", pa.string()), ("new_doc_id", pa.int64()),
+        ("new_tf", pa.int64()), ("new_dl", pa.int64()),
+        ("old_term", pa.string()), ("old_doc_id", pa.int64()),
+    ])
+    stream = tmp_path / "stream"
+    stream.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows[:5], schema=schema),
+                   str(stream / "chunk_000000.parquet"))
+    pq.write_table(pa.Table.from_pylist(rows[5:], schema=schema),
+                   str(stream / "chunk_000001.parquet"))
+    lake = str(tmp_path / "lake")
+    replay(str(stream), lake, cfg, chunks_per_epoch=1)
+
+    lp = lake_to_pandas(lake)
+    post = lp[lp["_table_id"] == 1]
+    dl = lp[lp["_table_id"] == 2]
+    # doc 2 fully retracted; doc 1's 'join' posting retracted, tf updated
+    assert sorted(post["term"].tolist()) == ["hash"]
+    assert post.iloc[0]["doc_id"] == 1 and post.iloc[0]["tf"] == 1
+    assert dl["doc_id"].tolist() == [1] and dl.iloc[0]["dl"] == 1
+
+
+# ---------------------------------------------------------------------------
 # events_read: mixed / non-parquet chunk streams count per file
 # ---------------------------------------------------------------------------
 
