@@ -275,6 +275,34 @@ def test_capture_drops_key_and_merge_rederives(ray_session, tmp_path):
     assert "D" in ops  # delete rows exercised the old-image branch
 
 
+def test_non_derivable_config_ships_key_and_converges(ray_session, tmp_path):
+    """A PK column unlogged on DELETE makes the key non-derivable at the
+    sink (the old image the key needs is projected away) — sink_key_spec
+    is None, the exchange ships key_string as before, and the replay still
+    converges to the identical lake (deletes included: capture derived the
+    key from the PRE-projection image)."""
+    from movex_cdc_ray.pipelines.replay import lake_to_pandas, replay
+    from movex_cdc_ray.stages.capture import sink_key_spec
+    from movex_cdc_ray.synth import StreamSpec, config_for_spec, generate_stream
+
+    spec = StreamSpec(n_events=5000, n_repos=5, paths_per_repo=20, chunk_size=2500,
+                      delete_frac=0.2)
+    stream = str(tmp_path / "stream")
+    generate_stream(stream, spec)
+    cfg_drop = config_for_spec(spec, num_partitions=4)
+    cfg_ship = config_for_spec(spec, num_partitions=4)
+    for c in cfg_ship.tables[0].columns:
+        if c.name == "repo":
+            c.yn_log_delete = False
+    assert sink_key_spec(cfg_drop) is not None
+    assert sink_key_spec(cfg_ship) is None
+    replay(stream, str(tmp_path / "lake_a"), cfg_drop, chunks_per_epoch=1)
+    replay(stream, str(tmp_path / "lake_b"), cfg_ship, chunks_per_epoch=1)
+    a = lake_to_pandas(str(tmp_path / "lake_a")).reset_index(drop=True)
+    b = lake_to_pandas(str(tmp_path / "lake_b")).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_key_drop_replay_identical_lake(ray_session, tmp_path):
     """groupby (keyless exchange), salted (keyless in BOTH its exchanges —
     stage-1 derives/combines/drops) and winners (key-shipping control)
