@@ -255,11 +255,14 @@ class _WinnerFileFilter:
     but held per worker, off the driver). Winner ids are globally unique,
     so a union lookup over the loaded partitions is exact."""
 
-    def __init__(self, winners_dir: str, parts_present: list[int]):
+    def __init__(self, winners_dir: str, parts_present: list[int], drop_key: bool = False):
         self.winners_dir = winners_dir
         self.parts_present = set(parts_present)
         self.loaded: set[int] = set()
         self.union: pa.Array | None = None
+        # keyless phase-2: once filtered, the wide leg need not ship the
+        # key either — the merge re-derives it (sink_key_spec gate upstream)
+        self.drop_key = drop_key
 
     def _ensure(self, parts) -> pa.Array:
         import pyarrow.parquet as pq
@@ -296,7 +299,10 @@ class _WinnerFileFilter:
             keys = keys.combine_chunks()
         if keys.null_count:  # unkeyed rows always pass (no winner semantics)
             mask = pc.or_(mask, pc.is_null(keys))
-        return batch.filter(mask)
+        out = batch.filter(mask)
+        if self.drop_key:
+            out = out.drop_columns(["key_string"])
+        return out
 
 
 def _merge_via_winner_filter(
@@ -343,6 +349,10 @@ def _merge_via_winner_filter(
         winner_collect = "driver" if mat.count() <= WINNER_DRIVER_LIMIT else "partition"
 
     merger = make_epoch_merger(cfg, lake_dir, epoch, manifest.partitions, mode=merge_mode)
+    # keyless phase-2 wide leg: phase-1 groups BY key_string (it must ship
+    # there), but the filtered wide rows need not re-ship it — the merge
+    # re-derives, same gate as the default path
+    wide_drop_key = sink_key_spec(cfg) is not None
 
     if winner_collect == "partition":
         from ..state.manifest import atomic_write_parquet
@@ -388,7 +398,7 @@ def _merge_via_winner_filter(
 
         filtered = mat.map_batches(
             _WinnerFileFilter,
-            fn_constructor_args=(winners_dir, parts_present),
+            fn_constructor_args=(winners_dir, parts_present, wide_drop_key),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=pool_size(8),
@@ -426,7 +436,10 @@ def _merge_via_winner_filter(
             keys = keys.combine_chunks()
         if keys.null_count:
             mask = pc.or_(mask, pc.is_null(keys))
-        return batch.filter(mask)
+        out = batch.filter(mask)
+        if wide_drop_key:
+            out = out.drop_columns(["key_string"])
+        return out
 
     stats_ds = (
         mat.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
