@@ -45,6 +45,15 @@ def main() -> None:
         evolve_at_event=(n_events * 3) // 4,
     )
     cfg = config_for_spec(spec, num_partitions=32)
+    # GRAFT_COMBINE_BATCH: run the network-optimized operating point
+    # (combine_batch_size=400k cuts the exchange to ~71 B/event — the
+    # documented multi-node trade, docs/SCALE.md) instead of the fused
+    # single-node default
+    import os as _os
+
+    cb = _os.environ.get("GRAFT_COMBINE_BATCH")
+    if cb:
+        cfg.combine_batch_size = int(cb)
     n_chunks = len(list_chunks(stream_dir))
     chunks_per_epoch = max(4, -(-n_chunks // epochs))
 

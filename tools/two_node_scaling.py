@@ -152,7 +152,11 @@ def main() -> None:
         "protocol": f"median of {len(trials)} interleaved paired probe-gated trials",
         "trials": trials,
     }
-    out_path = os.path.join(REPO, "BENCH", "scaling_r5_two_node.json")
+    cb = os.environ.get("GRAFT_COMBINE_BATCH")
+    if cb:
+        result["combine_batch_size"] = int(cb)
+    out_name = os.environ.get("GRAFT_TWO_NODE_OUT", "scaling_r5_two_node.json")
+    out_path = os.path.join(REPO, "BENCH", out_name)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items() if k != "trials"}))
