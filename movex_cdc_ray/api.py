@@ -61,6 +61,21 @@ class Engine:
         self.actor = self.auth.check_token(token)
         return self.actor
 
+    def release_info(self) -> dict[str, str]:
+        """GET /login/release_info analog (`config/routes.rb:36`,
+        `login_controller.rb:86-91`): the build version, rate-limited to
+        one call per second like the reference's DOS suppression."""
+        import time as _time
+
+        now = _time.monotonic()
+        last = getattr(self, "_last_release_info", None)
+        if last is not None and now - last < 1.0:
+            raise RuntimeError("Release info called too frequently")
+        self._last_release_info = now
+        from . import __version__
+
+        return {"release_info": __version__}
+
     def _authorize(self, schema_name: str, action: str, table_name: str | None = None) -> None:
         if self.auth is None or self.actor is None:
             return

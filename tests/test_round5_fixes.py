@@ -146,6 +146,14 @@ def test_token_rejected_after_lock_and_failed_logons_still_lock():
 # ---------------------------------------------------------------------------
 
 
+def test_release_info_version_and_rate_limit(tmp_path):
+    eng = Engine(default_code_cdc_config(4), str(tmp_path))
+    info = eng.release_info()
+    assert info["release_info"]
+    with pytest.raises(RuntimeError, match="too frequently"):
+        eng.release_info()  # reference suppresses sub-second repeats
+
+
 def test_trigger_dates_null_then_set(tmp_path):
     eng = Engine(default_code_cdc_config(4), str(tmp_path))
     d = eng.trigger_dates("CODE", "FILES")
