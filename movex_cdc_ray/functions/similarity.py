@@ -289,8 +289,10 @@ def _round9(m: np.ndarray) -> np.ndarray:
     """Quantize to 9 decimals: makes every k-means intermediate identical
     between numpy (pairwise-sum BLAS) and a SQL engine (sequential sums),
     so the IVF pipeline is value-checkable against a DuckDB oracle. 1e-9
-    quantization is far below any meaningful cosine resolution."""
-    return np.round(m, 9)
+    quantization is far below any meaningful cosine resolution.
+    half-away-from-zero to match the oracles' ROUND(x, 9) exactly at a
+    boundary (the repo-wide convention, CLAUDE.md)."""
+    return round_half_away(m, 9)
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
