@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import dedup as fdedup
+from ..functions.scalar import round_half_away
 from ..functions.scalar import round_half_away as _rha
 from ..functions import similarity as fsim
 from ..stages import stats as fstats
@@ -1113,7 +1114,7 @@ def cdc_stats_rollup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     out = fstats.time_rollup(ds, "ts", "hour", ["event_type"], ["value"])
     pdf = out.to_pandas()
-    pdf["sum_value"] = pdf["sum_value"].round(6)
+    pdf["sum_value"] = round_half_away(pdf["sum_value"], 6)
     return pdf.sort_values(["event_type", "time_bucket"]).reset_index(drop=True)[
         ["event_type", "time_bucket", "sum_value", "min_ts", "max_ts", "n_rows"]
     ]
@@ -1292,7 +1293,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         )
     )
     pdf = out.to_pandas()
-    pdf["sum_qty"] = pdf["sum_qty"].round(2)
+    pdf["sum_qty"] = round_half_away(pdf["sum_qty"], 2)
     return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -3517,7 +3518,7 @@ def events_tumbling_window(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
     pdf = out.to_pandas()
-    pdf["sum_value"] = pdf["sum_value"].round(6)
+    pdf["sum_value"] = round_half_away(pdf["sum_value"], 6)
     return pdf.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
@@ -3549,7 +3550,7 @@ def events_hopping_window(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
     pdf = out.to_pandas()
-    pdf["sum_value"] = pdf["sum_value"].round(6)
+    pdf["sum_value"] = round_half_away(pdf["sum_value"], 6)
     return pdf.sort_values("window_start").reset_index(drop=True)
 
 
@@ -4360,7 +4361,7 @@ def events_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     vals = sample["value"].to_numpy(dtype="float64")
     est = np.percentile(vals, [q * 100 for q in _QSKETCH_QS], method="linear")
     return pd.DataFrame(
-        {"q": np.array(_QSKETCH_QS, dtype="float64"), "estimate": np.round(est, 6)}
+        {"q": np.array(_QSKETCH_QS, dtype="float64"), "estimate": round_half_away(est, 6)}
     )
 
 
@@ -4480,7 +4481,7 @@ def corpus_sample_weighted(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"], filter=pads.field("n_chars") > 0)
     out = weighted_sample_es(ds, k=100, weight_col="n_chars").to_pandas()
-    out["es_key"] = np.round(out["es_key"], 6)
+    out["es_key"] = round_half_away(out["es_key"], 6)
     return out[["doc_id", "n_chars", "es_key"]].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -6120,7 +6121,7 @@ def multimodal_decode(sf_dir: str) -> pd.DataFrame:
         concurrency=2,
     )
     pdf = out.to_pandas()[["media_id", "payload_sha", "payload_bytes", "feature_norm"]]
-    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    pdf["feature_norm"] = round_half_away(pdf["feature_norm"], 4)
     return pdf.sort_values("media_id").reset_index(drop=True)
 
 
@@ -6149,7 +6150,7 @@ def multimodal_decode_real(sf_dir: str) -> pd.DataFrame:
         ["media_id", "kind", "decoded_width", "decoded_height",
          "decoded_samples", "feature_norm"]
     ]
-    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    pdf["feature_norm"] = round_half_away(pdf["feature_norm"], 4)
     return pdf.sort_values("media_id").reset_index(drop=True)
 
 
@@ -6192,7 +6193,7 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     pdf = out.to_pandas()[
         ["media_id", "frame_idx", "decoded_width", "decoded_height", "feature_norm"]
     ]
-    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    pdf["feature_norm"] = round_half_away(pdf["feature_norm"], 4)
     return pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
@@ -7544,7 +7545,7 @@ def multimodal_image_crop(sf_dir: str) -> pd.DataFrame:
         crop_stage, batch_format="pyarrow",
         batch_size=RECOMMENDED_MEDIA_BATCH_SIZE, concurrency=2,
     ).to_pandas()
-    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    pdf["feature_norm"] = round_half_away(pdf["feature_norm"], 4)
     return pdf.sort_values("media_id").reset_index(drop=True)
 
 
@@ -7622,7 +7623,7 @@ def multimodal_audio_resample(sf_dir: str) -> pd.DataFrame:
         concurrency=2,
     )
     pdf = out.to_pandas()[["media_id", "decoded_samples", "feature_norm"]]
-    pdf["feature_norm"] = pdf["feature_norm"].round(4)
+    pdf["feature_norm"] = round_half_away(pdf["feature_norm"], 4)
     return pdf.sort_values("media_id").reset_index(drop=True)
 
 
@@ -8726,7 +8727,7 @@ def corpus_dsir_sample(sf_dir: str) -> pd.DataFrame:
     out = weighted_sample_es(
         weights.map_batches(add_w, batch_format="pyarrow"), k=100, weight_col="w"
     ).to_pandas()
-    out["es_key"] = np.round(out["es_key"], 6)
+    out["es_key"] = round_half_away(out["es_key"], 6)
     out["log_weight_micro"] = out["log_weight_micro"].astype("int64")
     return out[["doc_id", "log_weight_micro", "es_key"]].sort_values(
         "doc_id"
