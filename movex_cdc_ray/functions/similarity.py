@@ -139,7 +139,7 @@ def brute_force_topk(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         out.append(g)
     res = pd.concat(out, ignore_index=True)
-    res["cosine"] = res["cosine"].round(6)
+    res["cosine"] = round_half_away(res["cosine"], 6)
     return res[["query_id", "neighbor_id", "rank", "cosine"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
@@ -275,7 +275,7 @@ def lsh_bucketed_ann(
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = g["cosine"].round(6)
+        g["cosine"] = round_half_away(g["cosine"], 6)
         out.append(g)
     return pd.concat(out, ignore_index=True)[["query_id", "neighbor_id", "rank", "cosine"]]
 
@@ -438,7 +438,7 @@ def ivf_topk(
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = g["cosine"].round(6)
+        g["cosine"] = round_half_away(g["cosine"], 6)
         out.append(g)
     return pd.concat(out, ignore_index=True)[["query_id", "neighbor_id", "rank", "cosine"]]
 
@@ -532,7 +532,7 @@ def pq_encode(
             code = np.argmin(d, axis=1)
             err += d[np.arange(len(sub)), code]
             cols[f"code_{s}"] = pa.array(code.astype(np.int64))
-        cols["recon_err"] = pa.array(np.round(err, 6))
+        cols["recon_err"] = pa.array(round_half_away(err, 6))
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
@@ -598,7 +598,7 @@ def pq_topk(
             d = ((v[:, None, :] - bks[sub][None, :, :]) ** 2).sum(axis=2)
             codes = np.argmin(d, axis=1)
             dist += dt[:, sub, :][:, codes]
-        dist = np.round(dist, 6)
+        dist = round_half_away(dist, 6)
         kk = min(s["k"], len(ids))
         frames = []
         for row in range(nq):
