@@ -311,6 +311,28 @@ def test_non_derivable_config_ships_key_and_converges(ray_session, tmp_path):
     assert a.equals(b)
 
 
+def test_probe_dict_cols_selects_repetitive_strings(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movex_cdc_ray.pipelines.replay import _probe_dict_cols
+
+    n = 1000
+    t = pa.table({
+        "op": pa.array(["I", "U"] * (n // 2)),
+        "new_repo": pa.array([f"repo-{i % 7}" for i in range(n)]),
+        "new_content": pa.array([f"unique-content-{i}" for i in range(n)]),
+        "new_size": pa.array(range(n), pa.int64()),  # non-string: never encoded
+        "other": pa.array(["x"] * n),  # not an event column: ignored
+    })
+    f = str(tmp_path / "chunk_000000.parquet")
+    pq.write_table(t, f)
+    assert _probe_dict_cols(f) == ["op", "new_repo"]
+    # non-parquet streams skip the optimization; probe failures return []
+    assert _probe_dict_cols(str(tmp_path / "chunk_0.jsonl")) == []
+    assert _probe_dict_cols(str(tmp_path / "missing.parquet")) == []
+
+
 def test_key_drop_replay_identical_lake(ray_session, tmp_path):
     """groupby (keyless exchange), salted (keyless in BOTH its exchanges —
     stage-1 derives/combines/drops) and winners (key-shipping control)
